@@ -1,0 +1,227 @@
+"""Pipeline composition: lazy Dataset chains for every KG stage, plus the
+checkpointed two-phase ``run_kg`` job.
+
+Flagship chain (SURVEY.md §3.1 KG equivalent):
+
+    read -> extract_text -> segment -> TripleExtractor(actors)
+         -> EntityLinker(actors)                      [phase A, per shard]
+    linked -> {dedup+categorize -> sort -> triples,   [phase B, global
+               canonicalize -> entities,               shuffles over the
+               adjacency}                              small linked table]
+
+Phase A is embarrassingly parallel per url and is the checkpoint unit; phase
+B's shuffles see only linked triples (orders of magnitude smaller than the
+page bytes), which is what keeps the all-to-all exchanges cheap at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable
+
+import pyarrow as pa
+
+from . import config_loader, synth
+from .manifest import Manifest, atomic_write_dir, parquet_dir_checksum
+from .stages import kg_stages, wide
+
+
+def broadcast_kb(kb: dict | None = None) -> dict:
+    """Put the linker's small sides in the object store ONCE (ray.put);
+    actors resolve the refs in ``__init__`` — never re-shipped per batch."""
+    import ray
+
+    kb = kb or synth.build_knowledge_base()
+    alias_rows = kb["alias_table"].to_pylist()
+    embeddings = {r["entity_id"]: r["embedding"] for r in kb["embedding_table"].to_pylist()}
+    return {
+        "alias_ref": ray.put(alias_rows),
+        "emb_ref": ray.put(embeddings),
+        "kb": kb,
+    }
+
+
+def page_text_ds(pages_ds, cfg: dict):
+    b = cfg["processing"]["batch"]
+    return pages_ds.map_batches(
+        kg_stages.extract_text_batch, batch_format="pyarrow", batch_size=b["extract"]
+    )
+
+
+def segments_ds(pages_ds, cfg: dict):
+    b = cfg["processing"]["batch"]
+    return page_text_ds(pages_ds, cfg).map_batches(
+        kg_stages.SegmentPages,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=b["segment"],
+        concurrency=(1, 8),
+    )
+
+
+def mentions_ds(pages_ds, cfg: dict, refs: dict):
+    b = cfg["processing"]["batch"]
+    c = cfg["processing"]["concurrency"]
+    return segments_ds(pages_ds, cfg).map_batches(
+        kg_stages.MentionDetector,
+        fn_constructor_kwargs={"alias_ref": refs["alias_ref"]},
+        batch_format="pyarrow",
+        batch_size=b["mentions"],
+        concurrency=(1, c["mentions"]),
+    )
+
+
+def linked_triples_ds(pages_ds, cfg: dict, refs: dict):
+    """pages -> linked triples: the whole phase-A chain, lazy."""
+    b = cfg["processing"]["batch"]
+    c = cfg["processing"]["concurrency"]
+    raw = segments_ds(pages_ds, cfg).map_batches(
+        kg_stages.TripleExtractor,
+        fn_constructor_kwargs={"alias_ref": refs["alias_ref"], "cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=b["triples"],
+        concurrency=(1, c["triples"]),
+    )
+    return raw.map_batches(
+        kg_stages.EntityLinker,
+        fn_constructor_kwargs={
+            "alias_ref": refs["alias_ref"],
+            "emb_ref": refs["emb_ref"],
+            "cfg": cfg,
+        },
+        batch_format="pyarrow",
+        batch_size=b["link"],
+        concurrency=(1, c["link"]),
+    )
+
+
+def finalize(linked_ds, cfg: dict, sort_output: bool = True) -> dict:
+    """Phase B on an (already materialized or checkpointed) linked-triples
+    Dataset: exact dedup + categorize -> final triples (sorted by subj for
+    the range-partitioned graph materialization, O3), canonical entities,
+    adjacency.  The input Dataset is consumed by three chains, so callers
+    pass either a checkpoint read (run_kg) or a materialized Dataset
+    (in-memory query path) — never a lazy chain that would recompute phase A
+    three times.
+    """
+    triples = wide.dedup_and_categorize(linked_ds, cfg)
+    if sort_output:
+        triples = triples.sort(["subj", "pred", "obj"])
+    entities = wide.canonical_entities(linked_ds, cfg)
+    adjacency = wide.adjacency_from_triples(wide.dedup_and_categorize(linked_ds, cfg))
+    return {"triples": triples, "entities": entities, "adjacency": adjacency}
+
+
+def kg_tables_in_memory(pages_ds, cfg: dict | None = None, refs: dict | None = None,
+                        sort_output: bool = False) -> dict:
+    """Query-path variant: full pipeline with the linked mid-table pinned via
+    ``materialize()`` (it is the compact post-extraction table; the page
+    bytes themselves are never materialized)."""
+    cfg = cfg or config_loader.resolve_settings()
+    refs = refs or broadcast_kb()
+    linked = linked_triples_ds(pages_ds, cfg, refs).materialize()
+    return finalize(linked, cfg, sort_output=sort_output)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed job (north rule: resumable from manifest mid-pipeline)
+# ---------------------------------------------------------------------------
+
+
+def run_kg(
+    make_shard_ds: Callable[[int, int], "object"],
+    out_dir: str | Path,
+    num_shards: int = 8,
+    cfg: dict | None = None,
+    kb: dict | None = None,
+    run_id: str = "run-0",
+    stop_after_shards: int | None = None,
+) -> Manifest:
+    """Two-phase checkpointed KG job.
+
+    ``make_shard_ds(k, num_shards)`` must return the pages Dataset for shard
+    ``k`` — at real scale a disjoint slice of input FILES (so a shard read
+    touches only its own bytes); the test/bench helpers shard by
+    ``doc_id % num_shards`` with Parquet filter pushdown.
+
+    Phase A: per unfinished shard, linked triples -> ``linked/shard=k/``
+    (atomic rename) + manifest entry (rows, checksum).  Phase B: one global
+    finalize over ``linked/*`` -> triples/entities/adjacency dirs + commit
+    flags.  Rerunning after a crash skips committed work; the final output
+    is bit-equal to an uninterrupted run (tests/test_resume.py).
+
+    ``stop_after_shards`` exists for the kill/rerun test: raises after N
+    shard commits to simulate a mid-job crash.
+    """
+    import ray.data as rd
+
+    cfg = cfg or config_loader.resolve_settings()
+    out_dir = Path(out_dir)
+    man = Manifest(out_dir, run_id=run_id)
+    refs = broadcast_kb(kb)
+
+    done = 0
+    for k in range(num_shards):
+        if man.shard_done(k):
+            continue
+        shard_dir = out_dir / "linked" / f"shard={k}"
+        pages = make_shard_ds(k, num_shards)
+        linked = linked_triples_ds(pages, cfg, refs)
+        rows = atomic_write_dir(linked, shard_dir)
+        checksum = parquet_dir_checksum(shard_dir, ["url", "seg_id", "subj", "pred", "obj"])
+        man.commit_shard(k, str(shard_dir), rows, checksum)
+        done += 1
+        if stop_after_shards is not None and done >= stop_after_shards:
+            raise RuntimeError(f"simulated crash after {done} shard(s)")
+
+    if not man.phase_done("finalize"):
+        linked = rd.read_parquet(str(out_dir / "linked"))
+        outs = finalize(linked, cfg, sort_output=True)
+        counters = {}
+        counters["triples"] = atomic_write_dir(outs["triples"], out_dir / "triples")
+        counters["entities"] = atomic_write_dir(outs["entities"], out_dir / "entities")
+        counters["adjacency"] = atomic_write_dir(outs["adjacency"], out_dir / "adjacency")
+        counters["linked"] = sum(s["rows"] for s in man.data["shards"].values())
+        man.commit_phase("finalize", counters)
+    return man
+
+
+def shard_documents_factory(sf_dir: str, enrich: bool = True) -> Callable:
+    """Shard helper over the driver's documents table: rows with
+    ``doc_id % num_shards == k`` (vectorized mask inside the same batch map
+    that builds the pages rows — one read, no extra pass).  At real scale a
+    shard is a disjoint list of input FILES so the read itself is pruned;
+    this modulo fallback exists because the test corpus is a single file
+    (SURVEY.md §4.2 resume design).
+    """
+    import numpy as np
+    import ray.data as rd
+
+    kb = synth.build_knowledge_base() if enrich else None
+    kb2 = {"entities": kb["entities"]} if kb else None
+
+    def make(k: int, num_shards: int):
+        ds = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"))
+
+        def to_shard_pages(batch: pa.Table) -> pa.Table:
+            mask = np.mod(batch["doc_id"].to_numpy(), num_shards) == k
+            return synth.pages_batch_from_documents(batch.filter(pa.array(mask)), enrich, kb2)
+
+        return ds.map_batches(to_shard_pages, batch_format="pyarrow", batch_size=256)
+
+    return make
+
+
+def shard_pages_table_factory(pages: pa.Table) -> Callable:
+    """Shard helper for an in-memory pages table (tests): hash(url) % K."""
+    import ray.data as rd
+
+    from .functions.text import stable_hash64
+
+    def make(k: int, num_shards: int):
+        mask = pa.array(
+            [stable_hash64(u) % num_shards == k for u in pages["url"].to_pylist()]
+        )
+        return rd.from_arrow(pages.filter(mask))
+
+    return make

@@ -1,0 +1,160 @@
+"""Per-batch stage implementations for the KG pipeline.
+
+Stage graph (SURVEY.md §3.1 KG equivalent):
+
+    pages --extract_text_batch--> page_text (html dropped immediately)
+          --segment_batch-------> segments   (junk/novelty/cap are page-local)
+          --TripleExtractor-----> raw triples   [actor pool: alias automaton +
+                                                 predicate rules built once]
+          --EntityLinker--------> linked triples [actor pool: alias dict +
+                                                  embedding matrix via ray.put]
+
+The wide steps (canonicalize / dedup / adjacency) live in
+``kgx.stages.wide``.  Every row-level computation delegates to
+``kgx.functions`` so the serial oracle and this distributed pipeline cannot
+drift (the P/R and byte-identity gates then measure distribution only).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .. import schema as S
+from ..functions.extract_kg import AliasMatcher, PredicateMatcher
+from ..functions.pipeline_core import (
+    link_raw_triple,
+    mentions_for_segment,
+    raw_triples_for_segment,
+    segments_for_page,
+)
+from ..functions.text import page_text
+
+
+def _rows_to_table(rows: list[dict], schema: pa.Schema) -> pa.Table:
+    if not rows:
+        return schema.empty_table()
+    return pa.table({f.name: [r[f.name] for r in rows] for f in schema}, schema=schema)
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """pages -> (url, warc_ts, text, lang): html decoded to text and DROPPED
+    so downstream blocks are narrow (SURVEY.md §7.4.6 wide-record handling).
+
+    Reference semantics: binary-payload decode S2/M8 + whitespace
+    normalization M1 (groq_backend.py:21-28, ocr/reader.py:10-40,
+    transcriber.py:19-26), fail-open on null payloads.
+    """
+    htmls = batch["html"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_text = [page_text(h, t) for h, t in zip(htmls, texts)]
+    return pa.table(
+        {
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "text": pa.array(out_text, type=pa.string()),
+            "lang": batch["lang"],
+        },
+        schema=S.PAGE_TEXT,
+    )
+
+
+class SegmentPages:
+    """Stateless-ish flat map: one page row -> N segment rows.
+
+    A class (not a plain fn) only so the config dict is normalized once per
+    worker instead of per batch; it holds no heavy state and could run as
+    tasks — kept as a pooled callable for symmetry with the actor stages.
+    Reference semantics: chunk splitter M4/M5 + junk filter M7 + novelty
+    gating M6 + per-window cap G5, all page-local (chunker.py:72-272,
+    extractor.py:123-179,369-396).
+    """
+
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        for url, text, lang in zip(urls, texts, langs):
+            # html=None: text is already extracted upstream.
+            _, segs = segments_for_page(url, None, text, lang, self.cfg)
+            rows.extend(segs)
+        return _rows_to_table(rows, S.SEGMENTS)
+
+
+class MentionDetector:
+    """Actor-pool stage: segments -> mentions.
+
+    Alias automaton compiled ONCE per actor from the broadcast alias table
+    (``ray.put`` ref resolved in ``__init__`` — never re-shipped per batch).
+    Reference semantics: T1 spaCy NER loaded once per process
+    (anonymizer.py:4-5) + T4 batched tagging (tagger.py:25-52).
+    """
+
+    def __init__(self, alias_ref):
+        import ray
+
+        alias_rows = ray.get(alias_ref)
+        self.matcher = AliasMatcher(alias_rows)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for seg in batch.to_pylist():
+            rows.extend(mentions_for_segment(seg, self.matcher))
+        return _rows_to_table(rows, S.MENTIONS)
+
+
+class TripleExtractor:
+    """Actor-pool stage: segments -> raw (subj_surface, pred, obj_surface).
+
+    State built once per actor: alias automaton + predicate-phrase matcher
+    from the rule file (the reference's editable prompt file,
+    knowledge_extraction.txt — SURVEY.md §2.10).  Fail-open per sentence
+    (M13 contract: no parse -> no rows, never an exception).
+    """
+
+    def __init__(self, alias_ref, cfg: dict):
+        import ray
+
+        self.matcher = AliasMatcher(ray.get(alias_ref))
+        self.predicates = PredicateMatcher(cfg["rules"]["predicates"])
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for seg in batch.to_pylist():
+            rows.extend(raw_triples_for_segment(seg, self.matcher, self.predicates, self.cfg))
+        return _rows_to_table(rows, S.RAW_TRIPLES)
+
+
+# Linked-triple schema incl. surfaces (needed by entity canonicalization).
+LINKED_FULL = pa.schema(
+    list(S.LINKED_TRIPLES)
+    + [pa.field("subj_surface", pa.string()), pa.field("obj_surface", pa.string())]
+)
+
+
+class EntityLinker:
+    """Actor-pool stage: raw triples -> linked triples.
+
+    Small sides (alias dict + entity embedding matrix) are broadcast with
+    ``ray.put`` on the driver and materialized once per actor here — the
+    broadcast-join pattern replacing a shuffle join (SURVEY.md §2 J2; the
+    reference's weighted argmax alignment, aligner.py:23-81).
+    """
+
+    def __init__(self, alias_ref, emb_ref, cfg: dict):
+        import ray
+
+        self.matcher = AliasMatcher(ray.get(alias_ref))
+        self.embeddings: dict[int, list[float]] = ray.get(emb_ref)
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [
+            link_raw_triple(r, self.matcher, self.embeddings, self.cfg)
+            for r in batch.to_pylist()
+        ]
+        return _rows_to_table(rows, LINKED_FULL)
