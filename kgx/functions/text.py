@@ -22,8 +22,11 @@ import struct
 # Container elements that are pure boilerplate on web pages; their entire
 # subtree is dropped (reference analog: junk frame filter M7,
 # extractor.py:369-396 — drop UI chrome before downstream stages see it).
+# Innermost-first: the body may not contain another opening tag of the SAME
+# name, so a fixpoint loop peels nested blocks outside-in correctly.
 _DROP_BLOCK_RE = re.compile(
-    r"<(script|style|nav|header|footer|aside|noscript)\b[^>]*>.*?</\1\s*>",
+    r"<(script|style|head|title|nav|header|footer|aside|noscript)\b[^>]*>"
+    r"(?:(?!<\1\b).)*?</\1\s*>",
     re.IGNORECASE | re.DOTALL,
 )
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
