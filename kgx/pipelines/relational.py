@@ -1,0 +1,216 @@
+"""Relational operators expressed Ray-Data-first over the driver's TPC-H-ish
+tables — the generic forms of the reference's joins/aggregations (SURVEY.md
+§2.4/§2.5/§2.6): partial+final aggregation, broadcast hash join, semi-join
+with a collected key set, top-k with deterministic tie-break, tumbling-window
+counts, distinct.
+
+Design rules applied throughout (the 100 TB contract):
+* reads prune columns at the source (``read_parquet(columns=[...])``);
+* every aggregation is combined inside ``map_batches`` BEFORE the groupby so
+  the shuffle moves one row per (batch, key), not per input row;
+* the small side of every join is collected/broadcast (ray.put or closure),
+  the big side streams;
+* compared outputs carry integers (counts, keys, epoch seconds) or integral
+  sums only — no float round-trip ambiguity against the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(str(Path(sf_dir) / f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Partial+final aggregation (TPC-H Q1 shape; reference G7 counters)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_agg(sf_dir: str):
+    """sum(l_quantity), count(*) per (l_returnflag, l_linestatus)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return t.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": [group["l_returnflag"][0].as_py()],
+                "l_linestatus": [group["l_linestatus"][0].as_py()],
+                "sum_qty": [pc.sum(group["sum_qty"]).as_py()],
+                "n_rows": [pc.sum(group["n_rows"]).as_py()],
+            }
+        )
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return part.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast hash join (small side shipped once; reference J7 dict lookup)
+# ---------------------------------------------------------------------------
+
+
+def orders_per_segment(sf_dir: str):
+    """orders ⋈ customer on custkey (customer broadcast) -> order count per
+    c_mktsegment."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        str(Path(sf_dir) / "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_of = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    seg_ref = ray.put(seg_of)  # broadcast once; resolved per task from plasma
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(seg_ref)
+        counts: dict[str, int] = {}
+        for ck in batch["o_custkey"].to_pylist():
+            seg = lookup.get(ck)
+            if seg is not None:
+                counts[seg] = counts.get(seg, 0) + 1
+        return pa.table(
+            {"c_mktsegment": list(counts), "n_orders": list(counts.values())},
+            schema=pa.schema([("c_mktsegment", pa.string()), ("n_orders", pa.int64())]),
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": [group["c_mktsegment"][0].as_py()],
+                "n_orders": [pc.sum(group["n_orders"]).as_py()],
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return part.groupby("c_mktsegment").map_groups(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Semi-join (reference J5: QA ⋉ surviving breakdowns)
+# ---------------------------------------------------------------------------
+
+
+def customers_with_orders(sf_dir: str):
+    """customer ⋉ orders: custkeys having >= 1 order.  The key set is itself
+    computed distributed (partial distinct per batch, then unique) and is the
+    SMALL side by definition (distinct keys << order rows), so it broadcasts
+    into the filter."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    partial_distinct = orders.map_batches(
+        lambda b: pa.table({"o_custkey": pc.unique(b["o_custkey"])}),
+        batch_format="pyarrow",
+    )
+    keys = set(partial_distinct.unique("o_custkey"))
+    keys_ref = ray.put(keys)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        mask = pa.array([v in k for v in batch["c_custkey"].to_pylist()])
+        return batch.filter(mask)
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return cust.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Top-k with deterministic tie-break (reference O4/O6 argmax + caps)
+# ---------------------------------------------------------------------------
+
+
+def top_customers_by_orders(sf_dir: str, k: int = 10):
+    """Top-k custkeys by order count; tie-break custkey asc.  Partial counts
+    combine per batch; the final sort sees one row per custkey."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return t.rename_columns(["o_custkey", "n_orders"])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": [group["o_custkey"][0].as_py()],
+                "n_orders": [pc.sum(group["n_orders"]).as_py()],
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(final, batch_format="pyarrow")
+    )
+    return counts.sort(["n_orders", "o_custkey"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window count (reference G5 per-minute cap / G6 sliding analysis)
+# ---------------------------------------------------------------------------
+
+
+def events_per_user_hour(sf_dir: str):
+    """(user_id, hour_epoch, n_events): tumbling 1-hour windows per user."""
+
+    _PER_SEC = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(batch["ts"], unit="hour")
+        epoch = pc.divide(
+            pc.cast(hours, pa.int64()), _PER_SEC[batch["ts"].type.unit]
+        )
+        t = pa.table({"user_id": batch["user_id"], "hour_epoch": epoch})
+        g = t.group_by(["user_id", "hour_epoch"]).aggregate([("hour_epoch", "count")])
+        return g.rename_columns(["user_id", "hour_epoch", "n_events"])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": [group["user_id"][0].as_py()],
+                "hour_epoch": [group["hour_epoch"][0].as_py()],
+                "n_events": [pc.sum(group["n_events"]).as_py()],
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return part.groupby(["user_id", "hour_epoch"]).map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct (reference D4/G4 set semantics)
+# ---------------------------------------------------------------------------
+
+
+def distinct_event_types(sf_dir: str):
+    """Distinct event_type values, one column out."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    partial = ds.map_batches(
+        lambda b: pa.table({"event_type": pc.unique(b["event_type"])}),
+        batch_format="pyarrow",
+    )
+    return partial.groupby("event_type").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )

@@ -1,0 +1,438 @@
+"""Query registry: every implemented operator/pipeline exposed as a
+``name -> callable(sf_dir) -> ray.data.Dataset`` plus, where expressible, a
+DuckDB SQL oracle over the same parquet views (the driver's side-by-side
+correctness gate, see __ray_entry__.py).
+
+Conventions enforced here (driver contract):
+* column NAMES and TYPES match between the Ray result and the SQL exactly;
+* compared columns are integers/strings or integral doubles only — every
+  decision rule is integer arithmetic (see kgx.functions.textstats);
+* non-SQL-expressible pipelines (the KG chain on enriched pages, the
+  probabilistic dedup/ANN variants) have no SQL entry -> the driver records
+  a rows-only check; their exactness gate is tests/ against kgx.oracle.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from . import config_loader, synth
+from .functions import textstats as ts
+from .functions.pipeline_core import segments_for_page
+
+DOC_URL_SQL = "'https://synth.example/' || source || '/' || doc_id"
+_TEXT = "coalesce(text, '')"
+
+# Thresholds shared between the Ray ops and the generated SQL.
+NGRAM_N = 3
+NGRAM_T = 0.8
+EMBED_COS_T = 0.4  # driver corpus has no planted embedding dups; 0.4 yields
+# a non-empty, well-separated pair set at every sf (nearest value gaps are
+# >=1e-4, dwarfing any f64 summation-order epsilon vs the DuckDB oracle)
+ANN_EVERY = 100
+ANN_K = 10
+SEGCOUNT_MAX_CHARS = 400
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        str(Path(sf_dir) / "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+
+def _emb_table(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        str(Path(sf_dir) / "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (pages derived from documents; SURVEY.md §3.1)
+# ---------------------------------------------------------------------------
+
+
+def kg_page_text(sf_dir: str):
+    """pages -> (url, text): the byte-identity invariant stage (enrich=False
+    so the SQL oracle can reconstruct the exact expected text)."""
+    from .pipeline import page_text_ds
+
+    cfg = config_loader.resolve_settings()
+    pages = synth.pages_dataset_from_documents(sf_dir, enrich=False)
+    return page_text_ds(pages, cfg).select_columns(["url", "text"])
+
+
+def kg_segment_count(sf_dir: str):
+    """pages -> (url, n_segments) with novelty gating disabled and a 400-char
+    hard split — the config-override variant whose output is a closed-form
+    function of text length, hence SQL-checkable.  Demonstrates the
+    CLI-over-preset-over-default override chain (reference extractor.py:65-97).
+    """
+    import pyarrow as pa
+
+    cfg = config_loader.resolve_settings()
+    seg = dict(cfg["processing"]["segment"])
+    seg.update(
+        {"max_chars": SEGCOUNT_MAX_CHARS, "novelty_threshold": 2.0, "max_per_page": 1 << 30}
+    )
+    cfg2 = {**cfg, "processing": {**cfg["processing"], "segment": seg},
+            "filters": {**cfg["filters"], "junk_patterns": []}}
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        urls, counts = [], []
+        for r in batch.to_pylist():
+            _, segs = segments_for_page(r["url"], r["html"], r["text"], r["lang"], cfg2)
+            urls.append(r["url"])
+            counts.append(len(segs))
+        return pa.table(
+            {"url": urls, "n_segments": counts},
+            schema=pa.schema([("url", pa.string()), ("n_segments", pa.int64())]),
+        )
+
+    pages = synth.pages_dataset_from_documents(sf_dir, enrich=False)
+    return pages.map_batches(count_batch, batch_format="pyarrow")
+
+
+def _kg_outputs(sf_dir: str):
+    from .pipeline import broadcast_kb, kg_tables_in_memory
+
+    pages = synth.pages_dataset_from_documents(sf_dir, enrich=True)
+    return kg_tables_in_memory(pages, config_loader.resolve_settings(), broadcast_kb())
+
+
+def kg_triples(sf_dir: str):
+    """Flagship: full chain -> final deduped categorized triples."""
+    return _kg_outputs(sf_dir)["triples"]
+
+
+def kg_entities(sf_dir: str):
+    return _kg_outputs(sf_dir)["entities"]
+
+
+def kg_adjacency(sf_dir: str):
+    return _kg_outputs(sf_dir)["adjacency"]
+
+
+def kg_mentions(sf_dir: str):
+    from .pipeline import broadcast_kb, mentions_ds
+
+    cfg = config_loader.resolve_settings()
+    pages = synth.pages_dataset_from_documents(sf_dir, enrich=True)
+    return mentions_ds(pages, cfg, broadcast_kb()).select_columns(
+        ["url", "seg_id", "begin", "end", "surface", "ner_type"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_token_count(sf_dir: str):
+    from .stages.text_analysis import token_count_batch
+
+    return _docs_ds(sf_dir).map_batches(token_count_batch, batch_format="pandas")
+
+
+def text_quality(sf_dir: str):
+    from .stages.text_analysis import quality_batch
+
+    return _docs_ds(sf_dir).map_batches(quality_batch, batch_format="pandas")
+
+
+def text_langid(sf_dir: str):
+    from .stages.text_analysis import langid_batch
+
+    return _docs_ds(sf_dir).map_batches(langid_batch, batch_format="pandas")
+
+
+def text_fingerprint(sf_dir: str):
+    from .stages.text_analysis import fingerprint_batch
+
+    return _docs_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str):
+    from .stages.dedup import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir))
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    from .stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_ds(sf_dir), n=NGRAM_N, threshold=NGRAM_T)
+
+
+def dedup_minhash_lsh(sf_dir: str):
+    from .stages.dedup import minhash_lsh_pairs
+
+    d = config_loader.resolve_settings()["processing"]["dedup"]
+    return minhash_lsh_pairs(
+        _docs_ds(sf_dir),
+        num_perm=d["minhash_num_perm"],
+        bands=d["minhash_bands"],
+        threshold=d["minhash_jaccard"],
+        shingle_k=d["shingle_k"],
+    )
+
+
+def dedup_simhash(sf_dir: str):
+    from .stages.dedup import simhash_pairs
+
+    d = config_loader.resolve_settings()["processing"]["dedup"]
+    return simhash_pairs(_docs_ds(sf_dir), max_hamming=d["simhash_max_hamming"])
+
+
+def dedup_embedding(sf_dir: str):
+    import ray
+
+    from .stages.dedup import embedding_dup_pairs, normalized_matrix
+
+    all_ref = ray.put(normalized_matrix(_emb_table(sf_dir)))
+    return embedding_dup_pairs(_emb_ds(sf_dir), all_ref, threshold=EMBED_COS_T)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def ann_topk(sf_dir: str):
+    import ray
+
+    from .stages.similarity import ann_topk as _ann, build_query_side
+
+    q_ref = ray.put(build_query_side(_emb_table(sf_dir), every=ANN_EVERY))
+    return _ann(_emb_ds(sf_dir), q_ref, k=ANN_K)
+
+
+def ann_topk_lsh(sf_dir: str):
+    import ray
+
+    from .stages.similarity import ann_topk_lsh as _lsh, build_lsh_query_side
+
+    q_ref = ray.put(
+        build_lsh_query_side(_emb_table(sf_dir), every=ANN_EVERY, nbits=8, tables=4)
+    )
+    return _lsh(_emb_ds(sf_dir), q_ref, k=ANN_K, nbits=8, tables=4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def mm_payload_stats(sf_dir: str):
+    from .stages.multimodal import payload_stats
+
+    return payload_stats(_docs_ds(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Relational operators
+# ---------------------------------------------------------------------------
+
+
+def rel_agg_pushdown(sf_dir: str):
+    from .pipelines.relational import lineitem_agg
+
+    return lineitem_agg(sf_dir)
+
+
+def rel_broadcast_join(sf_dir: str):
+    from .pipelines.relational import orders_per_segment
+
+    return orders_per_segment(sf_dir)
+
+
+def rel_semi_join(sf_dir: str):
+    from .pipelines.relational import customers_with_orders
+
+    return customers_with_orders(sf_dir)
+
+
+def rel_topk(sf_dir: str):
+    from .pipelines.relational import top_customers_by_orders
+
+    return top_customers_by_orders(sf_dir, k=10)
+
+
+def rel_window_events(sf_dir: str):
+    from .pipelines.relational import events_per_user_hour
+
+    return events_per_user_hour(sf_dir)
+
+
+def rel_distinct_event_types(sf_dir: str):
+    from .pipelines.relational import distinct_event_types
+
+    return distinct_event_types(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Registry + SQL oracles
+# ---------------------------------------------------------------------------
+
+
+def registry() -> dict:
+    return {
+        "kg_page_text": kg_page_text,
+        "kg_segment_count": kg_segment_count,
+        "kg_triples": kg_triples,
+        "kg_entities": kg_entities,
+        "kg_adjacency": kg_adjacency,
+        "kg_mentions": kg_mentions,
+        "text_token_count": text_token_count,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "text_fingerprint": text_fingerprint,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
+        "ann_topk": ann_topk,
+        "ann_topk_lsh": ann_topk_lsh,
+        "mm_payload_stats": mm_payload_stats,
+        "rel_agg_pushdown": rel_agg_pushdown,
+        "rel_broadcast_join": rel_broadcast_join,
+        "rel_semi_join": rel_semi_join,
+        "rel_topk": rel_topk,
+        "rel_window_events": rel_window_events,
+        "rel_distinct_event_types": rel_distinct_event_types,
+    }
+
+
+def _sql_quality() -> str:
+    nt = ts.sql_n_tokens(_TEXT)
+    nc = f"length({_TEXT})"
+    ns = ts.sql_n_stopwords(_TEXT)
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST({nc} AS BIGINT) AS n_chars, "
+        f"CAST({nt} AS BIGINT) AS n_tokens, "
+        f"CAST({ns} AS BIGINT) AS n_stop, "
+        f"CAST({ts.sql_quality_pass(nt, nc, ns)} AS BIGINT) AS quality_pass "
+        "FROM documents"
+    )
+
+
+def _sql_langid() -> str:
+    counts = {lang: ts.sql_lang_count(_TEXT, lang) for lang in ts.LANG_ORDER}
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"{ts.sql_predict_lang(counts)} AS pred_lang FROM documents"
+    )
+
+
+def _sql_ngram_pairs() -> str:
+    grams = (
+        "list_distinct(list_transform("
+        "generate_series(1, len(toks) - 2), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {ts.sql_token_list(_TEXT)} AS toks FROM documents
+), g AS (
+  SELECT doc_id, {grams} AS grams FROM tok WHERE len(toks) >= {NGRAM_N}
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+FROM g a, g b
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+      >= {NGRAM_T}
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    """DuckDB SQL per SQL-expressible query; keys match registry()."""
+    norm = ts.sql_norm_text(_TEXT)
+    return {
+        "kg_page_text": (
+            f"SELECT {DOC_URL_SQL} AS url, {norm} AS text FROM documents"
+        ),
+        "kg_segment_count": (
+            f"WITH t AS (SELECT {DOC_URL_SQL} AS url, length({norm}) AS n FROM documents) "
+            "SELECT url, CASE WHEN n = 0 THEN 0 ELSE "
+            f"CAST(ceil(n / {SEGCOUNT_MAX_CHARS}.0) AS BIGINT) END AS n_segments FROM t"
+        ),
+        "text_token_count": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            f"CAST({ts.sql_n_tokens(_TEXT)} AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "text_quality": _sql_quality(),
+        "text_langid": _sql_langid(),
+        "text_fingerprint": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            f"{ts.sql_fingerprint(_TEXT)} AS fp FROM documents"
+        ),
+        "dedup_exact": (
+            f"WITH f AS (SELECT doc_id, {ts.sql_fingerprint(_TEXT)} AS fp FROM documents) "
+            "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp, "
+            "CAST(count(*) AS BIGINT) AS group_size FROM f GROUP BY fp"
+        ),
+        "dedup_ngram_jaccard": _sql_ngram_pairs(),
+        "dedup_embedding": (
+            "SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b "
+            "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            f"CAST(b.embedding AS DOUBLE[])) >= {EMBED_COS_T}"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+            f"FROM embeddings WHERE vec_id % {ANN_EVERY} = 0), "
+            "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "row_number() OVER (PARTITION BY q.query_id ORDER BY "
+            'list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS "rank" '
+            "FROM q, embeddings e WHERE e.vec_id <> q.query_id) "
+            f'SELECT query_id, neighbor_id, CAST("rank" AS BIGINT) AS "rank" FROM scored WHERE "rank" <= {ANN_K}'
+        ),
+        "mm_payload_stats": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(doc_id % 640 + 16 AS BIGINT) AS width, "
+            "CAST((doc_id * 7) % 480 + 16 AS BIGINT) AS height, "
+            f"CAST(octet_length(encode({_TEXT})) AS BIGINT) AS n_bytes FROM documents"
+        ),
+        "rel_agg_pushdown": (
+            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY 1, 2"
+        ),
+        "rel_broadcast_join": (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+        ),
+        "rel_semi_join": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "rel_topk": (
+            "SELECT CAST(o_custkey AS BIGINT) AS o_custkey, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1 "
+            "ORDER BY n_orders DESC, o_custkey LIMIT 10"
+        ),
+        "rel_window_events": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "rel_distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    }

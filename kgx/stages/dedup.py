@@ -1,0 +1,354 @@
+"""Distributed deduplication suite over a document corpus.
+
+Five operators, each the scalable realization of the reference's dedup
+semantics (SURVEY.md §2.7 D1-D3: dual-threshold near-dup drop, group-by-key
+merge, seen-set exact distinct):
+
+* exact_dedup          — hash-partition on fingerprint + per-group first
+                         (min doc_id), with a per-batch combiner so most
+                         duplicates collapse before the shuffle.
+* ngram_jaccard_pairs  — EXACT set-similarity self-join via prefix filtering
+                         (Chaudhuri et al. '06 / ppjoin): a pair with
+                         Jaccard >= t must share a token in each side's
+                         prefix under any fixed total order, so candidate
+                         generation is a groupby on prefix-token hash —
+                         no all-pairs, no false negatives.
+* minhash_lsh_pairs    — MinHash signatures (char-shingles) banded into
+                         buckets; candidate pairs verified with the
+                         signature's Jaccard estimate (Broder '97).
+* simhash_pairs        — 64-bit SimHash + pigeonhole banding: with 4 16-bit
+                         bands, any pair within Hamming distance <= 3 shares
+                         at least one exact band, so the band groupby is an
+                         EXACT candidate generator (Manku et al. '07).
+* embedding_dup_pairs  — exact cosine near-dup over an embedding column:
+                         per-batch numpy matmul against the broadcast
+                         (ray.put) normalized matrix.
+
+All pair outputs are (id_a < id_b) integer pairs — no floats in compared
+columns.  Every operator streams: per-doc state is computed inside
+``map_batches``; only the small derived keys/signatures reach a shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.text import (
+    char_shingles,
+    hamming64,
+    md5_fingerprint,
+    minhash_signature,
+    simhash64,
+    stable_hash64,
+    tokenize,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup (G4/D3: hash-partition + per-group first)
+# ---------------------------------------------------------------------------
+
+_FP_PARTIAL = pa.schema(
+    [("fp", pa.string()), ("doc_id", pa.int64()), ("group_size", pa.int64())]
+)
+
+
+def _fingerprint_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one row per fingerprint seen in this batch."""
+    groups: dict[str, list[int]] = {}
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        groups.setdefault(md5_fingerprint(text or ""), []).append(doc_id)
+    return pa.table(
+        {
+            "fp": list(groups),
+            "doc_id": [min(v) for v in groups.values()],
+            "group_size": [len(v) for v in groups.values()],
+        },
+        schema=_FP_PARTIAL,
+    )
+
+
+def exact_dedup(docs_ds):
+    """documents(doc_id, text) -> (doc_id, fp, group_size): the kept
+    representative (min doc_id) per exact-content fingerprint."""
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": [min(group["doc_id"].to_pylist())],
+                "fp": [group["fp"][0].as_py()],
+                "group_size": [sum(group["group_size"].to_pylist())],
+            }
+        )
+
+    partial = docs_ds.map_batches(_fingerprint_partial, batch_format="pyarrow")
+    return partial.groupby("fp").map_groups(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram-Jaccard similarity self-join via prefix filtering
+# ---------------------------------------------------------------------------
+
+
+def ngram_set(text: str, n: int) -> set[str]:
+    """Distinct space-joined word n-grams; empty when the doc has < n tokens
+    (such docs cannot join — both sides must be non-empty)."""
+    toks = tokenize(text or "")
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _prefix_len(set_size: int, threshold: float) -> int:
+    """Prefix-filter bound: a pair with Jaccard >= t shares an element within
+    the first ``|S| - ceil(t*|S|) + 1`` elements of each side under a fixed
+    total order (here: stable_hash64 of the n-gram)."""
+    return set_size - math.ceil(threshold * set_size) + 1
+
+
+def _ngram_prefix_rows(batch: pa.Table, n: int, threshold: float) -> pa.Table:
+    """doc -> one row per prefix n-gram: (pfx_hash, doc_id, grams:list<int64>).
+
+    The full (hashed) gram set rides along so verification happens inside the
+    candidate group — both members of any qualifying pair land in the group
+    of their shared prefix hash, by the prefix-filter theorem.  The shuffled
+    payload is prefix_len x 8-byte hashes per doc, not the text.
+    """
+    out_h, out_d, out_g = [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        grams = ngram_set(text, n)
+        if not grams:
+            continue
+        hashes = sorted(stable_hash64(g) % (1 << 62) for g in grams)
+        for h in hashes[: _prefix_len(len(hashes), threshold)]:
+            out_h.append(h)
+            out_d.append(doc_id)
+            out_g.append(hashes)
+    return pa.table(
+        {"pfx_hash": out_h, "doc_id": out_d, "grams": out_g},
+        schema=pa.schema(
+            [("pfx_hash", pa.int64()), ("doc_id", pa.int64()),
+             ("grams", pa.list_(pa.int64()))]
+        ),
+    )
+
+
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+def _verify_group_jaccard(group: pa.Table, threshold: float) -> pa.Table:
+    """All qualifying pairs within one prefix-hash group (true Jaccard)."""
+    docs = sorted(
+        {r["doc_id"]: frozenset(r["grams"]) for r in group.to_pylist()}.items()
+    )
+    a_out, b_out = [], []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            sa, sb = docs[i][1], docs[j][1]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
+                a_out.append(docs[i][0])
+                b_out.append(docs[j][0])
+    return pa.table({"id_a": a_out, "id_b": b_out}, schema=_PAIR_SCHEMA)
+
+
+def distinct_pairs(pairs_ds):
+    """Dedup (id_a, id_b) rows (a pair may surface in several groups)."""
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1).select(["id_a", "id_b"])
+
+    return pairs_ds.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(docs_ds, n: int = 3, threshold: float = 0.8):
+    """documents -> all pairs (id_a < id_b) with word-n-gram Jaccard >= t.
+
+    Exact (no false negatives): prefix-filter candidate generation + in-group
+    verification + pair distinct.  Shuffle volume is O(prefix_len) hashed
+    grams per doc; at a 0.8 threshold the prefix is ~20% of the gram set.
+    """
+    prefix = docs_ds.map_batches(
+        lambda b: _ngram_prefix_rows(b, n, threshold), batch_format="pyarrow"
+    )
+    cands = prefix.groupby("pfx_hash").map_groups(
+        lambda g: _verify_group_jaccard(g, threshold), batch_format="pyarrow"
+    )
+    return distinct_pairs(cands)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _minhash_band_rows(
+    batch: pa.Table, num_perm: int, bands: int, shingle_k: int
+) -> pa.Table:
+    """doc -> one row per band: (band, band_hash, doc_id, sig:list<int64>).
+
+    The signature (num_perm x 8 bytes) rides along so candidate verification
+    uses the signature Jaccard ESTIMATE in-group — no second join against the
+    shingle sets (which would move the corpus again)."""
+    rows_per_band = num_perm // bands
+    out = {"band": [], "band_hash": [], "doc_id": [], "sig": []}
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        sh = char_shingles(text or "", k=shingle_k)
+        if not sh:
+            continue
+        sig = [s % (1 << 62) for s in minhash_signature(sh, num_perm=num_perm)]
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            bh = stable_hash64("|".join(map(str, chunk))) % (1 << 62)
+            out["band"].append(b)
+            out["band_hash"].append(bh)
+            out["doc_id"].append(doc_id)
+            out["sig"].append(sig)
+    return pa.table(
+        out,
+        schema=pa.schema(
+            [("band", pa.int32()), ("band_hash", pa.int64()),
+             ("doc_id", pa.int64()), ("sig", pa.list_(pa.int64()))]
+        ),
+    )
+
+
+def _verify_group_minhash(group: pa.Table, threshold: float) -> pa.Table:
+    docs = sorted({r["doc_id"]: tuple(r["sig"]) for r in group.to_pylist()}.items())
+    a_out, b_out = [], []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            sa, sb = docs[i][1], docs[j][1]
+            est = sum(x == y for x, y in zip(sa, sb)) / len(sa)
+            if est >= threshold:
+                a_out.append(docs[i][0])
+                b_out.append(docs[j][0])
+    return pa.table({"id_a": a_out, "id_b": b_out}, schema=_PAIR_SCHEMA)
+
+
+def minhash_lsh_pairs(
+    docs_ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_k: int = 5,
+):
+    """documents -> near-dup pairs: banded MinHash LSH candidates, verified
+    by the signature Jaccard estimate >= threshold.
+
+    16 bands x 4 rows puts the S-curve knee near j~0.7; at j=0.9 the miss
+    probability is ~1e-9, so on corpora with well-separated dup clusters the
+    output matches the exact join (tests assert this vs the serial oracle).
+    """
+    band_rows = docs_ds.map_batches(
+        lambda b: _minhash_band_rows(b, num_perm, bands, shingle_k),
+        batch_format="pyarrow",
+    )
+    cands = band_rows.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _verify_group_minhash(g, threshold), batch_format="pyarrow"
+    )
+    return distinct_pairs(cands)
+
+
+# ---------------------------------------------------------------------------
+# SimHash + pigeonhole banding (exact for Hamming <= bands-1)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_band_rows(batch: pa.Table, bands: int) -> pa.Table:
+    width = 64 // bands
+    mask = (1 << width) - 1
+    out = {"band": [], "band_val": [], "doc_id": [], "sim": []}
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        t = text or ""
+        if not t.strip():
+            continue
+        sim = simhash64(t)
+        for b in range(bands):
+            out["band"].append(b)
+            out["band_val"].append((sim >> (b * width)) & mask)
+            out["doc_id"].append(doc_id)
+            out["sim"].append(sim % (1 << 63))
+    return pa.table(
+        out,
+        schema=pa.schema(
+            [("band", pa.int32()), ("band_val", pa.int64()),
+             ("doc_id", pa.int64()), ("sim", pa.int64())]
+        ),
+    )
+
+
+def simhash_pairs(docs_ds, max_hamming: int = 3, bands: int = 4):
+    """documents -> pairs with SimHash Hamming distance <= max_hamming.
+
+    EXACT: with ``bands`` equal-width bands, any pair within distance
+    ``bands - 1`` must agree exactly on >= 1 band (pigeonhole), so the band
+    groupby generates every qualifying candidate.  Requires
+    ``max_hamming <= bands - 1``."""
+    if max_hamming > bands - 1:
+        raise ValueError("pigeonhole exactness needs max_hamming <= bands-1")
+
+    def verify(group: pa.Table) -> pa.Table:
+        docs = sorted({r["doc_id"]: r["sim"] for r in group.to_pylist()}.items())
+        a_out, b_out = [], []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                if hamming64(docs[i][1], docs[j][1]) <= max_hamming:
+                    a_out.append(docs[i][0])
+                    b_out.append(docs[j][0])
+        return pa.table({"id_a": a_out, "id_b": b_out}, schema=_PAIR_SCHEMA)
+
+    band_rows = docs_ds.map_batches(
+        lambda b: _simhash_band_rows(b, bands), batch_format="pyarrow"
+    )
+    cands = band_rows.groupby(["band", "band_val"]).map_groups(
+        verify, batch_format="pyarrow"
+    )
+    return distinct_pairs(cands)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def normalized_matrix(emb_table: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, row-normalized float64 matrix) from an embeddings table."""
+    ids = emb_table["vec_id"].to_numpy()
+    mat = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in emb_table["embedding"].to_pylist()]
+    )
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(norms, 1e-300)
+    mat[norms[:, 0] == 0.0] = 0.0
+    return ids, mat
+
+
+def embedding_dup_pairs(emb_ds, all_ref, threshold: float = 0.5):
+    """embeddings -> pairs (id_a < id_b) with cosine >= threshold.
+
+    ``all_ref`` is a ``ray.put`` handle to ``normalized_matrix`` of the FULL
+    table (broadcast once, resolved per task).  Each batch does one float64
+    matmul batch x full — exact brute force.  Scale path: this is O(N^2/p);
+    beyond ~10^6 vectors switch to the LSH-bucketed variant in
+    ``kgx.stages.similarity`` and verify candidates exactly.
+    """
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import ray
+
+        all_ids, all_mat = ray.get(all_ref)
+        ids, mat = normalized_matrix(batch)
+        sims = mat @ all_mat.T
+        bi, aj = np.nonzero(sims >= threshold)
+        out_a, out_b = [], []
+        for i, j in zip(bi.tolist(), aj.tolist()):
+            a, b = int(ids[i]), int(all_ids[j])
+            if a < b:
+                out_a.append(a)
+                out_b.append(b)
+        return pa.table({"id_a": out_a, "id_b": out_b}, schema=_PAIR_SCHEMA)
+
+    return emb_ds.map_batches(per_batch, batch_format="pyarrow", batch_size=512)

@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ann_topk      — exact brute-force cosine top-k: the query matrix is tiny
+                  (broadcast via ray.put); every corpus batch does one numpy
+                  matmul and emits only its per-query top-k candidate rows;
+                  a final groupby(query) merges the per-batch heaps.  This is
+                  the map-side-combine pattern: shuffle volume is
+                  O(num_queries * k * num_batches), never the corpus.
+* ann_topk_lsh  — scale path: random-hyperplane LSH (Charikar '02) buckets
+                  the corpus; only vectors sharing a bucket with a query in
+                  at least one table are scored.  Recall < 1 by construction
+                  (tests assert recall >= 0.5 vs brute force on the driver
+                  corpus); at 10^9+ vectors this or IVF is the only option.
+
+Outputs are (query_id, neighbor_id, rank) integer rows; ranking tie-break is
+(cosine desc, vec_id asc) so results are deterministic and match the DuckDB
+oracle's ``row_number() over (order by cos desc, vec_id)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.text import stable_hash64
+from .dedup import normalized_matrix
+
+_TOPK_CAND = pa.schema(
+    [("query_id", pa.int64()), ("vec_id", pa.int64()), ("score", pa.float64())]
+)
+_TOPK_OUT = pa.schema(
+    [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("rank", pa.int64())]
+)
+
+
+def _batch_topk(batch: pa.Table, q_ids, q_mat, k: int) -> pa.Table:
+    ids, mat = normalized_matrix(batch)
+    sims = q_mat @ mat.T  # (num_queries, batch)
+    rows = {"query_id": [], "vec_id": [], "score": []}
+    for qi, qid in enumerate(q_ids):
+        s = sims[qi]
+        order = np.lexsort((ids, -s))  # score desc, vec_id asc
+        taken = 0
+        for idx in order:
+            if ids[idx] == qid:
+                continue  # exclude self
+            rows["query_id"].append(int(qid))
+            rows["vec_id"].append(int(ids[idx]))
+            rows["score"].append(float(s[idx]))
+            taken += 1
+            if taken >= k:
+                break
+    return pa.table(rows, schema=_TOPK_CAND)
+
+
+def _final_topk(group: pa.Table, k: int) -> pa.Table:
+    rows = sorted(group.to_pylist(), key=lambda r: (-r["score"], r["vec_id"]))[:k]
+    return pa.table(
+        {
+            "query_id": [r["query_id"] for r in rows],
+            "neighbor_id": [r["vec_id"] for r in rows],
+            "rank": list(range(1, len(rows) + 1)),
+        },
+        schema=_TOPK_OUT,
+    )
+
+
+def ann_topk(emb_ds, queries_ref, k: int = 10):
+    """embeddings -> (query_id, neighbor_id, rank): exact cosine top-k per
+    query.  ``queries_ref`` = ray.put((q_ids, q_mat)) with q_mat already
+    row-normalized float64."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import ray
+
+        q_ids, q_mat = ray.get(queries_ref)
+        return _batch_topk(batch, q_ids, q_mat, k)
+
+    cands = emb_ds.map_batches(per_batch, batch_format="pyarrow", batch_size=1024)
+    return cands.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+
+
+def lsh_planes(dim: int, nbits: int, tables: int, seed: int = 101) -> np.ndarray:
+    """(tables, nbits, dim) deterministic pseudo-gaussian hyperplanes built
+    from stable_hash64 — no RNG state, identical on every worker."""
+    out = np.empty((tables, nbits, dim))
+    for t in range(tables):
+        for b in range(nbits):
+            for d in range(dim):
+                h = stable_hash64(f"plane-{seed}-{t}-{b}-{d}")
+                # 12-bit uniform -> irwin-hall-ish via 4 summed uniforms
+                u = [(h >> (12 * i)) & 0xFFF for i in range(4)]
+                out[t, b, d] = sum(u) / 4096.0 - 2.0
+    return out
+
+
+def _bucket_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, tables) int codes: sign pattern of each table's projections."""
+    n = mat.shape[0]
+    tables, nbits, _ = planes.shape
+    codes = np.zeros((n, tables), dtype=np.int64)
+    for t in range(tables):
+        proj = mat @ planes[t].T  # (n, nbits)
+        bits = (proj > 0).astype(np.int64)
+        codes[:, t] = (bits << np.arange(nbits)).sum(axis=1)
+    return codes
+
+
+def ann_topk_lsh(
+    emb_ds, queries_ref, k: int = 10, nbits: int = 8, tables: int = 4
+):
+    """Approximate top-k: score only corpus vectors whose LSH bucket matches
+    the query's in >= 1 table.  Same output schema as ann_topk; recall is
+    probabilistic (rows-only correctness check — the exactness gate is the
+    brute-force operator above)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import ray
+
+        q_ids, q_mat, q_codes, planes = ray.get(queries_ref)
+        ids, mat = normalized_matrix(batch)
+        codes = _bucket_codes(mat, planes)
+        # candidate mask: any table where codes match any query's code
+        rows = {"query_id": [], "vec_id": [], "score": []}
+        for qi, qid in enumerate(q_ids):
+            cand = (codes == q_codes[qi]).any(axis=1)
+            cand_idx = np.nonzero(cand)[0]
+            if cand_idx.size == 0:
+                continue
+            s = mat[cand_idx] @ q_mat[qi]
+            order = np.lexsort((ids[cand_idx], -s))[: k + 1]
+            taken = 0
+            for o in order:
+                vid = int(ids[cand_idx[o]])
+                if vid == qid:
+                    continue
+                rows["query_id"].append(int(qid))
+                rows["vec_id"].append(vid)
+                rows["score"].append(float(s[o]))
+                taken += 1
+                if taken >= k:
+                    break
+        return pa.table(rows, schema=_TOPK_CAND)
+
+    cands = emb_ds.map_batches(per_batch, batch_format="pyarrow", batch_size=1024)
+    return cands.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pyarrow"
+    )
+
+
+def build_query_side(emb_table: pa.Table, every: int = 100):
+    """Driver helper: (q_ids, q_mat) for vec_id % every == 0."""
+    mask = pa.array([v % every == 0 for v in emb_table["vec_id"].to_pylist()])
+    return normalized_matrix(emb_table.filter(mask))
+
+
+def build_lsh_query_side(emb_table: pa.Table, every: int, nbits: int, tables: int):
+    q_ids, q_mat = build_query_side(emb_table, every)
+    planes = lsh_planes(q_mat.shape[1], nbits, tables)
+    return q_ids, q_mat, _bucket_codes(q_mat, planes), planes
