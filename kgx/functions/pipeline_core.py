@@ -188,8 +188,13 @@ def triple_dedup_key(t: dict) -> tuple[str, str, str]:
 def merge_triple_group(rows: list[dict]) -> dict:
     """Exact-dedup representative for one normalized (s, p, o) key (G4/D3):
     lineage = min (url, seg_id); conf = max; n_support = count.  Associative
-    (partial rows carry n_support)."""
-    rep = min(rows, key=lambda r: (r["url"], r["seg_id"]))
+    (partial rows carry n_support).  The tie-break includes the raw
+    (subj, pred, obj) so two same-key rows in the SAME segment still pick an
+    order-free representative (the distributed path encodes exactly this
+    tuple into its Min-aggregated lineage string — stages/wide.py)."""
+    rep = min(
+        rows, key=lambda r: (r["url"], r["seg_id"], r["subj"], r["pred"], r["obj"])
+    )
     return {
         "subj": rep["subj"],
         "pred": rep["pred"],

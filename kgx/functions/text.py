@@ -294,24 +294,76 @@ def minhash_signature(shingles: set[str], num_perm: int = 64, seed: int = 7) -> 
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over word tokens (Charikar '02): sum ±1 per bit of each
-    token's stable 64-bit hash, take the sign vector."""
-    toks = tokenize(text)
-    if not toks:
+    token's stable 64-bit hash, take the sign vector.  Vectorized: unique
+    tokens hashed once, bit matrix unpacked in numpy, counts as weights."""
+    from collections import Counter
+
+    import numpy as np
+
+    counts = Counter(tokenize(text))
+    if not counts:
         return 0
-    acc = [0] * 64
-    for t in toks:
-        h = stable_hash64(t)
-        for bit in range(64):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
-    v = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            v |= 1 << bit
-    return v
+    hs = np.array([stable_hash64(t) for t in counts], dtype=np.uint64)
+    w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    acc = ((2 * bits - 1) * w[:, None]).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def shingle_codes(text: str, k: int = 5):
+    """Sorted unique uint64 codes of the byte k-grams of the normalized
+    lowercase text — each code IS the packed k bytes (k <= 8), so codes are
+    collision-FREE and need no per-shingle hashing.  The numpy-fast
+    replacement for ``char_shingles`` + per-shingle md5 in the MinHash hot
+    path (byte-grams == char-grams on ASCII corpora; on multibyte text the
+    sketch remains deterministic, just byte- instead of char-windowed)."""
+    import numpy as np
+
+    if k > 8:
+        raise ValueError("shingle_codes packs bytes into uint64: k <= 8")
+    t = normalize_ws(text.lower()).encode("utf-8")
+    if not t:
+        return np.empty(0, dtype=np.uint64)
+    if len(t) < k:
+        t = t.ljust(k, b"\x00")
+    a = np.frombuffer(t, dtype=np.uint8)
+    windows = np.lib.stride_tricks.sliding_window_view(a, k).astype(np.uint64)
+    weights = (np.uint64(256) ** np.arange(k, dtype=np.uint64)).astype(np.uint64)
+    return np.unique(windows @ weights)
+
+
+def minhash_from_codes(codes, num_perm: int = 64, seed: int = 7):
+    """Vectorized MinHash over uint64 shingle codes: multiply-add hash family
+    ``(a*x + b) mod 2^64`` with odd ``a`` (Dietzfelbinger et al. universal
+    hashing via natural uint64 wraparound).  Empty input -> all-max sentinel
+    signature (never collides with real content).  Deterministic: parameters
+    derive from stable_hash64, no RNG state."""
+    import numpy as np
+
+    key = ("v2", num_perm, seed)
+    params = _MINHASH_CACHE.get(key)
+    if params is None:
+        a = np.array(
+            [stable_hash64(f"mhv-a-{seed}-{i}") | 1 for i in range(num_perm)],
+            dtype=np.uint64,
+        )
+        b = np.array(
+            [stable_hash64(f"mhv-b-{seed}-{i}") for i in range(num_perm)],
+            dtype=np.uint64,
+        )
+        params = _MINHASH_CACHE[key] = (a, b)
+    a, b = params
+    if len(codes) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        hashed = a[:, None] * codes[None, :] + b[:, None]  # uint64 wrap
+    return hashed.min(axis=1)
 
 
 def hash_embed(tokens: list[str], dim: int = 32) -> list[float]:

@@ -41,6 +41,17 @@ def broadcast_kb(kb: dict | None = None) -> dict:
     }
 
 
+def _pool_size(cfg_min: int) -> tuple[int, int]:
+    """Actor-pool sizing: scale the max with the CLUSTER, not a constant —
+    the config value is a floor.  On a 256-node cluster the same code sizes
+    each pool to the CPUs actually available (SURVEY.md §4.2 sizing row);
+    autoscaling (min=1) keeps small jobs from paying idle-actor startup."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(cfg_min, cpus))
+
+
 def page_text_ds(pages_ds, cfg: dict):
     b = cfg["processing"]["batch"]
     return pages_ds.map_batches(
@@ -49,13 +60,13 @@ def page_text_ds(pages_ds, cfg: dict):
 
 
 def segments_ds(pages_ds, cfg: dict):
+    """Stateless task stage (fuses with the upstream read/extract tasks —
+    no actor pool, no ramp-up; the cfg dict is tiny and ships in the
+    closure)."""
     b = cfg["processing"]["batch"]
+    seg = kg_stages.SegmentPages(cfg)
     return page_text_ds(pages_ds, cfg).map_batches(
-        kg_stages.SegmentPages,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=b["segment"],
-        concurrency=(1, 8),
+        seg, batch_format="pyarrow", batch_size=b["segment"]
     )
 
 
@@ -67,31 +78,21 @@ def mentions_ds(pages_ds, cfg: dict, refs: dict):
         fn_constructor_kwargs={"alias_ref": refs["alias_ref"]},
         batch_format="pyarrow",
         batch_size=b["mentions"],
-        concurrency=(1, c["mentions"]),
+        concurrency=_pool_size(c["mentions"]),
     )
 
 
 def linked_triples_ds(pages_ds, cfg: dict, refs: dict):
-    """pages -> linked triples: the whole phase-A chain, lazy."""
+    """pages -> linked triples: the whole phase-A chain, lazy.
+
+    Uses the FUSED extract+link actor pool (kg_stages.TripleLinker): one
+    pool on the hot path instead of two, so ramp-up is paid once and raw
+    triples never cross an exchange.  The unfused TripleExtractor /
+    EntityLinker stages remain available for per-stage inspection."""
     b = cfg["processing"]["batch"]
-    c = cfg["processing"]["concurrency"]
-    raw = segments_ds(pages_ds, cfg).map_batches(
-        kg_stages.TripleExtractor,
-        fn_constructor_kwargs={"alias_ref": refs["alias_ref"], "cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=b["triples"],
-        concurrency=(1, c["triples"]),
-    )
-    return raw.map_batches(
-        kg_stages.EntityLinker,
-        fn_constructor_kwargs={
-            "alias_ref": refs["alias_ref"],
-            "emb_ref": refs["emb_ref"],
-            "cfg": cfg,
-        },
-        batch_format="pyarrow",
-        batch_size=b["link"],
-        concurrency=(1, c["link"]),
+    linker = kg_stages.TripleLinker(refs["alias_ref"], refs["emb_ref"], cfg)
+    return segments_ds(pages_ds, cfg).map_batches(
+        linker, batch_format="pyarrow", batch_size=b["triples"]
     )
 
 

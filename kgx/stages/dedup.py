@@ -37,10 +37,10 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.text import (
-    char_shingles,
     hamming64,
     md5_fingerprint,
-    minhash_signature,
+    minhash_from_codes,
+    shingle_codes,
     simhash64,
     stable_hash64,
     tokenize,
@@ -195,10 +195,14 @@ def _minhash_band_rows(
     rows_per_band = num_perm // bands
     out = {"band": [], "band_hash": [], "doc_id": [], "sig": []}
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        sh = char_shingles(text or "", k=shingle_k)
-        if not sh:
+        codes = shingle_codes(text or "", k=shingle_k)
+        if len(codes) == 0:
             continue
-        sig = [s % (1 << 62) for s in minhash_signature(sh, num_perm=num_perm)]
+        sig = (
+            (minhash_from_codes(codes, num_perm=num_perm) & np.uint64((1 << 62) - 1))
+            .astype(np.int64)
+            .tolist()
+        )
         for b in range(bands):
             chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
             bh = stable_hash64("|".join(map(str, chunk))) % (1 << 62)

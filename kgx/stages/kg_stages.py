@@ -158,3 +158,48 @@ class EntityLinker:
             for r in batch.to_pylist()
         ]
         return _rows_to_table(rows, LINKED_FULL)
+
+
+class TripleLinker:
+    """Fused stage: segments -> LINKED triples in one pass (TripleExtractor
+    ∘ EntityLinker row-for-row; both delegate to the same kgx.functions, so
+    semantics are unchanged).
+
+    Deployed as a TASK UDF with a per-worker-process state cache rather
+    than an actor pool: the broadcast state here (alias automaton +
+    embedding dict) builds in milliseconds, and a pool of actors would
+    RESERVE CPUs that the streaming executor then cannot give to the
+    upstream extract/segment tasks — on a fixed-size cluster that split
+    halves phase-A throughput.  ``state_for`` keeps the actor-pattern
+    property that matters (state built once per process, broadcast refs
+    resolved from the local object store); swap back to
+    ``map_batches(TripleLinker, concurrency=...)`` only when the stage
+    state is heavy enough (a real NER/embedding model) to dwarf a CPU slot.
+    """
+
+    _CACHE: dict = {}
+
+    def __init__(self, alias_ref, emb_ref, cfg: dict):
+        self.alias_ref = alias_ref
+        self.emb_ref = emb_ref
+        self.cfg = cfg
+
+    def state_for(self):
+        import ray
+
+        key = (self.alias_ref.hex(), self.emb_ref.hex())
+        state = TripleLinker._CACHE.get(key)
+        if state is None:
+            matcher = AliasMatcher(ray.get(self.alias_ref))
+            predicates = PredicateMatcher(self.cfg["rules"]["predicates"])
+            embeddings = ray.get(self.emb_ref)
+            state = TripleLinker._CACHE[key] = (matcher, predicates, embeddings)
+        return state
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        matcher, predicates, embeddings = self.state_for()
+        rows: list[dict] = []
+        for seg in batch.to_pylist():
+            for raw in raw_triples_for_segment(seg, matcher, predicates, self.cfg):
+                rows.append(link_raw_triple(raw, matcher, embeddings, self.cfg))
+        return _rows_to_table(rows, LINKED_FULL)

@@ -21,11 +21,8 @@ import pyarrow as pa
 from .. import schema as S
 from ..functions.pipeline_core import (
     adjacency_rows,
-    categorize_triple,
     mention_rows_from_linked,
     merge_entity_group,
-    merge_triple_group,
-    triple_dedup_key,
 )
 from ..functions.text import stable_hash64
 from .kg_stages import _rows_to_table
@@ -119,49 +116,148 @@ def final_merge_to_partial(group: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 # Exact triple dedup + categorize
 # ---------------------------------------------------------------------------
+#
+# Fully vectorized formulation of the G4/D3 + G3 semantics:
+#   * the min-lineage representative is encoded as ONE sortable string
+#     "url \x1f seg_id(zero-padded) \x1f subj \x1f pred \x1f obj", whose
+#     lexicographic Min equals the tuple-min tie-break of
+#     merge_triple_group (pipeline_core) byte-for-byte;
+#   * per-batch partial merge is a pandas groupby (the combiner), the global
+#     merge is Ray's built-in Min/Max/Sum aggregate shuffle — no per-group
+#     Python anywhere, which is what keeps this stage off the profile at
+#     10^5+ distinct keys per block.
 
-_PARTIAL_TRIPLE = pa.schema(
-    [
-        pa.field("dkey", pa.string()),
-        pa.field("subj", pa.string()),
-        pa.field("pred", pa.string()),
-        pa.field("obj", pa.string()),
-        pa.field("url", pa.string()),
-        pa.field("seg_id", pa.int32()),
-        pa.field("conf", pa.float32()),
-        pa.field("n_support", pa.int64()),
-    ]
-)
-
-
-def partial_dedup_triples(batch: pa.Table) -> pa.Table:
-    """Within-batch combiner for the exact-dedup shuffle (G4/D3): collapse
-    duplicate normalized (s,p,o) before any row leaves the task."""
-    groups: dict[tuple, list[dict]] = {}
-    for t in batch.to_pylist():
-        groups.setdefault(triple_dedup_key(t), []).append(t)
-    rows = []
-    for key, ts in groups.items():
-        merged = merge_triple_group(ts)
-        merged["dkey"] = "\x1f".join(key)
-        rows.append(merged)
-    return _rows_to_table(rows, _PARTIAL_TRIPLE)
+_SEP = "\x1f"
 
 
-def dedup_and_categorize(linked_ds, cfg: dict):
-    """Dataset[LINKED_FULL] -> Dataset[TRIPLES]: partial dedup per batch,
-    final dedup per dkey group, then keyword-argmax categorization (G3) with
-    the broadcast keyword dict in the task closure."""
+def _norm_part_series(s):
+    """Vectorized normalize_triple_part (lower, strip ASCII punct, collapse
+    ws, strip) — (?a) mirrors the re.ASCII flag of the scalar version."""
+    return (
+        s.str.lower()
+        .str.replace(r"(?a)[^\w\s]", "", regex=True)
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+
+
+def partial_dedup_triples_df(df):
+    """Within-batch combiner for the exact-dedup shuffle: collapse duplicate
+    normalized (s,p,o) before any row leaves the task."""
+    import pandas as pd
+
+    dkey = _norm_part_series(df["subj"]) + _SEP + df["pred"] + _SEP + _norm_part_series(df["obj"])
+    lin = (
+        df["url"] + _SEP + df["seg_id"].astype(str).str.zfill(10) + _SEP
+        + df["subj"] + _SEP + df["pred"] + _SEP + df["obj"]
+    )
+    t = pd.DataFrame(
+        {"dkey": dkey, "lin": lin, "conf": df["conf"], "n_support": 1}
+    )
+    g = t.groupby("dkey", sort=False).agg(
+        lin=("lin", "min"), conf=("conf", "max"), n_support=("n_support", "sum")
+    )
+    return g.reset_index()
+
+
+def categorize_series(subj, pred, obj, cat_order: list[str], cat_kw: dict):
+    """Vectorized keyword-argmax categorization (G3): winner = first
+    category in cat_order attaining the max keyword-hit count, 'general'
+    when no keyword hits — identical to the strict-> replacement loop of
+    categorize_triple (argmax returns the first maximum)."""
+    import numpy as np
+
+    hay = (subj + " " + pred + " " + obj).str.lower()
+    cats = [c for c in cat_order if c != "general"]
+    scores = np.stack(
+        [
+            sum(hay.str.contains(kw, regex=False).to_numpy() for kw in cat_kw.get(c, []))
+            if cat_kw.get(c)
+            else np.zeros(len(hay), dtype=np.int64)
+            for c in cats
+        ]
+    )
+    winner = np.array(cats, dtype=object)[scores.argmax(axis=0)]
+    winner[scores.max(axis=0) == 0] = "general"
+    return winner
+
+
+def _merge_partials_df(df):
+    """Associative/commutative re-merge of partial dedup rows — applicable
+    at any tree level and in any grouping of rows (min/max/sum)."""
+    g = df.groupby("dkey", sort=False).agg(
+        lin=("lin", "min"), conf=("conf", "max"), n_support=("n_support", "sum")
+    )
+    return g.reset_index()
+
+
+def dedup_and_categorize(linked_ds, cfg: dict, num_partitions: int | None = None):
+    """Dataset[LINKED_FULL] -> Dataset[TRIPLES].
+
+    Exact dedup as a hash-partitioned exchange with vectorized kernels at
+    BOTH ends: pandas partial merge per batch (the combiner — one row per
+    key per batch, so the shuffle moves partials, not triples), each partial
+    row tagged with ``part_id = hash(dkey) % P``; then ONE
+    groupby(part_id) exchange whose P groups (P ~ cluster CPUs, not #keys)
+    each re-merge their whole partition in a single pandas groupby.  Keys
+    are wholly contained in one partition by construction, the merge is
+    associative/commutative, so the result equals the serial oracle for any
+    block arrangement.  Skewed KEYS are harmless here (a key is one row per
+    upstream batch after the combiner); P bounds per-task width.
+    Categorization (G3) is vectorized in the same final kernel."""
+    import pandas as pd
+
+    if num_partitions is None:
+        import ray
+
+        num_partitions = (
+            int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        )
     cat_order = cfg["categories"]["order"]
     cat_kw = cfg["categories"]["keywords"]
 
-    def finalize_group(group: pa.Table) -> pa.Table:
-        merged = merge_triple_group(group.to_pylist())
-        merged["category"] = categorize_triple(merged, cat_order, cat_kw)
-        return _rows_to_table([merged], S.TRIPLES)
+    def decode(df):
+        parts = df["lin"].str.split(_SEP)
+        subj = parts.str[2]
+        pred = parts.str[3]
+        obj = parts.str[4]
+        return pa.table(
+            {
+                "subj": pa.array(subj, type=pa.string()),
+                "pred": pa.array(pred, type=pa.string()),
+                "obj": pa.array(obj, type=pa.string()),
+                "url": pa.array(parts.str[0], type=pa.string()),
+                "seg_id": pa.array(parts.str[1].astype(int), type=pa.int32()),
+                "conf": pa.array(df["conf"], type=pa.float32()),
+                "category": pa.array(
+                    categorize_series(subj, pred, obj, cat_order, cat_kw),
+                    type=pa.string(),
+                ),
+                "n_support": pa.array(df["n_support"], type=pa.int64()),
+            },
+            schema=S.TRIPLES,
+        )
 
-    partial = linked_ds.map_batches(partial_dedup_triples, batch_format="pyarrow")
-    return partial.groupby("dkey").map_groups(finalize_group, batch_format="pyarrow")
+    def partial(df):
+        g = partial_dedup_triples_df(df)
+        g["part_id"] = (
+            pd.util.hash_pandas_object(g["dkey"], index=False) % num_partitions
+        ).astype("int64")
+        return g
+
+    def merge_decode(df):
+        return decode(_merge_partials_df(df))
+
+    # Large batch_size bundles several upstream blocks into one combiner
+    # task: partial output is ~#keys rows per TASK, so fewer/bigger combiner
+    # tasks directly shrink the exchange (the shuffle, not the combiner CPU,
+    # is the scarce resource on a single node).
+    partial_ds = linked_ds.map_batches(
+        partial, batch_format="pandas", batch_size=200_000
+    )
+    return partial_ds.groupby("part_id").map_groups(
+        merge_decode, batch_format="pandas"
+    )
 
 
 def adjacency_from_triples(triples_ds):

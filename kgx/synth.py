@@ -284,13 +284,18 @@ def doc_url(source: str, doc_id: int) -> str:
     return f"https://synth.example/{source}/{doc_id}"
 
 
-def pages_batch_from_documents(batch: pa.Table, enrich: bool, kb: dict | None) -> pa.Table:
+def pages_batch_from_documents(
+    batch: pa.Table, enrich: bool, kb: dict | None, expand: int = 1
+) -> pa.Table:
     """Vectorizable per-batch map: documents rows -> pages rows.
 
     ``enrich=False``: body == documents.text exactly (so the SQL oracle is
     ``SELECT url_expr, text FROM documents`` — byte-identity check).
     ``enrich=True``: deterministic entity sentences are appended per doc_id so
     the KG pipeline has real mentions/triples to find.
+    ``expand=E``: each doc yields E page rows (rep 0 byte-identical to the
+    E=1 output; reps 1.. get distinct urls and enrichment keys) — used by the
+    scaling bench to grow the corpus without new input data.
     """
     from . import schema as S
 
@@ -300,28 +305,35 @@ def pages_batch_from_documents(batch: pa.Table, enrich: bool, kb: dict | None) -
     langs = batch["lang"].to_pylist()
     cols = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
     for doc_id, text, source, lang in zip(doc_ids, texts, sources, langs):
-        body = text or ""
-        if enrich:
-            n = 2 + stable_hash64(f"enr-{doc_id}") % 5
-            sents = [_entity_sentence(kb, f"enr-{doc_id}-{i}") for i in range(n)]
-            body = (body + " " + " ".join(sents)).strip()
-        mode = doc_id % 5
-        cols["url"].append(doc_url(source, doc_id))
-        cols["warc_ts"].append(EPOCH_US + doc_id * 37_000_000)
-        if mode < 2:
-            cols["html"].append(wrap_html(body, f"doc {doc_id}"))
-            cols["text"].append(None)
-        elif mode < 4:
-            cols["html"].append(None)
-            cols["text"].append(body)
-        else:
-            cols["html"].append(wrap_html(body, f"doc {doc_id}"))
-            cols["text"].append(body)
-        cols["lang"].append(lang)
+        for rep in range(expand):
+            body = text or ""
+            if enrich:
+                rk = f"enr-{doc_id}" if rep == 0 else f"enr-{doc_id}-r{rep}"
+                n = 2 + stable_hash64(rk) % 5
+                sents = [_entity_sentence(kb, f"{rk}-{i}") for i in range(n)]
+                body = (body + " " + " ".join(sents)).strip()
+            mode = doc_id % 5
+            url = doc_url(source, doc_id)
+            if rep > 0:
+                url = f"{url}?rep={rep}"
+            cols["url"].append(url)
+            cols["warc_ts"].append(EPOCH_US + doc_id * 37_000_000 + rep)
+            if mode < 2:
+                cols["html"].append(wrap_html(body, f"doc {doc_id}"))
+                cols["text"].append(None)
+            elif mode < 4:
+                cols["html"].append(None)
+                cols["text"].append(body)
+            else:
+                cols["html"].append(wrap_html(body, f"doc {doc_id}"))
+                cols["text"].append(body)
+            cols["lang"].append(lang)
     return pa.table(cols, schema=S.PAGES)
 
 
-def pages_dataset_from_documents(sf_dir: str, enrich: bool = True):
+def pages_dataset_from_documents(
+    sf_dir: str, enrich: bool = True, expand: int = 1, num_blocks: int | None = None
+):
     """Streaming Ray Dataset of pages derived from ``{sf_dir}/documents.parquet``.
 
     The kb is built once on the driver and captured in the closure — it is
@@ -336,9 +348,48 @@ def pages_dataset_from_documents(sf_dir: str, enrich: bool = True):
         kb2 = {"entities": kb["entities"]}
     else:
         kb2 = None
+    if expand > 1:
+        # Expanded (bench/scaling) path: the documents file is tiny but the
+        # generated corpus is not — reading the file in ONE task and fanning
+        # out from it would serialize the head of the pipeline.  Instead the
+        # driver reads the 2 MB table once, ray.puts it, and N generator
+        # tasks each expand a disjoint row slice — the single-node stand-in
+        # for a file-sharded read (at real scale read_parquet over many
+        # shards gives this structure for free).
+        import pyarrow.parquet as pq
+        import ray
+
+        tbl = pq.read_table(
+            str(Path(sf_dir) / "documents.parquet"),
+            columns=["doc_id", "text", "source", "lang"],
+        )
+        tbl_ref = ray.put(tbl)
+        n_tasks = num_blocks or max(
+            64, int(ray.cluster_resources().get("CPU", 8)) * 4
+        )
+
+        def gen_slice(batch: pa.Table) -> pa.Table:
+            docs = ray.get(tbl_ref)
+            out = []
+            for k in batch["id"].to_pylist():
+                lo = len(docs) * k // n_tasks
+                hi = len(docs) * (k + 1) // n_tasks
+                out.append(
+                    pages_batch_from_documents(docs.slice(lo, hi - lo), enrich, kb2, expand)
+                )
+            return pa.concat_tables(out)
+
+        # One block per task id: downstream stage fusion bundles whole
+        # blocks, so a single-block id table would serialize the pipeline.
+        ids = rd.range(n_tasks, override_num_blocks=n_tasks)
+        return ids.map_batches(gen_slice, batch_format="pyarrow", batch_size=1)
+
     ds = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"))
-    return ds.map_batches(
-        lambda b: pages_batch_from_documents(b, enrich, kb2),
+    pages = ds.map_batches(
+        lambda b: pages_batch_from_documents(b, enrich, kb2, expand),
         batch_format="pyarrow",
         batch_size=256,
     )
+    if num_blocks:
+        pages = pages.repartition(num_blocks)
+    return pages
