@@ -183,8 +183,31 @@ def run_kg(
         counters["entities"] = atomic_write_dir(outs["entities"], out_dir / "entities")
         counters["adjacency"] = atomic_write_dir(outs["adjacency"], out_dir / "adjacency")
         counters["linked"] = sum(s["rows"] for s in man.data["shards"].values())
+        counters["quality"] = _quality_counters(out_dir / "triples")
         man.commit_phase("finalize", counters)
     return man
+
+
+def _quality_counters(triples_dir: Path) -> dict:
+    """G7-style output-quality counters recorded into the manifest
+    (reference tests/test_quality.py:86-275: category distribution,
+    general-ratio, average-confidence thresholds become monitorable
+    counters rather than hardcoded asserts)."""
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(str(triples_dir), format="parquet").to_table(
+        columns=["category", "conf"]
+    )
+    n = max(tbl.num_rows, 1)
+    cats: dict[str, int] = {}
+    for c in tbl["category"].to_pylist():
+        cats[c] = cats.get(c, 0) + 1
+    confs = tbl["conf"].to_pylist()
+    return {
+        "by_category": dict(sorted(cats.items())),
+        "general_ratio": round(cats.get("general", 0) / n, 4),
+        "avg_conf": round(sum(confs) / n, 4),
+    }
 
 
 def shard_documents_factory(sf_dir: str, enrich: bool = True) -> Callable:

@@ -14,6 +14,7 @@ Conventions enforced here (driver contract):
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 from . import config_loader, synth
@@ -200,6 +201,29 @@ def dedup_simhash(sf_dir: str):
     return simhash_pairs(_docs_ds(sf_dir), max_hamming=d["simhash_max_hamming"])
 
 
+def dedup_clusters(sf_dir: str):
+    """Near-dup connected components over the exact n-gram-Jaccard pairs:
+    (doc_id, cluster_id=min member id) for every document."""
+    from .stages.cluster import cluster_ids
+    from .stages.dedup import ngram_jaccard_pairs
+
+    docs = _docs_ds(sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=NGRAM_T)
+    return cluster_ids(docs, pairs)
+
+
+def text_anonymize(sf_dir: str):
+    """Regex-PII masking (email/phone/custom terms) — the SQL-checkable
+    subset of the anonymizer; PERSON masking via the broadcast alias dict is
+    exercised in tests/test_anonymize.py (model-backed, not SQL)."""
+    from .stages.anonymize import mask_pii_batch
+
+    terms = config_loader.load("anonymize")["custom_terms"]
+    return _docs_ds(sf_dir).map_batches(
+        lambda df: mask_pii_batch(df, terms), batch_format="pandas"
+    )
+
+
 def dedup_embedding(sf_dir: str):
     import ray
 
@@ -308,6 +332,8 @@ def registry() -> dict:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
+        "dedup_clusters": dedup_clusters,
+        "text_anonymize": text_anonymize,
         "ann_topk": ann_topk,
         "ann_topk_lsh": ann_topk_lsh,
         "mm_payload_stats": mm_payload_stats,
@@ -363,10 +389,57 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def _sql_clusters() -> str:
+    """Connected components over the n-gram pair graph via recursive
+    min-label reachability (transitive closure is fine at oracle scale)."""
+    grams = (
+        "list_distinct(list_transform("
+        "generate_series(1, len(toks) - 2), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    )
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {ts.sql_token_list(_TEXT)} AS toks FROM documents
+), g AS (
+  SELECT doc_id, {grams} AS grams FROM tok WHERE len(toks) >= {NGRAM_N}
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM g a, g b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+        >= {NGRAM_T}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY doc_id
+"""
+
+
+def _sql_anonymize() -> str:
+    from .stages.anonymize import EMAIL_PATTERN, PHONE_PATTERN
+
+    terms = config_loader.load("anonymize")["custom_terms"]
+    expr = f"regexp_replace({_TEXT}, '{EMAIL_PATTERN}', '[EMAIL]', 'g')"
+    expr = f"regexp_replace({expr}, '{PHONE_PATTERN}', '[PHONE]', 'g')"
+    for term in terms:
+        expr = f"regexp_replace({expr}, '{re.escape(term)}', '[REDACTED]', 'gi')"
+    return (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {expr} AS clean_text "
+        "FROM documents"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB SQL per SQL-expressible query; keys match registry()."""
     norm = ts.sql_norm_text(_TEXT)
     return {
+        "dedup_clusters": _sql_clusters(),
+        "text_anonymize": _sql_anonymize(),
         "kg_page_text": (
             f"SELECT {DOC_URL_SQL} AS url, {norm} AS text FROM documents"
         ),
