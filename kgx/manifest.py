@@ -81,7 +81,7 @@ def atomic_write_dir(ds, final_dir: str | Path, **write_kwargs) -> int:
         shutil.rmtree(final_dir)
     os.replace(tmp, final_dir)
     rows = 0
-    for f in final_dir.glob("*.parquet"):
+    for f in final_dir.rglob("*.parquet"):  # rglob: partition_cols nest dirs
         rows += pq.read_metadata(f).num_rows
     return rows
 

@@ -179,7 +179,12 @@ def run_kg(
         linked = rd.read_parquet(str(out_dir / "linked"))
         outs = finalize(linked, cfg, sort_output=True)
         counters = {}
-        counters["triples"] = atomic_write_dir(outs["triples"], out_dir / "triples")
+        # Triples partitioned by category (hive layout): consumers prune at
+        # the directory level (reference S6 grouped-by-category report
+        # sections, generator.py:60-86, as a physical layout).
+        counters["triples"] = atomic_write_dir(
+            outs["triples"], out_dir / "triples", partition_cols=["category"]
+        )
         counters["entities"] = atomic_write_dir(outs["entities"], out_dir / "entities")
         counters["adjacency"] = atomic_write_dir(outs["adjacency"], out_dir / "adjacency")
         counters["linked"] = sum(s["rows"] for s in man.data["shards"].values())
@@ -195,9 +200,9 @@ def _quality_counters(triples_dir: Path) -> dict:
     counters rather than hardcoded asserts)."""
     import pyarrow.dataset as pads
 
-    tbl = pads.dataset(str(triples_dir), format="parquet").to_table(
-        columns=["category", "conf"]
-    )
+    tbl = pads.dataset(
+        str(triples_dir), format="parquet", partitioning="hive"
+    ).to_table(columns=["category", "conf"])
     n = max(tbl.num_rows, 1)
     cats: dict[str, int] = {}
     for c in tbl["category"].to_pylist():

@@ -200,6 +200,74 @@ def events_per_user_hour(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Range join (reference J1: interval containment — segments within a frame's
+# display window, gemini_backend.py:79-92 — generalized to rows within a
+# per-key time window)
+# ---------------------------------------------------------------------------
+
+
+def lineitems_in_order_window(sf_dir: str, days: int = 90):
+    """lineitem ⋈ orders on orderkey WHERE shipdate ∈ [orderdate,
+    orderdate + days): count qualifying items per o_orderpriority.
+
+    The window side (orders) broadcasts once as two aligned arrays; the big
+    side streams and evaluates the containment predicate vectorized — the
+    same broadcast-then-filter shape the KG pipeline uses for its page-local
+    interval join, lifted to a keyed table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    orders = pq.read_table(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    odate = pd.Series(
+        pd.to_datetime(orders["o_orderdate"].to_pandas())
+        .astype("datetime64[ns]")
+        .astype("int64")
+        .values,
+        index=orders["o_orderkey"].to_pandas().values,
+    )
+    oprio = pd.Series(
+        orders["o_orderpriority"].to_pandas().values,
+        index=orders["o_orderkey"].to_pandas().values,
+    )
+    side_ref = ray.put((odate, oprio))
+    window_ns = days * 86_400 * 1_000_000_000
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        od, op = ray.get(side_ref)
+        keys = df["l_orderkey"].values
+        start = od.reindex(keys).values
+        ship = (
+            pd.to_datetime(df["l_shipdate"])
+            .astype("datetime64[ns]")
+            .astype("int64")
+            .values
+        )
+        mask = (ship >= start) & (ship < start + window_ns) & ~np.isnan(start.astype("float64"))
+        prios = op.reindex(keys).values[mask]
+        vc = pd.Series(prios).value_counts()
+        return pd.DataFrame(
+            {"o_orderpriority": vc.index.astype(str), "n_items": vc.values.astype("int64")}
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": [group["o_orderpriority"][0].as_py()],
+                "n_items": [pc.sum(group["n_items"]).as_py()],
+            }
+        )
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    part = ds.map_batches(partial, batch_format="pandas")
+    return part.groupby("o_orderpriority").map_groups(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Distinct (reference D4/G4 set semantics)
 # ---------------------------------------------------------------------------
 

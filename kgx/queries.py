@@ -298,6 +298,12 @@ def rel_topk(sf_dir: str):
     return top_customers_by_orders(sf_dir, k=10)
 
 
+def rel_range_join(sf_dir: str):
+    from .pipelines.relational import lineitems_in_order_window
+
+    return lineitems_in_order_window(sf_dir, days=90)
+
+
 def rel_window_events(sf_dir: str):
     from .pipelines.relational import events_per_user_hour
 
@@ -341,6 +347,7 @@ def registry() -> dict:
         "rel_broadcast_join": rel_broadcast_join,
         "rel_semi_join": rel_semi_join,
         "rel_topk": rel_topk,
+        "rel_range_join": rel_range_join,
         "rel_window_events": rel_window_events,
         "rel_distinct_event_types": rel_distinct_event_types,
     }
@@ -501,6 +508,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(o_custkey AS BIGINT) AS o_custkey, "
             "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1 "
             "ORDER BY n_orders DESC, o_custkey LIMIT 10"
+        ),
+        "rel_range_join": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= o_orderdate "
+            "AND l_shipdate < o_orderdate + INTERVAL 90 DAY GROUP BY 1"
         ),
         "rel_window_events": (
             "SELECT CAST(user_id AS BIGINT) AS user_id, "

@@ -33,7 +33,9 @@ QUALITY_BAND = 0.10  # ±10% threshold, reference compare_reports.py:225-274
 
 def load_outputs(out_dir: str) -> dict:
     d = Path(out_dir)
-    triples = pads.dataset(str(d / "triples"), format="parquet").to_table()
+    triples = pads.dataset(
+        str(d / "triples"), format="parquet", partitioning="hive"
+    ).to_table()
     entities = pads.dataset(str(d / "entities"), format="parquet").to_table()
     manifest = {}
     mpath = d / "_manifest" / "manifest.json"

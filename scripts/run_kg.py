@@ -75,6 +75,9 @@ def main() -> int:
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--set", dest="overrides", action="append", default=[],
                     metavar="a.b.c=v", help="config override (repeatable)")
+    ap.add_argument("--export-jsonl", action="store_true",
+                    help="also export triples as JSONL (knowledge.jsonl "
+                         "analog, reference generator.py:44-46)")
     args = ap.parse_args()
 
     import ray
@@ -100,6 +103,12 @@ def main() -> int:
     man = pipeline.run_kg(
         make, args.output, num_shards=num_shards, cfg=cfg, run_id=args.run_id
     )
+    if args.export_jsonl:
+        import ray.data as rd
+
+        rd.read_parquet(str(Path(args.output) / "triples")).write_json(
+            str(Path(args.output) / "triples_jsonl")
+        )
     print(json.dumps({"output": str(args.output), "run_id": man.run_id,
                       "shards": len(man.data["shards"]),
                       "counters": man.data["counters"]}))

@@ -10,8 +10,16 @@ import pytest
 
 
 def _read_sorted(dir_path, keys):
-    df = pads.dataset(str(dir_path), format="parquet").to_table().to_pandas()
-    return df.sort_values(keys).reset_index(drop=True)
+    # partitioning="hive": triples are laid out as category=<val>/ dirs
+    df = (
+        pads.dataset(str(dir_path), format="parquet", partitioning="hive")
+        .to_table()
+        .to_pandas()
+    )
+    for c in df.columns:
+        if isinstance(df[c].dtype, pd.CategoricalDtype):
+            df[c] = df[c].astype(str)
+    return df[sorted(df.columns)].sort_values(keys).reset_index(drop=True)
 
 
 @pytest.fixture(scope="module")
@@ -75,8 +83,11 @@ def test_checkpointed_matches_oracle(ray_session, small_pages, cfg, kb, tmp_path
     )
     ora = oracle.run(small_pages, cfg, kb)
     got = _read_sorted(out_dir / "triples", ["subj", "pred", "obj"])
+    want = ora["triples"].to_pandas()
     want = (
-        ora["triples"].to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+        want[sorted(want.columns)]
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
