@@ -268,6 +268,44 @@ def lineitems_in_order_window(sf_dir: str, days: int = 90):
 
 
 # ---------------------------------------------------------------------------
+# Gap-based sessionization (reference G1 run-length grouping, base.py:30-51:
+# a new group starts whenever the ordered stream changes state — here, when
+# the inter-event gap exceeds the timeout)
+# ---------------------------------------------------------------------------
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """events -> (user_id, session_start_us, n_events): per-user sessions
+    split where the gap to the previous event exceeds ``gap_minutes``.
+
+    Order-dependent semantics are PER KEY, so the shuffle is a plain
+    groupby(user_id) and the ordered scan happens vectorized inside each
+    group (sort by ts, event_id; gap diff; cumulative session index) — the
+    distributed form of the reference's sequential run-length pass."""
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_user(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["ts", "event_id"])
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        new_session = (us.diff().fillna(gap_us + 1) > gap_us).astype("int64")
+        sid = new_session.cumsum()
+        g = pd.DataFrame({"user_id": df["user_id"], "sid": sid, "us": us}).groupby(
+            "sid", sort=False
+        )
+        out = g.agg(
+            user_id=("user_id", "first"),
+            session_start_us=("us", "min"),
+            n_events=("us", "size"),
+        )
+        return out.reset_index(drop=True)[["user_id", "session_start_us", "n_events"]]
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # Distinct (reference D4/G4 set semantics)
 # ---------------------------------------------------------------------------
 

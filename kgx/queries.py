@@ -310,6 +310,12 @@ def rel_window_events(sf_dir: str):
     return events_per_user_hour(sf_dir)
 
 
+def rel_sessionize(sf_dir: str):
+    from .pipelines.relational import sessionize_events
+
+    return sessionize_events(sf_dir, gap_minutes=30)
+
+
 def rel_distinct_event_types(sf_dir: str):
     from .pipelines.relational import distinct_event_types
 
@@ -348,6 +354,7 @@ def registry() -> dict:
         "rel_semi_join": rel_semi_join,
         "rel_topk": rel_topk,
         "rel_range_join": rel_range_join,
+        "rel_sessionize": rel_sessionize,
         "rel_window_events": rel_window_events,
         "rel_distinct_event_types": rel_distinct_event_types,
     }
@@ -514,6 +521,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE l_shipdate >= o_orderdate "
             "AND l_shipdate < o_orderdate + INTERVAL 90 DAY GROUP BY 1"
+        ),
+        "rel_sessionize": (
+            "WITH x AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "y AS (SELECT user_id, ts, "
+            "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM y GROUP BY user_id, sid"
         ),
         "rel_window_events": (
             "SELECT CAST(user_id AS BIGINT) AS user_id, "
