@@ -68,6 +68,7 @@ def resolve_settings(
         "filters": copy.deepcopy(load("filters", config_dir)),
         "categories": copy.deepcopy(load("categories", config_dir)),
         "rules": copy.deepcopy(load("rules/predicates", config_dir)),
+        "pipeline": copy.deepcopy(load("settings", config_dir).get("pipeline", {})),
     }
     if preset:
         preset_cfg = load(f"presets/{preset}", config_dir)

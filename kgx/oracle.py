@@ -51,11 +51,17 @@ def run(pages: pa.Table, cfg: dict, kb: dict) -> dict[str, pa.Table]:
         r["entity_id"]: r["embedding"] for r in kb["embedding_table"].to_pylist()
     }
 
+    pl = cfg.get("pipeline", {})
+    drop_lang = bool(pl.get("drop_non_target_lang"))
+    target_lang = pl.get("target_lang", "en")
+
     text_rows: list[dict] = []
     seg_rows: list[dict] = []
     mention_rows: list[dict] = []
     linked: list[dict] = []
     for page in _pages_rows(pages):
+        if drop_lang and page["lang"] != target_lang:
+            continue
         ptext, segs = segments_for_page(
             page["url"], page["html"], page["text"], page["lang"], cfg
         )

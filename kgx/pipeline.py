@@ -52,9 +52,37 @@ def _pool_size(cfg_min: int) -> tuple[int, int]:
     return (1, max(cfg_min, cpus))
 
 
+def apply_ray_data_settings() -> None:
+    """Apply config/settings.yaml ray.* knobs to the current DataContext
+    (driver-side, once per session).  Only block sizing today."""
+    from ray.data import DataContext
+
+    mb = config_loader.get("settings", "ray.target_max_block_size_mb")
+    if mb:
+        DataContext.get_current().target_max_block_size = int(mb) * 1024 * 1024
+
+
+def _lang_filter_ds(pages_ds, cfg: dict):
+    """Optional language gate (settings.yaml pipeline.drop_non_target_lang;
+    reference analog: audio_only branch selection by content type,
+    run.py:51-74 — pipeline-level routing, not per-row logic).  Default off;
+    a boolean-mask map_batches, never per-row ds.filter."""
+    pl = cfg.get("pipeline", {})
+    if not pl.get("drop_non_target_lang"):
+        return pages_ds
+    target = pl.get("target_lang", "en")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["lang"], target))
+
+    return pages_ds.map_batches(keep, batch_format="pyarrow")
+
+
 def page_text_ds(pages_ds, cfg: dict):
     b = cfg["processing"]["batch"]
-    return pages_ds.map_batches(
+    return _lang_filter_ds(pages_ds, cfg).map_batches(
         kg_stages.extract_text_batch, batch_format="pyarrow", batch_size=b["extract"]
     )
 
