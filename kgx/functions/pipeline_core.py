@@ -96,10 +96,24 @@ def raw_triples_for_segment(seg: dict, aliases: AliasMatcher, predicates: Predic
     return out
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _ctx_features(context: str, embed_dim: int) -> tuple[frozenset, tuple]:
+    """Memoized context featurization: several triples share one sentence
+    context, and tokenize + hash_embed dominate the linker's row cost.
+    Pure function of its arguments — identical values with or without the
+    cache, so oracle/pipeline parity is unaffected."""
+    toks = frozenset(tokenize(context))
+    return toks, tuple(hash_embed(sorted(toks), dim=embed_dim))
+
+
 def link_raw_triple(row: dict, aliases: AliasMatcher, embeddings: dict[int, list[float]], cfg: dict) -> dict:
     l_cfg = cfg["processing"]["linker"]
-    ctx_tokens = set(tokenize(row["context"]))
-    ctx_vec = hash_embed(sorted(ctx_tokens), dim=l_cfg["embed_dim"])
+    ctx_tokens, ctx_vec = _ctx_features(row["context"], l_cfg["embed_dim"])
+    ctx_tokens = set(ctx_tokens)
+    ctx_vec = list(ctx_vec)
     args = (aliases, embeddings, l_cfg["w_alias"], l_cfg["w_embed"],
             l_cfg["w_ctx"], l_cfg["min_score"])
     s_name, s_key, s_id = link_surface(row["subj_surface"], ctx_tokens, ctx_vec, *args)

@@ -310,6 +310,78 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
 # ---------------------------------------------------------------------------
 
 
+def event_json_values(sf_dir: str):
+    """(event_id, k_value) extracted from the JSON ``props`` column with a
+    fail-open regex parse (reference M13 defensive LLM-JSON parsing,
+    gemini_backend.py:131-139: malformed -> dropped, never a crash)."""
+    import pandas as pd
+
+    def extract(df: "pd.DataFrame") -> "pd.DataFrame":
+        k = df["props"].fillna("").str.extract(r'"k":\s*(\d+)', expand=False)
+        out = pd.DataFrame({"event_id": df["event_id"], "k_value": k})
+        out = out.dropna(subset=["k_value"])
+        out["k_value"] = out["k_value"].astype("int64")
+        return out
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    return ds.map_batches(extract, batch_format="pandas")
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Per-group top-N (reference O6 per-window caps + O4 argmax): the k
+    highest-value orders per market segment, tie-break orderkey asc.
+    Combiner: each batch keeps only its local top-k per segment, so the
+    shuffle moves k rows per (segment, batch)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        str(Path(sf_dir) / "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_ref = ray.put(
+        pd.Series(
+            cust["c_mktsegment"].to_pandas().values,
+            index=cust["c_custkey"].to_pandas().values,
+        )
+    )
+
+    def local_topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        seg = ray.get(seg_ref)
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": seg.reindex(df["o_custkey"].values).values,
+                "o_orderkey": df["o_orderkey"],
+                "o_totalprice": df["o_totalprice"],
+            }
+        ).dropna(subset=["c_mktsegment"])
+        df = df.sort_values(
+            ["c_mktsegment", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return df.groupby("c_mktsegment", sort=False).head(k)
+
+    def final(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            group.to_pylist(), key=lambda r: (-r["o_totalprice"], r["o_orderkey"])
+        )[:k]
+        return pa.table(
+            {
+                "c_mktsegment": [r["c_mktsegment"] for r in rows],
+                "o_orderkey": [r["o_orderkey"] for r in rows],
+                "rnk": list(range(1, len(rows) + 1)),
+            },
+            schema=pa.schema(
+                [("c_mktsegment", pa.string()), ("o_orderkey", pa.int64()),
+                 ("rnk", pa.int64())]
+            ),
+        )
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    part = ds.map_batches(local_topk, batch_format="pandas")
+    return part.groupby("c_mktsegment").map_groups(final, batch_format="pyarrow")
+
+
 def distinct_event_types(sf_dir: str):
     """Distinct event_type values, one column out."""
     ds = _read(sf_dir, "events", ["event_type"])

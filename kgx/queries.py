@@ -322,6 +322,18 @@ def rel_distinct_event_types(sf_dir: str):
     return distinct_event_types(sf_dir)
 
 
+def rel_json_extract(sf_dir: str):
+    from .pipelines.relational import event_json_values
+
+    return event_json_values(sf_dir)
+
+
+def rel_topk_per_group(sf_dir: str):
+    from .pipelines.relational import top_orders_per_segment
+
+    return top_orders_per_segment(sf_dir, k=3)
+
+
 # ---------------------------------------------------------------------------
 # Registry + SQL oracles
 # ---------------------------------------------------------------------------
@@ -357,6 +369,8 @@ def registry() -> dict:
         "rel_sessionize": rel_sessionize,
         "rel_window_events": rel_window_events,
         "rel_distinct_event_types": rel_distinct_event_types,
+        "rel_json_extract": rel_json_extract,
+        "rel_topk_per_group": rel_topk_per_group,
     }
 
 
@@ -541,4 +555,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2"
         ),
         "rel_distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "rel_json_extract": (
+            "SELECT CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT) AS k_value "
+            "FROM events WHERE regexp_matches(coalesce(props, ''), '\"k\":\\s*\\d+')"
+        ),
+        "rel_topk_per_group": (
+            "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+            "CAST(rnk AS BIGINT) AS rnk FROM ("
+            "SELECT c_mktsegment, o_orderkey, row_number() OVER ("
+            "PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk "
+            "FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rnk <= 3"
+        ),
     }
