@@ -37,17 +37,23 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "text_anonymize",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_clusters",
     "ann_topk",
     "ann_topk_lsh",
     "mm_payload_stats",
     "rel_agg_pushdown",
     "rel_broadcast_join",
     "rel_topk",
+    "rel_topk_per_group",
+    "rel_range_join",
+    "rel_sessionize",
+    "rel_json_extract",
     "rel_window_events",
 ]
 
