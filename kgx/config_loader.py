@@ -69,6 +69,7 @@ def resolve_settings(
         "categories": copy.deepcopy(load("categories", config_dir)),
         "rules": copy.deepcopy(load("rules/predicates", config_dir)),
         "pipeline": copy.deepcopy(load("settings", config_dir).get("pipeline", {})),
+        "anonymize": copy.deepcopy(load("anonymize", config_dir)),
     }
     if preset:
         preset_cfg = load(f"presets/{preset}", config_dir)
@@ -76,3 +77,17 @@ def resolve_settings(
     if overrides:
         base = _deep_merge(base, overrides)
     return base
+
+
+def resolve_profile(
+    name: str, overrides: dict | None = None, config_dir: Path | None = None
+) -> dict:
+    """Named profile -> effective settings (reference profiles.yaml:1-15:
+    named bundles of backend + anonymization choices).  A profile is just a
+    (preset, overrides) pair applied through the normal chain; explicit
+    ``overrides`` still win."""
+    prof = load("profiles", config_dir)[name]
+    merged = _deep_merge(prof.get("overrides", {}), overrides or {})
+    return resolve_settings(
+        preset=prof.get("preset"), overrides=merged, config_dir=config_dir
+    )

@@ -54,6 +54,14 @@ def run(pages: pa.Table, cfg: dict, kb: dict) -> dict[str, pa.Table]:
     pl = cfg.get("pipeline", {})
     drop_lang = bool(pl.get("drop_non_target_lang"))
     target_lang = pl.get("target_lang", "en")
+    masker = None
+    if pl.get("anonymize"):
+        from .stages.anonymize import PersonMasker
+
+        masker = PersonMasker(
+            kb["alias_table"].to_pylist(),
+            cfg.get("anonymize", {}).get("custom_terms", []),
+        )
 
     text_rows: list[dict] = []
     seg_rows: list[dict] = []
@@ -66,6 +74,9 @@ def run(pages: pa.Table, cfg: dict, kb: dict) -> dict[str, pa.Table]:
             page["url"], page["html"], page["text"], page["lang"], cfg
         )
         text_rows.append({"url": page["url"], "text": ptext})
+        if masker is not None:
+            for seg in segs:
+                seg["text"] = masker.mask(seg["text"])
         for seg in segs:
             seg_rows.append(seg)
             mention_rows.extend(mentions_for_segment(seg, aliases))

@@ -118,8 +118,21 @@ def linked_triples_ds(pages_ds, cfg: dict, refs: dict):
     triples never cross an exchange.  The unfused TripleExtractor /
     EntityLinker stages remain available for per-stage inspection."""
     b = cfg["processing"]["batch"]
+    segs = segments_ds(pages_ds, cfg)
+    if cfg.get("pipeline", {}).get("anonymize"):
+        # PII scrub before extraction (reference run.py:86-91 anonymize step;
+        # enabled by the "privacy" profile).  Built once on the driver from
+        # the already-loaded alias rows; ships as a task UDF closure.
+        from .stages.anonymize import PersonMasker
+
+        masker = PersonMasker(
+            refs["kb"]["alias_table"].to_pylist(),
+            cfg.get("anonymize", {}).get("custom_terms", []),
+            column="text",
+        )
+        segs = segs.map_batches(masker, batch_format="pyarrow")
     linker = kg_stages.TripleLinker(refs["alias_ref"], refs["emb_ref"], cfg)
-    return segments_ds(pages_ds, cfg).map_batches(
+    return segs.map_batches(
         linker, batch_format="pyarrow", batch_size=b["triples"]
     )
 

@@ -57,11 +57,15 @@ class PersonMasker:
     actor from the broadcast alias table."""
 
     def __init__(self, alias_ref, custom_terms: list[str], column: str = "text"):
-        import ray
-
         from ..functions.extract_kg import AliasMatcher
 
-        per_rows = [r for r in ray.get(alias_ref) if r["ner_type"] == "PER"]
+        if isinstance(alias_ref, list):  # serial/oracle path: rows directly
+            alias_rows = alias_ref
+        else:  # Ray path: broadcast ObjectRef resolved once per actor
+            import ray
+
+            alias_rows = ray.get(alias_ref)
+        per_rows = [r for r in alias_rows if r["ner_type"] == "PER"]
         self.matcher = AliasMatcher(per_rows)
         self.custom_terms = custom_terms
         self.column = column

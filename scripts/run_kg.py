@@ -71,6 +71,8 @@ def main() -> int:
                      help="derive pages from SF_DIR/documents.parquet (test corpora)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--preset", choices=["news", "forum", "reference_crawl"])
+    ap.add_argument("--profile", help="named profile from config/profiles.yaml "
+                                      "(e.g. privacy, news_en)")
     ap.add_argument("--num-shards", type=int, default=None)
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--set", dest="overrides", action="append", default=[],
@@ -90,9 +92,16 @@ def main() -> int:
 
     from kgx import config_loader, pipeline
 
-    cfg = config_loader.resolve_settings(
-        preset=args.preset, overrides=parse_overrides(args.overrides)
-    )
+    if args.profile:
+        cfg = config_loader.resolve_profile(
+            args.profile, overrides=parse_overrides(args.overrides)
+        )
+        if args.preset:
+            raise SystemExit("--profile and --preset are mutually exclusive")
+    else:
+        cfg = config_loader.resolve_settings(
+            preset=args.preset, overrides=parse_overrides(args.overrides)
+        )
     num_shards = args.num_shards or config_loader.get("settings", "pipeline.num_shards", 8)
 
     if args.from_documents:
