@@ -34,30 +34,34 @@ def _read(sf_dir: str, table: str, columns: list[str]):
 
 
 def lineitem_agg(sf_dir: str):
-    """sum(l_quantity), count(*) per (l_returnflag, l_linestatus)."""
+    """sum(l_quantity), count(*) per (l_returnflag, l_linestatus) — TPC-H Q1
+    shape via the reusable hash-partitioned aggregate exchange."""
+    import pandas as pd
 
-    def partial(batch: pa.Table) -> pa.Table:
-        t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_quantity", "count")]
-        )
-        return t.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
-        )
+    from ..stages.exchange import hash_partitioned_agg
 
-    def final(group: pa.Table) -> pa.Table:
-        return pa.table(
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def to_agg_form(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
             {
-                "l_returnflag": [group["l_returnflag"][0].as_py()],
-                "l_linestatus": [group["l_linestatus"][0].as_py()],
-                "sum_qty": [pc.sum(group["sum_qty"]).as_py()],
-                "n_rows": [pc.sum(group["n_rows"]).as_py()],
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["l_quantity"],
+                "n_rows": 1,
             }
         )
 
-    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-    part = ds.map_batches(partial, batch_format="pyarrow")
-    return part.groupby(["l_returnflag", "l_linestatus"]).map_groups(
-        final, batch_format="pyarrow"
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.groupby(keys, sort=False)
+            .agg(sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum"))
+            .reset_index()
+        )
+
+    ds = _read(sf_dir, "lineitem", keys + ["l_quantity"])
+    return hash_partitioned_agg(
+        ds.map_batches(to_agg_form, batch_format="pandas"), keys, combine
     )
 
 
@@ -80,29 +84,27 @@ def orders_per_segment(sf_dir: str):
     )
     seg_ref = ray.put(seg_of)  # broadcast once; resolved per task from plasma
 
-    def partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(seg_ref)
-        counts: dict[str, int] = {}
-        for ck in batch["o_custkey"].to_pylist():
-            seg = lookup.get(ck)
-            if seg is not None:
-                counts[seg] = counts.get(seg, 0) + 1
-        return pa.table(
-            {"c_mktsegment": list(counts), "n_orders": list(counts.values())},
-            schema=pa.schema([("c_mktsegment", pa.string()), ("n_orders", pa.int64())]),
-        )
+    import pandas as pd
 
-    def final(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c_mktsegment": [group["c_mktsegment"][0].as_py()],
-                "n_orders": [pc.sum(group["n_orders"]).as_py()],
-            }
+    from ..stages.exchange import hash_partitioned_agg
+
+    def to_agg_form(df: "pd.DataFrame") -> "pd.DataFrame":
+        lookup = ray.get(seg_ref)
+        seg = pd.Series([lookup.get(k) for k in df["o_custkey"]])
+        out = pd.DataFrame({"c_mktsegment": seg, "n_orders": 1})
+        return out.dropna(subset=["c_mktsegment"])
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.groupby("c_mktsegment", sort=False)
+            .agg(n_orders=("n_orders", "sum"))
+            .reset_index()
         )
 
     ds = _read(sf_dir, "orders", ["o_custkey"])
-    part = ds.map_batches(partial, batch_format="pyarrow")
-    return part.groupby("c_mktsegment").map_groups(final, batch_format="pyarrow")
+    return hash_partitioned_agg(
+        ds.map_batches(to_agg_form, batch_format="pandas"), ["c_mktsegment"], combine
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -143,23 +145,23 @@ def top_customers_by_orders(sf_dir: str, k: int = 10):
     """Top-k custkeys by order count; tie-break custkey asc.  Partial counts
     combine per batch; the final sort sees one row per custkey."""
 
-    def partial(batch: pa.Table) -> pa.Table:
-        t = batch.group_by("o_custkey").aggregate([("o_custkey", "count")])
-        return t.rename_columns(["o_custkey", "n_orders"])
+    import pandas as pd
 
-    def final(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_custkey": [group["o_custkey"][0].as_py()],
-                "n_orders": [pc.sum(group["n_orders"]).as_py()],
-            }
+    from ..stages.exchange import hash_partitioned_agg
+
+    def to_agg_form(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"o_custkey": df["o_custkey"], "n_orders": 1})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.groupby("o_custkey", sort=False)
+            .agg(n_orders=("n_orders", "sum"))
+            .reset_index()
         )
 
     ds = _read(sf_dir, "orders", ["o_custkey"])
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .map_groups(final, batch_format="pyarrow")
+    counts = hash_partitioned_agg(
+        ds.map_batches(to_agg_form, batch_format="pandas"), ["o_custkey"], combine
     )
     return counts.sort(["n_orders", "o_custkey"], descending=[True, False]).limit(k)
 
@@ -172,30 +174,32 @@ def top_customers_by_orders(sf_dir: str, k: int = 10):
 def events_per_user_hour(sf_dir: str):
     """(user_id, hour_epoch, n_events): tumbling 1-hour windows per user."""
 
-    _PER_SEC = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+    import pandas as pd
 
-    def partial(batch: pa.Table) -> pa.Table:
-        hours = pc.floor_temporal(batch["ts"], unit="hour")
-        epoch = pc.divide(
-            pc.cast(hours, pa.int64()), _PER_SEC[batch["ts"].type.unit]
-        )
-        t = pa.table({"user_id": batch["user_id"], "hour_epoch": epoch})
-        g = t.group_by(["user_id", "hour_epoch"]).aggregate([("hour_epoch", "count")])
-        return g.rename_columns(["user_id", "hour_epoch", "n_events"])
+    from ..stages.exchange import hash_partitioned_agg
 
-    def final(group: pa.Table) -> pa.Table:
-        return pa.table(
+    keys = ["user_id", "hour_epoch"]
+
+    def to_agg_form(df: "pd.DataFrame") -> "pd.DataFrame":
+        hour_us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
             {
-                "user_id": [group["user_id"][0].as_py()],
-                "hour_epoch": [group["hour_epoch"][0].as_py()],
-                "n_events": [pc.sum(group["n_events"]).as_py()],
+                "user_id": df["user_id"],
+                "hour_epoch": hour_us // 3_600_000_000 * 3600,
+                "n_events": 1,
             }
         )
 
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.groupby(keys, sort=False)
+            .agg(n_events=("n_events", "sum"))
+            .reset_index()
+        )
+
     ds = _read(sf_dir, "events", ["ts", "user_id"])
-    part = ds.map_batches(partial, batch_format="pyarrow")
-    return part.groupby(["user_id", "hour_epoch"]).map_groups(
-        final, batch_format="pyarrow"
+    return hash_partitioned_agg(
+        ds.map_batches(to_agg_form, batch_format="pandas"), keys, combine
     )
 
 
