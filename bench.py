@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "ann_topk",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "mm_payload_stats",
     "rel_agg_pushdown",
     "rel_broadcast_join",
@@ -55,6 +56,8 @@ BENCH_QUERIES = [
     "rel_sessionize",
     "rel_json_extract",
     "rel_window_events",
+    "rel_sliding_window",
+    "rel_native_join",
 ]
 
 

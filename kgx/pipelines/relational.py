@@ -314,6 +314,68 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
 # ---------------------------------------------------------------------------
 
 
+def events_trailing_hour(sf_dir: str):
+    """(event_id, n_last_hour): per event, how many of the same user's
+    events fall in the trailing 1-hour window INCLUDING this one — the
+    sliding-window analog of the reference's activity analysis (G6,
+    extractor.py:241-299: frames/min over a trailing window).
+
+    Per-user ordered semantics -> groupby(user_id) + a vectorized
+    two-pointer scan (searchsorted) inside each group; no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    window_us = 3600 * 1_000_000
+
+    def per_user(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["ts", "event_id"])
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        # first index whose ts >= current - 1h  (RANGE ... PRECEDING bound)
+        lo = np.searchsorted(us, us - window_us, side="left")
+        n = np.arange(len(us)) - lo + 1
+        return pd.DataFrame({"event_id": df["event_id"], "n_last_hour": n})
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def orders_per_nation_native_join(sf_dir: str):
+    """Order count per customer nation via Ray Data's NATIVE hash join
+    (``Dataset.join``) — the shuffle-join path for when neither side fits a
+    broadcast (contrast with orders_per_segment's broadcast join)."""
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_agg
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def to_agg_form(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"c_nationkey": df["c_nationkey"].astype("int64"), "n_orders": 1}
+        )
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.groupby("c_nationkey", sort=False)
+            .agg(n_orders=("n_orders", "sum"))
+            .reset_index()
+        )
+
+    return hash_partitioned_agg(
+        joined.map_batches(to_agg_form, batch_format="pandas"),
+        ["c_nationkey"],
+        combine,
+    )
+
+
 def event_json_values(sf_dir: str):
     """(event_id, k_value) extracted from the JSON ``props`` column with a
     fail-open regex parse (reference M13 defensive LLM-JSON parsing,

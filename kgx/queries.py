@@ -322,6 +322,29 @@ def rel_distinct_event_types(sf_dir: str):
     return distinct_event_types(sf_dir)
 
 
+def ann_topk_ivf(sf_dir: str):
+    import ray
+
+    from .stages.similarity import ann_topk_ivf as _ivf, build_ivf_query_side
+
+    q_ref = ray.put(
+        build_ivf_query_side(_emb_table(sf_dir), every=ANN_EVERY, n_lists=16, nprobe=4)
+    )
+    return _ivf(_emb_ds(sf_dir), q_ref, k=ANN_K, nprobe=4)
+
+
+def rel_sliding_window(sf_dir: str):
+    from .pipelines.relational import events_trailing_hour
+
+    return events_trailing_hour(sf_dir)
+
+
+def rel_native_join(sf_dir: str):
+    from .pipelines.relational import orders_per_nation_native_join
+
+    return orders_per_nation_native_join(sf_dir)
+
+
 def rel_json_extract(sf_dir: str):
     from .pipelines.relational import event_json_values
 
@@ -360,6 +383,7 @@ def registry() -> dict:
         "text_anonymize": text_anonymize,
         "ann_topk": ann_topk,
         "ann_topk_lsh": ann_topk_lsh,
+        "ann_topk_ivf": ann_topk_ivf,
         "mm_payload_stats": mm_payload_stats,
         "rel_agg_pushdown": rel_agg_pushdown,
         "rel_broadcast_join": rel_broadcast_join,
@@ -371,6 +395,8 @@ def registry() -> dict:
         "rel_distinct_event_types": rel_distinct_event_types,
         "rel_json_extract": rel_json_extract,
         "rel_topk_per_group": rel_topk_per_group,
+        "rel_sliding_window": rel_sliding_window,
+        "rel_native_join": rel_native_join,
     }
 
 
@@ -555,6 +581,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2"
         ),
         "rel_distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "rel_sliding_window": (
+            "SELECT CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS n_last_hour FROM events"
+        ),
+        "rel_native_join": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+        ),
         "rel_json_extract": (
             "SELECT CAST(event_id AS BIGINT) AS event_id, "
             "CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT) AS k_value "

@@ -155,6 +155,84 @@ def ann_topk_lsh(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF variant (scale path #2): coarse quantizer + probed buckets
+# ---------------------------------------------------------------------------
+
+
+def ivf_train(mat: np.ndarray, n_lists: int, iters: int = 10, seed: int = 17) -> np.ndarray:
+    """Deterministic Lloyd's k-means on (a sample of) the corpus: centroids
+    seeded by evenly-strided rows (no RNG), fixed iteration count, empty
+    clusters re-seeded by stride.  At web scale this trains on a driver-side
+    sample (the standard IVF recipe); assignment/search stay distributed."""
+    n = mat.shape[0]
+    idx = (np.arange(n_lists, dtype=np.int64) * max(n // n_lists, 1)) % n
+    cent = mat[idx].copy()
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_lists):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                cent[c] = v / norm if norm > 0 else cent[c]
+            else:
+                cent[c] = mat[(seed + c * 31) % n]
+    return cent
+
+
+def ann_topk_ivf(emb_ds, queries_ref, k: int = 10, nprobe: int = 4):
+    """IVF search: corpus vectors score against a query only when their
+    nearest centroid is among the query's ``nprobe`` closest lists.  Exact
+    within probed lists; recall depends on nprobe/n_lists (rows-only gate +
+    recall test, like the LSH variant).  ``queries_ref`` =
+    ray.put((q_ids, q_mat, q_probe_lists, centroids))."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import ray
+
+        q_ids, q_mat, q_probes, cent = ray.get(queries_ref)
+        ids, mat = normalized_matrix(batch)
+        assign = (mat @ cent.T).argmax(axis=1)  # coarse list per corpus vec
+        rows = {"query_id": [], "vec_id": [], "score": []}
+        for qi, qid in enumerate(q_ids):
+            cand = np.isin(assign, q_probes[qi])
+            cand_idx = np.nonzero(cand)[0]
+            if cand_idx.size == 0:
+                continue
+            s = mat[cand_idx] @ q_mat[qi]
+            order = np.lexsort((ids[cand_idx], -s))[: k + 1]
+            taken = 0
+            for o in order:
+                vid = int(ids[cand_idx[o]])
+                if vid == qid:
+                    continue
+                rows["query_id"].append(int(qid))
+                rows["vec_id"].append(vid)
+                rows["score"].append(float(s[o]))
+                taken += 1
+                if taken >= k:
+                    break
+        return pa.table(rows, schema=_TOPK_CAND)
+
+    cands = emb_ds.map_batches(per_batch, batch_format="pyarrow", batch_size=1024)
+    return cands.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pyarrow"
+    )
+
+
+def build_ivf_query_side(
+    emb_table: pa.Table, every: int, n_lists: int = 16, nprobe: int = 4
+):
+    ids, mat = normalized_matrix(emb_table)
+    cent = ivf_train(mat, n_lists)
+    q_ids, q_mat = build_query_side(emb_table, every)
+    q_sims = q_mat @ cent.T
+    q_probes = np.argsort(-q_sims, axis=1)[:, :nprobe]
+    return q_ids, q_mat, q_probes, cent
+
+
 def build_query_side(emb_table: pa.Table, every: int = 100):
     """Driver helper: (q_ids, q_mat) for vec_id % every == 0."""
     mask = pa.array([v % every == 0 for v in emb_table["vec_id"].to_pylist()])

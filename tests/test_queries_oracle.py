@@ -83,5 +83,5 @@ def test_every_query_has_sql_or_documented_reason(ray_session):
     rows_only = set(Q.registry()) - set(Q.oracle_sql())
     assert rows_only == {
         "kg_triples", "kg_entities", "kg_adjacency", "kg_mentions",
-        "dedup_minhash_lsh", "dedup_simhash", "ann_topk_lsh",
+        "dedup_minhash_lsh", "dedup_simhash", "ann_topk_lsh", "ann_topk_ivf",
     }

@@ -82,3 +82,26 @@ class TestAnnTopkLSH:
         p1 = S.lsh_planes(8, 4, 2)
         p2 = S.lsh_planes(8, 4, 2)
         assert np.array_equal(p1, p2)
+
+
+class TestAnnTopkIVF:
+    def test_recall_vs_brute_force(self, ray_session, emb_ds):
+        import ray
+
+        tab = emb_table()
+        q_ref = ray.put(S.build_ivf_query_side(tab, every=10, n_lists=8, nprobe=3))
+        got = S.ann_topk_ivf(emb_ds, q_ref, k=5, nprobe=3).to_pandas()
+        want = brute_topk(tab, every=10, k=5)
+        hits = total = 0
+        for qid, neighbors in want.items():
+            approx = set(got[got.query_id == qid]["neighbor_id"])
+            hits += len(approx & set(neighbors))
+            total += len(neighbors)
+        assert hits / total >= 0.4  # 3 of 8 lists probed
+
+    def test_centroids_deterministic_and_normalized(self):
+        _, mat = S.build_query_side(emb_table(), every=1)
+        c1 = S.ivf_train(mat, 8)
+        c2 = S.ivf_train(mat, 8)
+        assert np.array_equal(c1, c2)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
