@@ -102,3 +102,20 @@ class TestClusterStage:
             .to_pandas()["doc_id"]
         )
         assert reps == {1, 4}
+
+    def test_label_propagation_equals_union_find(self, ray_session):
+        import ray.data as rd
+
+        from kgx.stages.cluster import _components, label_propagation_labels
+
+        # chain 1-2-3-4, triangle 10-11-12 + bridge 12-13, singleton pair 20-21
+        pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+                 (12, 13), (20, 21)]
+        tab = pa.table(
+            {"id_a": [a for a, _ in pairs], "id_b": [b for _, b in pairs]},
+            schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
+        )
+        distributed = label_propagation_labels(rd.from_arrow(tab))
+        serial = _components(pairs)
+        assert distributed == serial
+        assert distributed[4] == 1 and distributed[13] == 10
