@@ -16,8 +16,6 @@ no float round-trips in any compared column.
 
 from __future__ import annotations
 
-import re
-
 from .text import _TOKEN_RE, md5_fingerprint, tokenize
 
 # ---------------------------------------------------------------------------
