@@ -204,8 +204,8 @@ def merge_triple_group(rows: list[dict]) -> dict:
     lineage = min (url, seg_id); conf = max; n_support = count.  Associative
     (partial rows carry n_support).  The tie-break includes the raw
     (subj, pred, obj) so two same-key rows in the SAME segment still pick an
-    order-free representative (the distributed path encodes exactly this
-    tuple into its Min-aggregated lineage string — stages/wide.py)."""
+    order-free representative (the distributed path computes exactly this
+    tuple-min via multi-column sort+first — stages/wide.py)."""
     rep = min(
         rows, key=lambda r: (r["url"], r["seg_id"], r["subj"], r["pred"], r["obj"])
     )

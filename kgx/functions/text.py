@@ -32,7 +32,19 @@ _DROP_BLOCK_RE = re.compile(
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 # Block-level tags become a space so words in adjacent blocks don't fuse.
 _TAG_RE = re.compile(r"<[^>]+>")
-_WS_RE = re.compile(r"\s+")
+
+# The EXACT codepoint set CPython's str-pattern ``\s`` matches (derived by
+# scanning all of Unicode; guarded by tests/test_text_functions.py).  DuckDB's
+# RE2 ``\s`` is ASCII-only, so the generated SQL (textstats.sql_norm_text)
+# builds its whitespace class from THIS list — one constant, two engines, no
+# drift on real web text full of NBSPs (ADVICE.md 2026-08-17).
+WS_CODEPOINTS: tuple[int, ...] = (
+    0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+    0x85, 0xA0, 0x1680,
+    0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007,
+    0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+)
+_WS_RE = re.compile("[" + "".join(chr(c) for c in WS_CODEPOINTS) + "]+")
 
 _ENTITIES = [
     ("&nbsp;", " "),

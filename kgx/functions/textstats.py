@@ -16,7 +16,7 @@ no float round-trips in any compared column.
 
 from __future__ import annotations
 
-from .text import _TOKEN_RE, md5_fingerprint, tokenize
+from .text import _TOKEN_RE, WS_CODEPOINTS, md5_fingerprint, tokenize
 
 # ---------------------------------------------------------------------------
 # Shared constants (single source for Python AND generated SQL)
@@ -118,9 +118,17 @@ def fingerprint(text: str | None) -> str:
 # ---------------------------------------------------------------------------
 
 
+# RE2 class equal to CPython's Unicode \s (generated from the shared
+# constant; RE2's own \s is ASCII-only — NBSP et al. would silently differ).
+SQL_WS_CLASS = "[" + "".join(f"\\x{{{c:04X}}}" for c in WS_CODEPOINTS) + "]"
+
+
 def sql_norm_text(col: str) -> str:
-    """normalize_ws(col): collapse whitespace runs, strip ends."""
-    return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'))"
+    """normalize_ws(col): collapse whitespace runs, strip ends.  The trim
+    also uses the full class (SQL trim() only strips ASCII spaces), applied
+    as a regex strip of leading/trailing normalized spaces."""
+    collapsed = f"regexp_replace({col}, '{SQL_WS_CLASS}+', ' ', 'g')"
+    return f"trim({collapsed})"
 
 
 def sql_token_list(col: str) -> str:

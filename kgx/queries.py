@@ -563,12 +563,12 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate < o_orderdate + INTERVAL 90 DAY GROUP BY 1"
         ),
         "rel_sessionize": (
-            "WITH x AS (SELECT user_id, ts, "
+            "WITH x AS (SELECT user_id, ts, event_id, "
             "CASE WHEN lag(ts) OVER w IS NULL "
             "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "y AS (SELECT user_id, ts, "
-            "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
             "SELECT CAST(user_id AS BIGINT) AS user_id, "
             "CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us, "

