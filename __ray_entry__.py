@@ -22,8 +22,9 @@ from kgx import queries as Q
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    return Q.kg_triples("/root/testdata/sf0.001")
+    """Flagship FULL-config pipeline (weighted linker, sentence packing) on
+    /root/testdata/sf0.001; driver checks rows>=0."""
+    return Q.kg_triples_full("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

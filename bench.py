@@ -30,8 +30,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
-# Queries timed per round; kg_triples is the headline (full KG chain).
+# Queries timed per round; kg_triples_full is the headline (full KG chain:
+# weighted linker + sentence packing; kg_triples is the SQL-checkable
+# config variant that the driver's correctness gate certifies).
 BENCH_QUERIES = [
+    "kg_triples_full",
     "kg_triples",
     "kg_page_text",
     "text_quality",
@@ -110,10 +113,10 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str], expand: int = 1) -> 
         f"select count(*) from '{sf_dir}/documents.parquet'"
     ).fetchone()[0] * expand
 
-    reg = Q.registry()
+    reg = dict(Q.registry())
+    reg["kg_triples_full"] = Q.kg_triples_full
     if expand > 1:
-        reg = dict(reg)
-        reg["kg_triples"] = lambda sf: _kg_triples_expanded(sf, expand)
+        reg["kg_triples_full"] = lambda sf: _kg_triples_expanded(sf, expand)
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
@@ -121,7 +124,7 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str], expand: int = 1) -> 
         rows[name] = _consume(reg[name](sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    headline = timings.get("kg_triples", sum(timings.values()))
+    headline = timings.get("kg_triples_full", sum(timings.values()))
     return {
         "metric": "kg_pipeline_e2e",
         "value": headline,
@@ -154,7 +157,7 @@ def run_scaling(sf_dir: str, cpus_low: int = 4, cpus_high: int = 16,
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = sf_dir
         out = subprocess.run(
-            [sys.executable, __file__, "--queries", "kg_triples",
+            [sys.executable, __file__, "--queries", "kg_triples_full",
              "--expand", str(expand)],
             capture_output=True,
             text=True,
@@ -181,9 +184,51 @@ def run_scaling(sf_dir: str, cpus_low: int = 4, cpus_high: int = 16,
     }
 
 
+def run_scaling_queries(sf_dir: str, cpus_low: int = 4, cpus_high: int = 16,
+                        names: list[str] | None = None) -> dict:
+    """Every bench query timed at BOTH parallelism levels in fresh
+    subprocesses, with a per-query efficiency map — so per-pipeline
+    scaling regressions are visible round over round (VERDICT r1 #10).
+    Per-query times at sf0.1 are small (seconds), so these efficiencies
+    are noisier than the flagship's expanded-corpus measurement; treat
+    them as regression tripwires, not headline numbers."""
+    names = names or BENCH_QUERIES
+    results = {}
+    for cpus in (cpus_low, cpus_high):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = sf_dir
+        out = subprocess.run(
+            [sys.executable, __file__, "--queries", *names],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    factor = cpus_high / cpus_low
+    per_query = {}
+    for name in names:
+        t_lo = results[cpus_low]["queries"][name]
+        t_hi = results[cpus_high]["queries"][name]
+        per_query[name] = {
+            "sec_low": t_lo,
+            "sec_high": t_hi,
+            "efficiency": round((t_lo / t_hi) / factor, 3) if t_hi else None,
+        }
+    return {
+        "metric": "per_query_scaling",
+        "unit": "ratio",
+        "sf": sf_dir,
+        "cpus_low": cpus_low,
+        "cpus_high": cpus_high,
+        "queries": per_query,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-queries", action="store_true",
+                    help="time every bench query at both CPU levels")
     ap.add_argument("--queries", nargs="*", default=None,
                     help="subset of query names to time")
     ap.add_argument("--expand", type=int, default=1,
@@ -199,6 +244,13 @@ def main() -> None:
             cpus_low=int(os.environ.get("GRAFT_CPUS_LOW", "4")),
             cpus_high=int(os.environ.get("GRAFT_CPUS_HIGH", "16")),
             expand=int(os.environ.get("GRAFT_EXPAND", "32")))))
+        return
+    if args.scaling_queries:
+        print(json.dumps(run_scaling_queries(
+            sf_dir,
+            cpus_low=int(os.environ.get("GRAFT_CPUS_LOW", "4")),
+            cpus_high=int(os.environ.get("GRAFT_CPUS_HIGH", "16")),
+            names=args.queries or None)))
         return
 
     import ray

@@ -1,0 +1,554 @@
+"""DuckDB oracle-SQL generators for the non-trivially-SQL queries.
+
+Round-1's driver gate certified 25/33 registry queries; the 8 remaining
+(`kg_triples/entities/adjacency/mentions`, `dedup_minhash_lsh`,
+`dedup_simhash`, `ann_topk_lsh`, `ann_topk_ivf`) were `no_oracle`.  This
+module closes that gap: every generator builds ANSI-ish DuckDB SQL that
+recomputes the SAME operator from the raw parquet views, sharing constants
+with the Python implementation (embedded VALUES for config-like state: the
+alias dictionary, predicate lexicon, enrichment templates, hash-family
+parameters, LSH hyperplanes — all deterministic functions of the same seeds
+the Python side uses).
+
+Key identities the SQL relies on (each verified empirically and/or gated by
+tests/test_kg_sql_queries.py):
+
+* ``md5_number_upper('0:' || s)`` == ``kgx.functions.text.stable_hash64(s)``
+  (little-endian uint64 of the first 8 md5 bytes; DuckDB >= 1.0).
+* uint64 wraparound multiply (the MinHash hash family) is expressible in
+  HUGEINT via a 32-bit split: ``lo64(a*c) = a_lo*c_lo +
+  ((a_lo*c_hi + a_hi*c_lo) mod 2^32) * 2^32  (mod 2^64)``.
+* Over single-space-normalized text whose alias/predicate phrases contain
+  only ``[A-Za-z ]``, Python's case-insensitive ``\\b``-bounded
+  leftmost-longest regex scan equals token-sequence adjacency with
+  longest-match-per-start — which SQL expresses with ``lead()`` windows
+  (no two matches overlap except at a shared start for this KB; asserted in
+  tests).
+
+The kg_* family runs against ``enrich="sql"`` pages (synth.sql_templates) and
+the ``_kg_sql_cfg`` config variant: 400-char hard chunking, junk/novelty
+gates off, alias-prior-only linker (w_alias=1) — the established
+config-override technique (kg_segment_count precedent) that keeps every
+operator real while making the chain exactly reproducible in SQL.  The
+full-config chain (weighted linker, sentence packing, novelty gating) stays
+exactness-gated in pytest against kgx.oracle.
+"""
+
+from __future__ import annotations
+
+from . import synth
+from .functions import textstats as ts
+from .functions.text import stable_hash64
+
+DOC_URL_SQL = "'https://synth.example/' || source || '/' || doc_id"
+_MIN_I64 = "(-9223372036854775807 - 1)"
+_TWO32 = "4294967296::HUGEINT"
+_TWO64 = "18446744073709551616::HUGEINT"
+_M62P1 = f"{1 << 62}::HUGEINT"
+
+
+def _q(s: str) -> str:
+    """SQL string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash
+# ---------------------------------------------------------------------------
+
+
+def sql_dedup_simhash(max_hamming: int) -> str:
+    """Full 64-bit SimHash in SQL: per-token md5 hash, weighted ±1 bit sums,
+    signature packed into a SIGNED BIGINT (bit 63 = sign bit, mirroring the
+    engine's lossless two's-complement carry), pairs via
+    ``bit_count(xor(...)) <= h``."""
+    norm = ts.sql_norm_text("coalesce(text,'')")
+    return f"""
+WITH d AS (
+  SELECT doc_id, coalesce(text,'') AS t FROM documents WHERE {norm} <> ''
+), tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(t), '[a-z0-9_]+')) AS tok FROM d
+), tw AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS w FROM tok GROUP BY 1, 2
+), th AS (
+  SELECT doc_id, w, md5_number_upper('0:' || tok) AS h FROM tw
+), bits AS (
+  SELECT doc_id, b, sum(w * (2 * CAST((h >> b) & 1 AS BIGINT) - 1)) AS acc
+  FROM th, generate_series(0, 63) g(b) GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id, CAST(sum(CASE WHEN acc > 0 THEN
+      CASE WHEN b = 63 THEN {_MIN_I64} ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
+    ELSE 0 END) AS BIGINT) AS sim
+  FROM bits GROUP BY 1
+), s2 AS (
+  SELECT d.doc_id, coalesce(sig.sim, 0) AS sim FROM d LEFT JOIN sig USING (doc_id)
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+FROM s2 a, s2 b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh
+# ---------------------------------------------------------------------------
+
+
+def sql_dedup_minhash_lsh(
+    num_perm: int, bands: int, threshold: float, shingle_k: int
+) -> str:
+    """Byte-k-gram shingle codes, the (a*x+b mod 2^64) hash family (constants
+    embedded from the same stable_hash64 derivation as minhash_from_codes),
+    band hashing via md5, in-bucket verification on the signature Jaccard
+    estimate.  Exact parity assumes single-byte characters (the driver
+    corpora are pure ASCII; the Python side windows over utf-8 BYTES)."""
+    k = shingle_k
+    rows_per_band = num_perm // bands
+    min_eq = min(c for c in range(num_perm + 1) if c / num_perm >= threshold)
+    perms = []
+    for i in range(num_perm):
+        a = stable_hash64(f"mhv-a-7-{i}") | 1
+        b = stable_hash64(f"mhv-b-7-{i}")
+        perms.append(f"({i}, {a % (1 << 32)}::HUGEINT, {a >> 32}::HUGEINT, {b}::HUGEINT)")
+    perm_vals = ", ".join(perms)
+    norm = ts.sql_norm_text("lower(coalesce(text,''))")
+
+    def byte(j: int) -> str:
+        if j == 0:
+            return "ord(substr(t, i, 1))"
+        return f"CASE WHEN i+{j} <= length(t) THEN ord(substr(t, i+{j}, 1)) ELSE 0 END"
+
+    code_expr = " + ".join(
+        f"({byte(j)})::HUGEINT * {256 ** j}::HUGEINT" for j in range(k)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {norm} AS t FROM documents
+), d2 AS (SELECT doc_id, t FROM d WHERE length(t) > 0),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - {k - 1}, 1))) AS i
+  FROM d2
+), codes AS (
+  SELECT DISTINCT doc_id, {code_expr} AS code FROM pos
+), cc AS (
+  SELECT doc_id, code % {_TWO32} AS c_lo, code // {_TWO32} AS c_hi FROM codes
+), perms(i, a_lo, a_hi, b) AS (VALUES {perm_vals}),
+hashed AS (
+  SELECT doc_id, i,
+    ((a_lo * c_lo) + ((a_lo * c_hi + a_hi * c_lo) % {_TWO32}) * {_TWO32} + b) % {_TWO64} AS h
+  FROM cc, perms
+), sig AS (
+  SELECT doc_id, i, CAST(min(h) % {_M62P1} AS BIGINT) AS s FROM hashed GROUP BY 1, 2
+), bandstr AS (
+  SELECT doc_id, i // {rows_per_band} AS band,
+         string_agg(CAST(s AS VARCHAR), '|' ORDER BY i) AS bs
+  FROM sig GROUP BY 1, 2
+), bh AS (
+  SELECT doc_id, band,
+         CAST(md5_number_upper('0:' || bs) % {_M62P1} AS BIGINT) AS band_hash
+  FROM bandstr
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bh a JOIN bh b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+  GROUP BY 1, 2
+  HAVING CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS BIGINT) >= {min_eq}
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b FROM verified
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_topk_lsh / ann_topk_ivf
+# ---------------------------------------------------------------------------
+
+
+def sql_ann_topk_lsh(every: int, k: int, nbits: int, tables: int, dim: int = 64) -> str:
+    """Random-hyperplane LSH: the deterministic planes (pure function of the
+    seed, same irwin-hall construction as similarity.lsh_planes) are embedded
+    as exact float literals; bucket codes are sign patterns of raw dot
+    products (sign is scale-invariant, so raw == normalized); candidates are
+    scored with list_cosine_similarity exactly like the green ann_topk
+    oracle."""
+    from .stages.similarity import lsh_planes
+
+    planes = lsh_planes(dim, nbits, tables)
+    plane_vals = ", ".join(
+        f"({t}, {b}, {d}, {planes[t, b, d]!r})"
+        for t in range(tables) for b in range(nbits) for d in range(dim)
+    )
+    return f"""
+WITH emb AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+), planes(t, b, d, val) AS (VALUES {plane_vals}),
+proj AS (
+  SELECT emb.vec_id, p.t, p.b, sum(emb.e[p.d + 1] * p.val) AS pr
+  FROM emb, planes p GROUP BY 1, 2, 3
+), code AS (
+  SELECT vec_id, t,
+    CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS c
+  FROM proj GROUP BY 1, 2
+), q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id % {every} = 0),
+cand AS (
+  SELECT DISTINCT qc.vec_id AS query_id, vc.vec_id AS vec_id
+  FROM code qc JOIN code vc ON qc.t = vc.t AND qc.c = vc.c
+  WHERE qc.vec_id % {every} = 0 AND vc.vec_id <> qc.vec_id
+), scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY c.query_id ORDER BY
+      list_cosine_similarity(q.qe, e.e) DESC, c.vec_id) AS r
+  FROM cand c JOIN q ON q.query_id = c.query_id JOIN emb e ON e.vec_id = c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS "rank" FROM scored WHERE r <= {k}
+"""
+
+
+def sql_ann_topk_ivf(every: int, k: int, n_lists: int, nprobe: int) -> str:
+    """IVF with the sample coarse quantizer (ivf_train iters=0): centroids =
+    evenly-strided corpus rows in vec_id order; assignment/probing by cosine
+    with (sim DESC, centroid ASC) tie-breaks matching numpy argmax/argsort."""
+    return f"""
+WITH emb AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS rn
+  FROM embeddings
+), meta AS (
+  SELECT greatest(count(*) // {n_lists}, 1) AS stride FROM emb
+), cent AS (
+  SELECT CAST(emb.rn // meta.stride AS BIGINT) AS c, emb.e AS ce
+  FROM emb, meta
+  WHERE emb.rn % meta.stride = 0 AND emb.rn // meta.stride < {n_lists}
+), assign AS (
+  SELECT vec_id, c FROM (
+    SELECT emb.vec_id, cent.c,
+      row_number() OVER (PARTITION BY emb.vec_id
+        ORDER BY list_cosine_similarity(emb.e, cent.ce) DESC, cent.c) AS rr
+    FROM emb, cent) WHERE rr = 1
+), q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id % {every} = 0),
+probes AS (
+  SELECT query_id, c FROM (
+    SELECT q.query_id, cent.c,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY list_cosine_similarity(q.qe, cent.ce) DESC, cent.c) AS rr
+    FROM q, cent) WHERE rr <= {nprobe}
+), cand AS (
+  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.c = p.c
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY c.query_id ORDER BY
+      list_cosine_similarity(q.qe, e.e) DESC, c.vec_id) AS r
+  FROM cand c JOIN q ON q.query_id = c.query_id JOIN emb e ON e.vec_id = c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS "rank" FROM scored WHERE r <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# kg chain (enrich="sql" pages + _kg_sql_cfg overrides)
+# ---------------------------------------------------------------------------
+
+KG_SEG_CHARS = 400  # hard-chunk width of the SQL-checkable config variant
+
+
+def _kb_state():
+    kb = synth.build_knowledge_base()
+    templates = synth.sql_templates(kb)
+    return kb, templates
+
+
+def _alias_top_rows(kb: dict) -> list[tuple[str, int, str, str, int]]:
+    """(alias_lower, ntoks, canonical_name, ner_type, entity_id) for the TOP
+    candidate per alias under the linker's (prior DESC, entity_id ASC) order
+    — the alias-prior-only linker resolves every surface to exactly this
+    row, so the choice is embeddable config, not computation."""
+    by_alias: dict[str, list] = {}
+    for r in kb["alias_table"].to_pylist():
+        by_alias.setdefault(r["alias"].lower(), []).append(r)
+    rows = []
+    for al, cands in sorted(by_alias.items()):
+        top = sorted(cands, key=lambda c: (-c["prior"], c["entity_id"]))[0]
+        rows.append(
+            (al, len(al.split()), top["canonical_name"], top["ner_type"],
+             int(top["entity_id"]))
+        )
+    return rows
+
+
+def _predicate_rows() -> list[tuple[str, int, str, float]]:
+    from . import config_loader
+
+    rules = config_loader.load("rules/predicates")["predicates"]
+    return [
+        (r["phrase"].lower(), len(r["phrase"].split()), r["pred"], float(r["conf"]))
+        for r in rules
+    ]
+
+
+def _sql_norm_entity_key(col: str) -> str:
+    """normalize_entity_key: digits stripped, lowercased, separator runs
+    collapsed to single spaces, trimmed."""
+    sep = r"[\t\n\x0b\x0c\r \-_/|.,:;]+"
+    inner = f"regexp_replace(regexp_replace(lower({col}), '[0-9]+', '', 'g'), '{sep}', ' ', 'g')"
+    return f"trim({inner})"
+
+
+def _sql_norm_triple_part(col: str) -> str:
+    """normalize_triple_part: lower, strip ASCII punctuation, collapse ws."""
+    inner = f"regexp_replace(lower({col}), '[^a-z0-9_ \\t\\n\\x0b\\x0c\\r]', '', 'g')"
+    return f"trim(regexp_replace({inner}, '{ts.SQL_WS_CLASS}+', ' ', 'g'))"
+
+
+def _sql_categorize(hay: str) -> str:
+    """Keyword-argmax categorization (G3): substring-count per category from
+    the same categories.yaml, strict-> first-wins via a CASE chain."""
+    from . import config_loader
+
+    cats_cfg = config_loader.load("categories")
+    order = [c for c in cats_cfg["order"] if c != "general"]
+    kw = cats_cfg["keywords"]
+    counts = {}
+    for c in order:
+        kws = kw.get(c) or []
+        if kws:
+            terms = " + ".join(
+                f"CASE WHEN contains({hay}, {_q(w.lower())}) THEN 1 ELSE 0 END"
+                for w in kws
+            )
+            counts[c] = f"({terms})"
+        else:
+            counts[c] = "0"
+    allc = ", ".join(counts[c] for c in order)
+    branches = " ".join(
+        f"WHEN {counts[c]} = greatest({allc}) THEN {_q(c)}" for c in order[:-1]
+    )
+    return (
+        f"CASE WHEN greatest({allc}) = 0 THEN 'general' {branches} "
+        f"ELSE {_q(order[-1])} END"
+    )
+
+
+def _kg_common_ctes() -> str:
+    """Shared WITH-chain: documents -> enriched page text -> 400-char chunks
+    -> positioned tokens -> alias matches (am) -> predicate matches (pm) ->
+    linked triples (linked).  Token-sequence matching via lead() windows;
+    longest-match-per-start; see module docstring for why this equals the
+    engine's regex scan on this corpus."""
+    kb, templates = _kb_state()
+    tmpl_vals = ", ".join(f"({i}, {_q(t)})" for i, t in enumerate(templates))
+    alias_rows = _alias_top_rows(kb)
+    alias_vals = ", ".join(
+        f"({_q(al)}, {n}, {_q(cn)}, {_q(nt)}, {eid})"
+        for al, n, cn, nt, eid in alias_rows
+    )
+    pred_rows = _predicate_rows()
+    pred_vals = ", ".join(
+        f"({_q(ph)}, {n}, {_q(pred)}, {conf!r})" for ph, n, pred, conf in pred_rows
+    )
+    alias_lens = sorted({n for _, n, _, _, _ in alias_rows})
+    pred_lens = sorted({n for _, n, _, _ in pred_rows})
+    max_lead = max(alias_lens + pred_lens) - 1
+    norm = ts.sql_norm_text(
+        f"(coalesce(text,'') || ' ' || tmpl.body)"
+    )
+    W = KG_SEG_CHARS
+
+    def joined(col: str, n: int) -> str:
+        parts = [col if j == 0 else f"{col}{j}" for j in range(n)]
+        return " || ' ' || ".join(parts)
+
+    leads = ", ".join(
+        f"lead(tl, {j}) OVER w AS tl{j}, lead(torig, {j}) OVER w AS torig{j}"
+        for j in range(1, max_lead + 1)
+    ) or ""
+    leads = (", " + leads) if leads else ""
+    am_branches = " UNION ALL ".join(
+        f"SELECT t.url, t.seg_id, t.p, {n} AS ntoks, {joined('torig', n)} AS surface, "
+        f"a.canonical_name, a.ner_type, a.entity_id "
+        f"FROM tok2 t JOIN aliases a ON a.ntoks = {n} AND a.alias_l = {joined('tl', n)}"
+        for n in alias_lens
+    )
+    pm_branches = " UNION ALL ".join(
+        f"SELECT t.url, t.seg_id, t.p, {n} AS ntoks, pr.pred, pr.conf "
+        f"FROM tok2 t JOIN preds pr ON pr.ntoks = {n} AND pr.phrase_l = {joined('tl', n)}"
+        for n in pred_lens
+    )
+    min_len = 3  # filters.min_valuable_text_length (M11)
+    return f"""
+WITH tmpl(tid, body) AS (VALUES {tmpl_vals}),
+aliases(alias_l, ntoks, canonical_name, ner_type, entity_id) AS (VALUES {alias_vals}),
+preds(phrase_l, ntoks, pred, conf) AS (VALUES {pred_vals}),
+base AS (
+  SELECT doc_id, {DOC_URL_SQL} AS url, {norm} AS t
+  FROM documents JOIN tmpl ON tmpl.tid = doc_id % {len(templates)}
+), segpos AS (
+  SELECT url, t,
+    unnest(generate_series(0, CAST(ceil(length(t) / {W}.0) AS BIGINT) - 1)) AS seg_id
+  FROM base WHERE length(t) > 0
+), seg AS (
+  SELECT url, CAST(seg_id AS BIGINT) AS seg_id,
+         substr(t, CAST(seg_id * {W} + 1 AS BIGINT), {W}) AS raw
+  FROM segpos
+), tokl AS (
+  SELECT url, seg_id,
+         regexp_extract_all(lower(raw), '[a-z0-9_]+') AS tls,
+         regexp_extract_all(raw, '[A-Za-z0-9_]+') AS tos
+  FROM seg
+), tokp AS (
+  SELECT url, seg_id, tls, tos,
+         unnest(generate_series(1, len(tls))) AS pp
+  FROM tokl WHERE len(tls) > 0
+), tok AS (
+  SELECT url, seg_id, CAST(pp - 1 AS BIGINT) AS p, tls[pp] AS tl, tos[pp] AS torig
+  FROM tokp
+), tok2 AS (
+  SELECT *{leads} FROM tok WINDOW w AS (PARTITION BY url, seg_id ORDER BY p)
+), am_all AS ({am_branches}),
+am AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY url, seg_id, p ORDER BY ntoks DESC) AS rr
+    FROM am_all) WHERE rr = 1
+), pm_all AS ({pm_branches}),
+pm AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY url, seg_id, p ORDER BY ntoks DESC) AS rr
+    FROM pm_all) WHERE rr = 1
+), subj_pick AS (
+  SELECT pm.url, pm.seg_id, pm.p AS pm_p, pm.pred, pm.conf,
+         am.surface AS s_surface, am.canonical_name AS s_name,
+         am.entity_id AS s_id,
+         row_number() OVER (PARTITION BY pm.url, pm.seg_id, pm.p, pm.pred
+                            ORDER BY am.p DESC) AS rr
+  FROM pm JOIN am ON am.url = pm.url AND am.seg_id = pm.seg_id
+                 AND am.p + am.ntoks <= pm.p
+), obj_pick AS (
+  SELECT pm.url, pm.seg_id, pm.p AS pm_p, pm.pred,
+         am.surface AS o_surface, am.canonical_name AS o_name,
+         am.entity_id AS o_id,
+         row_number() OVER (PARTITION BY pm.url, pm.seg_id, pm.p, pm.pred
+                            ORDER BY am.p ASC) AS rr
+  FROM pm JOIN am ON am.url = pm.url AND am.seg_id = pm.seg_id
+                 AND am.p >= pm.p + pm.ntoks
+), linked AS (
+  SELECT s.url, s.seg_id, s.pred, s.conf,
+         s.s_name AS subj, {_sql_norm_entity_key('s.s_name')} AS subj_key,
+         s.s_id AS subj_id, s.s_surface AS subj_surface,
+         o.o_name AS obj, {_sql_norm_entity_key('o.o_name')} AS obj_key,
+         o.o_id AS obj_id, o.o_surface AS obj_surface
+  FROM subj_pick s
+  JOIN obj_pick o ON o.url = s.url AND o.seg_id = s.seg_id
+                 AND o.pm_p = s.pm_p AND o.pred = s.pred AND o.rr = 1
+  WHERE s.rr = 1 AND s.conf >= 0.10
+    AND length(s.s_surface) >= {min_len} AND length(o.o_surface) >= {min_len}
+)"""
+
+
+def sql_kg_mentions() -> str:
+    """(url, seg_id, mention_ord, surface, ner_type): every alias-automaton
+    match per segment in scan order."""
+    return (
+        _kg_common_ctes()
+        + """
+SELECT url, seg_id,
+       CAST(row_number() OVER (PARTITION BY url, seg_id ORDER BY p) - 1 AS BIGINT)
+         AS mention_ord,
+       surface, ner_type
+FROM am
+"""
+    )
+
+
+def sql_kg_triples() -> str:
+    """Final deduped + categorized triples of the SQL-checkable chain:
+    group by normalized (s,p,o); representative = tuple-min lineage;
+    conf_pct = round(max conf * 100); n_support = count; keyword-argmax
+    category."""
+    cat = _sql_categorize("lower(subj || ' ' || pred || ' ' || obj)")
+    return (
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY ns, pred, no
+                       ORDER BY url, seg_id, subj, pred, obj) AS rr,
+    CAST(count(*) OVER (PARTITION BY ns, pred, no) AS BIGINT) AS n_support,
+    max(conf) OVER (PARTITION BY ns, pred, no) AS max_conf
+  FROM keyed
+)
+SELECT subj, pred, obj, url, CAST(seg_id AS BIGINT) AS seg_id,
+       CAST(round(max_conf * 100) AS BIGINT) AS conf_pct,
+       {cat} AS category, n_support
+FROM ranked WHERE rr = 1
+"""
+    )
+
+
+def sql_kg_entities() -> str:
+    """Canonical entities from the exploded linked-triple mention rows:
+    min id, longest-name representative, distinct-surface count, mention
+    count, min lineage."""
+    return (
+        _kg_common_ctes()
+        + """
+, ment AS (
+  SELECT subj_key AS entity_key, subj_id AS eid, subj AS name,
+         subj_surface AS surf, url, seg_id FROM linked
+  UNION ALL
+  SELECT obj_key, obj_id, obj, obj_surface, url, seg_id FROM linked
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY entity_key
+                       ORDER BY length(name) DESC, name ASC) AS name_rr,
+    row_number() OVER (PARTITION BY entity_key ORDER BY url, seg_id) AS lin_rr
+  FROM ment
+), agg AS (
+  SELECT entity_key,
+         CAST(min(eid) AS BIGINT) AS entity_id,
+         CAST(count(DISTINCT surf) AS BIGINT) AS n_aliases,
+         CAST(count(*) AS BIGINT) AS n_mentions
+  FROM ment GROUP BY 1
+)
+SELECT a.entity_key, a.entity_id,
+       n.name AS canonical_name, a.n_aliases, a.n_mentions,
+       l.url AS first_url, CAST(l.seg_id AS BIGINT) AS first_seg_id
+FROM agg a
+JOIN ranked n ON n.entity_key = a.entity_key AND n.name_rr = 1
+JOIN ranked l ON l.entity_key = a.entity_key AND l.lin_rr = 1
+"""
+    )
+
+
+def sql_kg_adjacency() -> str:
+    """Adjacency from the deduped triples: per subject, '|'-joined neighbor
+    and predicate lists in deterministic (obj, pred) order."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ns, pred, no
+                               ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), final_t AS (
+  SELECT subj, pred, obj FROM ranked WHERE rr = 1
+), adj AS (
+  SELECT DISTINCT subj, obj, pred FROM final_t
+)
+SELECT subj,
+       string_agg(obj, '|' ORDER BY obj, pred) AS neighbors,
+       string_agg(pred, '|' ORDER BY obj, pred) AS preds,
+       CAST(count(*) AS BIGINT) AS out_degree
+FROM adj GROUP BY subj
+"""
+    )

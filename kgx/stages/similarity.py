@@ -223,10 +223,15 @@ def ann_topk_ivf(emb_ds, queries_ref, k: int = 10, nprobe: int = 4):
 
 
 def build_ivf_query_side(
-    emb_table: pa.Table, every: int, n_lists: int = 16, nprobe: int = 4
+    emb_table: pa.Table, every: int, n_lists: int = 16, nprobe: int = 4,
+    iters: int = 10,
 ):
+    """``iters=0`` selects the sample quantizer (centroids = evenly-strided
+    normalized corpus rows, no Lloyd refinement) — a standard IVF coarse
+    quantizer that is also exactly expressible in the DuckDB oracle; the
+    k-means quantizer (iters>0) stays recall-gated in pytest."""
     ids, mat = normalized_matrix(emb_table)
-    cent = ivf_train(mat, n_lists)
+    cent = ivf_train(mat, n_lists, iters=iters)
     q_ids, q_mat = build_query_side(emb_table, every)
     q_sims = q_mat @ cent.T
     q_probes = np.argsort(-q_sims, axis=1)[:, :nprobe]

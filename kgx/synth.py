@@ -284,8 +284,48 @@ def doc_url(source: str, doc_id: int) -> str:
     return f"https://synth.example/{source}/{doc_id}"
 
 
+# SQL-checkable enrichment (enrich="sql"): a fixed list of entity-relation
+# templates appended per doc as ``TEMPLATES[doc_id % N]``.  Constraints that
+# keep the FULL kg chain reproducible in the DuckDB oracle (sql_oracles.py):
+# * no sentence punctuation ([.!?]) — so segmentation under the 400-char
+#   hard-split override is pure fixed-width chunking, and a segment is one
+#   "sentence" for the extractor;
+# * surfaces contain only [A-Za-z ] (no "Dr." aliases) — so \b-regex alias
+#   matching over single-spaced normalized text equals token-sequence
+#   adjacency, which SQL can express;
+# * with this KB no two alias matches overlap except at a shared start
+#   (longest wins), asserted by tests/test_kg_sql_queries.py.
+_SQL_TEMPLATE_COUNT = 40
+
+
+def sql_templates(kb: dict | None = None) -> list[str]:
+    kb = kb or build_knowledge_base()
+    typed: dict[str, list[dict]] = {"ORG": [], "PER": [], "LOC": []}
+    for e in kb["entities"]:
+        typed[e["ner_type"]].append(e)
+    out = []
+    for ti in range(_SQL_TEMPLATE_COUNT):
+        n_clauses = 2 + stable_hash64(f"sqlt-{ti}-n") % 2
+        clauses = []
+        for ci in range(n_clauses):
+            key = f"sqlt-{ti}-{ci}"
+            phrase, _pred, st, ot, _conf = _pick(RELATIONS, key + "-rel")
+            subj = _pick(typed[st], key + "-s")
+            obj = _pick(typed[ot], key + "-o")
+            if obj["entity_id"] == subj["entity_id"]:
+                obj = typed[ot][(typed[ot].index(obj) + 1) % len(typed[ot])]
+            s_surfs = [a for a in subj["aliases"] if "." not in a]
+            o_surfs = [a for a in obj["aliases"] if "." not in a]
+            surf_s = _pick(s_surfs, key + "-ss")
+            surf_o = _pick(o_surfs, key + "-so")
+            clauses.append(f"{surf_s} {phrase} {surf_o}")
+        out.append(" ".join(clauses))
+    return out
+
+
 def pages_batch_from_documents(
-    batch: pa.Table, enrich: bool, kb: dict | None, expand: int = 1
+    batch: pa.Table, enrich, kb: dict | None, expand: int = 1,
+    templates: list[str] | None = None,
 ) -> pa.Table:
     """Vectorizable per-batch map: documents rows -> pages rows.
 
@@ -293,6 +333,9 @@ def pages_batch_from_documents(
     ``SELECT url_expr, text FROM documents`` — byte-identity check).
     ``enrich=True``: deterministic entity sentences are appended per doc_id so
     the KG pipeline has real mentions/triples to find.
+    ``enrich="sql"``: appends ``templates[doc_id % len(templates)]`` (see
+    ``sql_templates``) — the variant whose full kg chain the DuckDB oracle
+    reproduces (kgx.sql_oracles).
     ``expand=E``: each doc yields E page rows (rep 0 byte-identical to the
     E=1 output; reps 1.. get distinct urls and enrichment keys) — used by the
     scaling bench to grow the corpus without new input data.
@@ -307,7 +350,9 @@ def pages_batch_from_documents(
     for doc_id, text, source, lang in zip(doc_ids, texts, sources, langs):
         for rep in range(expand):
             body = text or ""
-            if enrich:
+            if enrich == "sql":
+                body = (body + " " + templates[doc_id % len(templates)]).strip()
+            elif enrich:
                 rk = f"enr-{doc_id}" if rep == 0 else f"enr-{doc_id}-r{rep}"
                 n = 2 + stable_hash64(rk) % 5
                 sents = [_entity_sentence(kb, f"{rk}-{i}") for i in range(n)]
@@ -348,6 +393,7 @@ def pages_dataset_from_documents(
         kb2 = {"entities": kb["entities"]}
     else:
         kb2 = None
+    templates = sql_templates(kb) if enrich == "sql" else None
     if expand > 1:
         # Expanded (bench/scaling) path: the documents file is tiny but the
         # generated corpus is not — reading the file in ONE task and fanning
@@ -375,7 +421,9 @@ def pages_dataset_from_documents(
                 lo = len(docs) * k // n_tasks
                 hi = len(docs) * (k + 1) // n_tasks
                 out.append(
-                    pages_batch_from_documents(docs.slice(lo, hi - lo), enrich, kb2, expand)
+                    pages_batch_from_documents(
+                        docs.slice(lo, hi - lo), enrich, kb2, expand, templates
+                    )
                 )
             return pa.concat_tables(out)
 
@@ -386,7 +434,7 @@ def pages_dataset_from_documents(
 
     ds = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"))
     pages = ds.map_batches(
-        lambda b: pages_batch_from_documents(b, enrich, kb2, expand),
+        lambda b: pages_batch_from_documents(b, enrich, kb2, expand, templates),
         batch_format="pyarrow",
         batch_size=256,
     )
