@@ -89,6 +89,14 @@ def _init_ray(num_cpus: int):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    # harmless Ray-internal warning on the hash-shuffle path (schema-dedup
+    # falls back when a block schema is unhashable); drown it out of bench logs
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
+
 
 
 def _kg_triples_expanded(sf_dir: str, expand: int):

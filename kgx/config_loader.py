@@ -39,9 +39,29 @@ def get(name: str, dotted: str, default: Any = None, config_dir: Path | None = N
     return node
 
 
-def reload() -> None:
-    """Drop the cache (reference config_loader ``reload`` semantics)."""
-    _cache.clear()
+def reload(name: str | None = None, config_dir: Path | None = None) -> None:
+    """Drop the cache — whole cache, or one file when ``name`` is given
+    (reference config_loader.py:84-94 per-file reload granularity)."""
+    if name is None:
+        _cache.clear()
+        return
+    base = Path(config_dir) if config_dir else CONFIG_DIR
+    _cache.pop(str((base / f"{name}.yaml").resolve()), None)
+
+
+def get_path(name: str, dotted: str, default: Any = None,
+             config_dir: Path | None = None) -> str | None:
+    """Path-valued lookup resolved to an absolute path: absolute values pass
+    through, relative ones resolve against the project root (the config
+    dir's parent) — reference config_loader.py:96-116 semantics."""
+    val = get(name, dotted, default, config_dir)
+    if val is None:
+        return None
+    p = Path(val)
+    if p.is_absolute():
+        return str(p)
+    base = Path(config_dir) if config_dir else CONFIG_DIR
+    return str((base.parent / p).resolve())
 
 
 def _deep_merge(base: dict, override: dict) -> dict:

@@ -21,12 +21,15 @@ from .extract_kg import (
     link_surface,
 )
 from .text import (
+    first_segment_span,
     hash_embed,
     is_junk_segment,
+    jaccard,
     normalize_triple_part,
     novelty_keep_mask,
     page_text,
     segment_spans,
+    sentence_starts,
     stable_hash64,
     tokenize,
 )
@@ -56,6 +59,76 @@ def segments_for_page(url: str, html, text, lang: str, cfg: dict) -> tuple[str, 
     mask = novelty_keep_mask([s["text"] for s in segs], seg_cfg["novelty_threshold"])
     segs = [s for s, keep in zip(segs, mask) if keep]
     return ptext, segs[: seg_cfg["max_per_page"]]
+
+
+def segments_for_page_adaptive(url: str, html, text, lang: str, cfg: dict) -> tuple[str, list[dict]]:
+    """Adaptive per-page segmentation (reference G6, AdaptiveFrameTracker
+    ``extractor.py:204-299``: sliding-window rate -> mode switch with
+    hysteresis, parameters change FORWARD from the switch point).
+
+    KG realization: scan the page's segments in order tracking the
+    novelty-keep rate over a trailing window of ``window`` candidate
+    segments.  When the keep rate exceeds ``hi_keep_rate`` the page is
+    "dense" (every segment novel — e.g. a long varied article) and
+    segmentation switches to COARSE parameters (bigger target/max chars) for
+    the REMAINING text, capping downstream per-page cost; when it falls
+    below ``lo_keep_rate`` it switches back to fine.  Hysteresis: inside
+    the band the current mode holds.  Page-local scan state only (T7) —
+    deterministic and embarrassingly parallel across pages.
+    """
+    seg_cfg = cfg["processing"]["segment"]
+    ad = cfg["processing"].get("adaptive", {})
+    if not ad.get("enabled"):
+        return segments_for_page(url, html, text, lang, cfg)
+    junk = [p.lower() for p in cfg["filters"]["junk_patterns"]]
+    window = ad.get("window", 8)
+    hi = ad.get("hi_keep_rate", 0.8)
+    lo = ad.get("lo_keep_rate", 0.3)
+    params = {
+        "fine": (seg_cfg["target_chars"], seg_cfg["max_chars"]),
+        "coarse": (
+            ad.get("coarse_target_chars", seg_cfg["target_chars"] * 2),
+            ad.get("coarse_max_chars", seg_cfg["max_chars"] * 2),
+        ),
+    }
+    ptext = page_text(html, text)
+    starts = sentence_starts(ptext)
+    mode = "fine"
+    pos = 0
+    seg_id = 0
+    kept: list[dict] = []
+    recent: list[bool] = []  # trailing keep/drop decisions (candidate segs)
+    prev_tokens: set[str] | None = None
+    while pos < len(ptext):
+        tgt, mx = params[mode]
+        b, e = first_segment_span(ptext, pos, starts, tgt, mx)
+        if e <= b:
+            break
+        st = ptext[b:e].strip()
+        keep = bool(st) and not is_junk_segment(st, junk)
+        if keep:
+            toks = set(tokenize(st))
+            if prev_tokens is not None and jaccard(toks, prev_tokens) >= seg_cfg["novelty_threshold"]:
+                keep = False
+            else:
+                prev_tokens = toks
+        if keep:
+            kept.append({"url": url, "seg_id": seg_id, "begin": b,
+                         "end": e, "text": st, "lang": lang})
+        seg_id += 1
+        recent.append(keep)
+        if len(recent) > window:
+            recent.pop(0)
+        if len(recent) == window:  # analysis tick (extractor.py:241-259)
+            rate = sum(recent) / window
+            if mode == "fine" and rate > hi:
+                mode = "coarse"
+            elif mode == "coarse" and rate < lo:
+                mode = "fine"
+        pos = e
+        if len(kept) >= seg_cfg["max_per_page"]:
+            break
+    return ptext, kept
 
 
 def mentions_for_segment(seg: dict, aliases: AliasMatcher) -> list[dict]:

@@ -188,6 +188,36 @@ def segment_spans(text: str, target_chars: int = 200, max_chars: int = 400) -> l
     return [(b, e) for b, e in out if text[b:e].strip()]
 
 
+def sentence_starts(text: str) -> list[int]:
+    """All sentence-start offsets (0, after each [.!?]+ws boundary, len)."""
+    starts = [0]
+    for m in _SENT_BOUND_RE.finditer(text):
+        starts.append(m.end())
+    starts.append(len(text))
+    return starts
+
+
+def first_segment_span(
+    text: str, begin: int, starts: list[int], target_chars: int, max_chars: int
+) -> tuple[int, int]:
+    """The next single segment span starting at ``begin``: closes at the
+    first sentence start >= begin + target_chars (greedy packing, same rule
+    as ``segment_spans``), hard-capped at ``max_chars``.  ``starts`` is the
+    page's precomputed ``sentence_starts`` — O(log n) per call, so adaptive
+    segmentation stays O(page) overall."""
+    import bisect
+
+    i = bisect.bisect_right(starts, begin)
+    end = len(text)
+    for s in starts[i:]:
+        if s - begin >= target_chars:
+            end = s
+            break
+    if end - begin > max_chars:
+        end = begin + max_chars
+    return (begin, end)
+
+
 def is_junk_segment(seg_text: str, junk_patterns: list[str]) -> bool:
     """True if the segment is boilerplate (reference M7 semantics,
     extractor.py:369-396: substring match against a configured junk list;

@@ -24,6 +24,7 @@ from .functions.pipeline_core import (
     merge_triple_group,
     raw_triples_for_segment,
     segments_for_page,
+    segments_for_page_adaptive,
     triple_dedup_key,
 )
 from .functions.text import page_text
@@ -70,7 +71,7 @@ def run(pages: pa.Table, cfg: dict, kb: dict) -> dict[str, pa.Table]:
     for page in _pages_rows(pages):
         if drop_lang and page["lang"] != target_lang:
             continue
-        ptext, segs = segments_for_page(
+        ptext, segs = segments_for_page_adaptive(
             page["url"], page["html"], page["text"], page["lang"], cfg
         )
         text_rows.append({"url": page["url"], "text": ptext})

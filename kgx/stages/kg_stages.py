@@ -25,7 +25,7 @@ from ..functions.pipeline_core import (
     link_raw_triple,
     mentions_for_segment,
     raw_triples_for_segment,
-    segments_for_page,
+    segments_for_page_adaptive,
 )
 from ..functions.text import page_text
 
@@ -78,8 +78,9 @@ class SegmentPages:
         texts = batch["text"].to_pylist()
         langs = batch["lang"].to_pylist()
         for url, text, lang in zip(urls, texts, langs):
-            # html=None: text is already extracted upstream.
-            _, segs = segments_for_page(url, None, text, lang, self.cfg)
+            # html=None: text is already extracted upstream.  Delegates to
+            # the plain segmenter unless processing.adaptive.enabled (G6).
+            _, segs = segments_for_page_adaptive(url, None, text, lang, self.cfg)
             rows.extend(segs)
         return _rows_to_table(rows, S.SEGMENTS)
 

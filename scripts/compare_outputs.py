@@ -116,11 +116,48 @@ def compare(old_dir: str, new_dir: str) -> dict:
     }
 
 
+def to_markdown(metrics: dict, old_dir: str, new_dir: str) -> str:
+    """Human-readable comparison report (reference
+    compare_reports.py:348-446: summary table + verdict + per-change
+    sections).  Deterministic: no wall clock in the body."""
+    qo, qn = metrics["old_quality"], metrics["new_quality"]
+    pr = metrics["triples_pr"]
+    emoji = {"improved": "✅", "degraded": "❌", "mixed": "⚠️",
+             "unchanged": "➖"}[metrics["verdict"]]
+    md = ["# KG Output Comparison", ""]
+    md += [f"**Old:** `{old_dir}`  ", f"**New:** `{new_dir}`  ", ""]
+    md += ["## Summary", "", "| Metric | Old | New | Change |",
+           "|--------|-----|-----|--------|"]
+
+    def row(name, o, n, fmt="{:.4g}"):
+        delta = n - o
+        return f"| {name} | {fmt.format(o)} | {fmt.format(n)} | {delta:+.4g} |"
+
+    md += [row("Triples", qo["n_triples"], qn["n_triples"], "{:d}")]
+    md += [row("Avg confidence", qo["avg_conf"], qn["avg_conf"])]
+    md += [row("General ratio", qo["general_ratio"], qn["general_ratio"])]
+    md += ["", "## Triple set vs old", "",
+           f"- precision (new kept): {pr['precision']:.4f}",
+           f"- recall (old covered): {pr['recall']:.4f}",
+           f"- added: {pr['added']}, removed: {pr['removed']}", ""]
+    md += [f"## Overall Verdict {emoji}", "", f"**{metrics['verdict']}**", ""]
+    if metrics["improvements"]:
+        md += ["## Improvements ✅", ""]
+        md += [f"- {i['metric']}: {i['old']:.4g} → {i['new']:.4g}"
+               for i in metrics["improvements"]] + [""]
+    if metrics["regressions"]:
+        md += ["## Regressions ❌", ""]
+        md += [f"- {r['metric']}: {r['old']:.4g} → {r['new']:.4g}"
+               for r in metrics["regressions"]] + [""]
+    return "\n".join(md)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("old_dir")
     ap.add_argument("new_dir")
     ap.add_argument("--output", help="write metrics JSON here")
+    ap.add_argument("--markdown", help="write a human-readable report here")
     ap.add_argument("--fail-on-regression", action="store_true")
     args = ap.parse_args()
 
@@ -129,6 +166,10 @@ def main() -> int:
     print(text)
     if args.output:
         Path(args.output).write_text(text)
+    if args.markdown:
+        Path(args.markdown).write_text(
+            to_markdown(metrics, args.old_dir, args.new_dir)
+        )
     if args.fail_on_regression and metrics["has_regressions"]:
         return 1
     return 0
