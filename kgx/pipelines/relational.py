@@ -28,6 +28,24 @@ def _read(sf_dir: str, table: str, columns: list[str]):
     return rd.read_parquet(str(Path(sf_dir) / f"{table}.parquet"), columns=columns)
 
 
+def _join_partitions(*datasets, target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Partition count for a native hash join, sized from the (metadata)
+    byte estimate of both sides rather than the CPU count: each shuffle
+    partition is a long-lived aggregator, so 32 partitions on a 10 MB input
+    is pure startup overhead, while at 100 TB the same rule yields
+    thousands of partitions.  Clamped to [2, 4x CPUs] on this cluster."""
+    import ray
+
+    total = 0
+    for ds in datasets:
+        try:
+            total += ds.size_bytes() or 0
+        except Exception:
+            total += target_bytes
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(total // target_bytes + 1, cpus * 4))
+
+
 # ---------------------------------------------------------------------------
 # Partial+final aggregation (TPC-H Q1 shape; reference G7 counters)
 # ---------------------------------------------------------------------------
@@ -90,7 +108,7 @@ def orders_per_segment(sf_dir: str):
 
     def to_agg_form(df: "pd.DataFrame") -> "pd.DataFrame":
         lookup = ray.get(seg_ref)
-        seg = pd.Series([lookup.get(k) for k in df["o_custkey"]])
+        seg = df["o_custkey"].map(lookup)  # vectorized C-path dict lookup
         out = pd.DataFrame({"c_mktsegment": seg, "n_orders": 1})
         return out.dropna(subset=["c_mktsegment"])
 
@@ -140,7 +158,7 @@ def customers_with_orders(sf_dir: str, broadcast_limit: int = 2_000_000):
     cust = _read(sf_dir, "customer", ["c_custkey"])
 
     if distinct_keys.count() > broadcast_limit:
-        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        n_parts = _join_partitions(cust, distinct_keys)
         joined = cust.join(
             distinct_keys,
             join_type="inner",
@@ -253,7 +271,7 @@ def lineitems_in_order_window(sf_dir: str, days: int = 90):
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    n_parts = _join_partitions(li, orders)
     joined = li.join(
         orders,
         join_type="inner",

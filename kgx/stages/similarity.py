@@ -240,7 +240,7 @@ def build_ivf_query_side(
 
 def build_query_side(emb_table: pa.Table, every: int = 100):
     """Driver helper: (q_ids, q_mat) for vec_id % every == 0."""
-    mask = pa.array([v % every == 0 for v in emb_table["vec_id"].to_pylist()])
+    mask = pa.array(emb_table["vec_id"].to_numpy() % every == 0)
     return normalized_matrix(emb_table.filter(mask))
 
 
