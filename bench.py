@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "text_token_bpe",
+    "text_repetition",
     "text_anonymize",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -51,10 +53,12 @@ BENCH_QUERIES = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "mm_payload_stats",
+    "mm_thumbnail",
     "rel_agg_pushdown",
     "rel_broadcast_join",
     "rel_topk",
     "rel_topk_per_group",
+    "rel_asof_join",
     "rel_range_join",
     "rel_sessionize",
     "rel_json_extract",

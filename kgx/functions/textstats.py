@@ -112,6 +112,42 @@ def fingerprint(text: str | None) -> str:
     return md5_fingerprint(text or "")
 
 
+# BPE-style pre-tokenizer (GPT-2-ish): contraction suffixes, space-prefixed
+# letter/digit/punct runs, whitespace runs.  Deliberately RE2-compatible (no
+# lookahead, ASCII classes) and leftmost-first in BOTH engines, so the same
+# string yields the same token count in Python and DuckDB.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+import re as _re
+
+_BPE_RE = _re.compile(BPE_PATTERN)
+
+
+def n_bpe_tokens(text: str | None) -> int:
+    """Number of BPE-style pre-tokens (whitespace runs count as tokens,
+    exactly as regexp_extract_all counts them)."""
+    return len(_BPE_RE.findall(text or ""))
+
+
+# Repetition quality rule (Gopher-style within-document duplication,
+# Rae et al. '21 §A1.1 made integer-exact): over word trigrams,
+#   rep_pass iff REP_DEN * (n_tri - n_uniq) <= REP_NUM * n_tri
+# i.e. duplicate-trigram fraction <= NUM/DEN.  Docs with < 3 tokens have
+# n_tri = 0 and pass vacuously.
+REP_NGRAM = 3
+REP_NUM = 3
+REP_DEN = 10
+
+
+def repetition_row(text: str | None) -> dict:
+    toks = tokenize(text or "")
+    n = max(len(toks) - REP_NGRAM + 1, 0)
+    grams = {" ".join(toks[i : i + REP_NGRAM]) for i in range(n)}
+    n_uniq = len(grams)
+    ok = REP_DEN * (n - n_uniq) <= REP_NUM * n
+    return {"n_tri": n, "n_uniq": n_uniq, "rep_pass": int(ok)}
+
+
 # ---------------------------------------------------------------------------
 # SQL fragment generators (DuckDB) — built from the SAME constants above.
 # ``col`` is the SQL expression for the text column (already null-coalesced).
@@ -182,3 +218,30 @@ def sql_predict_lang(count_exprs: dict[str, str]) -> str:
 
 def sql_fingerprint(col: str) -> str:
     return f"md5({sql_norm_text(f'lower({col})')})"
+
+
+def sql_n_bpe_tokens(col: str) -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
+def sql_repetition(col: str) -> str:
+    """Full SELECT computing (doc_id, n_tri, n_uniq, rep_pass) — trigram
+    duplication stats with the integer pass rule, toks hoisted into a CTE."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {sql_token_list(col)} AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+    greatest(len(toks) - {REP_NGRAM - 1}, 0) AS n_tri,
+    len(list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - {REP_NGRAM - 1}, 0)),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS n_uniq
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tri AS BIGINT) AS n_tri,
+       CAST(n_uniq AS BIGINT) AS n_uniq,
+       CAST(CASE WHEN {REP_DEN} * (n_tri - n_uniq) <= {REP_NUM} * n_tri
+            THEN 1 ELSE 0 END AS BIGINT) AS rep_pass
+FROM g
+"""

@@ -478,6 +478,44 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
     return part.groupby("c_mktsegment").map_groups(final, batch_format="pyarrow")
 
 
+def prev_order_asof(sf_dir: str):
+    """As-of self-join: each order joined to the SAME customer's most recent
+    strictly-earlier order (tie among equal earlier dates -> max orderkey);
+    emits (o_orderkey, prev_orderkey | -1, gap_days | -1).
+
+    The as-of join Ray Data lacks natively, realized as the documented
+    composition: hash-partition by key (groupby), sort within group, then a
+    vectorized searchsorted probe — per-key ordered state never crosses
+    partitions (the generic form of the linker's as-of candidate step J2,
+    reference aligner.py:44-50)."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cust(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["o_orderdate", "o_orderkey"])
+        dates = (
+            pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        keys = df["o_orderkey"].to_numpy()
+        # idx of the first row with the SAME date -> rows before it are
+        # strictly earlier; the last of them is the as-of match (max
+        # (date, orderkey) among earlier rows, by the sort order)
+        lo = np.searchsorted(dates, dates, side="left")
+        prev = np.where(lo > 0, keys[np.maximum(lo - 1, 0)], -1)
+        prev_date = np.where(lo > 0, dates[np.maximum(lo - 1, 0)], 0)
+        gap = np.where(lo > 0, (dates - prev_date) // (86_400 * 1_000_000), -1)
+        return pd.DataFrame(
+            {
+                "o_orderkey": keys.astype("int64"),
+                "prev_orderkey": prev.astype("int64"),
+                "gap_days": gap.astype("int64"),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+
+
 def distinct_event_types(sf_dir: str):
     """Distinct event_type values, one column out."""
     ds = _read(sf_dir, "events", ["event_type"])

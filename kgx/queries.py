@@ -273,6 +273,18 @@ def text_fingerprint(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pandas")
 
 
+def text_token_bpe(sf_dir: str):
+    from .stages.text_analysis import bpe_count_batch
+
+    return _docs_ds(sf_dir).map_batches(bpe_count_batch, batch_format="pandas")
+
+
+def text_repetition(sf_dir: str):
+    from .stages.text_analysis import repetition_batch
+
+    return _docs_ds(sf_dir).map_batches(repetition_batch, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite
 # ---------------------------------------------------------------------------
@@ -378,6 +390,13 @@ def mm_payload_stats(sf_dir: str):
     return payload_stats(_docs_ds(sf_dir))
 
 
+def mm_thumbnail(sf_dir: str):
+    """Resize + frame-sample over the binary payload column (actor pool)."""
+    from .stages.multimodal import thumbnails
+
+    return thumbnails(_docs_ds(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Relational operators
 # ---------------------------------------------------------------------------
@@ -470,6 +489,12 @@ def rel_topk_per_group(sf_dir: str):
     return top_orders_per_segment(sf_dir, k=3)
 
 
+def rel_asof_join(sf_dir: str):
+    from .pipelines.relational import prev_order_asof
+
+    return prev_order_asof(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registry + SQL oracles
 # ---------------------------------------------------------------------------
@@ -487,6 +512,8 @@ def registry() -> dict:
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
+        "text_token_bpe": text_token_bpe,
+        "text_repetition": text_repetition,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -498,6 +525,7 @@ def registry() -> dict:
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
         "mm_payload_stats": mm_payload_stats,
+        "mm_thumbnail": mm_thumbnail,
         "rel_agg_pushdown": rel_agg_pushdown,
         "rel_broadcast_join": rel_broadcast_join,
         "rel_semi_join": rel_semi_join,
@@ -508,6 +536,7 @@ def registry() -> dict:
         "rel_distinct_event_types": rel_distinct_event_types,
         "rel_json_extract": rel_json_extract,
         "rel_topk_per_group": rel_topk_per_group,
+        "rel_asof_join": rel_asof_join,
         "rel_sliding_window": rel_sliding_window,
         "rel_native_join": rel_native_join,
     }
@@ -639,6 +668,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             f"{ts.sql_fingerprint(_TEXT)} AS fp FROM documents"
         ),
+        "text_token_bpe": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            f"CAST({ts.sql_n_bpe_tokens(_TEXT)} AS BIGINT) AS n_bpe FROM documents"
+        ),
+        "text_repetition": ts.sql_repetition(_TEXT),
+        "rel_asof_join": (
+            "WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate FROM orders), "
+            "x AS (SELECT a.o_orderkey, b.o_orderkey AS prev_orderkey, "
+            "b.o_orderdate AS prev_date, row_number() OVER ("
+            "PARTITION BY a.o_orderkey "
+            "ORDER BY b.o_orderdate DESC, b.o_orderkey DESC) AS rr "
+            "FROM o a JOIN o b ON a.o_custkey = b.o_custkey "
+            "AND b.o_orderdate < a.o_orderdate) "
+            "SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey, "
+            "CAST(coalesce(x.prev_orderkey, -1) AS BIGINT) AS prev_orderkey, "
+            "CAST(coalesce((epoch_us(o.o_orderdate) - epoch_us(x.prev_date)) "
+            "// 86400000000, -1) AS BIGINT) AS gap_days "
+            "FROM o LEFT JOIN (SELECT * FROM x WHERE rr = 1) x "
+            "USING (o_orderkey)"
+        ),
         "dedup_exact": (
             f"WITH f AS (SELECT doc_id, {ts.sql_fingerprint(_TEXT)} AS fp FROM documents) "
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp, "
@@ -665,6 +714,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id % 640 + 16 AS BIGINT) AS width, "
             "CAST((doc_id * 7) % 480 + 16 AS BIGINT) AS height, "
             f"CAST(octet_length(encode({_TEXT})) AS BIGINT) AS n_bytes FROM documents"
+        ),
+        "mm_thumbnail": (
+            # fake-codec thumbnail semantics: dims //4 (floor, min 1), body
+            # stride-sampled every 16th byte (ASCII corpus: byte k == char
+            # k+1), checksum = sum of sampled byte values
+            f"WITH d AS (SELECT doc_id, {_TEXT} AS t FROM documents), "
+            "s AS (SELECT doc_id, t, "
+            "unnest(generate_series(1, length(t), 16)) AS p "
+            "FROM d WHERE length(t) > 0), "
+            "sums AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled, "
+            "CAST(sum(ord(substr(t, CAST(p AS INT), 1))) AS BIGINT) AS sample_sum "
+            "FROM s GROUP BY 1) "
+            "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+            "CAST(greatest((d.doc_id % 640 + 16) // 4, 1) AS BIGINT) AS t_width, "
+            "CAST(greatest(((d.doc_id * 7) % 480 + 16) // 4, 1) AS BIGINT) AS t_height, "
+            "coalesce(sums.n_sampled, 0) AS n_sampled, "
+            "coalesce(sums.sample_sum, 0) AS sample_sum "
+            "FROM d LEFT JOIN sums USING (doc_id)"
         ),
         "rel_agg_pushdown": (
             "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "

@@ -112,3 +112,62 @@ def payload_stats(docs_ds):
     return payloads.map_batches(
         PayloadDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
     )
+
+
+# Thumbnail/frame-sample parameters (deterministic fake-codec semantics: a
+# real implementation swaps the body transform for PIL.resize / frame
+# extraction; dims math, stride sampling and the Ray plumbing are the same).
+THUMB_SCALE = 4     # each dimension shrinks 4x (floor, min 1)
+SAMPLE_STRIDE = 16  # every 16th body byte survives (the frame-sample analog)
+
+
+class ThumbnailStage:
+    """Actor-pool resize + frame-sample stage over binary payloads.
+
+    Decodes the header, computes thumbnail dims (w//4, h//4, floored at 1)
+    and stride-samples the body bytes (byte 0, 16, 32, ... — the
+    deterministic stand-in for both pixel downsampling and every-Nth-frame
+    extraction).  Emits integer metadata + a checksum of the sampled bytes
+    so correctness is oracle-checkable end to end; corrupt payloads drop
+    (fail-open).  Real codec swap-in point: ``decode_image_real``.
+    """
+
+    def __init__(self, scale: int = THUMB_SCALE, stride: int = SAMPLE_STRIDE):
+        self.scale = scale
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out = {"doc_id": [], "t_width": [], "t_height": [],
+               "n_sampled": [], "sample_sum": []}
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            meta = decode_payload(payload)
+            if meta is None:
+                continue
+            w, h, _ = meta
+            body = np.frombuffer(bytes(payload[HEADER.size:]), dtype=np.uint8)
+            sampled = body[:: self.stride]
+            out["doc_id"].append(doc_id)
+            out["t_width"].append(max(w // self.scale, 1))
+            out["t_height"].append(max(h // self.scale, 1))
+            out["n_sampled"].append(int(sampled.size))
+            out["sample_sum"].append(int(sampled.astype(np.int64).sum()))
+        return pa.table(
+            out,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("t_width", pa.int64()),
+                 ("t_height", pa.int64()), ("n_sampled", pa.int64()),
+                 ("sample_sum", pa.int64())]
+            ),
+        )
+
+
+def thumbnails(docs_ds):
+    """documents -> thumbnail metadata via the actor-pool resize stage."""
+    payloads = docs_ds.map_batches(attach_payload_batch, batch_format="pyarrow")
+    return payloads.map_batches(
+        ThumbnailStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )

@@ -80,3 +80,29 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
             "fp": df["text"].fillna("").map(ts.fingerprint),
         }
     )
+
+
+def bpe_count_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """BPE-style pre-token counts (ts.BPE_PATTERN) — the subword-ish
+    complement to the word-regex token counter."""
+    text = df["text"].fillna("")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_bpe": text.str.count(ts.BPE_PATTERN).astype("int64"),
+        }
+    )
+
+
+def repetition_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Within-document trigram duplication stats (Gopher-style repetition
+    quality signal, integer pass rule shared with the SQL oracle)."""
+    rows = df["text"].fillna("").map(ts.repetition_row)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_tri": rows.map(lambda r: r["n_tri"]).astype("int64"),
+            "n_uniq": rows.map(lambda r: r["n_uniq"]).astype("int64"),
+            "rep_pass": rows.map(lambda r: r["rep_pass"]).astype("int64"),
+        }
+    )
