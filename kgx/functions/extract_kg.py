@@ -205,7 +205,15 @@ def link_surface(
     best: tuple[float, int, AliasCandidate] | None = None
     for c in cands:
         emb = embeddings.get(c.entity_id)
-        cos = cosine(ctx_vec, emb) if emb else 0.0
+        if emb:
+            # both sides come out of hash_embed L2-normalized, so the
+            # cosine IS the dot product — skips two norm recomputations
+            # per candidate on the hottest loop of phase A
+            cos = 0.0
+            for x, y in zip(ctx_vec, emb):
+                cos += x * y
+        else:
+            cos = 0.0
         name_toks = set(tokenize(c.canonical_name))
         ctx = overlap_asym(name_toks, ctx_tokens)
         score = w_alias * c.prior + w_embed * cos + w_ctx * ctx

@@ -182,15 +182,43 @@ def _ctx_features(context: str, embed_dim: int) -> tuple[frozenset, tuple]:
     return toks, tuple(hash_embed(sorted(toks), dim=embed_dim))
 
 
+def _link_memoized(surface: str, context: str, aliases: AliasMatcher,
+                   embeddings: dict[int, list[float]], l_cfg: dict):
+    """link_surface memoized per (surface, context, weights) on the matcher
+    instance: one sentence context yields several triples and popular
+    surfaces repeat across a corpus, so the weighted-argmax scoring loop
+    re-runs constantly on identical inputs.  Pure function of its inputs —
+    results are bit-identical with or without the memo.  The memo lives on
+    the AliasMatcher (whose lifetime pairs it with one embeddings dict at
+    every construction site); weights are part of the key so one worker can
+    serve several linker configs."""
+    memo = getattr(aliases, "_link_memo", None)
+    if memo is None:
+        memo = aliases._link_memo = {}
+    key = (surface, context, l_cfg["w_alias"], l_cfg["w_embed"],
+           l_cfg["w_ctx"], l_cfg["min_score"], l_cfg["embed_dim"])
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    ctx_tokens, ctx_vec = _ctx_features(context, l_cfg["embed_dim"])
+    res = link_surface(
+        surface, set(ctx_tokens), list(ctx_vec), aliases, embeddings,
+        l_cfg["w_alias"], l_cfg["w_embed"], l_cfg["w_ctx"], l_cfg["min_score"],
+    )
+    if len(memo) >= 200_000:  # bound per-worker growth on huge corpora
+        memo.clear()
+    memo[key] = res
+    return res
+
+
 def link_raw_triple(row: dict, aliases: AliasMatcher, embeddings: dict[int, list[float]], cfg: dict) -> dict:
     l_cfg = cfg["processing"]["linker"]
-    ctx_tokens, ctx_vec = _ctx_features(row["context"], l_cfg["embed_dim"])
-    ctx_tokens = set(ctx_tokens)
-    ctx_vec = list(ctx_vec)
-    args = (aliases, embeddings, l_cfg["w_alias"], l_cfg["w_embed"],
-            l_cfg["w_ctx"], l_cfg["min_score"])
-    s_name, s_key, s_id = link_surface(row["subj_surface"], ctx_tokens, ctx_vec, *args)
-    o_name, o_key, o_id = link_surface(row["obj_surface"], ctx_tokens, ctx_vec, *args)
+    s_name, s_key, s_id = _link_memoized(
+        row["subj_surface"], row["context"], aliases, embeddings, l_cfg
+    )
+    o_name, o_key, o_id = _link_memoized(
+        row["obj_surface"], row["context"], aliases, embeddings, l_cfg
+    )
     return {
         "url": row["url"],
         "seg_id": row["seg_id"],

@@ -408,14 +408,28 @@ def minhash_from_codes(codes, num_perm: int = 64, seed: int = 7):
     return hashed.min(axis=1)
 
 
+# Per-token (bucket, sign) memo for hash_embed: the md5 in stable_hash64 is
+# the hot cost and token vocabularies repeat heavily.  Pure function of the
+# token, so results are bit-identical with or without the cache; bounded so a
+# web-scale per-worker vocabulary cannot grow it without limit.
+_HE_CACHE: dict[tuple[str, int], tuple[int, float]] = {}
+_HE_CACHE_MAX = 1_000_000
+
+
 def hash_embed(tokens: list[str], dim: int = 32) -> list[float]:
     """Deterministic hash-based text featurizer: each token adds ±1 to a
     hashed bucket; L2-normalized.  Shared by pipeline and oracle so linker
     cosine scores are bit-reproducible (FIXTURES.md §3)."""
     v = [0.0] * dim
     for t in tokens:
-        h = stable_hash64(t, seed=13)
-        v[h % dim] += 1.0 if (h >> 63) & 1 else -1.0
+        key = (t, dim)
+        bs = _HE_CACHE.get(key)
+        if bs is None:
+            if len(_HE_CACHE) >= _HE_CACHE_MAX:
+                _HE_CACHE.clear()
+            h = stable_hash64(t, seed=13)
+            bs = _HE_CACHE[key] = (h % dim, 1.0 if (h >> 63) & 1 else -1.0)
+        v[bs[0]] += bs[1]
     norm = sum(x * x for x in v) ** 0.5
     if norm == 0.0:
         return v
