@@ -312,31 +312,40 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     """events -> (user_id, session_start_us, n_events): per-user sessions
     split where the gap to the previous event exceeds ``gap_minutes``.
 
-    Order-dependent semantics are PER KEY, so the shuffle is a plain
-    groupby(user_id) and the ordered scan happens vectorized inside each
-    group (sort by ts, event_id; gap diff; cumulative session index) — the
-    distributed form of the reference's sequential run-length pass."""
+    Order-dependent semantics are PER KEY; users co-locate via the part_id
+    exchange and each partition runs ONE vectorized kernel over all its
+    users: sort by (user, ts, event_id), boundary-aware gap test (a user
+    change always opens a session), cumulative session ids — no per-user
+    Python anywhere (user count is unbounded at web scale; reference G1
+    run-length semantics, base.py:30-51)."""
     import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_apply
 
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def per_user(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.sort_values(["ts", "event_id"])
-        us = df["ts"].astype("datetime64[us]").astype("int64")
-        new_session = (us.diff().fillna(gap_us + 1) > gap_us).astype("int64")
-        sid = new_session.cumsum()
-        g = pd.DataFrame({"user_id": df["user_id"], "sid": sid, "us": us}).groupby(
-            "sid", sort=False
-        )
-        out = g.agg(
-            user_id=("user_id", "first"),
-            session_start_us=("us", "min"),
-            n_events=("us", "size"),
+    def sessions(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        users = df["user_id"].to_numpy()
+        import numpy as np
+
+        new_s = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            same_user = users[1:] == users[:-1]
+            small_gap = (us[1:] - us[:-1]) <= gap_us
+            new_s[1:] = ~(same_user & small_gap)
+        sid = np.cumsum(new_s)
+        out = (
+            pd.DataFrame({"user_id": users, "sid": sid, "us": us})
+            .groupby("sid", sort=False)
+            .agg(user_id=("user_id", "first"), session_start_us=("us", "min"),
+                 n_events=("us", "size"))
         )
         return out.reset_index(drop=True)[["user_id", "session_start_us", "n_events"]]
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return hash_partitioned_apply(ds, ["user_id"], sessions)
 
 
 # ---------------------------------------------------------------------------
@@ -350,23 +359,42 @@ def events_trailing_hour(sf_dir: str):
     sliding-window analog of the reference's activity analysis (G6,
     extractor.py:241-299: frames/min over a trailing window).
 
-    Per-user ordered semantics -> groupby(user_id) + a vectorized
-    two-pointer scan (searchsorted) inside each group; no per-row Python."""
+    Users co-locate via the partition-only exchange; ONE vectorized kernel
+    per partition handles all its users: rows sort by (user, ts, event_id)
+    and the searchsorted probe runs on a per-user OFFSET KEY (user_rank *
+    huge_base + ts) so a window can never bleed into the previous user —
+    no per-user Python loop (unbounded user cardinality at web scale)."""
     import numpy as np
     import pandas as pd
 
+    from ..stages.exchange import hash_partitioned_apply
+
     window_us = 3600 * 1_000_000
 
-    def per_user(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.sort_values(["ts", "event_id"])
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "ts", "event_id"])
         us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        # first index whose ts >= current - 1h  (RANGE ... PRECEDING bound)
-        lo = np.searchsorted(us, us - window_us, side="left")
+        users = df["user_id"].to_numpy()
+        if len(df) == 0:
+            return pd.DataFrame({"event_id": df["event_id"], "n_last_hour": us})
+        # per-user blocks (sorted by ts within each): tight cumulative base
+        # offsets make one GLOBAL monotone key where windows cannot bleed
+        # across users — a single searchsorted for the whole partition
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        ends = np.r_[starts[1:] - 1, len(users) - 1]
+        spans = us[ends] - us[starts]
+        base = np.zeros(len(starts), dtype=np.int64)
+        if len(starts) > 1:
+            base[1:] = np.cumsum(spans[:-1] + window_us + 1)
+        rank = np.cumsum(np.r_[0, (users[1:] != users[:-1]).astype(np.int64)])
+        keyed = base[rank] + (us - us[starts][rank])
+        assert keyed[-1] < (1 << 62), "offset-key overflow; partition too wide"
+        lo = np.searchsorted(keyed, keyed - window_us, side="left")
         n = np.arange(len(us)) - lo + 1
         return pd.DataFrame({"event_id": df["event_id"], "n_last_hour": n})
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return hash_partitioned_apply(ds, ["user_id"], kernel)
 
 
 def orders_per_nation_native_join(sf_dir: str):
@@ -484,26 +512,49 @@ def prev_order_asof(sf_dir: str):
     emits (o_orderkey, prev_orderkey | -1, gap_days | -1).
 
     The as-of join Ray Data lacks natively, realized as the documented
-    composition: hash-partition by key (groupby), sort within group, then a
-    vectorized searchsorted probe — per-key ordered state never crosses
-    partitions (the generic form of the linker's as-of candidate step J2,
-    reference aligner.py:44-50)."""
+    composition: partition-only exchange on the key, then ONE vectorized
+    kernel per partition over all its customers (per-customer blocks under a
+    (cust, date, key) sort; a single global searchsorted on tight cumulative
+    offset keys so probes never cross customers) — no per-customer Python
+    (the generic form of the linker's as-of candidate step J2, reference
+    aligner.py:44-50)."""
     import numpy as np
     import pandas as pd
 
-    def per_cust(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.sort_values(["o_orderdate", "o_orderkey"])
+    from ..stages.exchange import hash_partitioned_apply
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
         dates = (
             pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]").astype("int64").to_numpy()
         )
         keys = df["o_orderkey"].to_numpy()
-        # idx of the first row with the SAME date -> rows before it are
-        # strictly earlier; the last of them is the as-of match (max
-        # (date, orderkey) among earlier rows, by the sort order)
-        lo = np.searchsorted(dates, dates, side="left")
-        prev = np.where(lo > 0, keys[np.maximum(lo - 1, 0)], -1)
-        prev_date = np.where(lo > 0, dates[np.maximum(lo - 1, 0)], 0)
-        gap = np.where(lo > 0, (dates - prev_date) // (86_400 * 1_000_000), -1)
+        custs = df["o_custkey"].to_numpy()
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {"o_orderkey": keys, "prev_orderkey": keys, "gap_days": keys}
+            )
+        starts = np.flatnonzero(np.r_[True, custs[1:] != custs[:-1]])
+        ends = np.r_[starts[1:] - 1, n - 1]
+        spans = dates[ends] - dates[starts]
+        base = np.zeros(len(starts), dtype=np.int64)
+        if len(starts) > 1:
+            base[1:] = np.cumsum(spans[:-1] + 1)
+        rank = np.cumsum(np.r_[0, (custs[1:] != custs[:-1]).astype(np.int64)])
+        block_start = starts[rank]
+        keyed = base[rank] + (dates - dates[starts][rank])
+        assert keyed[-1] < (1 << 62), "offset-key overflow; partition too wide"
+        # first row with the SAME (cust, date) -> rows before it in the same
+        # block are strictly earlier; the last of them is the as-of match
+        # (max (date, orderkey) among earlier, by the sort order)
+        lo = np.searchsorted(keyed, keyed, side="left")
+        has_prev = lo > block_start
+        prev_idx = np.maximum(lo - 1, 0)
+        prev = np.where(has_prev, keys[prev_idx], -1)
+        gap = np.where(
+            has_prev, (dates - dates[prev_idx]) // (86_400 * 1_000_000), -1
+        )
         return pd.DataFrame(
             {
                 "o_orderkey": keys.astype("int64"),
@@ -513,7 +564,7 @@ def prev_order_asof(sf_dir: str):
         )
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
-    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+    return hash_partitioned_apply(ds, ["o_custkey"], kernel)
 
 
 def distinct_event_types(sf_dir: str):

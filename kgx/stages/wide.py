@@ -70,46 +70,106 @@ def explode_and_partial_merge_entities(batch: pa.Table, salt_buckets: int) -> pa
     return _rows_to_table(rows, _PARTIAL_ENTITY)
 
 
-def final_merge_entity_group(group: pa.Table) -> pa.Table:
-    rows = group.to_pylist()
-    for r in rows:  # partial rows carry min-lineage in url/seg_id
-        r.setdefault("url", r.get("url"))
-    merged = merge_entity_group(rows)
-    return _rows_to_table([merged], S.ENTITIES)
+def _merge_partial_entities_df(df, keys: list[str]):
+    """Vectorized merge of partial entity rows grouped by ``keys`` — the
+    pandas-kernel equivalent of mapping ``merge_entity_group`` per group
+    (conformance- and skew-tested equal): min non-NIL id, longest-then-
+    lex-min canonical name, sorted distinct alias union, summed mention
+    count, tuple-min lineage.  One call handles ALL keys of a partition —
+    entity keys are corpus-cardinality at web scale, so per-group Python
+    here would be the adjacency anti-pattern of VERDICT r1 all over again."""
+    import pandas as pd
+
+    d = df.reset_index(drop=True)
+    d = d.assign(
+        _id=d["entity_id"].where(d["entity_id"] >= 0),
+        _len=d["canonical_name"].str.len(),
+    )
+    agg = (
+        d.groupby(keys, sort=False)
+        .agg(_id=("_id", "min"), n_mentions=("n_mentions", "sum"))
+        .reset_index()
+    )
+    agg["entity_id"] = agg.pop("_id").fillna(-1).astype("int64")
+    name = (
+        d.sort_values(keys + ["_len", "canonical_name"],
+                      ascending=[True] * len(keys) + [False, True])
+        .drop_duplicates(keys)[keys + ["canonical_name"]]
+    )
+    lin = (
+        d.sort_values(keys + ["url", "seg_id"])
+        .drop_duplicates(keys)[keys + ["url", "seg_id"]]
+    )
+    al = (
+        d[keys + ["aliases"]]
+        .explode("aliases")
+        .drop_duplicates()
+        .sort_values(keys + ["aliases"])
+        .groupby(keys, sort=False)["aliases"]
+        .agg(list)
+        .reset_index()
+    )
+    out = agg.merge(name, on=keys).merge(al, on=keys).merge(lin, on=keys)
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    return out
 
 
-def canonical_entities(linked_ds, cfg: dict):
-    """ray.data.Dataset[LINKED_FULL] -> Dataset[ENTITIES] via the salted
-    two-phase groupby described in the module docstring."""
+def _phase1_kernel(df) -> pa.Table:
+    m = _merge_partial_entities_df(df, ["entity_key", "salt"])
+    return pa.table(
+        {
+            "entity_key": pa.array(m["entity_key"], type=pa.string()),
+            "salt": pa.array(m["salt"], type=pa.int32()),
+            "entity_id": pa.array(m["entity_id"], type=pa.int64()),
+            "canonical_name": pa.array(m["canonical_name"], type=pa.string()),
+            "aliases": pa.array(m["aliases"].tolist(), type=pa.list_(pa.string())),
+            "n_mentions": pa.array(m["n_mentions"], type=pa.int64()),
+            "url": pa.array(m["url"], type=pa.string()),
+            "seg_id": pa.array(m["seg_id"], type=pa.int32()),
+        },
+        schema=_PARTIAL_ENTITY,
+    )
+
+
+def _final_kernel(df) -> pa.Table:
+    m = _merge_partial_entities_df(df.drop(columns=["salt"]), ["entity_key"])
+    return pa.table(
+        {
+            "entity_key": pa.array(m["entity_key"], type=pa.string()),
+            "entity_id": pa.array(m["entity_id"], type=pa.int64()),
+            "canonical_name": pa.array(m["canonical_name"], type=pa.string()),
+            "aliases": pa.array(m["aliases"].tolist(), type=pa.list_(pa.string())),
+            "n_mentions": pa.array(m["n_mentions"], type=pa.int64()),
+            "first_url": pa.array(m["url"], type=pa.string()),
+            "first_seg_id": pa.array(m["seg_id"], type=pa.int32()),
+        },
+        schema=S.ENTITIES,
+    )
+
+
+def canonical_phase1(linked_ds, cfg: dict):
+    """Combiner + phase-1 salted exchange: partial rows merged per
+    (entity_key, salt), so a head key reaches the final exchange as at most
+    ``salt_buckets`` rows (the skew bound, asserted in tests/test_skew.py)."""
+    from .exchange import hash_partitioned_apply
+
     salt_buckets = cfg["processing"]["canonicalize"]["salt_buckets"]
     partial = linked_ds.map_batches(
         lambda b: explode_and_partial_merge_entities(b, salt_buckets),
         batch_format="pyarrow",
     )
-    # Phase 1 shuffle on the salted key: heavy keys spread over salt_buckets.
-    phase1 = partial.groupby(["entity_key", "salt"]).map_groups(
-        final_merge_to_partial, batch_format="pyarrow"
-    )
-    # Phase 2: at most salt_buckets rows per key remain.
-    return phase1.groupby("entity_key").map_groups(
-        final_merge_entity_group, batch_format="pyarrow"
-    )
+    return hash_partitioned_apply(partial, ["entity_key", "salt"], _phase1_kernel)
 
 
-def final_merge_to_partial(group: pa.Table) -> pa.Table:
-    rows = group.to_pylist()
-    merged = merge_entity_group(rows)
-    out = {
-        "entity_key": merged["entity_key"],
-        "salt": rows[0]["salt"],
-        "entity_id": merged["entity_id"],
-        "canonical_name": merged["canonical_name"],
-        "aliases": merged["aliases"],
-        "n_mentions": merged["n_mentions"],
-        "url": merged["first_url"],
-        "seg_id": merged["first_seg_id"],
-    }
-    return _rows_to_table([out], _PARTIAL_ENTITY)
+def canonical_entities(linked_ds, cfg: dict):
+    """ray.data.Dataset[LINKED_FULL] -> Dataset[ENTITIES] via the salted
+    two-phase exchange described in the module docstring.  Both phases run
+    as hash-partitioned exchanges with ONE vectorized pandas kernel per
+    partition — no per-entity-key Python anywhere."""
+    from .exchange import hash_partitioned_apply
+
+    phase1 = canonical_phase1(linked_ds, cfg)
+    return hash_partitioned_apply(phase1, ["entity_key"], _final_kernel)
 
 
 # ---------------------------------------------------------------------------

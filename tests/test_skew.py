@@ -75,13 +75,7 @@ def test_salting_bounds_hot_key_partials(ray_session, linked_ds, cfg):
     """After the phase-1 salted merge, the hot key contributes at most
     salt_buckets rows to the final (unsalted) exchange — the skew bound."""
     salt_buckets = cfg["processing"]["canonicalize"]["salt_buckets"]
-    partial = linked_ds.map_batches(
-        lambda b: wide.explode_and_partial_merge_entities(b, salt_buckets),
-        batch_format="pyarrow",
-    )
-    phase1 = partial.groupby(["entity_key", "salt"]).map_groups(
-        wide.final_merge_to_partial, batch_format="pyarrow"
-    )
+    phase1 = wide.canonical_phase1(linked_ds, cfg)
     counts: dict[str, int] = {}
     for batch in phase1.iter_batches(batch_size=None, batch_format="pyarrow"):
         for k in batch["entity_key"].to_pylist():
