@@ -345,7 +345,7 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
         return out.reset_index(drop=True)[["user_id", "session_start_us", "n_events"]]
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    return hash_partitioned_apply(ds, ["user_id"], sessions)
+    return hash_partitioned_apply(ds, ["user_id"], sessions, int_keys=True)
 
 
 # ---------------------------------------------------------------------------
@@ -394,7 +394,7 @@ def events_trailing_hour(sf_dir: str):
         return pd.DataFrame({"event_id": df["event_id"], "n_last_hour": n})
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    return hash_partitioned_apply(ds, ["user_id"], kernel)
+    return hash_partitioned_apply(ds, ["user_id"], kernel, int_keys=True)
 
 
 def orders_per_nation_native_join(sf_dir: str):
@@ -564,7 +564,7 @@ def prev_order_asof(sf_dir: str):
         )
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
-    return hash_partitioned_apply(ds, ["o_custkey"], kernel)
+    return hash_partitioned_apply(ds, ["o_custkey"], kernel, int_keys=True)
 
 
 def distinct_event_types(sf_dir: str):

@@ -161,18 +161,44 @@ def _bounded_index_pairs(n: int, cap: int = VERIFY_GROUP_CAP, window: int = _CAP
     return ((i, j) for i in range(n) for j in range(i + 1, min(i + 1 + window, n)))
 
 
-def _verify_group_jaccard(group: pa.Table, threshold: float) -> pa.Table:
-    """All qualifying pairs within one prefix-hash group (true Jaccard)."""
-    docs = sorted(
-        {r["doc_id"]: frozenset(r["grams"]) for r in group.to_pylist()}.items()
-    )
+def _multi_buckets(t: pa.Table, keys: list[str]):
+    """Bucket iteration WITHOUT reordering the table: argsort the (integer)
+    key columns only, find bucket boundaries on the sorted keys, and yield
+    row-index arrays for buckets of size > 1.  The heavy payload columns
+    (gram/signature lists) are gathered per surviving bucket via ``take`` —
+    singletons, the vast majority at web scale, never materialize at all."""
+    n = t.num_rows
+    if n == 0:
+        return t, []
+    cols = [t[k].to_numpy() for k in keys]
+    order = np.lexsort(tuple(reversed(cols)))
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for a in cols:
+        sa = a[order]
+        change[1:] |= sa[1:] != sa[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], n]
+    return t, [order[s:e] for s, e in zip(starts, ends) if e - s > 1]
+
+
+def _verify_jaccard_kernel(t: pa.Table, threshold: float) -> pa.Table:
+    """Partition kernel: all qualifying pairs (true Jaccard) across every
+    prefix-hash bucket in this partition."""
+    t, buckets = _multi_buckets(t, ["pfx_hash"])
     a_out, b_out = [], []
-    for i, j in _bounded_index_pairs(len(docs)):
-        sa, sb = docs[i][1], docs[j][1]
-        inter = len(sa & sb)
-        if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
-            a_out.append(docs[i][0])
-            b_out.append(docs[j][0])
+    for idx in buckets:
+        g = t.take(pa.array(idx))
+        docs = sorted(
+            {d: frozenset(gr) for d, gr in
+             zip(g["doc_id"].to_pylist(), g["grams"].to_pylist())}.items()
+        )
+        for i, j in _bounded_index_pairs(len(docs)):
+            sa, sb = docs[i][1], docs[j][1]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
+                a_out.append(docs[i][0])
+                b_out.append(docs[j][0])
     return pa.table({"id_a": a_out, "id_b": b_out}, schema=_PAIR_SCHEMA)
 
 
@@ -195,11 +221,14 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, threshold: float = 0.8):
     verification + pair distinct.  Shuffle volume is O(prefix_len) hashed
     grams per doc; at a 0.8 threshold the prefix is ~20% of the gram set.
     """
+    from .exchange import hash_partitioned_apply
+
     prefix = docs_ds.map_batches(
         lambda b: _ngram_prefix_rows(b, n, threshold), batch_format="pyarrow"
     )
-    cands = prefix.groupby("pfx_hash").map_groups(
-        lambda g: _verify_group_jaccard(g, threshold), batch_format="pyarrow"
+    cands = hash_partitioned_apply(
+        prefix, ["pfx_hash"], lambda t: _verify_jaccard_kernel(t, threshold),
+        int_keys=True, kernel_format="pyarrow",
     )
     return distinct_pairs(cands)
 
@@ -244,21 +273,25 @@ def _minhash_band_rows(
     )
 
 
-def _verify_group_minhash(group: pa.Table, threshold: float) -> pa.Table:
-    # sort by (signature, doc_id): identical signatures adjacent, so the
-    # capped window path stays connectivity-preserving on degenerate buckets
-    docs = sorted(
-        {r["doc_id"]: tuple(r["sig"]) for r in group.to_pylist()}.items(),
-        key=lambda kv: (kv[1], kv[0]),
-    )
+def _verify_minhash_kernel(t: pa.Table, threshold: float) -> pa.Table:
+    t, buckets = _multi_buckets(t, ["band", "band_hash"])
     a_out, b_out = [], []
-    for i, j in _bounded_index_pairs(len(docs)):
-        sa, sb = docs[i][1], docs[j][1]
-        est = sum(x == y for x, y in zip(sa, sb)) / len(sa)
-        if est >= threshold:
-            a, b = docs[i][0], docs[j][0]
-            a_out.append(min(a, b))
-            b_out.append(max(a, b))
+    for idx in buckets:
+        g = t.take(pa.array(idx))
+        # sort by (signature, doc_id): identical signatures adjacent, so the
+        # capped window path stays connectivity-preserving on degenerate buckets
+        docs = sorted(
+            {d: tuple(s) for d, s in
+             zip(g["doc_id"].to_pylist(), g["sig"].to_pylist())}.items(),
+            key=lambda kv: (kv[1], kv[0]),
+        )
+        for i, j in _bounded_index_pairs(len(docs)):
+            sa, sb = docs[i][1], docs[j][1]
+            est = sum(x == y for x, y in zip(sa, sb)) / len(sa)
+            if est >= threshold:
+                a, b = docs[i][0], docs[j][0]
+                a_out.append(min(a, b))
+                b_out.append(max(a, b))
     return pa.table({"id_a": a_out, "id_b": b_out}, schema=_PAIR_SCHEMA)
 
 
@@ -276,12 +309,16 @@ def minhash_lsh_pairs(
     probability is ~1e-9, so on corpora with well-separated dup clusters the
     output matches the exact join (tests assert this vs the serial oracle).
     """
+    from .exchange import hash_partitioned_apply
+
     band_rows = docs_ds.map_batches(
         lambda b: _minhash_band_rows(b, num_perm, bands, shingle_k),
         batch_format="pyarrow",
     )
-    cands = band_rows.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _verify_group_minhash(g, threshold), batch_format="pyarrow"
+    cands = hash_partitioned_apply(
+        band_rows, ["band", "band_hash"],
+        lambda t: _verify_minhash_kernel(t, threshold), int_keys=True,
+        kernel_format="pyarrow",
     )
     return distinct_pairs(cands)
 
@@ -329,27 +366,32 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, bands: int = 4):
     if max_hamming > bands - 1:
         raise ValueError("pigeonhole exactness needs max_hamming <= bands-1")
 
-    def verify(group: pa.Table) -> pa.Table:
+    from .exchange import hash_partitioned_apply
+
+    def verify_kernel(t: pa.Table) -> pa.Table:
         m64 = (1 << 64) - 1
-        # sort by (signature, doc_id): identical sims adjacent for the cap path
-        docs = sorted(
-            {r["doc_id"]: r["sim"] & m64 for r in group.to_pylist()}.items(),
-            key=lambda kv: (kv[1], kv[0]),
-        )
+        t, buckets = _multi_buckets(t, ["band", "band_val"])
         a_out, b_out = [], []
-        for i, j in _bounded_index_pairs(len(docs)):
-            if hamming64(docs[i][1], docs[j][1]) <= max_hamming:
-                a, b = docs[i][0], docs[j][0]
-                a_out.append(min(a, b))
-                b_out.append(max(a, b))
+        for idx in buckets:
+            g = t.take(pa.array(idx))
+            # sort by (signature, doc_id): identical sims adjacent (cap path)
+            docs = sorted(
+                {d: int(s) & m64 for d, s in
+                 zip(g["doc_id"].to_pylist(), g["sim"].to_pylist())}.items(),
+                key=lambda kv: (kv[1], kv[0]),
+            )
+            for i, j in _bounded_index_pairs(len(docs)):
+                if hamming64(docs[i][1], docs[j][1]) <= max_hamming:
+                    a, b = docs[i][0], docs[j][0]
+                    a_out.append(min(a, b))
+                    b_out.append(max(a, b))
         return pa.table({"id_a": a_out, "id_b": b_out}, schema=_PAIR_SCHEMA)
 
     band_rows = docs_ds.map_batches(
         lambda b: _simhash_band_rows(b, bands), batch_format="pyarrow"
     )
-    cands = band_rows.groupby(["band", "band_val"]).map_groups(
-        verify, batch_format="pyarrow"
-    )
+    cands = hash_partitioned_apply(band_rows, ["band", "band_val"], verify_kernel,
+                                   int_keys=True, kernel_format="pyarrow")
     return distinct_pairs(cands)
 
 

@@ -79,21 +79,58 @@ def hash_partitioned_apply(
     keys: list[str],
     kernel: Callable,
     num_partitions: int | None = None,
+    int_keys: bool = False,
+    kernel_format: str = "pandas",
 ):
     """Partition-ONLY exchange for holistic per-key operations that admit no
-    combiner (sessionization, as-of joins, ordered windows): rows co-locate
-    by hash(keys) — every key wholly inside one partition — and ``kernel``
-    runs EXACTLY ONCE per partition over all its keys (so it may sort and
-    scan freely).  This is the per-group-Python-free alternative to
-    ``groupby(keys).map_groups`` when key cardinality is unbounded: P ~
-    cluster CPUs partitions, one vectorized pandas kernel each."""
-    P = num_partitions or _default_partitions()
+    combiner (sessionization, as-of joins, ordered windows, bucket
+    verification): rows co-locate by hash(keys) — every key wholly inside
+    one partition — and ``kernel`` runs EXACTLY ONCE per partition over all
+    its keys (so it may sort and scan freely).  This is the
+    per-group-Python-free alternative to ``groupby(keys).map_groups`` when
+    key cardinality is unbounded: P ~ cluster CPUs partitions, one
+    vectorized pandas kernel each.
 
-    def tag(df):
+    With ``int_keys=True`` (caller asserts every key column is integer)
+    tagging stays ZERO-COPY ARROW — one numpy mix + append_column, so
+    blocks cross the shuffle as Arrow, which matters when they carry list
+    columns that are expensive to round-trip through pandas.  Default is
+    the generic pandas hasher.
+
+    Default P is 8x the CPU count, NOT the CPU count: the exchange is a
+    range-partitioned sort on part_id, and more distinct values give it
+    cleaner quantile boundaries and smooth stragglers across
+    heterogeneously-sized kernels (interleaved A/B at sf0.1 shows parity to
+    slightly better; per-key disjointness is unaffected by P)."""
+    import numpy as np
+    import pyarrow as pa
+
+    P = num_partitions or _default_partitions() * 8
+
+    def tag_arrow(batch: "pa.Table") -> "pa.Table":
+        mix = np.zeros(batch.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, k in enumerate(keys):
+                col = batch[k].to_numpy().astype(np.uint64)
+                # Fibonacci-style mix so correlated int keys still spread
+                mix = (mix ^ (col + np.uint64(0x9E3779B97F4A7C15))) * np.uint64(
+                    0xBF58476D1CE4E5B9 + 2 * i
+                )
+        part = pa.array((mix % np.uint64(P)).astype(np.int64))
+        return batch.append_column("part_id", part)
+
+    def tag_pandas(df):
         return _tag_part_id(df, keys, P)
 
-    def run(df):
-        return kernel(df.drop(columns=["part_id"]))
+    if kernel_format == "pyarrow":
+        def run(t: "pa.Table") -> "pa.Table":
+            return kernel(t.drop_columns(["part_id"]))
+    else:
+        def run(df):
+            return kernel(df.drop(columns=["part_id"]))
 
-    tagged = ds.map_batches(tag, batch_format="pandas")
-    return tagged.groupby("part_id").map_groups(run, batch_format="pandas")
+    if int_keys:
+        tagged = ds.map_batches(tag_arrow, batch_format="pyarrow")
+    else:
+        tagged = ds.map_batches(tag_pandas, batch_format="pandas")
+    return tagged.groupby("part_id").map_groups(run, batch_format=kernel_format)
