@@ -165,3 +165,94 @@ class TestPayloadCodec:
     def test_garbage_fails_open(self, junk):
         out = decode_payload(junk)
         assert out is None or junk[:4] == b"KX1\x00"
+
+
+class TestRound2Properties:
+    """Property tests for the round-2 operators: BPE tokenizer parity with
+    DuckDB, repetition-stat parity, and sessionization kernel vs a serial
+    brute force."""
+
+    ascii_texts = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=120,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(ascii_texts)
+    def test_bpe_count_python_equals_duckdb(self, s):
+        import duckdb
+
+        from kgx.functions import textstats as ts
+
+        con = duckdb.connect()
+        got = con.execute(f"select {ts.sql_n_bpe_tokens('?')}", [s]).fetchone()[0]
+        assert int(got) == ts.n_bpe_tokens(s), repr(s)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.sampled_from("aa bb cc dd ee".split()), max_size=30))
+    def test_repetition_python_equals_duckdb(self, words):
+        import duckdb
+
+        from kgx.functions import textstats as ts
+
+        text = " ".join(words)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.execute("INSERT INTO documents VALUES (0, ?)", [text])
+        row = con.execute(ts.sql_repetition("coalesce(text,'')")).fetchone()
+        want = ts.repetition_row(text)
+        assert (row[1], row[2], row[3]) == (
+            want["n_tri"], want["n_uniq"], want["rep_pass"]
+        ), text
+
+    def _brute_sessions(self, events, gap_us):
+        by_user = {}
+        for eid, ts_us, uid in events:
+            by_user.setdefault(uid, []).append((ts_us, eid))
+        out = []
+        for uid, evs in by_user.items():
+            evs.sort()
+            cur = None
+            for ts_us, _ in evs:
+                if cur is None or ts_us - cur[-1] > gap_us:
+                    if cur:
+                        out.append((uid, cur[0], len(cur)))
+                    cur = [ts_us]
+                else:
+                    cur.append(ts_us)
+            if cur:
+                out.append((uid, cur[0], len(cur)))
+        return sorted(out)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        raw=st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 10_000)),
+            min_size=1, max_size=60, unique=True,
+        )
+    )
+    def test_sessionize_matches_brute_force(self, tmp_path_factory, ray_session, raw):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.pipelines.relational import sessionize_events
+
+        gap_min = 1  # 60s gap on a seconds-scale synthetic stream
+        events = [
+            (i, ts_s * 1_000_000, uid) for i, (uid, ts_s) in enumerate(raw)
+        ]
+        tbl = pa.table(
+            {
+                "event_id": [e[0] for e in events],
+                "ts": pa.array([e[1] for e in events], type=pa.timestamp("us")),
+                "user_id": [e[2] for e in events],
+            }
+        )
+        d = tmp_path_factory.mktemp("sess")
+        pq.write_table(tbl, d / "events.parquet")
+        out = sessionize_events(str(d), gap_minutes=gap_min).to_pandas()
+        got = sorted(
+            (int(r.user_id), int(r.session_start_us), int(r.n_events))
+            for r in out.itertuples()
+        )
+        assert got == self._brute_sessions(events, gap_min * 60 * 1_000_000)
