@@ -219,17 +219,31 @@ def run_kg(
             raise RuntimeError(f"simulated crash after {done} shard(s)")
 
     if not man.phase_done("finalize"):
-        linked = rd.read_parquet(str(out_dir / "linked"))
-        outs = finalize(linked, cfg, sort_output=True)
-        counters = {}
-        # Triples partitioned by category (hive layout): consumers prune at
-        # the directory level (reference S6 grouped-by-category report
-        # sections, generator.py:60-86, as a physical layout).
-        counters["triples"] = atomic_write_dir(
-            outs["triples"], out_dir / "triples", partition_cols=["category"]
+        artifacts = (
+            # Triples partitioned by category (hive layout): consumers prune
+            # at the directory level (reference S6 grouped-by-category report
+            # sections, generator.py:60-86, as a physical layout).
+            ("triples", ["category"]),
+            ("entities", None),
+            ("adjacency", None),
         )
-        counters["entities"] = atomic_write_dir(outs["entities"], out_dir / "entities")
-        counters["adjacency"] = atomic_write_dir(outs["adjacency"], out_dir / "adjacency")
+        todo = [n for n, _ in artifacts if not man.phase_done(f"write_{n}")]
+        outs = None
+        if todo:
+            linked = rd.read_parquet(str(out_dir / "linked"))
+            outs = finalize(linked, cfg, sort_output=True)
+        counters = {}
+        for name, part_cols in artifacts:
+            # artifact-level resume: each output dir commits as its own
+            # phase, so a crash between writes reruns only what's missing
+            if man.phase_done(f"write_{name}"):
+                counters[name] = man.data["counters"][f"write_{name}"]["rows"]
+                continue
+            rows = atomic_write_dir(
+                outs[name], out_dir / name, partition_cols=part_cols
+            )
+            man.commit_phase(f"write_{name}", {"rows": rows})
+            counters[name] = rows
         counters["linked"] = sum(s["rows"] for s in man.data["shards"].values())
         counters["quality"] = _quality_counters(out_dir / "triples")
         man.commit_phase("finalize", counters)

@@ -112,3 +112,38 @@ def test_manifest_counters_and_checksums(ray_session, small_pages, cfg, kb, tmp_
     counters = man.data["counters"]["finalize"]
     assert counters["linked"] == sum(s["rows"] for s in shards.values())
     assert counters["triples"] > 0
+
+
+def test_artifact_level_resume(ray_session, tmp_path, cfg, kb):
+    """Phase B commits each output dir as its own phase: clearing one
+    artifact's commit reruns only that artifact — committed ones are not
+    rewritten (their files keep their identity)."""
+    import json
+
+    from kgx import synth
+    from kgx.pipeline import run_kg, shard_pages_table_factory
+
+    pages = synth.gen_pages(30, seed=11, kb=kb)
+    out = tmp_path / "kg"
+    run_kg(shard_pages_table_factory(pages), out, num_shards=2, cfg=cfg, kb=kb,
+           run_id="r")
+    trip_files = sorted((out / "triples").rglob("*.parquet"))
+    trip_stat = {str(p): p.stat().st_mtime_ns for p in trip_files}
+
+    # simulate a crash between artifact writes: entities write uncommitted
+    mpath = out / "_manifest" / "manifest.json"
+    man = json.loads(mpath.read_text())
+    for phase in ("finalize", "write_entities", "report"):
+        man["phases"].pop(phase, None)
+    mpath.write_text(json.dumps(man))
+    import shutil
+
+    shutil.rmtree(out / "entities")
+
+    man2 = run_kg(shard_pages_table_factory(pages), out, num_shards=2, cfg=cfg,
+                  kb=kb, run_id="r")
+    assert man2.phase_done("finalize") and man2.phase_done("write_entities")
+    assert (out / "entities").exists()
+    # committed triples untouched byte-for-byte (same files, same mtimes)
+    assert {str(p): p.stat().st_mtime_ns
+            for p in sorted((out / "triples").rglob("*.parquet"))} == trip_stat
