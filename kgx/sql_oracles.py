@@ -178,8 +178,10 @@ def sql_ann_topk_lsh(every: int, k: int, nbits: int, tables: int, dim: int = 64)
     from .stages.similarity import lsh_planes
 
     planes = lsh_planes(dim, nbits, tables)
+    # float() before repr: numpy 2.x reprs scalars as "np.float64(x)", which
+    # is not SQL; Python float repr is the exact shortest round-trip literal
     plane_vals = ", ".join(
-        f"({t}, {b}, {d}, {planes[t, b, d]!r})"
+        f"({t}, {b}, {d}, {float(planes[t, b, d])!r})"
         for t in range(tables) for b in range(nbits) for d in range(dim)
     )
     return f"""

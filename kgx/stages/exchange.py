@@ -108,10 +108,18 @@ def hash_partitioned_apply(
     P = num_partitions or _default_partitions() * 8
 
     def tag_arrow(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
         mix = np.zeros(batch.num_rows, dtype=np.uint64)
         with np.errstate(over="ignore"):
             for i, k in enumerate(keys):
-                col = batch[k].to_numpy().astype(np.uint64)
+                # fill_null keeps to_numpy zero-copy-safe on hostile inputs
+                # (null keys all land in one partition, which is correct —
+                # the kernel still groups on the real key values)
+                col = (
+                    pc.fill_null(batch[k], 0).to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
                 # Fibonacci-style mix so correlated int keys still spread
                 mix = (mix ^ (col + np.uint64(0x9E3779B97F4A7C15))) * np.uint64(
                     0xBF58476D1CE4E5B9 + 2 * i
