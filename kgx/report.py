@@ -40,8 +40,16 @@ def _top_triples_by_category(triples_dir: Path) -> dict[str, list[dict]]:
         for c, s, p, o, cf in zip(cats, subs, preds, objs, confs):
             h = heaps.setdefault(str(c), [])
             # min-heap on (conf, inverted-lex) keeps the top-N by
-            # (conf desc, (s,p,o) asc) with O(cap) memory per category
-            item = (cf, tuple(-ord(ch) for ch in f"{s}\x00{p}\x00{o}"), s, p, o)
+            # (conf desc, (s,p,o) asc) with O(cap) memory per category.
+            # The trailing 1 sentinel (> any negated char ordinal) makes the
+            # inverted tuple a TRUE order reversal for prefix strings too:
+            # without it "ab" sorts below "abc" in both directions and a
+            # conf-tied prefix row could be evicted wrongly (ADVICE.md r2).
+            item = (
+                cf,
+                tuple(-ord(ch) for ch in f"{s}\x00{p}\x00{o}") + (1,),
+                s, p, o,
+            )
             if len(h) < DISPLAY_CAP:
                 heapq.heappush(h, item)
             else:

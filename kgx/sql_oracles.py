@@ -469,8 +469,11 @@ FROM am
 def sql_kg_triples() -> str:
     """Final deduped + categorized triples of the SQL-checkable chain:
     group by normalized (s,p,o); representative = tuple-min lineage;
-    conf_pct = round(max conf * 100); n_support = count; keyword-argmax
-    category."""
+    conf_pct = floor(max conf * 100 + 0.5) — an EXPLICIT half-away-from-zero
+    rule shared with the Ray projection, so no engine/oracle divergence if a
+    conf ever lands exactly on .5 (pandas .round is half-to-even while
+    DuckDB round() is half-away; ADVICE.md r2); n_support = count;
+    keyword-argmax category."""
     cat = _sql_categorize("lower(subj || ' ' || pred || ' ' || obj)")
     return (
         _kg_common_ctes()
@@ -487,7 +490,7 @@ def sql_kg_triples() -> str:
   FROM keyed
 )
 SELECT subj, pred, obj, url, CAST(seg_id AS BIGINT) AS seg_id,
-       CAST(round(max_conf * 100) AS BIGINT) AS conf_pct,
+       CAST(floor(max_conf * 100 + 0.5) AS BIGINT) AS conf_pct,
        {cat} AS category, n_support
 FROM ranked WHERE rr = 1
 """

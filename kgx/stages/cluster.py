@@ -230,8 +230,26 @@ def label_propagation_ds(pairs_ds, max_rounds: int = 50):
             schema=_LABELS_SCHEMA,
         )
 
+    # Pointer-doubling accelerator: besides the graph edges, each round also
+    # feeds the CURRENT label assignment back in as edges (node=label,
+    # other=labeled node), so a node additionally receives label(label(node))
+    # — convergence in O(log diameter) rounds instead of O(diameter), which
+    # matters because window-capped pair generation can produce chain graphs
+    # whose diameter grows with duplicate-cluster size (ADVICE.md r2).  Sound:
+    # any label value is the id of a node reachable from its holder, and the
+    # groupby-min keeps the assignment monotone non-increasing.
+    edge_key_schema = pa.schema([("node", pa.int64()), ("other", pa.int64())])
+
+    def label_back_edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["node"], batch["label"]))
+        return pa.table(
+            {"node": t["label"], "other": t["node"]}, schema=edge_key_schema
+        )
+
+    converged = False
     for _ in range(max_rounds):
-        tagged = keyed_edges.union(labels).map_batches(
+        doubling = labels.map_batches(label_back_edges, batch_format="pyarrow")
+        tagged = keyed_edges.union(doubling).union(labels).map_batches(
             tag_part, batch_format="pyarrow"
         )
         messages = tagged.groupby("part_id").map_groups(
@@ -241,8 +259,21 @@ def label_propagation_ds(pairs_ds, max_rounds: int = 50):
         new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == prev_sum:  # monotone: unchanged sum <=> fixpoint
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Silent exhaustion would fragment components with no signal
+        # (ADVICE.md r2); with pointer doubling this needs diameter > 2^50.
+        import logging
+        import warnings
+
+        msg = (
+            f"label_propagation_ds: fixpoint NOT reached after {max_rounds} "
+            "rounds — component labels may be fragmented; raise max_rounds"
+        )
+        logging.getLogger(__name__).error(msg)
+        warnings.warn(msg, RuntimeWarning)
 
     # only merged-away nodes (label != id), matching _components' shape
     def nontrivial(batch: pa.Table) -> pa.Table:

@@ -189,16 +189,23 @@ def _verify_jaccard_kernel(t: pa.Table, threshold: float) -> pa.Table:
     a_out, b_out = [], []
     for idx in buckets:
         g = t.take(pa.array(idx))
+        # sort by (gram tuple, doc_id): identical gram sets adjacent, so the
+        # capped-window path stays connectivity-preserving — matching the
+        # minhash/simhash kernels (ADVICE.md r2: a doc_id-only sort silently
+        # split duplicate components in over-cap buckets)
         docs = sorted(
-            {d: frozenset(gr) for d, gr in
-             zip(g["doc_id"].to_pylist(), g["grams"].to_pylist())}.items()
+            {d: tuple(gr) for d, gr in
+             zip(g["doc_id"].to_pylist(), g["grams"].to_pylist())}.items(),
+            key=lambda kv: (kv[1], kv[0]),
         )
+        sets = [frozenset(gr) for _, gr in docs]
         for i, j in _bounded_index_pairs(len(docs)):
-            sa, sb = docs[i][1], docs[j][1]
+            sa, sb = sets[i], sets[j]
             inter = len(sa & sb)
             if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
-                a_out.append(docs[i][0])
-                b_out.append(docs[j][0])
+                a, b = docs[i][0], docs[j][0]
+                a_out.append(min(a, b))
+                b_out.append(max(a, b))
     return pa.table({"id_a": a_out, "id_b": b_out}, schema=_PAIR_SCHEMA)
 
 
