@@ -116,7 +116,19 @@ def _kg_triples_expanded(sf_dir: str, expand: int):
     return kg_tables_in_memory(pages, cfg, broadcast_kb())["triples"]
 
 
-def run_bench(sf_dir: str, num_cpus: int, names: list[str], expand: int = 1) -> dict:
+def run_bench(
+    sf_dir: str, num_cpus: int, names: list[str], expand: int = 1,
+    trials: int = 1,
+) -> dict:
+    """With ``trials > 1`` every query runs ``trials`` times INTERLEAVED
+    (whole list per round, so the fresh-session actor/worker ramp lands on
+    round-1 samples only) and ``queries`` reports per-query MEDIANS — the
+    per-query analog of the flagship's interleaved scaling trials (single
+    samples on this box carry +-30% host noise, so round-over-round
+    comparisons need medians; VERDICT r2 next-round #3).  Raw samples ship
+    in ``query_trials``."""
+    import statistics
+
     import duckdb
 
     from kgx import queries as Q
@@ -129,15 +141,17 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str], expand: int = 1) -> 
     reg["kg_triples_full"] = Q.kg_triples_full
     if expand > 1:
         reg["kg_triples_full"] = lambda sf: _kg_triples_expanded(sf, expand)
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {n: [] for n in names}
     rows: dict[str, int] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        rows[name] = _consume(reg[name](sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(max(trials, 1)):
+        for name in names:
+            t0 = time.perf_counter()
+            rows[name] = _consume(reg[name](sf_dir))
+            samples[name].append(round(time.perf_counter() - t0, 3))
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
 
     headline = timings.get("kg_triples_full", sum(timings.values()))
-    return {
+    out = {
         "metric": "kg_pipeline_e2e",
         "value": headline,
         "unit": "sec",
@@ -147,8 +161,12 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str], expand: int = 1) -> 
         "num_cpus": num_cpus,
         "n_docs": n_docs,
         "expand": expand,
+        "trials_per_query": max(trials, 1),
         "docs_per_sec": round(n_docs / headline, 2) if headline else None,
     }
+    if trials > 1:
+        out["query_trials"] = samples
+    return out
 
 
 def run_scaling(sf_dir: str, cpus_low: int = 4, cpus_high: int = 16,
@@ -169,7 +187,7 @@ def run_scaling(sf_dir: str, cpus_low: int = 4, cpus_high: int = 16,
         env["GRAFT_SF_DIR"] = sf_dir
         out = subprocess.run(
             [sys.executable, __file__, "--queries", "kg_triples_full",
-             "--expand", str(expand)],
+             "--expand", str(expand), "--trials", "1"],
             capture_output=True,
             text=True,
             env=env,
@@ -273,6 +291,9 @@ def main() -> None:
                     help="subset of query names to time")
     ap.add_argument("--expand", type=int, default=1,
                     help="corpus replication factor for the flagship")
+    ap.add_argument("--trials", type=int, default=None,
+                    help="interleaved trials per query (median reported); "
+                    "default $GRAFT_BENCH_TRIALS or 3")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -296,10 +317,17 @@ def main() -> None:
 
     import ray
 
+    trials = (
+        args.trials
+        if args.trials is not None
+        else int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
+    )
     _init_ray(num_cpus)
     try:
         names = args.queries if args.queries else BENCH_QUERIES
-        print(json.dumps(run_bench(sf_dir, num_cpus, names, expand=args.expand)))
+        print(json.dumps(run_bench(
+            sf_dir, num_cpus, names, expand=args.expand, trials=trials
+        )))
     finally:
         ray.shutdown()
 
