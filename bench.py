@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "rel_window_events",
     "rel_sliding_window",
     "rel_native_join",
+    "rel_grouped_median",
+    "doc_sample",
+    "text_ngram_topk",
 ]
 
 
@@ -282,6 +285,163 @@ def run_scaling_queries(sf_dir: str, cpus_low: int = 4, cpus_high: int = 16,
     }
 
 
+def _peak_plasma_sampler():
+    """Background thread sampling the object store's used bytes via /dev/shm
+    occupancy (Ray's plasma store is shm-backed; the state-API summary needs
+    grpc, absent in this sandbox).  Returns (peak_dict, stop_event); peak is
+    reported net of the baseline occupancy at sampler start."""
+    import threading
+
+    def shm_used_mib() -> int:
+        st = os.statvfs("/dev/shm")
+        return int((st.f_blocks - st.f_bfree) * st.f_frsize / (1 << 20))
+
+    base = shm_used_mib()
+    peak = {"mib": 0, "baseline_mib": base}
+    stop = threading.Event()
+
+    def sample():
+        while not stop.is_set():
+            try:
+                peak["mib"] = max(peak["mib"], shm_used_mib() - base)
+            except Exception:
+                pass
+            stop.wait(0.25)
+
+    threading.Thread(target=sample, daemon=True).start()
+    return peak, stop
+
+
+def run_wide(sf_dir: str, num_cpus: int, pad_bytes: int = 300_000,
+             expand: int = 8) -> dict:
+    """Wide-record stress (SURVEY.md §7.4.6 / VERDICT r2 next-round #7): the
+    flagship KG chain over pages whose html payloads are padded to
+    web-page size with a dropped-subtree filler — the extracted text and
+    therefore the TRIPLES output are byte-identical to the unpadded run
+    (asserted via row-count equality here; wrap_html invariant is
+    unit-tested), while the READ-side payload grows ~pad_bytes per html row.
+    Reports throughput and PEAK object-store usage for both runs — the
+    stress passes when peak plasma stays a small multiple of the block size,
+    i.e. the pipeline streams instead of materializing the padded corpus."""
+    import duckdb
+
+    from kgx import config_loader, synth
+    from kgx.pipeline import broadcast_kb, kg_tables_in_memory
+
+    n_docs = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    out: dict = {
+        "metric": "wide_record_stress",
+        "unit": "report",
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "pad_bytes": pad_bytes,
+        "expand": expand,
+        "n_pages": n_docs * expand,
+        # 3 of 5 synthetic page modes carry an html payload
+        "input_payload_bytes_est": n_docs * expand * 3 // 5 * pad_bytes,
+    }
+    for label, pad in (("padded", pad_bytes), ("unpadded", 0)):
+        peak, stop = _peak_plasma_sampler()
+        t0 = time.perf_counter()
+        pages = synth.pages_dataset_from_documents(
+            sf_dir, enrich=True, expand=expand, pad_bytes=pad
+        )
+        cfg = config_loader.resolve_settings()
+        n_triples = _consume(
+            kg_tables_in_memory(pages, cfg, broadcast_kb())["triples"]
+        )
+        sec = round(time.perf_counter() - t0, 3)
+        stop.set()
+        out[label] = {
+            "sec": sec,
+            "pages_per_sec": round(n_docs * expand / sec, 1),
+            "peak_plasma_mib": peak["mib"],
+            "triples_rows": n_triples,
+        }
+    out["triples_match"] = (
+        out["padded"]["triples_rows"] == out["unpadded"]["triples_rows"]
+    )
+    return out
+
+
+def run_clusters_distributed(sf_dir: str, num_cpus: int, replicate: int = 16) -> dict:
+    """Exercise the DISTRIBUTED label-propagation clustering end-to-end at
+    bench scale (VERDICT r2 next-round #8): the corpus is replicated
+    ``replicate`` times with offset doc_ids (every doc becomes an exact
+    ``replicate``-clique -> C(r,2) x n_docs edges), then clustered twice —
+    once forced onto label propagation (edge_limit=0) and once through the
+    driver union-find — asserting identical non-singleton cluster counts and
+    reporting wall time + rounds for both backends."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from kgx.stages.cluster import cluster_ids
+    from kgx.stages.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_docs = docs.count()
+
+    def replicate_batch(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        import numpy as np
+
+        out_ids = np.concatenate(
+            [ids + r * 10_000_000 for r in range(replicate)]
+        )
+        texts = b["text"].to_pylist() * replicate
+        return pa.table(
+            {"doc_id": out_ids, "text": texts},
+            schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        )
+
+    big = docs.map_batches(replicate_batch, batch_format="pyarrow").materialize()
+    pairs = ngram_jaccard_pairs(big, n=3, threshold=0.8).materialize()
+    n_edges = pairs.count()
+
+    def n_merged(clustered) -> int:
+        import pyarrow.compute as pc
+
+        n = 0
+        for batch in clustered.iter_batches(batch_size=None, batch_format="pyarrow"):
+            n += pc.sum(
+                pc.cast(pc.not_equal(batch["doc_id"], batch["cluster_id"]),
+                        pa.int64())
+            ).as_py() or 0
+        return n
+
+    out: dict = {
+        "metric": "clusters_distributed",
+        "unit": "report",
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "replicate": replicate,
+        "n_docs": n_docs * replicate,
+        "n_edges": n_edges,
+    }
+    stats: dict = {}
+    t0 = time.perf_counter()
+    merged_lp = n_merged(cluster_ids(big, pairs, edge_limit=0, stats=stats))
+    out["label_propagation"] = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "rounds": stats.get("rounds"),
+        "converged": stats.get("converged"),
+        "merged_docs": merged_lp,
+    }
+    t0 = time.perf_counter()
+    merged_uf = n_merged(cluster_ids(big, pairs, edge_limit=1 << 40))
+    out["driver_union_find"] = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "merged_docs": merged_uf,
+    }
+    out["backends_agree"] = merged_lp == merged_uf
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -294,6 +454,16 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=None,
                     help="interleaved trials per query (median reported); "
                     "default $GRAFT_BENCH_TRIALS or 3")
+    ap.add_argument("--wide", action="store_true",
+                    help="wide-record stress: padded html payloads, peak "
+                    "plasma + output-identity report")
+    ap.add_argument("--clusters-distributed", action="store_true",
+                    help="force label-propagation clustering on a replicated "
+                    "corpus; compare vs driver union-find")
+    ap.add_argument("--pad-bytes", type=int,
+                    default=int(os.environ.get("GRAFT_PAD_BYTES", "300000")))
+    ap.add_argument("--replicate", type=int,
+                    default=int(os.environ.get("GRAFT_REPLICATE", "16")))
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -324,10 +494,19 @@ def main() -> None:
     )
     _init_ray(num_cpus)
     try:
-        names = args.queries if args.queries else BENCH_QUERIES
-        print(json.dumps(run_bench(
-            sf_dir, num_cpus, names, expand=args.expand, trials=trials
-        )))
+        if args.wide:
+            print(json.dumps(run_wide(
+                sf_dir, num_cpus, pad_bytes=args.pad_bytes, expand=args.expand
+            )))
+        elif args.clusters_distributed:
+            print(json.dumps(run_clusters_distributed(
+                sf_dir, num_cpus, replicate=args.replicate
+            )))
+        else:
+            names = args.queries if args.queries else BENCH_QUERIES
+            print(json.dumps(run_bench(
+                sf_dir, num_cpus, names, expand=args.expand, trials=trials
+            )))
     finally:
         ray.shutdown()
 

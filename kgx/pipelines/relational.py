@@ -585,6 +585,84 @@ def prev_order_asof(sf_dir: str):
     return hash_partitioned_apply(ds, ["o_custkey"], kernel, int_keys=True)
 
 
+def median_orders_per_nation(sf_dir: str):
+    """Exact per-group MEDIAN (lower median of a holistic distribution):
+    per customer nation, the median order count among customers with >= 1
+    order — the distributed form of a holistic aggregate no combiner can
+    express (contrast with the algebraic sums above).
+
+    Three stages, none per-key Python: (1) order counts per custkey via the
+    combiner exchange; (2) nationkey attached from the broadcast customer
+    dimension (``ray.put`` once); (3) nations co-locate via the
+    partition-only exchange and ONE vectorized kernel per partition picks
+    index (n-1)//2 of each nation's sorted counts via group offsets."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    def to_agg_form(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"o_custkey": df["o_custkey"], "cnt": 1})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.groupby("o_custkey", sort=False, as_index=False)
+            .agg(cnt=("cnt", "sum"))
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    counts = hash_partitioned_agg(
+        orders.map_batches(to_agg_form, batch_format="pandas"),
+        ["o_custkey"], combine,
+    )
+
+    cust = pq.read_table(
+        str(Path(sf_dir) / "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat_ref = ray.put(
+        pd.Series(
+            cust["c_nationkey"].to_pandas().values,
+            index=cust["c_custkey"].to_pandas().values,
+        )
+    )
+
+    def attach(df: "pd.DataFrame") -> pa.Table:
+        lookup = ray.get(nat_ref)
+        nat = lookup.reindex(df["o_custkey"].values).values
+        out = pd.DataFrame({"c_nationkey": nat, "cnt": df["cnt"]}).dropna(
+            subset=["c_nationkey"]
+        )
+        return pa.table(
+            {
+                "c_nationkey": pa.array(out["c_nationkey"].astype("int64")),
+                "cnt": pa.array(out["cnt"].astype("int64")),
+            },
+            schema=pa.schema([("c_nationkey", pa.int64()), ("cnt", pa.int64())]),
+        )
+
+    attached = counts.map_batches(attach, batch_format="pandas")
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.sort_values(["c_nationkey", "cnt"])
+        nat = d["c_nationkey"].to_numpy()
+        cnt = d["cnt"].to_numpy()
+        if len(d) == 0:
+            return pd.DataFrame({"c_nationkey": nat, "median_orders": cnt})
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]])
+        ends = np.r_[starts[1:], len(nat)]
+        idx = starts + (ends - starts - 1) // 2  # lower median per group
+        return pd.DataFrame(
+            {
+                "c_nationkey": nat[idx].astype("int64"),
+                "median_orders": cnt[idx].astype("int64"),
+            }
+        )
+
+    return hash_partitioned_apply(attached, ["c_nationkey"], kernel, int_keys=True)
+
+
 def distinct_event_types(sf_dir: str):
     """Distinct event_type values, one column out."""
     ds = _read(sf_dir, "events", ["event_type"])

@@ -516,6 +516,31 @@ def rel_asof_join(sf_dir: str):
     return prev_order_asof(sf_dir)
 
 
+def rel_grouped_median(sf_dir: str):
+    """Exact holistic aggregate (lower median per group) — no combiner
+    exists, so the kernel runs on co-located full groups (O-family analog of
+    the reference's per-group statistics)."""
+    from .pipelines.relational import median_orders_per_nation
+
+    return median_orders_per_nation(sf_dir)
+
+
+def doc_sample(sf_dir: str):
+    """Deterministic 10% hash sample of the corpus (reproducible subsampling
+    — a training-data staple; pure vectorized integer hash, no shuffle)."""
+    from .stages.corpus import sample_documents
+
+    return sample_documents(_docs_ds(sf_dir), pct=10)
+
+
+def text_ngram_topk(sf_dir: str):
+    """Corpus-wide top-20 bigrams (vocabulary / boilerplate mining):
+    per-batch count combiner -> keyed exchange -> k-row global sort."""
+    from .stages.corpus import ngram_topk
+
+    return ngram_topk(_docs_ds(sf_dir), n=2, k=20)
+
+
 # ---------------------------------------------------------------------------
 # Registry + SQL oracles
 # ---------------------------------------------------------------------------
@@ -560,6 +585,9 @@ def registry() -> dict:
         "rel_asof_join": rel_asof_join,
         "rel_sliding_window": rel_sliding_window,
         "rel_native_join": rel_native_join,
+        "rel_grouped_median": rel_grouped_median,
+        "doc_sample": doc_sample,
+        "text_ngram_topk": text_ngram_topk,
     }
 
 
@@ -649,6 +677,18 @@ def _sql_anonymize() -> str:
         f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {expr} AS clean_text "
         "FROM documents"
     )
+
+
+def _sql_doc_sample() -> str:
+    from .stages.corpus import sql_sample_documents
+
+    return sql_sample_documents(pct=10)
+
+
+def _sql_ngram_topk_oracle() -> str:
+    from .stages.corpus import sql_ngram_topk
+
+    return sql_ngram_topk(ts.sql_token_list(_TEXT), n=2, k=20)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -812,6 +852,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT) AS k_value "
             "FROM events WHERE regexp_matches(coalesce(props, ''), '\"k\":\\s*\\d+')"
         ),
+        "rel_grouped_median": (
+            "WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1), "
+            "j AS (SELECT c_nationkey, cnt FROM c "
+            "JOIN customer ON o_custkey = c_custkey), "
+            "r AS (SELECT c_nationkey, cnt, "
+            "row_number() OVER (PARTITION BY c_nationkey ORDER BY cnt) AS rn, "
+            "count(*) OVER (PARTITION BY c_nationkey) AS n FROM j) "
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(cnt AS BIGINT) AS median_orders FROM r WHERE rn = (n + 1) // 2"
+        ),
+        "doc_sample": _sql_doc_sample(),
+        "text_ngram_topk": _sql_ngram_topk_oracle(),
         "rel_topk_per_group": (
             "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "
             "CAST(rnk AS BIGINT) AS rnk FROM ("

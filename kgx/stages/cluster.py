@@ -65,7 +65,8 @@ def _driver_labels_tag(docs_ds, labels: dict[int, int]):
     return docs_ds.select_columns(["doc_id"]).map_batches(tag, batch_format="pyarrow")
 
 
-def cluster_ids(docs_ds, pairs_ds, edge_limit: int = 5_000_000):
+def cluster_ids(docs_ds, pairs_ds, edge_limit: int = 5_000_000,
+                stats: dict | None = None):
     """(doc_id) x (id_a, id_b) -> (doc_id, cluster_id) for EVERY doc;
     singletons get cluster_id = doc_id.
 
@@ -87,7 +88,7 @@ def cluster_ids(docs_ds, pairs_ds, edge_limit: int = 5_000_000):
     import ray
 
     n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    labels_ds = label_propagation_ds(pairs)
+    labels_ds = label_propagation_ds(pairs, stats=stats)
     identity = docs_ds.select_columns(["doc_id"]).map_batches(
         lambda b: pa.table(
             {"node": b["doc_id"], "label": b["doc_id"]}, schema=_LABELS_SCHEMA
@@ -140,7 +141,7 @@ def _grouped_min(labels_ds, num_partitions: int):
     return part.groupby("part_id").map_groups(merge, batch_format="pandas")
 
 
-def label_propagation_ds(pairs_ds, max_rounds: int = 50):
+def label_propagation_ds(pairs_ds, max_rounds: int = 50, stats: dict | None = None):
     """Distributed alternating-rounds min-label propagation over the edge
     Dataset — the at-scale fallback: labels are a DATASET throughout; each
     round is two native hash joins (labels onto each edge endpoint), a
@@ -247,7 +248,9 @@ def label_propagation_ds(pairs_ds, max_rounds: int = 50):
         )
 
     converged = False
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         doubling = labels.map_batches(label_back_edges, batch_format="pyarrow")
         tagged = keyed_edges.union(doubling).union(labels).map_batches(
             tag_part, batch_format="pyarrow"
@@ -262,6 +265,9 @@ def label_propagation_ds(pairs_ds, max_rounds: int = 50):
             converged = True
             break
         prev_sum = new_sum
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     if not converged:
         # Silent exhaustion would fragment components with no signal
         # (ADVICE.md r2); with pointer doubling this needs diameter > 2^50.

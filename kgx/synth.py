@@ -193,16 +193,26 @@ def gen_body(key: str, kb: dict, n_sentences: int | None = None) -> str:
     return " ".join(parts)
 
 
-def wrap_html(body: str, title: str) -> bytes:
+def wrap_html(body: str, title: str, pad_bytes: int = 0) -> bytes:
     """HTML wrapper whose extraction (functions.text.extract_text_from_html)
     yields exactly ``normalize_ws(body)`` — nav/footer boilerplate included so
-    the extractor has something to strip."""
+    the extractor has something to strip.
+
+    ``pad_bytes`` appends that much deterministic boilerplate inside an extra
+    ``<nav>`` block (a dropped subtree), so the PAYLOAD grows to web-page
+    size while the extracted text — and every downstream table — stays
+    byte-identical to the unpadded run (the wide-record stress invariant,
+    SURVEY.md §7.4.6; exercised by ``bench.py --wide``)."""
+    pad = ""
+    if pad_bytes > 0:
+        unit = "<li>sponsored navigation filler item</li>"
+        pad = "<nav><ul>" + unit * (pad_bytes // len(unit) + 1) + "</ul></nav>"
     return (
         "<html><head><title>" + title + "</title>"
         "<style>body{font:12px}</style></head>"
         "<body><nav>Home | News | Accept all cookies</nav>"
         "<header>Site header</header>"
-        "<p>" + body + "</p>"
+        "<p>" + body + "</p>" + pad +
         "<footer>All rights reserved. <a href='/tos'>Terms of service</a></footer>"
         "</body></html>"
     ).encode("utf-8")
@@ -325,7 +335,7 @@ def sql_templates(kb: dict | None = None) -> list[str]:
 
 def pages_batch_from_documents(
     batch: pa.Table, enrich, kb: dict | None, expand: int = 1,
-    templates: list[str] | None = None,
+    templates: list[str] | None = None, pad_bytes: int = 0,
 ) -> pa.Table:
     """Vectorizable per-batch map: documents rows -> pages rows.
 
@@ -364,20 +374,21 @@ def pages_batch_from_documents(
             cols["url"].append(url)
             cols["warc_ts"].append(EPOCH_US + doc_id * 37_000_000 + rep)
             if mode < 2:
-                cols["html"].append(wrap_html(body, f"doc {doc_id}"))
+                cols["html"].append(wrap_html(body, f"doc {doc_id}", pad_bytes))
                 cols["text"].append(None)
             elif mode < 4:
                 cols["html"].append(None)
                 cols["text"].append(body)
             else:
-                cols["html"].append(wrap_html(body, f"doc {doc_id}"))
+                cols["html"].append(wrap_html(body, f"doc {doc_id}", pad_bytes))
                 cols["text"].append(body)
             cols["lang"].append(lang)
     return pa.table(cols, schema=S.PAGES)
 
 
 def pages_dataset_from_documents(
-    sf_dir: str, enrich: bool = True, expand: int = 1, num_blocks: int | None = None
+    sf_dir: str, enrich: bool = True, expand: int = 1,
+    num_blocks: int | None = None, pad_bytes: int = 0,
 ):
     """Streaming Ray Dataset of pages derived from ``{sf_dir}/documents.parquet``.
 
@@ -422,7 +433,8 @@ def pages_dataset_from_documents(
                 hi = len(docs) * (k + 1) // n_tasks
                 out.append(
                     pages_batch_from_documents(
-                        docs.slice(lo, hi - lo), enrich, kb2, expand, templates
+                        docs.slice(lo, hi - lo), enrich, kb2, expand, templates,
+                        pad_bytes,
                     )
                 )
             return pa.concat_tables(out)
@@ -434,7 +446,8 @@ def pages_dataset_from_documents(
 
     ds = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"))
     pages = ds.map_batches(
-        lambda b: pages_batch_from_documents(b, enrich, kb2, expand, templates),
+        lambda b: pages_batch_from_documents(b, enrich, kb2, expand, templates,
+                                             pad_bytes),
         batch_format="pyarrow",
         batch_size=256,
     )
