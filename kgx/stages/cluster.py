@@ -194,7 +194,7 @@ def label_propagation_ds(pairs_ds, max_rounds: int = 50, stats: dict | None = No
             schema=pa.schema([("node", pa.int64()), ("other", pa.int64())]),
         )
 
-    keyed_edges = edges.map_batches(edge_keys, batch_format="pyarrow").materialize()
+    keyed_edges = edges.map_batches(edge_keys, batch_format="pyarrow")
     union_schema = pa.schema(
         [("node", pa.int64()), ("other", pa.int64()), ("label", pa.int64())]
     )
@@ -247,6 +247,24 @@ def label_propagation_ds(pairs_ds, max_rounds: int = 50, stats: dict | None = No
             {"node": t["label"], "other": t["node"]}, schema=edge_key_schema
         )
 
+    def pin(ds):
+        """Bound the per-round block count AND cut lineage.  Ray's union and
+        sort-based groupby PRESERVE input block counts, so each round's
+        labels would otherwise carry ~3x the blocks of the previous round's
+        (edges + doubling + labels all flow into the groupby) — measured
+        2 -> 7 -> 22 -> 67 -> 202 blocks and matching 3^r per-round task
+        cost on a 64-node chain.  ``repartition(n_parts)`` (split/coalesce,
+        no shuffle) pins the count; rebuilding from the materialized block
+        refs keeps the per-round plan O(1) instead of growing with round
+        number.  No driver collection — the refs stay in the object store."""
+        import ray.data as rd
+
+        return rd.from_arrow_refs(
+            ds.repartition(n_parts).materialize().to_arrow_refs()
+        )
+
+    labels = pin(labels)
+    keyed_edges = pin(keyed_edges)
     converged = False
     rounds = 0
     for _ in range(max_rounds):
@@ -258,7 +276,7 @@ def label_propagation_ds(pairs_ds, max_rounds: int = 50, stats: dict | None = No
         messages = tagged.groupby("part_id").map_groups(
             emit_messages, batch_format="pandas"
         )
-        new_labels = _grouped_min(labels.union(messages), n_parts).materialize()
+        new_labels = pin(_grouped_min(labels.union(messages), n_parts))
         new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == prev_sum:  # monotone: unchanged sum <=> fixpoint
