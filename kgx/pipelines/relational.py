@@ -673,3 +673,186 @@ def distinct_event_types(sf_dir: str):
     return partial.groupby("event_type").map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
+
+
+def event_funnel(sf_dir: str, a: str = "click", b: str = "purchase",
+                 window_minutes: int = 30):
+    """Funnel / sequence-pattern detection: per user, how many ``a`` events
+    are followed by at least one ``b`` event within ``window_minutes``
+    (conversions), alongside the user's total ``a`` count — the
+    MATCH_RECOGNIZE-lite streaming analytics the reference's session
+    analysis implies (G1/G6 family; cf. sessionize_events).
+
+    Users co-locate via the partition-only exchange; ONE vectorized kernel
+    per partition: both event streams sort by (user, ts), per-user offset
+    keys (cumulative bases wider than the window, same trick as
+    events_trailing_hour) make a single global searchsorted of each A
+    timestamp against the B stream — windows cannot bleed across users, no
+    per-user Python at unbounded user cardinality.  Only users with >= 1
+    ``a`` event appear."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_apply
+
+    window_us = window_minutes * 60 * 1_000_000
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["event_type"].isin([a, b])]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_a": pd.Series([], dtype="int64"),
+                    "n_converted": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        users = df["user_id"].to_numpy()
+        # per-user offset key: windows cannot reach the previous user
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        ends = np.r_[starts[1:] - 1, len(users) - 1]
+        spans = us[ends] - us[starts]
+        base = np.zeros(len(starts), dtype=np.int64)
+        if len(starts) > 1:
+            base[1:] = np.cumsum(spans[:-1] + window_us + 1)
+        rank = np.cumsum(np.r_[0, (users[1:] != users[:-1]).astype(np.int64)])
+        keyed = base[rank] + (us - us[starts][rank])
+        assert keyed[-1] < (1 << 62), "offset-key overflow; partition too wide"
+        is_a = (df["event_type"] == a).to_numpy()
+        a_keys, b_keys = keyed[is_a], keyed[~is_a]
+        # an A converts iff some B lands in (a_ts, a_ts + window]
+        lo = np.searchsorted(b_keys, a_keys, side="right")
+        hi = np.searchsorted(b_keys, a_keys + window_us, side="right")
+        converted = (hi > lo).astype(np.int64)
+        out = pd.DataFrame({"user_id": users[is_a], "converted": converted})
+        g = out.groupby("user_id", sort=False, as_index=False).agg(
+            n_a=("converted", "size"), n_converted=("converted", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "n_a": g["n_a"].astype("int64"),
+                "n_converted": g["n_converted"].astype("int64"),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return hash_partitioned_apply(ds, ["user_id"], kernel, int_keys=False)
+
+
+def sql_event_funnel(a: str = "click", b: str = "purchase",
+                     window_minutes: int = 30) -> str:
+    window_us = window_minutes * 60 * 1_000_000
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+  WHERE event_type IN ('{a}', '{b}')
+), conv AS (
+  SELECT x.user_id,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM ev y WHERE y.user_id = x.user_id
+             AND y.event_type = '{b}'
+             AND y.us > x.us AND y.us <= x.us + {window_us}
+         ) THEN 1 ELSE 0 END AS converted
+  FROM ev x WHERE x.event_type = '{a}'
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_a,
+       CAST(sum(converted) AS BIGINT) AS n_converted
+FROM conv GROUP BY user_id
+"""
+
+
+def quantile_orders_per_nation(sf_dir: str):
+    """Exact per-group QUANTILES (p25/p50/p75, lower order statistic at
+    index (n-1)*q//100) of per-customer order counts by nation — the
+    multi-point generalization of median_orders_per_nation, same
+    three-stage shape: counts via combiner exchange, nation attached from
+    the broadcast dimension, one vectorized group-offset kernel per
+    partition."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    def to_agg_form(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"o_custkey": df["o_custkey"], "cnt": 1})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.groupby("o_custkey", sort=False, as_index=False)
+            .agg(cnt=("cnt", "sum"))
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    counts = hash_partitioned_agg(
+        orders.map_batches(to_agg_form, batch_format="pandas"),
+        ["o_custkey"], combine,
+    )
+
+    cust = pq.read_table(
+        str(Path(sf_dir) / "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat_ref = ray.put(
+        pd.Series(
+            cust["c_nationkey"].to_pandas().values,
+            index=cust["c_custkey"].to_pandas().values,
+        )
+    )
+
+    def attach(df: "pd.DataFrame") -> pa.Table:
+        lookup = ray.get(nat_ref)
+        nat = lookup.reindex(df["o_custkey"].values).values
+        out = pd.DataFrame({"c_nationkey": nat, "cnt": df["cnt"]}).dropna(
+            subset=["c_nationkey"]
+        )
+        return pa.table(
+            {
+                "c_nationkey": pa.array(out["c_nationkey"].astype("int64")),
+                "cnt": pa.array(out["cnt"].astype("int64")),
+            },
+            schema=pa.schema([("c_nationkey", pa.int64()), ("cnt", pa.int64())]),
+        )
+
+    attached = counts.map_batches(attach, batch_format="pandas")
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.sort_values(["c_nationkey", "cnt"])
+        nat = d["c_nationkey"].to_numpy()
+        cnt = d["cnt"].to_numpy()
+        if len(d) == 0:
+            return pd.DataFrame(
+                {"c_nationkey": nat, "p25": cnt, "p50": cnt, "p75": cnt}
+            )
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]])
+        ends = np.r_[starts[1:], len(nat)]
+        n = ends - starts
+        cols = {
+            f"p{q}": cnt[starts + (n - 1) * q // 100].astype("int64")
+            for q in (25, 50, 75)
+        }
+        return pd.DataFrame(
+            {"c_nationkey": nat[starts].astype("int64"), **cols}
+        )
+
+    return hash_partitioned_apply(attached, ["c_nationkey"], kernel, int_keys=True)
+
+
+def sql_quantile_orders_per_nation() -> str:
+    idx = {q: f"((count(*) - 1) * {q}) // 100 + 1" for q in (25, 50, 75)}
+    cols = ", ".join(
+        f"CAST((array_agg(cnt ORDER BY cnt))[{i}] AS BIGINT) AS p{q}"
+        for q, i in idx.items()
+    )
+    return (
+        "WITH counts AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM orders GROUP BY o_custkey), "
+        "j AS (SELECT c.c_nationkey, counts.cnt FROM counts "
+        "JOIN customer c ON c.c_custkey = counts.o_custkey) "
+        f"SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, {cols} "
+        "FROM j GROUP BY c_nationkey"
+    )

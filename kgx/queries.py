@@ -541,6 +541,52 @@ def text_ngram_topk(sf_dir: str):
     return ngram_topk(_docs_ds(sf_dir), n=2, k=20)
 
 
+def text_tfidf_topk(sf_dir: str):
+    """Per-doc top-3 tf-idf tokens (integer fixed-point idf): distributed
+    df build, token-keyed repartition join, per-doc top-k exchange."""
+    import pyarrow.parquet as pq
+
+    from .stages.corpus import tfidf_topk
+
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")
+    ).metadata.num_rows
+    return tfidf_topk(_docs_ds(sf_dir), n_docs, k=3)
+
+
+def text_inverted_index(sf_dir: str):
+    """Posting-list build: per token its df and first-5 doc_ids as rows
+    (min-k combiner bounds the exchange to O(batches x vocab))."""
+    from .stages.corpus import inverted_index
+
+    return inverted_index(_docs_ds(sf_dir), postings_k=5)
+
+
+def graph_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (3 rounds) over the symmetrized
+    supplier<->part graph — iterative labels-as-a-Dataset compute reusing
+    the pinned-round machinery of the clustering stage."""
+    from .stages.graph import supplier_part_pagerank
+
+    return supplier_part_pagerank(sf_dir, iterations=3)
+
+
+def rel_event_funnel(sf_dir: str):
+    """click -> purchase conversions within 30 min per user (sequence /
+    funnel pattern over the event stream, offset-key searchsorted kernel)."""
+    from .pipelines.relational import event_funnel
+
+    return event_funnel(sf_dir)
+
+
+def rel_grouped_quantiles(sf_dir: str):
+    """Exact p25/p50/p75 of per-customer order counts by nation (holistic
+    multi-quantile via the partition-only exchange)."""
+    from .pipelines.relational import quantile_orders_per_nation
+
+    return quantile_orders_per_nation(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registry + SQL oracles
 # ---------------------------------------------------------------------------
@@ -588,6 +634,11 @@ def registry() -> dict:
         "rel_grouped_median": rel_grouped_median,
         "doc_sample": doc_sample,
         "text_ngram_topk": text_ngram_topk,
+        "text_tfidf_topk": text_tfidf_topk,
+        "text_inverted_index": text_inverted_index,
+        "graph_pagerank": graph_pagerank,
+        "rel_event_funnel": rel_event_funnel,
+        "rel_grouped_quantiles": rel_grouped_quantiles,
     }
 
 
@@ -689,6 +740,36 @@ def _sql_ngram_topk_oracle() -> str:
     from .stages.corpus import sql_ngram_topk
 
     return sql_ngram_topk(ts.sql_token_list(_TEXT), n=2, k=20)
+
+
+def _sql_tfidf_topk_oracle() -> str:
+    from .stages.corpus import sql_tfidf_topk
+
+    return sql_tfidf_topk(ts.sql_token_list(_TEXT), k=3)
+
+
+def _sql_inverted_index_oracle() -> str:
+    from .stages.corpus import sql_inverted_index
+
+    return sql_inverted_index(ts.sql_token_list(_TEXT), postings_k=5)
+
+
+def _sql_pagerank_oracle() -> str:
+    from .stages.graph import sql_supplier_part_pagerank
+
+    return sql_supplier_part_pagerank(iterations=3)
+
+
+def _sql_event_funnel_oracle() -> str:
+    from .pipelines.relational import sql_event_funnel
+
+    return sql_event_funnel()
+
+
+def _sql_grouped_quantiles_oracle() -> str:
+    from .pipelines.relational import sql_quantile_orders_per_nation
+
+    return sql_quantile_orders_per_nation()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -863,6 +944,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(cnt AS BIGINT) AS median_orders FROM r WHERE rn = (n + 1) // 2"
         ),
         "doc_sample": _sql_doc_sample(),
+        "text_tfidf_topk": _sql_tfidf_topk_oracle(),
+        "text_inverted_index": _sql_inverted_index_oracle(),
+        "graph_pagerank": _sql_pagerank_oracle(),
+        "rel_event_funnel": _sql_event_funnel_oracle(),
+        "rel_grouped_quantiles": _sql_grouped_quantiles_oracle(),
         "text_ngram_topk": _sql_ngram_topk_oracle(),
         "rel_topk_per_group": (
             "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "

@@ -123,6 +123,195 @@ def ngram_topk(docs_ds, n: int = 2, k: int = 20):
     return topk.map_batches(add_rank, batch_format="pandas", batch_size=None)
 
 
+IDF_SCALE = 1000
+
+
+def tfidf_topk(docs_ds, n_docs: int, k: int = 3):
+    """documents -> the ``k`` highest-tf-idf tokens per doc:
+    (doc_id, token, score, rank), score = tf * ((n_docs * IDF_SCALE) // df).
+
+    The idf is integer fixed-point (floor) so the DuckDB oracle is
+    bit-exact; ``n_docs`` comes from parquet metadata (no data read).
+    Three exchanges, each keyed and vectorized:
+
+    1. df: (token, 1-per-doc) partial counts -> combiner exchange on token;
+    2. score: tf rows and df rows co-partition by hash(token) — ONE pandas
+       merge per partition attaches df to every tf row (the classic
+       fact-to-dimension repartition join, dimension here is unbounded
+       vocabulary so no broadcast);
+    3. per-doc top-k: partition-only exchange on doc_id, one vectorized
+       sort + groupby-head kernel (the same shape as rel_topk_per_group).
+    """
+    import pandas as pd
+
+    from ..functions.text import tokenize
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    def tf_rows(batch: pa.Table) -> "pd.DataFrame":
+        ids, toks, tfs = [], [], []
+        for r in batch.to_pylist():
+            counts: dict[str, int] = {}
+            for t in tokenize(r["text"] or ""):
+                counts[t] = counts.get(t, 0) + 1
+            ids.extend([r["doc_id"]] * len(counts))
+            toks.extend(counts.keys())
+            tfs.extend(counts.values())
+        return pd.DataFrame({"doc_id": ids, "token": toks, "tf": tfs})
+
+    tf = docs_ds.map_batches(tf_rows, batch_format="pyarrow")
+
+    def df_combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("token", sort=False, as_index=False).agg(df=("df", "sum"))
+
+    df_counts = hash_partitioned_agg(
+        tf.map_batches(
+            lambda d: pd.DataFrame({"token": d["token"], "df": 1}),
+            batch_format="pandas",
+        ),
+        ["token"], df_combine,
+    )
+
+    # token-keyed repartition join: tf rows carry df = -1, df rows tf = -1
+    def tf_tagged(d: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"doc_id": d["doc_id"], "token": d["token"], "tf": d["tf"], "df": -1}
+        )
+
+    def df_tagged(d: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"doc_id": -1, "token": d["token"], "tf": -1, "df": d["df"]}
+        )
+
+    def score_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        tfp = d[d["df"] < 0][["doc_id", "token", "tf"]]
+        dfp = d[d["df"] >= 0][["token", "df"]]
+        m = tfp.merge(dfp, on="token", how="inner")
+        idf = (n_docs * IDF_SCALE) // m["df"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].astype("int64"),
+                "token": m["token"],
+                "score": (m["tf"].to_numpy() * idf).astype("int64"),
+            }
+        )
+
+    scored = hash_partitioned_apply(
+        tf.map_batches(tf_tagged, batch_format="pandas").union(
+            df_counts.map_batches(df_tagged, batch_format="pandas")
+        ),
+        ["token"], score_kernel,
+    )
+
+    def topk_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        d = d.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True])
+        out = d.groupby("doc_id", sort=False).head(k).copy()
+        out["rank"] = out.groupby("doc_id", sort=False).cumcount() + 1
+        out["rank"] = out["rank"].astype("int64")
+        return out[["doc_id", "token", "score", "rank"]]
+
+    return hash_partitioned_apply(scored, ["doc_id"], topk_kernel, int_keys=True)
+
+
+def sql_tfidf_topk(sql_token_list: str, k: int = 3) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sql_token_list}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+), n AS (SELECT count(*) AS n FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf * ((n.n * {IDF_SCALE}) // df.df) AS BIGINT) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token) AS rnk FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, token, score,
+       CAST(rnk AS BIGINT) AS "rank"
+FROM r WHERE rnk <= {k}
+"""
+
+
+def inverted_index(docs_ds, postings_k: int = 5):
+    """documents -> posting-list rows (token, df, doc_id, posting_rank):
+    per token its document frequency and the first ``postings_k`` doc_ids
+    ascending, one ROW per posting (no per-token string join — the list
+    shape stays columnar and the oracle is a plain window function).
+
+    Per-batch combiner bounds the exchange: each batch ships at most one
+    count row plus ``postings_k`` candidate posting rows per distinct
+    token (min-k is associative), so shuffle volume is O(batches x vocab),
+    never O(corpus tokens).  Kind discriminator: count rows have
+    doc_id = -1 and carry cnt; posting rows carry cnt = 0."""
+    import pandas as pd
+
+    from ..functions.text import tokenize
+    from .exchange import hash_partitioned_apply
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        toks, ids = [], []
+        for r in batch.to_pylist():
+            seen = set(tokenize(r["text"] or ""))
+            toks.extend(seen)
+            ids.extend([r["doc_id"]] * len(seen))
+        d = pd.DataFrame({"token": toks, "doc_id": ids})
+        counts = d.groupby("token", sort=False, as_index=False).agg(
+            cnt=("doc_id", "size")
+        )
+        counts["doc_id"] = -1
+        top = d.sort_values(["token", "doc_id"]).groupby(
+            "token", sort=False).head(postings_k).copy()
+        top["cnt"] = 0
+        return pd.concat(
+            [counts[["token", "doc_id", "cnt"]], top[["token", "doc_id", "cnt"]]],
+            ignore_index=True,
+        )
+
+    def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        df_per_token = (
+            d[d["doc_id"] < 0].groupby("token", sort=False, as_index=False)
+            .agg(df=("cnt", "sum"))
+        )
+        post = d[d["doc_id"] >= 0].sort_values(["token", "doc_id"])
+        post = post.groupby("token", sort=False).head(postings_k).copy()
+        post["posting_rank"] = post.groupby("token", sort=False).cumcount() + 1
+        m = post.merge(df_per_token, on="token", how="inner")
+        return pd.DataFrame(
+            {
+                "token": m["token"],
+                "df": m["df"].astype("int64"),
+                "doc_id": m["doc_id"].astype("int64"),
+                "posting_rank": m["posting_rank"].astype("int64"),
+            }
+        )
+
+    rows = docs_ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partitioned_apply(rows, ["token"], kernel)
+
+
+def sql_inverted_index(sql_token_list: str, postings_k: int = 5) -> str:
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest({sql_token_list}) AS token FROM documents
+  )
+), df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1
+), p AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS pr
+  FROM tok
+)
+SELECT p.token, df.df, CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(p.pr AS BIGINT) AS posting_rank
+FROM p JOIN df USING (token) WHERE p.pr <= {postings_k}
+"""
+
+
 def sql_ngram_topk(sql_token_list: str, n: int = 2, k: int = 20) -> str:
     """DuckDB oracle for ngram_topk over the shared tokenizer expression."""
     gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
