@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "rel_grouped_median",
     "doc_sample",
     "text_ngram_topk",
+    "text_tfidf_topk",
+    "text_inverted_index",
+    "graph_pagerank",
+    "rel_event_funnel",
+    "rel_grouped_quantiles",
 ]
 
 

@@ -354,6 +354,18 @@ def dedup_clusters(sf_dir: str):
     return cluster_ids(docs, pairs)
 
 
+def dedup_representatives(sf_dir: str):
+    """One representative (min doc_id) per near-dup cluster — the
+    keep-side of dedup_clusters (near-dup analog of exact dedup's
+    per-group first; what a curation pipeline actually writes out)."""
+    from .stages.cluster import dedup_representatives as _keep
+    from .stages.dedup import ngram_jaccard_pairs
+
+    docs = _docs_ds(sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=NGRAM_T)
+    return _keep(docs, pairs)
+
+
 def text_anonymize(sf_dir: str):
     """Regex-PII masking (email/phone/custom terms) — the SQL-checkable
     subset of the anonymizer; PERSON masking via the broadcast alias dict is
@@ -612,6 +624,7 @@ def registry() -> dict:
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "dedup_clusters": dedup_clusters,
+        "dedup_representatives": dedup_representatives,
         "text_anonymize": text_anonymize,
         "ann_topk": ann_topk,
         "ann_topk_lsh": ann_topk_lsh,
@@ -716,6 +729,15 @@ FROM reach GROUP BY doc_id
 """
 
 
+def _sql_representatives() -> str:
+    """Keep-side of the clusters oracle: rows where doc_id is its own
+    cluster label."""
+    return (
+        f"WITH c AS ({_sql_clusters()}) "
+        "SELECT doc_id, cluster_id FROM c WHERE doc_id = cluster_id"
+    )
+
+
 def _sql_anonymize() -> str:
     from .stages.anonymize import EMAIL_PATTERN, PHONE_PATTERN
 
@@ -791,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": so.sql_ann_topk_lsh(ANN_EVERY, ANN_K, nbits=8, tables=4),
         "ann_topk_ivf": so.sql_ann_topk_ivf(ANN_EVERY, ANN_K, n_lists=16, nprobe=4),
         "dedup_clusters": _sql_clusters(),
+        "dedup_representatives": _sql_representatives(),
         "text_anonymize": _sql_anonymize(),
         "kg_page_text": (
             f"SELECT {DOC_URL_SQL} AS url, {norm} AS text FROM documents"
