@@ -73,6 +73,12 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "rel_event_funnel",
     "rel_grouped_quantiles",
+    "rel_anti_join",
+    "rel_pivot",
+    "rel_running_total",
+    "rel_rollup",
+    "sketch_hll",
+    "text_heavy_hitters",
 ]
 
 

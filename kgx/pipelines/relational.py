@@ -856,3 +856,260 @@ def sql_quantile_orders_per_nation() -> str:
         f"SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, {cols} "
         "FROM j GROUP BY c_nationkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join (reference J5's complement: exclusion filtering — the "drop
+# everything already processed/linked" shape, post_processor.py:62-63)
+# ---------------------------------------------------------------------------
+
+
+def customers_without_urgent(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """customer ▷ orders[o_orderpriority = '1-URGENT']: custkeys having NO
+    urgent order (anti-join; the exclusion dual of ``customers_with_orders``).
+
+    Same measured-size strategy split as the semi-join: the distinct urgent
+    key set is computed distributed (per-batch filter + unique, then the
+    partition-only exchange — never a driver key set), and
+
+    * ``<= broadcast_limit`` keys — broadcast the key array once and drop
+      probe rows with the vectorized inverted ``pc.is_in``;
+    * larger — Ray's native hash-partitioned ``left_anti`` join, so neither
+      side ever lands on the driver.
+    """
+    import ray
+
+    from ..stages.exchange import hash_partitioned_apply
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    key_schema = pa.schema([("o_custkey", pa.int64())])
+
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["o_orderpriority"], "1-URGENT")
+        return pa.table(
+            {
+                "o_custkey": pc.cast(
+                    pc.unique(batch.filter(keep)["o_custkey"]), pa.int64()
+                )
+            },
+            schema=key_schema,
+        )
+
+    distinct_keys = hash_partitioned_apply(
+        orders.map_batches(urgent_keys, batch_format="pyarrow"),
+        ["o_custkey"],
+        lambda t: pa.table(
+            {"o_custkey": pc.unique(t["o_custkey"])}, schema=key_schema
+        ),
+        int_keys=True,
+        kernel_format="pyarrow",
+    ).materialize()
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    if distinct_keys.count() > broadcast_limit:
+        n_parts = _join_partitions(cust, distinct_keys)
+        joined = cust.join(
+            distinct_keys,
+            join_type="left_anti",
+            num_partitions=n_parts,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        )
+        return joined.select_columns(["c_custkey"])
+
+    keys_arr = pa.concat_tables(
+        [ray.get(r) for r in distinct_keys.to_arrow_refs()]
+    )["o_custkey"].combine_chunks()
+    keys_ref = ray.put(keys_arr)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        return batch.filter(
+            pc.invert(pc.is_in(batch["c_custkey"], value_set=k))
+        )
+
+    return cust.map_batches(drop, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Pivot / crosstab (reshape: long event stream -> wide per-user profile,
+# the feature-table shape every training pipeline materializes)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(sf_dir: str):
+    """events -> one row per user with one count column per event type
+    (long-to-wide crosstab).  The column set is the FIXED type vocabulary
+    (pivot requires a stable output schema; unknown types would go to an
+    explicit overflow column in a schema-evolving deployment).
+
+    Partial crosstabs combine per batch — one row per user per batch with 5
+    int columns — so the exchange moves pre-aggregated wide rows, never raw
+    events; the keyed combiner merge is a single vectorized sum per
+    partition."""
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def to_agg_form(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = {"user_id": df["user_id"].astype("int64")}
+        et = df["event_type"]
+        for t in EVENT_TYPES:
+            out[f"n_{t}"] = (et == t).astype("int64")
+        return pd.DataFrame(out)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.groupby("user_id", sort=False, as_index=False)
+            .agg(**{f"n_{t}": (f"n_{t}", "sum") for t in EVENT_TYPES})
+        )
+
+    return hash_partitioned_agg(
+        ds.map_batches(to_agg_form, batch_format="pandas"), ["user_id"], combine
+    )
+
+
+def sql_event_type_pivot() -> str:
+    cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
+
+
+# ---------------------------------------------------------------------------
+# Running total (per-key prefix sum — the ordered-window dual of the
+# tumbling/sliding windows; reference §2.9 ordering semantics)
+# ---------------------------------------------------------------------------
+
+
+def running_order_total(sf_dir: str):
+    """orders -> per-customer cumulative revenue over date-ordered orders:
+    (o_custkey, o_orderkey, cum_cents).
+
+    Money is integer cents (``floor(p*100 + 0.5)`` — the conf_pct
+    half-away convention shared with the SQL oracle) so the prefix sum is
+    exact under any execution order.  One partition-only exchange on
+    custkey, then a single vectorized sort + grouped cumsum kernel per
+    partition — no per-key Python at unbounded customer counts, windows
+    cannot bleed across keys because partitioning is by key hash."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_apply
+
+    ds = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cents = np.floor(d["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            "int64"
+        )
+        d = d.assign(cents=cents)
+        cum = d.groupby("o_custkey", sort=False)["cents"].cumsum()
+        return pd.DataFrame(
+            {
+                "o_custkey": d["o_custkey"].astype("int64"),
+                "o_orderkey": d["o_orderkey"].astype("int64"),
+                "cum_cents": cum.astype("int64"),
+            }
+        )
+
+    return hash_partitioned_apply(ds, ["o_custkey"], kernel, int_keys=True)
+
+
+def sql_running_order_total() -> str:
+    return (
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cum_cents FROM orders"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (multi-granularity aggregate in ONE pass — the report-summary
+# shape; reference G9 batch summary emits per-batch AND per-run totals)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_rollup(sf_dir: str):
+    """lineitem -> (l_returnflag, l_linestatus) aggregates PLUS per-flag
+    subtotals and the grand total, 'ALL' as the rolled-up sentinel (NULL
+    would be hash-hostile in the driver compare).
+
+    All three levels come out of the one combiner exchange: each batch
+    partial emits its level-0 rows and locally rolled-up level-1/2 rows
+    (a few extra rows per batch — group cardinality here is bounded), and
+    the keyed merge sums each (flag, status) cell once.  One scan, one
+    exchange, no second aggregation pass over the data."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_agg
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def levels(df: "pd.DataFrame") -> "pd.DataFrame":
+        qty = np.floor(df["l_quantity"].to_numpy() + 0.5).astype("int64")
+        base = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "n_rows": np.ones(len(df), dtype="int64"),
+                "sum_qty": qty,
+            }
+        )
+        g0 = base.groupby(
+            ["l_returnflag", "l_linestatus"], sort=False, as_index=False
+        ).agg(n_rows=("n_rows", "sum"), sum_qty=("sum_qty", "sum"))
+        g1 = g0.groupby("l_returnflag", sort=False, as_index=False).agg(
+            n_rows=("n_rows", "sum"), sum_qty=("sum_qty", "sum")
+        )
+        g1.insert(1, "l_linestatus", "ALL")
+        g2 = pd.DataFrame(
+            {
+                "l_returnflag": ["ALL"],
+                "l_linestatus": ["ALL"],
+                "n_rows": [g0["n_rows"].sum()],
+                "sum_qty": [g0["sum_qty"].sum()],
+            }
+        )
+        return pd.concat([g0, g1, g2], ignore_index=True)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(
+            ["l_returnflag", "l_linestatus"], sort=False, as_index=False
+        ).agg(n_rows=("n_rows", "sum"), sum_qty=("sum_qty", "sum"))
+
+    return hash_partitioned_agg(
+        ds.map_batches(levels, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"], combine,
+    )
+
+
+def sql_lineitem_rollup() -> str:
+    q = "CAST(floor(l_quantity + 0.5) AS BIGINT)"
+    lvl0 = (
+        "SELECT l_returnflag, l_linestatus, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, CAST(sum({q}) AS BIGINT) AS sum_qty "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+    lvl1 = (
+        "SELECT l_returnflag, 'ALL' AS l_linestatus, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, CAST(sum({q}) AS BIGINT) AS sum_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    lvl2 = (
+        "SELECT 'ALL' AS l_returnflag, 'ALL' AS l_linestatus, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, CAST(sum({q}) AS BIGINT) AS sum_qty "
+        "FROM lineitem"
+    )
+    return f"{lvl0} UNION ALL {lvl1} UNION ALL {lvl2}"

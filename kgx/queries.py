@@ -599,6 +599,62 @@ def rel_grouped_quantiles(sf_dir: str):
     return quantile_orders_per_nation(sf_dir)
 
 
+def rel_anti_join(sf_dir: str):
+    """customer ▷ urgent orders: custkeys with NO '1-URGENT' order
+    (exclusion dual of rel_semi_join; broadcast vs native left_anti split
+    on measured key count)."""
+    from .pipelines.relational import customers_without_urgent
+
+    return customers_without_urgent(sf_dir)
+
+
+def rel_pivot(sf_dir: str):
+    """Long-to-wide crosstab: per-user count columns for the fixed
+    event-type vocabulary (partial crosstabs combine before the shuffle)."""
+    from .pipelines.relational import event_type_pivot
+
+    return event_type_pivot(sf_dir)
+
+
+def rel_running_total(sf_dir: str):
+    """Per-customer cumulative revenue (integer cents) over date-ordered
+    orders — keyed prefix sum as one partition-only exchange + one
+    vectorized sort/cumsum kernel."""
+    from .pipelines.relational import running_order_total
+
+    return running_order_total(sf_dir)
+
+
+def rel_rollup(sf_dir: str):
+    """(l_returnflag, l_linestatus) aggregate plus per-flag subtotals and
+    the grand total in ONE scan/exchange ('ALL' sentinel rows)."""
+    from .pipelines.relational import lineitem_rollup
+
+    return lineitem_rollup(sf_dir)
+
+
+def sketch_hll(sf_dir: str):
+    """HyperLogLog 256-register sketch of distinct (token, doc_id) pairs
+    (approximate inverted-index size) — the register table IS the result
+    (integer-exact, mergeable); the cardinality estimate is a
+    deterministic driver post-process (kgx.stages.sketch.hll_estimate)."""
+    from .stages.sketch import hll_token_registers
+
+    return hll_token_registers(_docs_ds(sf_dir))
+
+
+HEAVY_K = 100
+
+
+def text_heavy_hitters(sf_dir: str):
+    """Exact tokens with cnt * k > N via two-pass pigeonhole candidate
+    generation + candidate-only recount — the full vocabulary never
+    shuffles."""
+    from .stages.sketch import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(_docs_ds(sf_dir), k=HEAVY_K)
+
+
 # ---------------------------------------------------------------------------
 # Registry + SQL oracles
 # ---------------------------------------------------------------------------
@@ -652,6 +708,12 @@ def registry() -> dict:
         "graph_pagerank": graph_pagerank,
         "rel_event_funnel": rel_event_funnel,
         "rel_grouped_quantiles": rel_grouped_quantiles,
+        "rel_anti_join": rel_anti_join,
+        "rel_pivot": rel_pivot,
+        "rel_running_total": rel_running_total,
+        "rel_rollup": rel_rollup,
+        "sketch_hll": sketch_hll,
+        "text_heavy_hitters": text_heavy_hitters,
     }
 
 
@@ -792,6 +854,36 @@ def _sql_grouped_quantiles_oracle() -> str:
     from .pipelines.relational import sql_quantile_orders_per_nation
 
     return sql_quantile_orders_per_nation()
+
+
+def _sql_pivot_oracle() -> str:
+    from .pipelines.relational import sql_event_type_pivot
+
+    return sql_event_type_pivot()
+
+
+def _sql_running_total_oracle() -> str:
+    from .pipelines.relational import sql_running_order_total
+
+    return sql_running_order_total()
+
+
+def _sql_rollup_oracle() -> str:
+    from .pipelines.relational import sql_lineitem_rollup
+
+    return sql_lineitem_rollup()
+
+
+def _sql_hll_oracle() -> str:
+    from .stages.sketch import sql_hll_token_registers
+
+    return sql_hll_token_registers(ts.sql_token_list(_TEXT))
+
+
+def _sql_heavy_hitters_oracle() -> str:
+    from .stages.sketch import sql_heavy_hitter_tokens
+
+    return sql_heavy_hitter_tokens(ts.sql_token_list(_TEXT), k=HEAVY_K)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -972,6 +1064,16 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _sql_pagerank_oracle(),
         "rel_event_funnel": _sql_event_funnel_oracle(),
         "rel_grouped_quantiles": _sql_grouped_quantiles_oracle(),
+        "rel_anti_join": (
+            "SELECT c_custkey FROM customer c WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "rel_pivot": _sql_pivot_oracle(),
+        "rel_running_total": _sql_running_total_oracle(),
+        "rel_rollup": _sql_rollup_oracle(),
+        "sketch_hll": _sql_hll_oracle(),
+        "text_heavy_hitters": _sql_heavy_hitters_oracle(),
         "text_ngram_topk": _sql_ngram_topk_oracle(),
         "rel_topk_per_group": (
             "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "

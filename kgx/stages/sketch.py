@@ -1,0 +1,243 @@
+"""Distributed sketch operators for corpus statistics: HyperLogLog
+distinct-count registers and exact two-pass heavy hitters.
+
+Both are canonical 100-TB shapes: the driver never sees per-key state —
+only a fixed-size register table (HLL) or a pigeonhole-bounded candidate
+list (heavy hitters) crosses the exchange.  Decision rules are pure
+integer arithmetic so the DuckDB oracle reproduces them bit-exactly
+(driver-contract convention; the register content IS the query result,
+the float estimate is a deterministic driver-side post-process).
+
+Reference provenance: the reference keeps corpus-level quality counters
+and per-run distinct statistics on its report path
+(``src/pipeline/post_processor.py`` G7 counters, ``README.md`` run
+summaries); these sketches are the scale-safe generalization of those
+counters to unbounded key cardinality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+HLL_B = 8                       # 2^8 = 256 registers
+HLL_M = 1 << HLL_B
+_W_BITS = 64 - HLL_B            # rank runs over the low 56 bits
+_W_MASK = np.uint64((1 << _W_BITS) - 1)
+
+_REG_SCHEMA = pa.schema([("register", pa.int64()), ("max_rank", pa.int64())])
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (exact — float log2 loses the
+    boundary cases above 2^53, so binary-search with shifts instead)."""
+    v = w.copy()
+    bl = np.zeros(len(w), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        bl += s * big
+        v >>= big.astype(np.uint64) * np.uint64(s)
+    return bl + (v > 0)
+
+
+def hll_partial_registers(hashes: np.ndarray) -> "pa.Table":
+    """uint64 hashes -> non-empty (register, max_rank) rows.  register is
+    the top HLL_B bits; rank = (bits after the register) leading-zero count
+    + 1 = _W_BITS + 1 - bit_length(w), exactly ``57 - length(bin(w))`` in
+    DuckDB for w > 0 (bin() strips leading zeros) and 57 for w = 0."""
+    reg = (hashes >> np.uint64(_W_BITS)).astype(np.int64)
+    w = hashes & _W_MASK
+    rank = (_W_BITS + 1) - _bit_length_u64(w)
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(regs, reg, rank)
+    nz = np.nonzero(regs)[0]
+    return pa.table(
+        {"register": nz.astype(np.int64), "max_rank": regs[nz]},
+        schema=_REG_SCHEMA,
+    )
+
+
+def hll_token_registers(docs_ds):
+    """documents -> the merged 256-register HLL sketch of DISTINCT
+    (token, doc_id) pairs corpus-wide — i.e. an approximate inverted-index
+    size — as (register, max_rank) rows (non-empty registers only).
+
+    Per batch: tokenize, hash each doc's distinct tokens qualified by
+    doc_id, fold into a local 256-slot register array; the keyed exchange
+    then merges at most 256 rows per batch with a vectorized max — shuffle
+    volume is O(batches x 256) regardless of corpus size, and register-max
+    is associative / commutative / idempotent, so the result is exact
+    under any partitioning (double-counting a pair is harmless)."""
+    import pandas as pd
+
+    from ..functions.text import stable_hash64, tokenize
+    from .exchange import hash_partitioned_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hs: list[int] = []
+        ids = batch["doc_id"].to_pylist()
+        for doc_id, text in zip(ids, batch["text"].to_pylist()):
+            for t in set(tokenize(text or "")):
+                hs.append(stable_hash64(f"{t}:{doc_id}"))
+        return hll_partial_registers(np.asarray(hs, dtype=np.uint64))
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.groupby("register", sort=False, as_index=False)
+            .agg(max_rank=("max_rank", "max"))
+        )
+
+    return hash_partitioned_agg(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["register"], combine,
+    )
+
+
+def hll_estimate(registers: "np.ndarray | list[int]", b: int = HLL_B) -> float:
+    """Flajolet et al. '07 estimate from a DENSE m-length rank array
+    (missing registers = 0).  Driver-side post-process of the sketch query
+    result; relative error ~ 1.04/sqrt(m) ~ 6.5% at m=256."""
+    m = 1 << b
+    regs = np.asarray(registers, dtype=np.float64)
+    assert len(regs) == m
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs))
+    if est <= 2.5 * m:
+        zeros = int(np.sum(regs == 0))
+        if zeros:
+            est = m * np.log(m / zeros)  # linear counting for small n
+    return float(est)
+
+
+def sql_hll_token_registers(sql_token_list: str) -> str:
+    """DuckDB oracle: same hash (md5_number_upper('0:'||t) ==
+    stable_hash64), same register/rank split; length(bin(w)) is
+    bit_length for w > 0."""
+    two_w = 1 << _W_BITS
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest({sql_token_list}) AS token FROM documents
+  )
+), h AS (
+  SELECT md5_number_upper('0:' || token || ':' || CAST(doc_id AS VARCHAR)) AS h
+  FROM tok
+), r AS (
+  SELECT CAST(h // {two_w} AS BIGINT) AS register,
+         CAST(h % {two_w} AS BIGINT) AS w
+  FROM h
+)
+SELECT register,
+       max(CASE WHEN w = 0 THEN {_W_BITS + 1}
+                ELSE {_W_BITS + 1} - length(bin(w)) END) AS max_rank
+FROM r GROUP BY register
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (two-pass candidate-generate + verify)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitter_tokens(docs_ds, k: int = 100):
+    """documents -> EXACTLY the tokens whose corpus-wide occurrence count
+    satisfies cnt * k > N (N = total token occurrences), as (token, cnt).
+
+    Pass 1 (one scan): per-batch local counts emit a candidate row only for
+    tokens with local_cnt * k > batch_tokens — by pigeonhole every global
+    heavy hitter exceeds the threshold in at least one batch, and at most
+    k-1 tokens can do so per batch, so the candidate exchange is bounded by
+    O(k x batches) rows no matter how large the vocabulary; the same scan
+    folds batch token totals into N (a driver scalar).  Pass 2 (one scan):
+    the merged candidate list broadcasts once (ray.put), each batch counts
+    ONLY candidates, and one combiner exchange plus the exact N filter
+    yields the same rows as the full GROUP BY ... HAVING — without ever
+    shuffling the full vocabulary.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.text import tokenize
+    from .exchange import hash_partitioned_agg
+
+    part_schema = pa.schema(
+        [("token", pa.string()), ("cnt", pa.int64()), ("is_total", pa.int64())]
+    )
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        n_b = 0
+        for text in batch["text"].to_pylist():
+            for t in tokenize(text or ""):
+                counts[t] = counts.get(t, 0) + 1
+                n_b += 1
+        cand = [(t, c) for t, c in counts.items() if c * k > n_b]
+        toks = [t for t, _ in cand] + [""]
+        cnts = [c for _, c in cand] + [n_b]
+        flags = [0] * len(cand) + [1]
+        return pa.table(
+            {"token": toks, "cnt": cnts, "is_total": flags}, schema=part_schema
+        )
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.groupby(["token", "is_total"], sort=False, as_index=False)
+            .agg(cnt=("cnt", "sum"))
+        )
+
+    merged = hash_partitioned_agg(
+        docs_ds.map_batches(pass1, batch_format="pyarrow"),
+        ["token", "is_total"], combine,
+    ).materialize()
+
+    n_total = 0
+    cand_tables = []
+    for ref in merged.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "is_total" not in t.schema.names:
+            continue  # empty pandas-origin blocks carry no schema
+        tot = t.filter(pc.equal(t["is_total"], 1))
+        n_total += int(pc.sum(tot["cnt"]).as_py() or 0)
+        cand_tables.append(t.filter(pc.equal(t["is_total"], 0)).select(["token"]))
+    cand_arr = pa.concat_tables(cand_tables)["token"].combine_chunks()
+    cand_ref = ray.put(cand_arr)  # bounded: < k rows per pass-1 batch
+
+    def pass2(batch: pa.Table) -> "pd.DataFrame":
+        cand = set(ray.get(cand_ref).to_pylist())
+        counts: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for t in tokenize(text or ""):
+                if t in cand:
+                    counts[t] = counts.get(t, 0) + 1
+        return pd.DataFrame(
+            {"token": list(counts), "cnt": list(counts.values())}
+        )
+
+    def combine2(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("token", sort=False, as_index=False).agg(
+            cnt=("cnt", "sum")
+        )
+
+    exact = hash_partitioned_agg(
+        docs_ds.map_batches(pass2, batch_format="pyarrow"), ["token"], combine2
+    )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df[df["cnt"].to_numpy() * k > n_total].copy()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out[["token", "cnt"]]
+
+    return exact.map_batches(final, batch_format="pandas")
+
+
+def sql_heavy_hitter_tokens(sql_token_list: str, k: int = 100) -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest({sql_token_list}) AS token FROM documents
+), tot AS (SELECT count(*) AS n FROM tok),
+c AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+)
+SELECT token, cnt FROM c, tot WHERE cnt * {k} > tot.n
+"""

@@ -1,0 +1,238 @@
+"""Round-3 batch-2 operators: HLL distinct sketch, exact two-pass heavy
+hitters, anti-join, pivot, running total, rollup — property-tested against
+serial brute force (the driver's SQL oracle is the other gate;
+scripts/check_queries.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from kgx.stages.sketch import (
+    HLL_B,
+    HLL_M,
+    _bit_length_u64,
+    heavy_hitter_tokens,
+    hll_estimate,
+    hll_partial_registers,
+    hll_token_registers,
+)
+
+
+def _collect(ds):
+    frames = [
+        b.to_pandas()
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    return (
+        pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+
+def test_bit_length_u64_exact():
+    """The shift-based bit_length matches Python's int.bit_length on
+    boundary-hostile values (float log2 would misround above 2^53)."""
+    vals = [0, 1, 2, 3, (1 << 53) - 1, 1 << 53, (1 << 53) + 1,
+            (1 << 56) - 1, 1 << 55, 12345678901234567]
+    got = _bit_length_u64(np.array(vals, dtype=np.uint64))
+    assert got.tolist() == [v.bit_length() for v in vals]
+
+
+def test_hll_partial_registers_serial():
+    """Register/rank split matches the per-value serial definition."""
+    rng = np.random.RandomState(3)
+    hs = rng.randint(0, 1 << 63, size=500, dtype=np.int64).astype(np.uint64)
+    t = hll_partial_registers(hs)
+    regs = dict(zip(t["register"].to_pylist(), t["max_rank"].to_pylist()))
+    expect: dict[int, int] = {}
+    for h in hs.tolist():
+        reg = h >> (64 - HLL_B)
+        w = h & ((1 << (64 - HLL_B)) - 1)
+        rank = (64 - HLL_B) + 1 - w.bit_length()
+        expect[reg] = max(expect.get(reg, 0), rank)
+    assert regs == expect
+
+
+def test_hll_merge_and_estimate(ray_session):
+    """Distributed sketch == serial sketch over the same corpus, and the
+    estimate lands within the documented ~6.5% (3 sigma ~ 20%) of truth."""
+    import ray.data as rd
+
+    from kgx.functions.text import stable_hash64, tokenize
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(5, 40)))
+        for _ in range(300)
+    ]
+    docs = pa.table({"doc_id": list(range(300)), "text": texts})
+    ds = rd.from_arrow(docs).repartition(7)
+
+    out = _collect(hll_token_registers(ds))
+    got = dict(zip(out["register"], out["max_rank"]))
+
+    pairs = {
+        (t, i) for i, txt in enumerate(texts) for t in set(tokenize(txt))
+    }
+    expect: dict[int, int] = {}
+    for t, i in pairs:
+        h = stable_hash64(f"{t}:{i}")
+        reg = h >> (64 - HLL_B)
+        w = h & ((1 << (64 - HLL_B)) - 1)
+        expect[reg] = max(expect.get(reg, 0), (64 - HLL_B) + 1 - w.bit_length())
+    assert got == expect
+
+    dense = np.zeros(HLL_M, dtype=np.int64)
+    for r, m in got.items():
+        dense[r] = m
+    est = hll_estimate(dense)
+    assert abs(est - len(pairs)) / len(pairs) < 0.20
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_vs_brute_force(ray_session):
+    """Two-pass pigeonhole result == full GROUP BY ... HAVING, on a skewed
+    corpus where most tokens are NOT candidates in most batches."""
+    import collections
+
+    import ray.data as rd
+
+    from kgx.functions.text import tokenize
+
+    rng = np.random.RandomState(5)
+    head = ["alpha", "beta"]
+    tail = [f"t{i}" for i in range(500)]
+    texts = []
+    for _ in range(200):
+        toks = list(rng.choice(tail, size=rng.randint(5, 15)))
+        if rng.rand() < 0.7:
+            toks += [rng.choice(head)] * rng.randint(1, 4)
+        texts.append(" ".join(toks))
+    docs = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ds = rd.from_arrow(docs).repartition(9)
+
+    k = 50
+    got = _collect(heavy_hitter_tokens(ds, k=k))
+    got_map = dict(zip(got["token"], got["cnt"]))
+
+    counts = collections.Counter(
+        t for txt in texts for t in tokenize(txt)
+    )
+    n = sum(counts.values())
+    expect = {t: c for t, c in counts.items() if c * k > n}
+    assert got_map == expect
+    assert expect  # the test corpus must actually produce hitters
+
+
+# ---------------------------------------------------------------------------
+# Relational batch-2 (anti-join / pivot / running total / rollup)
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_anti_join_vs_pandas(ray_session):
+    from kgx.pipelines.relational import customers_without_urgent
+
+    got = set(_collect(customers_without_urgent(SF))["c_custkey"])
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    urgent = set(orders[orders["o_orderpriority"] == "1-URGENT"]["o_custkey"])
+    expect = set(cust["c_custkey"]) - urgent
+    assert got == expect and got
+
+
+def test_anti_join_native_path_agrees(ray_session):
+    """Force the left_anti join branch (broadcast_limit=0) — must agree
+    with the broadcast branch."""
+    from kgx.pipelines.relational import customers_without_urgent
+
+    a = set(_collect(customers_without_urgent(SF))["c_custkey"])
+    b = set(
+        _collect(customers_without_urgent(SF, broadcast_limit=0))["c_custkey"]
+    )
+    assert a == b
+
+
+def test_pivot_vs_pandas(ray_session):
+    from kgx.pipelines.relational import EVENT_TYPES, event_type_pivot
+
+    got = (
+        _collect(event_type_pivot(SF))
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    expect = (
+        pd.crosstab(ev["user_id"], ev["event_type"])
+        .reindex(columns=list(EVENT_TYPES), fill_value=0)
+        .reset_index()
+    )
+    expect.columns = ["user_id"] + [f"n_{t}" for t in EVENT_TYPES]
+    for c in expect.columns:
+        assert got[c].astype("int64").tolist() == expect[c].astype("int64").tolist()
+
+
+def test_running_total_vs_pandas(ray_session):
+    from kgx.pipelines.relational import running_order_total
+
+    got = (
+        _collect(running_order_total(SF))
+        .sort_values(["o_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    o = pd.read_parquet(f"{SF}/orders.parquet").sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    o["cents"] = np.floor(o["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+        "int64"
+    )
+    o["cum"] = o.groupby("o_custkey")["cents"].cumsum()
+    o = o.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    assert got["cum_cents"].tolist() == o["cum"].tolist()
+    assert got["o_orderkey"].tolist() == o["o_orderkey"].tolist()
+
+
+def test_rollup_vs_pandas(ray_session):
+    from kgx.pipelines.relational import lineitem_rollup
+
+    got = _collect(lineitem_rollup(SF))
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    li["q"] = np.floor(li["l_quantity"].to_numpy() + 0.5).astype("int64")
+    total_rows = len(li)
+    total_qty = int(li["q"].sum())
+
+    g = dict(
+        got.set_index(["l_returnflag", "l_linestatus"])[
+            ["n_rows", "sum_qty"]
+        ].agg(tuple, axis=1)
+    )
+    # grand total row
+    assert g[("ALL", "ALL")] == (total_rows, total_qty)
+    # per-flag subtotals sum to the grand total
+    flags = [k for k in g if k[1] == "ALL" and k[0] != "ALL"]
+    assert sum(g[k][0] for k in flags) == total_rows
+    # level-0 cells match pandas exactly
+    l0 = li.groupby(["l_returnflag", "l_linestatus"]).agg(
+        n=("q", "size"), s=("q", "sum")
+    )
+    for (f, s), row in l0.iterrows():
+        assert g[(f, s)] == (int(row["n"]), int(row["s"]))
