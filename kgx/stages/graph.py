@@ -3,11 +3,13 @@
 The KG the reference extracts is consumed as a graph (entities/adjacency,
 reference ``src/graph/builder.py`` semantics); ranking its nodes is the
 canonical downstream analytics step, and at 100 TB the graph lives in the
-object store, not on the driver.  This module runs power iteration with
-LABELS-AS-A-DATASET — the same round structure as
-``kgx.stages.cluster.label_propagation_ds`` (co-partitioned message
-exchange per round, ``pin`` bounding per-round block count, only scalar
-convergence state on the driver).
+object store, not on the driver.  This module runs power iteration as a
+PARTITIONED-EDGE PREGEL: the static edge set is hash-partitioned into P
+pinned object-store partitions once (Ray Data builds them: dedup +
+outdegree via the keyed exchanges), then each round is P contribute tasks
++ P sum tasks over raw Ray ``ObjectRef`` handles — only rank data moves
+per round, the graph itself never re-shuffles (the same reason GraphX
+keeps a partitioned edge RDD).  The driver holds P refs, never data.
 
 All arithmetic is INTEGER fixed-point so the DuckDB oracle reproduces it
 bit-exactly (the kgx driver-contract convention):
@@ -34,24 +36,16 @@ BASE = R0 * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
 _RANK_SCHEMA = pa.schema([("node", pa.int64()), ("pr", pa.int64())])
 
 
-def _pin(ds, n_parts: int):
-    """Bound block count and cut lineage between rounds (see
-    cluster.label_propagation_ds.pin: union+groupby preserve input block
-    counts, so an unpinned loop grows blocks — and per-round task cost —
-    geometrically)."""
-    import ray.data as rd
-
-    return rd.from_arrow_refs(ds.repartition(n_parts).materialize().to_arrow_refs())
-
-
 def pagerank_ds(edges_ds, iterations: int = 3, num_partitions: int | None = None):
     """edges (src:int64, dst:int64) -> (node, pr) after ``iterations`` rounds
     of integer power iteration.  Nodes are the distinct edge endpoints.
 
-    Per round: ranks and degree-carrying edges co-locate by hash(src) (one
-    partition-only exchange), a vectorized pandas kernel emits per-dst
-    partial contributions, and the keyed combiner exchange sums them into
-    the next rank vector — no per-node Python at unbounded node counts.
+    Per round: each edge partition joins its co-resident rank partition
+    (vectorized searchsorted — both are local by the shared owner hash),
+    pre-sums contributions per dst and splits them by owner; P sum tasks
+    reduce the incoming partials into the next rank vector — no per-node
+    Python at unbounded node counts, and the edge set itself never moves
+    after the initial partitioning.
     Dangling nodes cannot occur when the caller supplies a symmetrized
     edge set (every endpoint has outdegree >= 1); isolated nodes are out of
     scope (they hold the closed-form rank BASE + 0 forever).
@@ -85,90 +79,125 @@ def pagerank_ds(edges_ds, iterations: int = 3, num_partitions: int | None = None
         dedup_edges, ["src"], degree_kernel, P, int_keys=True
     )
 
-    # ---- r0: every endpoint node at R0 ------------------------------------
-    def seed(batch: pa.Table) -> pa.Table:
-        nodes = np.concatenate(
-            [batch["src"].to_numpy(), batch["dst"].to_numpy()]
-        ).astype(np.int64)
+    # ---- partitioned-edge Pregel rounds ------------------------------------
+    # The static edge set is hash-partitioned by src ONCE into P pinned
+    # object-store partitions; each round moves ONLY rank data: P contribute
+    # tasks (edge part ⋈ co-resident rank part, pre-summed per dst, split by
+    # owner) and P sum tasks (concat + reduce + BASE).  This is the
+    # documented drop-to-raw-Ray case — the Dataset API re-sorts the
+    # (unchanged) edge rows through the exchange every round, which at 3
+    # rounds re-shuffles the whole graph 3x for no information gain; raw
+    # tasks hold the partition handles across rounds instead (the same
+    # reason GraphX keeps a partitioned edge RDD).  Partitioning
+    # assumption: node n is OWNED by partition mix(n) % P; with a
+    # symmetrized edge set every node appears as a src, so ownership is
+    # derivable from the edge partitions alone and every node receives at
+    # least one in-contribution per round.
+    import ray.data as rd
+
+    _C_ADD = np.uint64(0x9E3779B97F4A7C15)
+    _C_MUL = np.uint64(0xBF58476D1CE4E5B9)
+    P = max(2, P)
+
+    def _owner(nodes: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            mix = (nodes.astype(np.uint64) + _C_ADD) * _C_MUL
+        return (mix % np.uint64(P)).astype(np.int64)
+
+    edge_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("outdeg", pa.int64())]
+    )
+
+    def _split_by(t: pa.Table, col_vals: np.ndarray):
+        order = np.argsort(_owner(col_vals), kind="stable")
+        st = t.take(pa.array(order))
+        sp = _owner(col_vals)[order]
+        bounds = np.searchsorted(sp, np.arange(P + 1))
+        return tuple(
+            st.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)
+        )
+
+    def split_edges(t: pa.Table):
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            empty = pa.table(
+                {"src": [], "dst": [], "outdeg": []}, schema=edge_schema
+            )
+            return tuple(empty for _ in range(P))
+        t = pa.table(
+            {c: t[c] for c in ("src", "dst", "outdeg")}, schema=edge_schema
+        )
+        return _split_by(t, t["src"].to_numpy())
+
+    def concat_parts(*pieces):
+        live = [p for p in pieces if p.num_rows]
+        return (
+            pa.concat_tables(live).combine_chunks() if live else pieces[0]
+        )
+
+    split_r = ray.remote(num_returns=P)(split_edges)
+    concat_r = ray.remote(concat_parts)
+    block_refs = keyed_edges.materialize().to_arrow_refs()
+    pieces = [split_r.remote(ref) for ref in block_refs]
+    edge_parts = [
+        concat_r.remote(*[pieces[b][p] for b in range(len(pieces))])
+        for p in range(P)
+    ]
+
+    def seed_part(t: pa.Table) -> pa.Table:
+        src = np.unique(t["src"].to_numpy().astype(np.int64))
         return pa.table(
-            {"node": nodes, "pr": np.full(len(nodes), R0, dtype=np.int64)},
+            {"node": src, "pr": np.full(len(src), R0, dtype=np.int64)},
             schema=_RANK_SCHEMA,
         )
 
-    def first_per_node(df: "pd.DataFrame") -> "pd.DataFrame":
-        return df.drop_duplicates(subset=["node"])[["node", "pr"]]
+    def contribute_part(edges_t: pa.Table, ranks_t: pa.Table):
+        e_src = edges_t["src"].to_numpy()
+        rn = ranks_t["node"].to_numpy()
+        rp = ranks_t["pr"].to_numpy()
+        order = np.argsort(rn)
+        pr = rp[order][np.searchsorted(rn[order], e_src)]
+        contrib = (pr * DAMP_NUM) // (DAMP_DEN * edges_t["outdeg"].to_numpy())
+        dst = edges_t["dst"].to_numpy()
+        o = np.argsort(dst, kind="stable")
+        d, c = dst[o], contrib[o]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]]) if len(d) else d
+        sums = np.add.reduceat(c, starts) if len(d) else c
+        t = pa.table(
+            {"node": d[starts] if len(d) else d, "partial": sums},
+            schema=pa.schema([("node", pa.int64()), ("partial", pa.int64())]),
+        )
+        return _split_by(t, t["node"].to_numpy())
 
-    ranks = hash_partitioned_agg(
-        dedup_edges.map_batches(seed, batch_format="pyarrow"),
-        ["node"], first_per_node, P,
-    )
-
-    # ---- rounds ------------------------------------------------------------
-    edge_cols = pa.schema(
-        [("node", pa.int64()), ("dst", pa.int64()), ("outdeg", pa.int64()),
-         ("pr", pa.int64())]
-    )
-
-    def as_edge_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+    def sum_part(*pieces) -> pa.Table:
+        t = concat_parts(*pieces)
+        n = t["node"].to_numpy()
+        s = t["partial"].to_numpy()
+        o = np.argsort(n, kind="stable")
+        n, s = n[o], s[o]
+        starts = np.flatnonzero(np.r_[True, n[1:] != n[:-1]]) if len(n) else n
+        sums = np.add.reduceat(s, starts) if len(n) else s
         return pa.table(
             {
-                "node": batch["src"],
-                "dst": batch["dst"],
-                "outdeg": batch["outdeg"],
-                "pr": pa.array(np.full(n, -1, dtype=np.int64)),
+                "node": (n[starts] if len(n) else n).astype(np.int64),
+                "pr": (BASE + sums).astype(np.int64),
             },
-            schema=edge_cols,
+            schema=_RANK_SCHEMA,
         )
 
-    def as_rank_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        neg = pa.array(np.full(n, -1, dtype=np.int64))
-        return pa.table(
-            {"node": batch["node"], "dst": neg, "outdeg": neg, "pr": batch["pr"]},
-            schema=edge_cols,
-        )
+    seed_r = ray.remote(seed_part)
+    contribute_r = ray.remote(num_returns=P)(contribute_part)
+    sum_r = ray.remote(sum_part)
 
-    def contribute(df: "pd.DataFrame") -> "pd.DataFrame":
-        ranks_part = df[df["dst"] < 0][["node", "pr"]]
-        edges_part = df[df["dst"] >= 0][["node", "dst", "outdeg"]]
-        m = edges_part.merge(ranks_part, on="node", how="inner")
-        contrib = (m["pr"].to_numpy() * DAMP_NUM) // (
-            DAMP_DEN * m["outdeg"].to_numpy()
-        )
-        out = pd.DataFrame({"node": m["dst"].to_numpy(), "partial": contrib})
-        # pre-sum per dst before the combiner exchange
-        return out.groupby("node", sort=False, as_index=False).agg(
-            partial=("partial", "sum")
-        )
-
-    def sum_partials(df: "pd.DataFrame") -> "pd.DataFrame":
-        return df.groupby("node", sort=False, as_index=False).agg(
-            partial=("partial", "sum")
-        )
-
-    keyed_edge_rows = _pin(
-        keyed_edges.map_batches(as_edge_rows, batch_format="pyarrow"), P
-    )
-    ranks = _pin(ranks, P)
-
+    rank_parts = [seed_r.remote(edge_parts[p]) for p in range(P)]
     for _ in range(iterations):
-        tagged = keyed_edge_rows.union(
-            ranks.map_batches(as_rank_rows, batch_format="pyarrow")
-        )
-        partials = hash_partitioned_apply(tagged, ["node"], contribute, P,
-                                          int_keys=True)
-        summed = hash_partitioned_agg(partials, ["node"], sum_partials, P)
+        partials = [
+            contribute_r.remote(edge_parts[p], rank_parts[p]) for p in range(P)
+        ]
+        rank_parts = [
+            sum_r.remote(*[partials[p][q] for p in range(P)]) for q in range(P)
+        ]
 
-        def next_rank(df: "pd.DataFrame") -> "pd.DataFrame":
-            return pd.DataFrame(
-                {
-                    "node": df["node"].astype("int64"),
-                    "pr": (BASE + df["partial"]).astype("int64"),
-                }
-            )
-
-        ranks = _pin(summed.map_batches(next_rank, batch_format="pandas"), P)
+    ranks = rd.from_arrow_refs(rank_parts)
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
