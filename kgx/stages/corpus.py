@@ -132,20 +132,21 @@ def tfidf_topk(docs_ds, n_docs: int, k: int = 3):
 
     The idf is integer fixed-point (floor) so the DuckDB oracle is
     bit-exact; ``n_docs`` comes from parquet metadata (no data read).
-    Three exchanges, each keyed and vectorized:
+    ONE tokenization scan and two keyed exchanges, each vectorized:
 
-    1. df: (token, 1-per-doc) partial counts -> combiner exchange on token;
-    2. score: tf rows and df rows co-partition by hash(token) — ONE pandas
-       merge per partition attaches df to every tf row (the classic
-       fact-to-dimension repartition join, dimension here is unbounded
-       vocabulary so no broadcast);
-    3. per-doc top-k: partition-only exchange on doc_id, one vectorized
+    1. score: tf rows co-partition by hash(token); because each doc's
+       counts are complete within its batch, (doc_id, token) rows are
+       globally unique, so df(token) is simply the token's GROUP SIZE
+       inside its partition — no separate df build, no repartition join
+       (a prior layout spent an extra combiner exchange + a second
+       tokenization scan shipping df rows to the same partitions);
+    2. per-doc top-k: partition-only exchange on doc_id, one vectorized
        sort + groupby-head kernel (the same shape as rel_topk_per_group).
     """
     import pandas as pd
 
     from ..functions.text import tokenize
-    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+    from .exchange import hash_partitioned_apply
 
     def tf_rows(batch: pa.Table) -> "pd.DataFrame":
         ids, toks, tfs = [], [], []
@@ -160,47 +161,18 @@ def tfidf_topk(docs_ds, n_docs: int, k: int = 3):
 
     tf = docs_ds.map_batches(tf_rows, batch_format="pyarrow")
 
-    def df_combine(df: "pd.DataFrame") -> "pd.DataFrame":
-        return df.groupby("token", sort=False, as_index=False).agg(df=("df", "sum"))
-
-    df_counts = hash_partitioned_agg(
-        tf.map_batches(
-            lambda d: pd.DataFrame({"token": d["token"], "df": 1}),
-            batch_format="pandas",
-        ),
-        ["token"], df_combine,
-    )
-
-    # token-keyed repartition join: tf rows carry df = -1, df rows tf = -1
-    def tf_tagged(d: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
-            {"doc_id": d["doc_id"], "token": d["token"], "tf": d["tf"], "df": -1}
-        )
-
-    def df_tagged(d: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
-            {"doc_id": -1, "token": d["token"], "tf": -1, "df": d["df"]}
-        )
-
     def score_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
-        tfp = d[d["df"] < 0][["doc_id", "token", "tf"]]
-        dfp = d[d["df"] >= 0][["token", "df"]]
-        m = tfp.merge(dfp, on="token", how="inner")
-        idf = (n_docs * IDF_SCALE) // m["df"].to_numpy()
+        df = d.groupby("token", sort=False)["token"].transform("size").to_numpy()
+        idf = (n_docs * IDF_SCALE) // df
         return pd.DataFrame(
             {
-                "doc_id": m["doc_id"].astype("int64"),
-                "token": m["token"],
-                "score": (m["tf"].to_numpy() * idf).astype("int64"),
+                "doc_id": d["doc_id"].astype("int64"),
+                "token": d["token"],
+                "score": (d["tf"].to_numpy() * idf).astype("int64"),
             }
         )
 
-    scored = hash_partitioned_apply(
-        tf.map_batches(tf_tagged, batch_format="pandas").union(
-            df_counts.map_batches(df_tagged, batch_format="pandas")
-        ),
-        ["token"], score_kernel,
-    )
+    scored = hash_partitioned_apply(tf, ["token"], score_kernel)
 
     def topk_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
         d = d.sort_values(["doc_id", "score", "token"],
