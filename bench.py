@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "rel_rollup",
     "sketch_hll",
     "text_heavy_hitters",
+    "graph_degree_stats",
 ]
 
 

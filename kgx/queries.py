@@ -643,6 +643,15 @@ def sketch_hll(sf_dir: str):
     return hll_token_registers(_docs_ds(sf_dir))
 
 
+def graph_degree_stats(sf_dir: str):
+    """Degree distribution (degree, n_nodes) of the symmetrized
+    supplier<->part graph — two bounded exchanges, histogram keyed by
+    degree (tiny cardinality)."""
+    from .stages.graph import supplier_part_degree_stats
+
+    return supplier_part_degree_stats(sf_dir)
+
+
 HEAVY_K = 100
 
 
@@ -714,6 +723,7 @@ def registry() -> dict:
         "rel_rollup": rel_rollup,
         "sketch_hll": sketch_hll,
         "text_heavy_hitters": text_heavy_hitters,
+        "graph_degree_stats": graph_degree_stats,
     }
 
 
@@ -884,6 +894,12 @@ def _sql_heavy_hitters_oracle() -> str:
     from .stages.sketch import sql_heavy_hitter_tokens
 
     return sql_heavy_hitter_tokens(ts.sql_token_list(_TEXT), k=HEAVY_K)
+
+
+def _sql_degree_stats_oracle() -> str:
+    from .stages.graph import sql_supplier_part_degree_stats
+
+    return sql_supplier_part_degree_stats()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1074,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_rollup": _sql_rollup_oracle(),
         "sketch_hll": _sql_hll_oracle(),
         "text_heavy_hitters": _sql_heavy_hitters_oracle(),
+        "graph_degree_stats": _sql_degree_stats_oracle(),
         "text_ngram_topk": _sql_ngram_topk_oracle(),
         "rel_topk_per_group": (
             "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "

@@ -109,9 +109,10 @@ def pagerank_ds(edges_ds, iterations: int = 3, num_partitions: int | None = None
     )
 
     def _split_by(t: pa.Table, col_vals: np.ndarray):
-        order = np.argsort(_owner(col_vals), kind="stable")
+        own = _owner(col_vals)
+        order = np.argsort(own, kind="stable")
         st = t.take(pa.array(order))
-        sp = _owner(col_vals)[order]
+        sp = own[order]
         bounds = np.searchsorted(sp, np.arange(P + 1))
         return tuple(
             st.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)
@@ -207,10 +208,10 @@ def pagerank_ds(edges_ds, iterations: int = 3, num_partitions: int | None = None
     return ranks.map_batches(finalize, batch_format="pyarrow")
 
 
-def supplier_part_pagerank(sf_dir: str, iterations: int = 3):
-    """PageRank over the symmetrized supplier<->part incidence graph from
-    lineitem (node = 2*suppkey for suppliers, 2*partkey+1 for parts) — the
-    relational stand-in for ranking a KG's entity graph."""
+def supplier_part_edges(sf_dir: str):
+    """Symmetrized supplier<->part incidence edges from lineitem
+    (node = 2*suppkey for suppliers, 2*partkey+1 for parts) — the shared
+    relational stand-in for a KG's entity graph."""
     from pathlib import Path
 
     import ray.data as rd
@@ -231,8 +232,30 @@ def supplier_part_pagerank(sf_dir: str, iterations: int = 3):
             schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
         )
 
-    return pagerank_ds(li.map_batches(to_edges, batch_format="pyarrow"),
-                       iterations=iterations)
+    return li.map_batches(to_edges, batch_format="pyarrow")
+
+
+def supplier_part_pagerank(sf_dir: str, iterations: int = 3):
+    """PageRank over the symmetrized supplier<->part incidence graph —
+    the relational stand-in for ranking a KG's entity graph."""
+    return pagerank_ds(supplier_part_edges(sf_dir), iterations=iterations)
+
+
+def supplier_part_degree_stats(sf_dir: str):
+    """Degree distribution of the symmetrized supplier<->part graph."""
+    return degree_histogram(supplier_part_edges(sf_dir))
+
+
+def sql_supplier_part_degree_stats() -> str:
+    return (
+        "WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT)*2 AS src, "
+        "CAST(l_partkey AS BIGINT)*2+1 AS dst FROM lineitem), "
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), "
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree "
+        "FROM edges GROUP BY src) "
+        "SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes "
+        "FROM deg GROUP BY degree"
+    )
 
 
 def sql_supplier_part_pagerank(iterations: int = 3) -> str:
@@ -263,3 +286,53 @@ def sql_supplier_part_pagerank(iterations: int = 3) -> str:
         f"FROM {prev}"
     )
     return "".join(lines)
+
+
+def degree_histogram(edges_ds, num_partitions: int | None = None):
+    """edges (src:int64, dst:int64) -> the graph's degree distribution
+    (degree, n_nodes) — the first diagnostic anyone runs on an extracted
+    KG (hub detection, power-law sanity; reference consumes its adjacency
+    the same way, ``src/graph/builder.py`` semantics).
+
+    Two bounded exchanges, no per-node Python:
+
+    1. distinct-neighbor counting: per-batch (src, dst) drop_duplicates
+       pre-combine, then ONE partition-only exchange on src whose kernel
+       finishes the dedup AND emits (degree, 1) rows in the same pass —
+       degree must be computed INSIDE the partition kernel (a downstream
+       map_batches could see a partition's output split across block
+       boundaries and undercount);
+    2. histogram: (degree, n_nodes) partials -> combiner exchange keyed by
+       degree (degree cardinality is tiny relative to nodes, so this
+       exchange is near-constant).
+    """
+    import pandas as pd
+    import ray
+
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    P = num_partitions or max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def pre_dedup(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates(subset=["src", "dst"])[["src", "dst"]]
+
+    partial = edges_ds.map_batches(pre_dedup, batch_format="pandas")
+
+    def degree_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.drop_duplicates(subset=["src", "dst"]).groupby(
+            "src", sort=False
+        ).size()
+        return pd.DataFrame(
+            {"degree": g.to_numpy().astype("int64"),
+             "n_nodes": np.ones(len(g), dtype="int64")}
+        )
+
+    deg = hash_partitioned_apply(partial, ["src"], degree_kernel, P,
+                                 int_keys=True)
+
+    def hist_combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("degree", sort=False, as_index=False).agg(
+            n_nodes=("n_nodes", "sum")
+        )
+
+    return hash_partitioned_agg(deg, ["degree"], hist_combine, P)

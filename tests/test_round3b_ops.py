@@ -208,6 +208,34 @@ def test_running_total_vs_pandas(ray_session):
     assert got["o_orderkey"].tolist() == o["o_orderkey"].tolist()
 
 
+def test_degree_histogram_vs_brute_force(ray_session):
+    """Distributed degree histogram == serial dict counting, with duplicate
+    edge rows in the input (must not inflate degrees)."""
+    import collections
+
+    import ray.data as rd
+
+    from kgx.stages.graph import degree_histogram
+
+    rng = np.random.RandomState(13)
+    raw = {(int(a), int(b)) for a, b in rng.randint(0, 60, size=(400, 2))
+           if a != b}
+    edges = sorted(raw | {(b, a) for a, b in raw})
+    dup_edges = edges + edges[::3]  # planted duplicates
+    ds = rd.from_arrow(
+        pa.table(
+            {"src": [e[0] for e in dup_edges], "dst": [e[1] for e in dup_edges]},
+            schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        )
+    ).repartition(5)
+    got = dict(
+        zip(*(lambda d: (d["degree"], d["n_nodes"]))(_collect(degree_histogram(ds))))
+    )
+    deg = collections.Counter(s for s, _ in edges)
+    expect = collections.Counter(deg.values())
+    assert {int(k): int(v) for k, v in got.items()} == dict(expect)
+
+
 def test_rollup_vs_pandas(ray_session):
     from kgx.pipelines.relational import lineitem_rollup
 
