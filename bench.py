@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "sketch_hll",
     "text_heavy_hitters",
     "graph_degree_stats",
+    "sketch_bloom",
 ]
 
 

@@ -643,6 +643,21 @@ def sketch_hll(sf_dir: str):
     return hll_token_registers(_docs_ds(sf_dir))
 
 
+def sketch_bloom(sf_dir: str):
+    """Bloom filter of the orders build-side key set (o_custkey) as sorted
+    distinct (bit,) rows — the mergeable sketch a shuffle-avoiding
+    semi-join broadcasts when the exact key set is too big
+    (kgx.stages.sketch.bloom_membership_mask is the probe side)."""
+    import ray.data as rd
+
+    from .stages.sketch import bloom_build
+
+    orders = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"), columns=["o_custkey"]
+    )
+    return bloom_build(orders, "o_custkey")
+
+
 def graph_degree_stats(sf_dir: str):
     """Degree distribution (degree, n_nodes) of the symmetrized
     supplier<->part graph — two bounded exchanges, histogram keyed by
@@ -724,6 +739,7 @@ def registry() -> dict:
         "sketch_hll": sketch_hll,
         "text_heavy_hitters": text_heavy_hitters,
         "graph_degree_stats": graph_degree_stats,
+        "sketch_bloom": sketch_bloom,
     }
 
 
@@ -900,6 +916,12 @@ def _sql_degree_stats_oracle() -> str:
     from .stages.graph import sql_supplier_part_degree_stats
 
     return sql_supplier_part_degree_stats()
+
+
+def _sql_bloom_oracle() -> str:
+    from .stages.sketch import sql_bloom_build
+
+    return sql_bloom_build("o_custkey", "orders")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1091,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll": _sql_hll_oracle(),
         "text_heavy_hitters": _sql_heavy_hitters_oracle(),
         "graph_degree_stats": _sql_degree_stats_oracle(),
+        "sketch_bloom": _sql_bloom_oracle(),
         "text_ngram_topk": _sql_ngram_topk_oracle(),
         "rel_topk_per_group": (
             "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "

@@ -241,3 +241,96 @@ c AS (
 )
 SELECT token, cnt FROM c, tot WHERE cnt * {k} > tot.n
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (set-membership sketch; shuffle-avoiding join prefilter)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16   # bits
+BLOOM_K = 4         # hash functions
+
+# Wraparound-multiply hash family (Knuth multiplicative; same technique as
+# the MinHash family — numpy uint64 wraps natively, DuckDB reproduces the
+# product in HUGEINT mod 2^64).  Seeds derive from stable_hash64 so both
+# sides embed identical constants.
+def _bloom_family():
+    from ..functions.text import stable_hash64
+
+    muls = [stable_hash64(f"bloom-a-11-{i}") | 1 for i in range(BLOOM_K)]
+    adds = [stable_hash64(f"bloom-b-11-{i}") for i in range(BLOOM_K)]
+    return muls, adds
+
+
+def bloom_positions_np(keys: "np.ndarray") -> "np.ndarray":
+    """int64 keys -> flat array of BLOOM_K bit positions per key (top-32
+    bits of each wraparound product mod BLOOM_M — low multiplicative-hash
+    bits are weak)."""
+    muls, adds = _bloom_family()
+    k = keys.astype(np.uint64)
+    out = []
+    with np.errstate(over="ignore"):
+        for mul, add in zip(muls, adds):
+            h = k * np.uint64(mul) + np.uint64(add)
+            out.append(((h >> np.uint64(32)) % np.uint64(BLOOM_M)).astype(np.int64))
+    return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+
+def bloom_build(ds, key: str):
+    """Dataset -> the set Bloom filter of its ``key`` column, as sorted
+    DISTINCT (bit,) rows — the mergeable sketch form (bit-set union is a
+    row-level distinct, so the per-batch combiner bounds the exchange to
+    O(batches x min(4·keys, BLOOM_M)) and partitions merge exactly).
+
+    Scale use (documented, exercised in tests): when a semi-join's build
+    side has too many distinct keys to broadcast exactly but the ~8 KB
+    bitset fits anywhere, broadcast the bitset and pre-filter the probe
+    side BEFORE its exchange — no false negatives, false-positive rate
+    (1-e^(-kn/m))^k, exact verify afterwards only over survivors."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg
+
+    bit_schema = pa.schema([("bit", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = pc.unique(pc.fill_null(batch[key], 0)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        bits = np.unique(bloom_positions_np(keys))
+        return pa.table({"bit": bits}, schema=bit_schema)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates(subset=["bit"])[["bit"]]
+
+    return hash_partitioned_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["bit"], combine
+    )
+
+
+def bloom_membership_mask(keys: "np.ndarray", bitset: "np.ndarray") -> "np.ndarray":
+    """Vectorized probe: True where ALL BLOOM_K positions of a key are set
+    in ``bitset`` (a dense bool array of length BLOOM_M).  No false
+    negatives; positives must be exact-verified downstream."""
+    pos = bloom_positions_np(keys).reshape(BLOOM_K, -1)
+    mask = np.ones(len(keys), dtype=bool)
+    for i in range(BLOOM_K):
+        mask &= bitset[pos[i]]
+    return mask
+
+
+def sql_bloom_build(key_expr: str, table: str) -> str:
+    muls, adds = _bloom_family()
+    two64 = 1 << 64
+    parts = [
+        f"SELECT ((CAST({key_expr} AS HUGEINT) * {mul} + {add}) % {two64}) "
+        f"// {1 << 32} % {BLOOM_M} AS bit FROM {table}"
+        for mul, add in zip(muls, adds)
+    ]
+    return (
+        "SELECT DISTINCT CAST(bit AS BIGINT) AS bit FROM ("
+        + " UNION ALL ".join(parts)
+        + ")"
+    )

@@ -99,6 +99,54 @@ def test_hll_merge_and_estimate(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_positions_match_serial_hugeint():
+    """numpy uint64 wraparound == the HUGEINT mod-2^64 arithmetic the SQL
+    oracle embeds (guards the oracle assumption directly)."""
+    from kgx.stages.sketch import BLOOM_K, BLOOM_M, _bloom_family, bloom_positions_np
+
+    muls, adds = _bloom_family()
+    keys = np.array([0, 1, 7, 499, 123456789, 2**62 + 11], dtype=np.int64)
+    got = bloom_positions_np(keys).reshape(BLOOM_K, -1)
+    for i, (mul, add) in enumerate(zip(muls, adds)):
+        for j, key in enumerate(keys.tolist()):
+            h = (key * mul + add) % (1 << 64)
+            assert got[i, j] == (h >> 32) % BLOOM_M
+
+
+def test_bloom_no_false_negatives_and_fp_rate(ray_session):
+    """Every build key passes the membership mask; FP rate on disjoint
+    probes stays near the analytic (1-e^(-kn/m))^k."""
+    import ray.data as rd
+
+    from kgx.stages.sketch import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_build,
+        bloom_membership_mask,
+    )
+
+    rng = np.random.RandomState(23)
+    build = np.unique(rng.randint(0, 10**9, size=2000)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": build})).repartition(6)
+    bits_df = _collect(bloom_build(ds, "k"))
+    bitset = np.zeros(BLOOM_M, dtype=bool)
+    bitset[bits_df["bit"].to_numpy()] = True
+
+    assert bloom_membership_mask(build, bitset).all()  # no false negatives
+
+    probes = np.setdiff1d(
+        rng.randint(0, 10**9, size=20000).astype(np.int64), build
+    )
+    fp = bloom_membership_mask(probes, bitset).mean()
+    analytic = (1 - np.exp(-BLOOM_K * len(build) / BLOOM_M)) ** BLOOM_K
+    assert fp < max(4 * analytic, 0.02)
+
+
+# ---------------------------------------------------------------------------
 # Heavy hitters
 # ---------------------------------------------------------------------------
 
