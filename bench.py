@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "text_heavy_hitters",
     "graph_degree_stats",
     "sketch_bloom",
+    "doc_sample_stratified",
 ]
 
 

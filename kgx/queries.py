@@ -643,6 +643,23 @@ def sketch_hll(sf_dir: str):
     return hll_token_registers(_docs_ds(sf_dir))
 
 
+def doc_sample_stratified(sf_dir: str):
+    """Per-source-tier deterministic sampling (corpus rebalancing): each
+    source keeps its tier's pct of docs under the same stable hash-bucket
+    rule as doc_sample — no shuffle, retunable per source."""
+    from .stages.corpus import stratified_sample_documents
+
+    return stratified_sample_documents(_docs_ds_with_source(sf_dir))
+
+
+def _docs_ds_with_source(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"), columns=["doc_id", "source"]
+    )
+
+
 def sketch_bloom(sf_dir: str):
     """Bloom filter of the orders build-side key set (o_custkey) as sorted
     distinct (bit,) rows — the mergeable sketch a shuffle-avoiding
@@ -740,6 +757,7 @@ def registry() -> dict:
         "text_heavy_hitters": text_heavy_hitters,
         "graph_degree_stats": graph_degree_stats,
         "sketch_bloom": sketch_bloom,
+        "doc_sample_stratified": doc_sample_stratified,
     }
 
 
@@ -922,6 +940,12 @@ def _sql_bloom_oracle() -> str:
     from .stages.sketch import sql_bloom_build
 
     return sql_bloom_build("o_custkey", "orders")
+
+
+def _sql_stratified_oracle() -> str:
+    from .stages.corpus import sql_stratified_sample_documents
+
+    return sql_stratified_sample_documents()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1114,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         "text_heavy_hitters": _sql_heavy_hitters_oracle(),
         "graph_degree_stats": _sql_degree_stats_oracle(),
         "sketch_bloom": _sql_bloom_oracle(),
+        "doc_sample_stratified": _sql_stratified_oracle(),
         "text_ngram_topk": _sql_ngram_topk_oracle(),
         "rel_topk_per_group": (
             "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "

@@ -302,3 +302,68 @@ SELECT gram, n_occurrences,
          AS "rank"
 FROM c ORDER BY n_occurrences DESC, gram LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling (per-source rates — curation rebalancing)
+# ---------------------------------------------------------------------------
+
+STRATA_PCTS = (25, 10, 5)  # source-tier keep rates (tier = source num % 3)
+
+
+def stratified_sample_documents(docs_ds, buckets: int = 1000):
+    """documents -> the deterministic per-SOURCE-tier sample: each source
+    keeps STRATA_PCTS[tier]% of its docs (tier = trailing source number
+    mod 3; unparseable sources fail open to tier 1), same hash-bucket rule
+    as ``sample_documents`` — the corpus-rebalancing staple (oversample
+    scarce high-quality sources, downsample boilerplate-heavy ones).
+
+    Embarrassingly parallel: one vectorized filter per batch, no shuffle;
+    kept docs stay kept under corpus growth, and per-source rates can be
+    retuned without invalidating other sources' samples (the bucket is a
+    pure function of doc_id)."""
+    keep_below = np.array(
+        [p * buckets // 100 for p in STRATA_PCTS], dtype=np.int64
+    )
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        src = pd.Series(batch["source"].to_pylist(), dtype="object")
+        num = pd.to_numeric(
+            src.str.extract(r"(\d+)$", expand=False), errors="coerce"
+        )
+        tier = num.fillna(1).astype("int64").to_numpy() % 3
+        bucket = sample_bucket_np(ids, buckets)
+        mask = bucket < keep_below[tier]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], type=pa.int64()),
+                "source": pa.array(src.to_numpy()[mask], type=pa.string()),
+                "sample_bucket": pa.array(bucket[mask], type=pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def sql_stratified_sample_documents(buckets: int = 1000) -> str:
+    two64 = 1 << 64
+    expr = (
+        f"(((CAST(doc_id AS HUGEINT) * {SAMPLE_MUL} + {SAMPLE_ADD}) % {two64}) "
+        f"// {1 << 32}) % {buckets}"
+    )
+    kb = [p * buckets // 100 for p in STRATA_PCTS]
+    tier = (
+        "CAST(coalesce(try_cast(regexp_extract(source, '([0-9]+)$', 1) "
+        "AS BIGINT), 1) AS BIGINT) % 3"
+    )
+    return (
+        f"WITH b AS (SELECT doc_id, source, {expr} AS sample_bucket, "
+        f"CASE {tier} WHEN 0 THEN {kb[0]} WHEN 1 THEN {kb[1]} "
+        f"ELSE {kb[2]} END AS kb FROM documents) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, source, "
+        "CAST(sample_bucket AS BIGINT) AS sample_bucket "
+        "FROM b WHERE sample_bucket < kb"
+    )

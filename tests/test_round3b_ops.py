@@ -185,6 +185,51 @@ def test_heavy_hitters_exact_vs_brute_force(ray_session):
     assert expect  # the test corpus must actually produce hitters
 
 
+def test_stratified_sample_rates_and_stability(ray_session):
+    """Per-tier keep rates hold, kept docs stay kept under growth, and the
+    serial brute force agrees row-for-row (incl. unparseable sources
+    failing open to tier 1)."""
+    import ray.data as rd
+
+    from kgx.stages.corpus import (
+        STRATA_PCTS,
+        sample_bucket_np,
+        stratified_sample_documents,
+    )
+
+    n = 6000
+    srcs = [f"site{i % 9}" for i in range(n - 10)] + ["weird-src"] * 10
+    docs = pa.table({"doc_id": list(range(n)), "source": srcs})
+    got = _collect(
+        stratified_sample_documents(rd.from_arrow(docs).repartition(7))
+    )
+
+    buckets = sample_bucket_np(np.arange(n, dtype=np.int64))
+    tiers = np.array(
+        [i % 9 % 3 for i in range(n - 10)] + [1] * 10, dtype=np.int64
+    )
+    kb = np.array([p * 1000 // 100 for p in STRATA_PCTS])[tiers]
+    expect_ids = np.flatnonzero(buckets < kb)
+    assert sorted(got["doc_id"]) == expect_ids.tolist()
+
+    # rate sanity per tier (binomial tolerance)
+    for t, p in enumerate(STRATA_PCTS):
+        in_tier = np.flatnonzero(tiers == t)
+        kept = np.intersect1d(in_tier, expect_ids)
+        assert abs(len(kept) / len(in_tier) - p / 100) < 0.03
+
+    # growth stability: the 2x corpus keeps a superset on the shared prefix
+    docs2 = pa.table(
+        {"doc_id": list(range(2 * n)),
+         "source": [f"site{i % 9}" for i in range(2 * n)]}
+    )
+    got2 = set(
+        _collect(stratified_sample_documents(rd.from_arrow(docs2)))["doc_id"]
+    )
+    shared = [d for d in got["doc_id"] if d < n - 10]
+    assert set(shared) <= got2
+
+
 # ---------------------------------------------------------------------------
 # Relational batch-2 (anti-join / pivot / running total / rollup)
 # ---------------------------------------------------------------------------
