@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "graph_degree_stats",
     "sketch_bloom",
     "doc_sample_stratified",
+    "dedup_decontaminate",
 ]
 
 

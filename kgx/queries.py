@@ -643,6 +643,18 @@ def sketch_hll(sf_dir: str):
     return hll_token_registers(_docs_ds(sf_dir))
 
 
+def dedup_decontaminate(sf_dir: str):
+    """Eval-split decontamination: for each doc in the deterministic 10%
+    eval split, its min-id near-duplicate (n-gram jaccard) in the
+    remaining corpus — train/test leakage detection composed from the pair
+    generator + the stable sample split."""
+    from .stages.corpus import decontaminate
+    from .stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs_ds(sf_dir), n=NGRAM_N, threshold=NGRAM_T)
+    return decontaminate(pairs, eval_pct=10)
+
+
 def doc_sample_stratified(sf_dir: str):
     """Per-source-tier deterministic sampling (corpus rebalancing): each
     source keeps its tier's pct of docs under the same stable hash-bucket
@@ -758,6 +770,7 @@ def registry() -> dict:
         "graph_degree_stats": graph_degree_stats,
         "sketch_bloom": sketch_bloom,
         "doc_sample_stratified": doc_sample_stratified,
+        "dedup_decontaminate": dedup_decontaminate,
     }
 
 
@@ -946,6 +959,12 @@ def _sql_stratified_oracle() -> str:
     from .stages.corpus import sql_stratified_sample_documents
 
     return sql_stratified_sample_documents()
+
+
+def _sql_decontaminate_oracle() -> str:
+    from .stages.corpus import sql_decontaminate
+
+    return sql_decontaminate(_sql_ngram_pairs(), eval_pct=10)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1139,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree_stats": _sql_degree_stats_oracle(),
         "sketch_bloom": _sql_bloom_oracle(),
         "doc_sample_stratified": _sql_stratified_oracle(),
+        "dedup_decontaminate": _sql_decontaminate_oracle(),
         "text_ngram_topk": _sql_ngram_topk_oracle(),
         "rel_topk_per_group": (
             "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "

@@ -367,3 +367,80 @@ def sql_stratified_sample_documents(buckets: int = 1000) -> str:
         "CAST(sample_bucket AS BIGINT) AS sample_bucket "
         "FROM b WHERE sample_bucket < kb"
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-split decontamination (train/test leakage detection)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(pairs_ds, eval_pct: int = 10, buckets: int = 1000):
+    """near-dup pairs (id_a, id_b) -> (test_doc_id, corpus_doc_id): for
+    each doc in the deterministic eval split (the same stable hash bucket
+    as ``sample_documents``, bucket < eval_pct%), the min-id near-duplicate
+    OUTSIDE the split — i.e. train/eval contamination, the check every
+    training-data pipeline runs before publishing a held-out set.
+
+    Composes with any pair generator from ``kgx.stages.dedup`` (exact /
+    jaccard / minhash / simhash / embedding), so 'contaminated' is as
+    strict or fuzzy as the chosen similarity.  One vectorized direction
+    filter per pair batch, then a min combiner exchange keyed by the test
+    doc — pair volume, never the corpus, crosses the wire."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg
+
+    keep_below = eval_pct * buckets // 100
+    out_schema = pa.schema(
+        [("test_doc_id", pa.int64()), ("corpus_doc_id", pa.int64())]
+    )
+
+    def directed(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.int64)
+        b = batch["id_b"].to_numpy().astype(np.int64)
+        ba = sample_bucket_np(a, buckets)
+        bb = sample_bucket_np(b, buckets)
+        m1 = (ba < keep_below) & (bb >= keep_below)
+        m2 = (bb < keep_below) & (ba >= keep_below)
+        return pa.table(
+            {
+                "test_doc_id": np.concatenate([a[m1], b[m2]]),
+                "corpus_doc_id": np.concatenate([b[m1], a[m2]]),
+            },
+            schema=out_schema,
+        )
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("test_doc_id", sort=False, as_index=False).agg(
+            corpus_doc_id=("corpus_doc_id", "min")
+        )
+
+    return hash_partitioned_agg(
+        pairs_ds.map_batches(directed, batch_format="pyarrow"),
+        ["test_doc_id"], combine,
+    )
+
+
+def sql_decontaminate(pairs_sql: str, eval_pct: int = 10,
+                      buckets: int = 1000) -> str:
+    keep_below = eval_pct * buckets // 100
+    two64 = 1 << 64
+
+    def bucket(col: str) -> str:
+        return (
+            f"(((CAST({col} AS HUGEINT) * {SAMPLE_MUL} + {SAMPLE_ADD}) "
+            f"% {two64}) // {1 << 32}) % {buckets}"
+        )
+
+    return (
+        f"WITH pairs AS ({pairs_sql}), d AS ("
+        f"SELECT id_a AS test_doc_id, id_b AS corpus_doc_id FROM pairs "
+        f"WHERE {bucket('id_a')} < {keep_below} "
+        f"AND {bucket('id_b')} >= {keep_below} "
+        f"UNION ALL SELECT id_b, id_a FROM pairs "
+        f"WHERE {bucket('id_b')} < {keep_below} "
+        f"AND {bucket('id_a')} >= {keep_below}) "
+        "SELECT CAST(test_doc_id AS BIGINT) AS test_doc_id, "
+        "CAST(min(corpus_doc_id) AS BIGINT) AS corpus_doc_id "
+        "FROM d GROUP BY test_doc_id"
+    )

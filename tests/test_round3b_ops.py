@@ -98,6 +98,38 @@ def test_hll_merge_and_estimate(ray_session):
     assert abs(est - len(pairs)) / len(pairs) < 0.20
 
 
+def test_decontaminate_vs_brute_force(ray_session):
+    """Directed split filter + min combiner == serial enumeration over a
+    synthetic pair list spanning both sides of the split."""
+    import ray.data as rd
+
+    from kgx.stages.corpus import decontaminate, sample_bucket_np
+
+    rng = np.random.RandomState(31)
+    pairs = np.unique(rng.randint(0, 3000, size=(800, 2)), axis=0)
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    ds = rd.from_arrow(
+        pa.table(
+            {"id_a": pairs[:, 0].astype("int64"),
+             "id_b": pairs[:, 1].astype("int64")},
+        )
+    ).repartition(6)
+    got = _collect(decontaminate(ds, eval_pct=10))
+    got_map = dict(zip(got["test_doc_id"], got["corpus_doc_id"]))
+
+    kb = 100
+    expect: dict[int, int] = {}
+    for a, b in pairs.tolist():
+        ba = int(sample_bucket_np(np.array([a]))[0])
+        bb = int(sample_bucket_np(np.array([b]))[0])
+        if ba < kb <= bb:
+            expect[a] = min(expect.get(a, b), b)
+        if bb < kb <= ba:
+            expect[b] = min(expect.get(b, a), a)
+    assert {int(k): int(v) for k, v in got_map.items()} == expect
+    assert expect  # split must actually be straddled
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter
 # ---------------------------------------------------------------------------
