@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "sketch_bloom",
     "doc_sample_stratified",
     "dedup_decontaminate",
+    "sketch_cms",
 ]
 
 

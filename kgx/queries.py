@@ -687,6 +687,15 @@ def sketch_bloom(sf_dir: str):
     return bloom_build(orders, "o_custkey")
 
 
+def sketch_cms(sf_dir: str):
+    """Count-min sketch of token occurrences as (d_row, cell, cnt) rows —
+    mergeable frequency sketch (cell sums are order-independent);
+    kgx.stages.sketch.cms_estimate is the driver-side point estimate."""
+    from .stages.sketch import cms_build
+
+    return cms_build(_docs_ds(sf_dir))
+
+
 def graph_degree_stats(sf_dir: str):
     """Degree distribution (degree, n_nodes) of the symmetrized
     supplier<->part graph — two bounded exchanges, histogram keyed by
@@ -771,6 +780,7 @@ def registry() -> dict:
         "sketch_bloom": sketch_bloom,
         "doc_sample_stratified": doc_sample_stratified,
         "dedup_decontaminate": dedup_decontaminate,
+        "sketch_cms": sketch_cms,
     }
 
 
@@ -967,6 +977,12 @@ def _sql_decontaminate_oracle() -> str:
     return sql_decontaminate(_sql_ngram_pairs(), eval_pct=10)
 
 
+def _sql_cms_oracle() -> str:
+    from .stages.sketch import sql_cms_build
+
+    return sql_cms_build(ts.sql_token_list(_TEXT))
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB SQL per SQL-expressible query; keys match registry()."""
     from . import sql_oracles as so
@@ -1159,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_bloom": _sql_bloom_oracle(),
         "doc_sample_stratified": _sql_stratified_oracle(),
         "dedup_decontaminate": _sql_decontaminate_oracle(),
+        "sketch_cms": _sql_cms_oracle(),
         "text_ngram_topk": _sql_ngram_topk_oracle(),
         "rel_topk_per_group": (
             "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "

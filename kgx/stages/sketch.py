@@ -334,3 +334,125 @@ def sql_bloom_build(key_expr: str, table: str) -> str:
         + " UNION ALL ".join(parts)
         + ")"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency estimation; completes the sketch triad:
+# Bloom = membership, HLL = cardinality, CMS = frequency)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4           # hash rows
+CMS_W = 256         # cells per row
+
+
+def _cms_family():
+    from ..functions.text import stable_hash64
+
+    muls = [stable_hash64(f"cms-a-13-{i}") | 1 for i in range(CMS_D)]
+    adds = [stable_hash64(f"cms-b-13-{i}") for i in range(CMS_D)]
+    return muls, adds
+
+
+def cms_cells_np(token_hashes: "np.ndarray") -> "np.ndarray":
+    """uint64 token hashes -> (CMS_D, n) cell indices (top-32 bits of each
+    wraparound product mod CMS_W)."""
+    muls, adds = _cms_family()
+    out = np.empty((CMS_D, len(token_hashes)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i, (mul, add) in enumerate(zip(muls, adds)):
+            h = token_hashes * np.uint64(mul) + np.uint64(add)
+            out[i] = ((h >> np.uint64(32)) % np.uint64(CMS_W)).astype(np.int64)
+    return out
+
+
+def cms_build(docs_ds):
+    """documents -> the merged count-min sketch of token OCCURRENCES, as
+    (d_row, cell, cnt) rows — the mergeable sketch form (cell-wise sums are
+    associative/commutative, so partitioning cannot change the result).
+
+    Per batch: local token counts fold into a d x w counter array
+    (np.add.at), so the exchange moves at most d*w = 1024 rows per batch
+    regardless of vocabulary; the keyed combiner sums cells.  Point
+    estimate (driver-side ``cms_estimate``): min over the d cells — always
+    >= the true count, <= true + eps*N with eps = e/w at the usual
+    failure probability e^-d."""
+    import pandas as pd
+
+    from ..functions.text import stable_hash64, tokenize
+    from .exchange import hash_partitioned_agg
+
+    cms_schema = pa.schema(
+        [("d_row", pa.int64()), ("cell", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for t in tokenize(text or ""):
+                counts[t] = counts.get(t, 0) + 1
+        if not counts:
+            return pa.table({"d_row": [], "cell": [], "cnt": []},
+                            schema=cms_schema)
+        hs = np.array([stable_hash64(t) for t in counts], dtype=np.uint64)
+        cs = np.array(list(counts.values()), dtype=np.int64)
+        cells = cms_cells_np(hs)
+        grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for i in range(CMS_D):
+            np.add.at(grid[i], cells[i], cs)
+        rows, cols = np.nonzero(grid)
+        return pa.table(
+            {"d_row": rows.astype(np.int64), "cell": cols.astype(np.int64),
+             "cnt": grid[rows, cols]},
+            schema=cms_schema,
+        )
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["d_row", "cell"], sort=False, as_index=False).agg(
+            cnt=("cnt", "sum")
+        )
+
+    return hash_partitioned_agg(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["d_row", "cell"], combine,
+    )
+
+
+def cms_estimate(grid: "np.ndarray", token: str) -> int:
+    """Point frequency estimate from a DENSE (CMS_D, CMS_W) grid."""
+    from ..functions.text import stable_hash64
+
+    h = np.array([stable_hash64(token)], dtype=np.uint64)
+    cells = cms_cells_np(h)[:, 0]
+    return int(min(grid[i, c] for i, c in enumerate(cells.tolist())))
+
+
+def sql_cms_build(sql_token_list: str) -> str:
+    """The 64-bit hash x 64-bit multiplier product overflows INT128, so the
+    wraparound multiply uses the 32-bit split identity from
+    kgx/sql_oracles.py: lo64(a*c) = a_lo*c_lo +
+    ((a_lo*c_hi + a_hi*c_lo) mod 2^32) * 2^32  (mod 2^64)."""
+    muls, adds = _cms_family()
+    two32 = "4294967296::HUGEINT"
+    two64 = f"{1 << 64}::HUGEINT"
+    parts = []
+    for i, (mul, add) in enumerate(zip(muls, adds)):
+        a_lo, a_hi = mul % (1 << 32), mul >> 32
+        prod = (
+            f"((c_lo * {a_lo} + ((c_lo * {a_hi} + c_hi * {a_lo}) % {two32}) "
+            f"* {two32} + {add}) % {two64})"
+        )
+        parts.append(
+            f"SELECT {i} AS d_row, {prod} // {1 << 32} % {CMS_W} AS cell "
+            "FROM h"
+        )
+    return (
+        f"WITH tok AS (SELECT unnest({sql_token_list}) AS token "
+        "FROM documents), "
+        "h AS (SELECT md5_number_upper('0:' || token) % "
+        f"{two32} AS c_lo, md5_number_upper('0:' || token) // {two32} AS c_hi "
+        "FROM tok) "
+        "SELECT CAST(d_row AS BIGINT) AS d_row, CAST(cell AS BIGINT) AS cell, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM ("
+        + " UNION ALL ".join(parts)
+        + ") GROUP BY d_row, cell"
+    )

@@ -179,6 +179,53 @@ def test_bloom_no_false_negatives_and_fp_rate(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_matches_serial_and_estimates_bound(ray_session):
+    """Distributed CMS grid == serial fold, and point estimates obey
+    true <= est <= true + eps*N for every token."""
+    import collections
+
+    import ray.data as rd
+
+    from kgx.functions.text import stable_hash64, tokenize
+    from kgx.stages.sketch import (
+        CMS_D,
+        CMS_W,
+        cms_build,
+        cms_cells_np,
+        cms_estimate,
+    )
+
+    rng = np.random.RandomState(17)
+    vocab = [f"v{i}" for i in range(300)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(3, 25)))
+        for _ in range(250)
+    ]
+    docs = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = _collect(cms_build(rd.from_arrow(docs).repartition(8)))
+    grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    grid[out["d_row"].to_numpy(), out["cell"].to_numpy()] = out["cnt"].to_numpy()
+
+    counts = collections.Counter(t for txt in texts for t in tokenize(txt))
+    serial = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for t, c in counts.items():
+        cells = cms_cells_np(np.array([stable_hash64(t)], dtype=np.uint64))
+        for i in range(CMS_D):
+            serial[i, cells[i, 0]] += c
+    assert (grid == serial).all()
+
+    n = sum(counts.values())
+    eps_bound = int(np.ceil(np.e / CMS_W * n))
+    for t, c in counts.items():
+        est = cms_estimate(grid, t)
+        assert c <= est <= c + eps_bound
+
+
+# ---------------------------------------------------------------------------
 # Heavy hitters
 # ---------------------------------------------------------------------------
 
