@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "doc_sample_stratified",
     "dedup_decontaminate",
     "sketch_cms",
+    "rel_grouped_mode",
 ]
 
 

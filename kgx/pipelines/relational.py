@@ -1113,3 +1113,94 @@ def sql_lineitem_rollup() -> str:
         "FROM lineitem"
     )
     return f"{lvl0} UNION ALL {lvl1} UNION ALL {lvl2}"
+
+
+# ---------------------------------------------------------------------------
+# Grouped mode (holistic argmax aggregate; reference G3 keyword-argmax
+# generalized to the most-frequent-value-per-group shape)
+# ---------------------------------------------------------------------------
+
+
+def priority_mode_per_segment(sf_dir: str):
+    """(c_mktsegment, mode_priority, n_orders): each segment's most common
+    order priority, tie-break priority asc.
+
+    Counts combine per batch BEFORE the shuffle (one row per
+    (segment, priority) per batch — the cell count is bounded, 25 here and
+    segments x priorities in general), the keyed exchange merges them, and
+    the argmax runs over the merged cell table, which is group-cardinality
+    scale by construction (never row scale)."""
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    # orders carry no segment: broadcast-join the (small) customer dim the
+    # same way rel_broadcast_join does, then count cells
+    import pyarrow as pa
+    import ray
+
+    seg_tbl = pa.concat_tables(
+        [ray.get(r) for r in cust.materialize().to_arrow_refs()]
+    )
+    seg_ref = ray.put(
+        dict(
+            zip(
+                seg_tbl["c_custkey"].to_pylist(),
+                seg_tbl["c_mktsegment"].to_pylist(),
+            )
+        )
+    )
+
+    def to_cells(df: "pd.DataFrame") -> "pd.DataFrame":
+        lookup = ray.get(seg_ref)
+        seg = df["o_custkey"].map(lookup)
+        out = pd.DataFrame(
+            {"c_mktsegment": seg, "o_orderpriority": df["o_orderpriority"],
+             "n_orders": 1}
+        )
+        return out.groupby(
+            ["c_mktsegment", "o_orderpriority"], sort=False, as_index=False
+        ).agg(n_orders=("n_orders", "sum"))
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(
+            ["c_mktsegment", "o_orderpriority"], sort=False, as_index=False
+        ).agg(n_orders=("n_orders", "sum"))
+
+    cells = hash_partitioned_agg(
+        orders.map_batches(to_cells, batch_format="pandas"),
+        ["c_mktsegment"], combine,
+    )
+
+    def argmax_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.sort_values(
+            ["c_mktsegment", "n_orders", "o_orderpriority"],
+            ascending=[True, False, True],
+        )
+        top = d.groupby("c_mktsegment", sort=False).head(1)
+        return pd.DataFrame(
+            {
+                "c_mktsegment": top["c_mktsegment"],
+                "mode_priority": top["o_orderpriority"],
+                "n_orders": top["n_orders"].astype("int64"),
+            }
+        )
+
+    # keyed by segment: every segment's cells land whole in one partition
+    return hash_partitioned_apply(cells, ["c_mktsegment"], argmax_kernel)
+
+
+def sql_priority_mode_per_segment() -> str:
+    return (
+        "WITH cells AS (SELECT c.c_mktsegment, o.o_orderpriority, "
+        "CAST(count(*) AS BIGINT) AS n_orders "
+        "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+        "GROUP BY 1, 2), r AS (SELECT *, row_number() OVER ("
+        "PARTITION BY c_mktsegment "
+        "ORDER BY n_orders DESC, o_orderpriority) AS rnk FROM cells) "
+        "SELECT c_mktsegment, o_orderpriority AS mode_priority, n_orders "
+        "FROM r WHERE rnk = 1"
+    )

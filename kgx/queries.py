@@ -687,6 +687,15 @@ def sketch_bloom(sf_dir: str):
     return bloom_build(orders, "o_custkey")
 
 
+def rel_grouped_mode(sf_dir: str):
+    """Most common order priority per market segment (holistic argmax
+    aggregate; cell counts combine pre-shuffle, argmax runs over the
+    group-cardinality cell table)."""
+    from .pipelines.relational import priority_mode_per_segment
+
+    return priority_mode_per_segment(sf_dir)
+
+
 def sketch_cms(sf_dir: str):
     """Count-min sketch of token occurrences as (d_row, cell, cnt) rows —
     mergeable frequency sketch (cell sums are order-independent);
@@ -781,6 +790,7 @@ def registry() -> dict:
         "doc_sample_stratified": doc_sample_stratified,
         "dedup_decontaminate": dedup_decontaminate,
         "sketch_cms": sketch_cms,
+        "rel_grouped_mode": rel_grouped_mode,
     }
 
 
@@ -983,6 +993,12 @@ def _sql_cms_oracle() -> str:
     return sql_cms_build(ts.sql_token_list(_TEXT))
 
 
+def _sql_grouped_mode_oracle() -> str:
+    from .pipelines.relational import sql_priority_mode_per_segment
+
+    return sql_priority_mode_per_segment()
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB SQL per SQL-expressible query; keys match registry()."""
     from . import sql_oracles as so
@@ -1176,6 +1192,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_stratified": _sql_stratified_oracle(),
         "dedup_decontaminate": _sql_decontaminate_oracle(),
         "sketch_cms": _sql_cms_oracle(),
+        "rel_grouped_mode": _sql_grouped_mode_oracle(),
         "text_ngram_topk": _sql_ngram_topk_oracle(),
         "rel_topk_per_group": (
             "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "

@@ -408,6 +408,32 @@ def test_degree_histogram_vs_brute_force(ray_session):
     assert {int(k): int(v) for k, v in got.items()} == dict(expect)
 
 
+def test_grouped_mode_vs_pandas(ray_session):
+    from kgx.pipelines.relational import priority_mode_per_segment
+
+    got = (
+        _collect(priority_mode_per_segment(SF))
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+    c = pd.read_parquet(f"{SF}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    cells = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .size()
+        .reset_index(name="n")
+        .sort_values(["c_mktsegment", "n", "o_orderpriority"],
+                     ascending=[True, False, True])
+    )
+    expect = cells.groupby("c_mktsegment").head(1).reset_index(drop=True)
+    assert got["c_mktsegment"].tolist() == expect["c_mktsegment"].tolist()
+    assert got["mode_priority"].tolist() == expect["o_orderpriority"].tolist()
+    assert got["n_orders"].tolist() == expect["n"].astype("int64").tolist()
+
+
 def test_rollup_vs_pandas(ray_session):
     from kgx.pipelines.relational import lineitem_rollup
 
