@@ -200,6 +200,8 @@ def heavy_hitter_tokens(docs_ds, k: int = 100):
         tot = t.filter(pc.equal(t["is_total"], 1))
         n_total += int(pc.sum(tot["cnt"]).as_py() or 0)
         cand_tables.append(t.filter(pc.equal(t["is_total"], 0)).select(["token"]))
+    if not cand_tables:  # empty/null corpus: every block was schema-less
+        cand_tables = [pa.table({"token": pa.array([], type=pa.string())})]
     cand_arr = pa.concat_tables(cand_tables)["token"].combine_chunks()
     cand_ref = ray.put(cand_arr)  # bounded: < k rows per pass-1 batch
 

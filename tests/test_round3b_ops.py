@@ -462,3 +462,71 @@ def test_rollup_vs_pandas(ray_session):
     )
     for (f, s), row in l0.iterrows():
         assert g[(f, s)] == (int(row["n"]), int(row["s"]))
+
+
+# ---------------------------------------------------------------------------
+# Hostile inputs for the round-3 batch-2 operators
+# ---------------------------------------------------------------------------
+
+
+def _empty_docs():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "text": pa.array([], type=pa.string())}
+        )
+    )
+
+
+def _null_docs():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+             "text": pa.array([None, "", "   "], type=pa.string())}
+        )
+    )
+
+
+def test_sketches_on_empty_and_null_corpora(ray_session):
+    from kgx.stages.sketch import cms_build, heavy_hitter_tokens, hll_token_registers
+
+    for docs in (_empty_docs(), _null_docs()):
+        assert _collect(hll_token_registers(docs)).empty
+        assert _collect(cms_build(docs)).empty
+        hh = _collect(heavy_hitter_tokens(docs, k=10))
+        assert hh.empty
+
+
+def test_decontaminate_empty_pairs(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import decontaminate
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {"id_a": pa.array([], type=pa.int64()),
+             "id_b": pa.array([], type=pa.int64())}
+        )
+    )
+    assert _collect(decontaminate(pairs)).empty
+
+
+def test_pagerank_two_node_cycle(ray_session):
+    """Smallest valid graph: labels/ranks flow both ways, integer identity
+    holds (each node keeps exactly R0 every round)."""
+    import ray.data as rd
+
+    from kgx.stages.graph import R0, pagerank_ds
+
+    ds = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([1, 2], type=pa.int64()),
+             "dst": pa.array([2, 1], type=pa.int64())}
+        )
+    )
+    got = _collect(pagerank_ds(ds, iterations=4)).set_index("node")["pr"]
+    assert dict(got) == {1: R0, 2: R0}
