@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "dedup_decontaminate",
     "sketch_cms",
     "rel_grouped_mode",
+    "rel_semi_join_bloom",
 ]
 
 

@@ -1204,3 +1204,80 @@ def sql_priority_mode_per_segment() -> str:
         "SELECT c_mktsegment, o_orderpriority AS mode_priority, n_orders "
         "FROM r WHERE rnk = 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi-join (the sketch-in-a-pipeline pattern: the ~8 KB
+# bitset broadcasts where an exact key set could not, the probe side
+# shrinks BEFORE the exchange, exact verify removes the false positives)
+# ---------------------------------------------------------------------------
+
+
+def customers_with_orders_bloom(sf_dir: str):
+    """Same result set as ``customers_with_orders``, different scale
+    strategy: the orders key set is summarized into the fixed-size Bloom
+    bitset (one combiner exchange over bit rows, never keys), the bitset
+    broadcasts once, the customer probe side filters vectorized BEFORE any
+    join exchange (no false negatives, so no customer is lost), and the
+    native hash semi-join runs only over the surviving probes to drop the
+    Bloom false positives exactly.
+
+    Why it matters at 100 TB: the exact distinct-key broadcast is gated on
+    key count and the native join shuffles the WHOLE probe side; the Bloom
+    path always broadcasts O(BLOOM_M) bits and shuffles only probe rows
+    that (almost all correctly) claim a match — for selective semi-joins
+    the probe exchange shrinks by the selectivity factor at an 8 KB fixed
+    cost."""
+    import numpy as np
+    import ray
+
+    from ..stages.exchange import hash_partitioned_apply
+    from ..stages.sketch import BLOOM_M, bloom_build, bloom_membership_mask
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    bits_ds = bloom_build(orders, "o_custkey").materialize()
+    bitset = np.zeros(BLOOM_M, dtype=bool)
+    for ref in bits_ds.to_arrow_refs():
+        t = ray.get(ref)  # <= BLOOM_M rows total by construction
+        if t.num_rows and "bit" in t.schema.names:
+            bitset[t["bit"].to_numpy()] = True
+    bits_ref = ray.put(bitset)
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bits_ref)
+        keys = batch["c_custkey"].to_numpy()
+        return batch.filter(pa.array(bloom_membership_mask(keys, bs)))
+
+    survivors = cust.map_batches(prefilter, batch_format="pyarrow")
+
+    # exact verify: distinct order keys (computed distributed, as in the
+    # exact semi-join) joined against ONLY the surviving probes
+    key_schema = pa.schema([("o_custkey", pa.int64())])
+    partial_distinct = orders.map_batches(
+        lambda b: pa.table(
+            {"o_custkey": pc.cast(pc.unique(b["o_custkey"]), pa.int64())},
+            schema=key_schema,
+        ),
+        batch_format="pyarrow",
+    )
+    distinct_keys = hash_partitioned_apply(
+        partial_distinct,
+        ["o_custkey"],
+        lambda t: pa.table(
+            {"o_custkey": pc.unique(t["o_custkey"])}, schema=key_schema
+        ),
+        int_keys=True,
+        kernel_format="pyarrow",
+    )
+    n_parts = _join_partitions(survivors, distinct_keys)
+    joined = survivors.join(
+        distinct_keys,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return joined.select_columns(["c_custkey"])

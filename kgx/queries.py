@@ -687,6 +687,15 @@ def sketch_bloom(sf_dir: str):
     return bloom_build(orders, "o_custkey")
 
 
+def rel_semi_join_bloom(sf_dir: str):
+    """Bloom-prefiltered semi-join: the 8 KB bitset broadcasts, the probe
+    side shrinks BEFORE the join exchange, the native join drops the false
+    positives exactly — same rows as rel_semi_join, sketch-driven plan."""
+    from .pipelines.relational import customers_with_orders_bloom
+
+    return customers_with_orders_bloom(sf_dir)
+
+
 def rel_grouped_mode(sf_dir: str):
     """Most common order priority per market segment (holistic argmax
     aggregate; cell counts combine pre-shuffle, argmax runs over the
@@ -791,6 +800,7 @@ def registry() -> dict:
         "dedup_decontaminate": dedup_decontaminate,
         "sketch_cms": sketch_cms,
         "rel_grouped_mode": rel_grouped_mode,
+        "rel_semi_join_bloom": rel_semi_join_bloom,
     }
 
 
@@ -1193,6 +1203,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decontaminate": _sql_decontaminate_oracle(),
         "sketch_cms": _sql_cms_oracle(),
         "rel_grouped_mode": _sql_grouped_mode_oracle(),
+        "rel_semi_join_bloom": (
+            # identical semantics to rel_semi_join: the Bloom stage only
+            # prunes, the exact join restores exactness
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
         "text_ngram_topk": _sql_ngram_topk_oracle(),
         "rel_topk_per_group": (
             "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "

@@ -530,3 +530,17 @@ def test_pagerank_two_node_cycle(ray_session):
     )
     got = _collect(pagerank_ds(ds, iterations=4)).set_index("node")["pr"]
     assert dict(got) == {1: R0, 2: R0}
+
+
+def test_semi_join_bloom_agrees_with_exact(ray_session):
+    """The Bloom-prefiltered plan returns exactly the exact semi-join's
+    rows (false positives removed by the verify join, no false negatives
+    by Bloom's guarantee)."""
+    from kgx.pipelines.relational import (
+        customers_with_orders,
+        customers_with_orders_bloom,
+    )
+
+    exact = set(_collect(customers_with_orders(SF))["c_custkey"])
+    bloom = set(_collect(customers_with_orders_bloom(SF))["c_custkey"])
+    assert bloom == exact and exact
