@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "sketch_cms",
     "rel_grouped_mode",
     "rel_semi_join_bloom",
+    "text_lm_score",
 ]
 
 

@@ -687,6 +687,15 @@ def sketch_bloom(sf_dir: str):
     return bloom_build(orders, "o_custkey")
 
 
+def text_lm_score(sf_dir: str):
+    """Per-doc mean bigram probability under the corpus's own bigram model
+    (integer fixed-point perplexity proxy — the CCNet-style quality
+    filter); prefix-keyed exchange computes both model counts in-partition."""
+    from .stages.corpus import bigram_lm_score
+
+    return bigram_lm_score(_docs_ds(sf_dir))
+
+
 def rel_semi_join_bloom(sf_dir: str):
     """Bloom-prefiltered semi-join: the 8 KB bitset broadcasts, the probe
     side shrinks BEFORE the join exchange, the native join drops the false
@@ -801,6 +810,7 @@ def registry() -> dict:
         "sketch_cms": sketch_cms,
         "rel_grouped_mode": rel_grouped_mode,
         "rel_semi_join_bloom": rel_semi_join_bloom,
+        "text_lm_score": text_lm_score,
     }
 
 
@@ -1009,6 +1019,12 @@ def _sql_grouped_mode_oracle() -> str:
     return sql_priority_mode_per_segment()
 
 
+def _sql_lm_score_oracle() -> str:
+    from .stages.corpus import sql_bigram_lm_score
+
+    return sql_bigram_lm_score(ts.sql_token_list(_TEXT))
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB SQL per SQL-expressible query; keys match registry()."""
     from . import sql_oracles as so
@@ -1209,6 +1225,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),
+        "text_lm_score": _sql_lm_score_oracle(),
         "text_ngram_topk": _sql_ngram_topk_oracle(),
         "rel_topk_per_group": (
             "SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, "

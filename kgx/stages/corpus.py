@@ -444,3 +444,114 @@ def sql_decontaminate(pairs_sql: str, eval_pct: int = 10,
         "CAST(min(corpus_doc_id) AS BIGINT) AS corpus_doc_id "
         "FROM d GROUP BY test_doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality score (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+LM_SCALE = 1000
+
+
+def bigram_lm_score(docs_ds):
+    """documents -> (doc_id, lm_score, n_bigrams): per-doc mean bigram
+    probability under the corpus's own bigram model, integer fixed-point —
+    the perplexity-proxy quality signal (docs whose word transitions are
+    rare corpus-wide score low: boilerplate mashups, lorem-like noise).
+
+    score(w1 w2) = (count(w1 w2) * LM_SCALE) // count(w1 *)
+    lm_score(doc) = sum over doc occurrences of score // n_bigrams(doc)
+
+    Two keyed exchanges, both vectorized:
+
+    1. prefix-keyed: (doc_id, w1, w2, c) rows co-partition by hash(w1), so
+       BOTH model counts — the bigram count and the prefix-unigram count —
+       are in-partition transform-sums (every bigram with prefix w1 lives
+       wholly here); emits per-row scaled scores;
+    2. doc-keyed combiner: numerator/denominator partial sums per doc, the
+       (non-associative) final division runs row-wise AFTER the merge.
+
+    Skew note: a stopword prefix concentrates its bigrams in one partition
+    (same class as the tfidf token exchange); P ~ 8x CPUs spreads the rest
+    around it.  Docs with < 2 tokens have no bigrams and no output row
+    (matches the SQL).
+    """
+    import pandas as pd
+
+    from ..functions.text import tokenize
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    def bg_rows(batch: pa.Table) -> "pd.DataFrame":
+        ids, w1s, w2s, cs = [], [], [], []
+        for r in batch.to_pylist():
+            toks = tokenize(r["text"] or "")
+            counts: dict[tuple[str, str], int] = {}
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+            ids.extend([r["doc_id"]] * len(counts))
+            w1s.extend(k[0] for k in counts)
+            w2s.extend(k[1] for k in counts)
+            cs.extend(counts.values())
+        return pd.DataFrame({"doc_id": ids, "w1": w1s, "w2": w2s, "c": cs})
+
+    bg = docs_ds.map_batches(bg_rows, batch_format="pyarrow")
+
+    def score_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        b = d.groupby(["w1", "w2"], sort=False)["c"].transform("sum").to_numpy()
+        u = d.groupby("w1", sort=False)["c"].transform("sum").to_numpy()
+        sc = (b * LM_SCALE) // u
+        c = d["c"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].astype("int64"),
+                "num": (c * sc).astype("int64"),
+                "den": c.astype("int64"),
+            }
+        )
+
+    scored = hash_partitioned_apply(bg, ["w1"], score_kernel)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("doc_id", sort=False, as_index=False).agg(
+            num=("num", "sum"), den=("den", "sum")
+        )
+
+    summed = hash_partitioned_agg(scored, ["doc_id"], combine)
+
+    def finalize(df: "pd.DataFrame") -> "pd.DataFrame":
+        num = df["num"].to_numpy()
+        den = df["den"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lm_score": (num // den).astype("int64"),
+                "n_bigrams": den.astype("int64"),
+            }
+        )
+
+    # row-wise post-map is split-safe: after the merge each doc is ONE row
+    return summed.map_batches(finalize, batch_format="pandas")
+
+
+def sql_bigram_lm_score(sql_token_list: str) -> str:
+    idx = "generate_series(1, len(toks) - 1)"
+    return f"""
+WITH tok AS (SELECT doc_id, {sql_token_list} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform({idx}, i -> toks[i])) AS w1,
+         unnest(list_transform({idx}, i -> toks[i + 1])) AS w2
+  FROM tok WHERE len(toks) >= 2
+), b AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS b FROM bg GROUP BY 1, 2
+), u AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS u FROM bg GROUP BY 1
+), s AS (
+  SELECT bg.doc_id, (b.b * {LM_SCALE}) // u.u AS sc
+  FROM bg JOIN b USING (w1, w2) JOIN u USING (w1)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum(sc) // count(*) AS BIGINT) AS lm_score,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM s GROUP BY doc_id
+"""

@@ -544,3 +544,46 @@ def test_semi_join_bloom_agrees_with_exact(ray_session):
     exact = set(_collect(customers_with_orders(SF))["c_custkey"])
     bloom = set(_collect(customers_with_orders_bloom(SF))["c_custkey"])
     assert bloom == exact and exact
+
+
+def test_lm_score_vs_brute_force(ray_session):
+    """Distributed two-exchange LM score == serial counting, including
+    bigram-less docs being absent from the output."""
+    import collections
+
+    import ray.data as rd
+
+    from kgx.functions.text import tokenize
+    from kgx.stages.corpus import LM_SCALE, bigram_lm_score
+
+    rng = np.random.RandomState(41)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 20)))
+        for _ in range(150)
+    ] + ["single"]
+    docs = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = _collect(bigram_lm_score(rd.from_arrow(docs).repartition(6)))
+    got_map = {
+        int(r.doc_id): (int(r.lm_score), int(r.n_bigrams))
+        for r in got.itertuples()
+    }
+
+    bg = collections.Counter()
+    uni = collections.Counter()
+    doc_bgs = {}
+    for i, txt in enumerate(texts):
+        toks = tokenize(txt)
+        pairs = list(zip(toks, toks[1:]))
+        doc_bgs[i] = pairs
+        for p in pairs:
+            bg[p] += 1
+            uni[p[0]] += 1
+    expect = {}
+    for i, pairs in doc_bgs.items():
+        if not pairs:
+            continue
+        total = sum((bg[p] * LM_SCALE) // uni[p[0]] for p in pairs)
+        expect[i] = (total // len(pairs), len(pairs))
+    assert got_map == expect
+    assert len(texts) - 1 not in got_map or doc_bgs[len(texts) - 1]
