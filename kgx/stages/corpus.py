@@ -119,8 +119,13 @@ def ngram_topk(docs_ds, n: int = 2, k: int = 20):
         d["n_occurrences"] = d["n_occurrences"].astype("int64")
         return d[["gram", "n_occurrences", "rank"]]
 
-    # k rows total: the rank projection is driver-scale by construction
-    return topk.map_batches(add_rank, batch_format="pandas", batch_size=None)
+    # k rows total: the rank projection is driver-scale by construction.
+    # repartition(1) first — sort().limit(k) may emit MULTIPLE blocks at high
+    # parallelism (the first sorted block can hold < k rows), and a per-block
+    # rank would silently restart at 1 per block (driver-caught r3 bug).
+    return topk.repartition(1).map_batches(
+        add_rank, batch_format="pandas", batch_size=None
+    )
 
 
 IDF_SCALE = 1000

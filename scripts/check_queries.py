@@ -2,11 +2,19 @@
 at a given sf_dir and compare row-count + schema-names + sorted values
 against the DuckDB oracle SQL.  Exit 1 on any mismatch.
 
-Usage: python scripts/check_queries.py [sf_dir] [name ...]
+Usage: python scripts/check_queries.py [--small-blocks] [sf_dir] [name ...]
+
+Runs at the driver's num_cpus=32 by default (override KGX_CHECK_CPUS) —
+the r3 ngram_topk bug only manifested at high parallelism, so a low-CPU
+replica is NOT a faithful gate.  ``--small-blocks`` additionally caps
+``DataContext.target_max_block_size`` at 64 KiB to force every sort/limit/
+groupby output into multi-block layouts, flushing out per-block projections
+that assume single-block results (the r3 bug class).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -33,17 +41,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--small-blocks"]
+    small_blocks = "--small-blocks" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("KGX_CHECK_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    if small_blocks:
+        DataContext.get_current().target_max_block_size = 64 * 1024
 
     from kgx import queries as Q
 

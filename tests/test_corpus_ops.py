@@ -71,6 +71,31 @@ def test_ngram_topk_matches_brute_force(ray_session):
     assert got["rank"].tolist() == list(range(1, len(want) + 1))
 
 
+def test_ngram_topk_rank_survives_multiblock_limit(ray_session):
+    """Regression for the r3 driver failure: at driver parallelism the
+    sort().limit(k) output spans >1 block and a per-block rank projection
+    restarts at 1 per block.  Force the layout with a tiny
+    target_max_block_size and assert ranks are globally 1..k."""
+    import ray.data as rd
+    from ray.data import DataContext
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=60)) for _ in range(400)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(400)), "text": texts}))
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 1024  # ~a handful of rows per block
+    try:
+        got = _collect(ngram_topk(ds, n=2, k=20))
+    finally:
+        ctx.target_max_block_size = old
+    assert got["rank"].tolist() == list(range(1, 21))
+    occ = got.sort_values("rank")["n_occurrences"].tolist()
+    assert occ == sorted(occ, reverse=True)
+
+
 def test_grouped_median_matches_brute_force(ray_session, tmp_path):
     """Random orders/customer tables -> per-nation lower median equals the
     serial computation."""
