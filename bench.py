@@ -178,7 +178,6 @@ def run_bench(
         "value": headline,
         "unit": "sec",
         "queries": timings,
-        "rows": rows,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "n_docs": n_docs,
@@ -186,8 +185,18 @@ def run_bench(
         "trials_per_query": max(trials, 1),
         "docs_per_sec": round(n_docs / headline, 2) if headline else None,
     }
-    if trials > 1:
-        out["query_trials"] = samples
+    # Raw per-trial samples + row counts go to a SIDECAR file, NOT stdout:
+    # the driver tail-captures the last ~4 KB of stdout and the r3 line
+    # (medians + rows + 53x3 raw samples) outgrew that window, leaving
+    # BENCH_r03.json parsed:null (VERDICT r3 next-round #3).  The stdout
+    # line stays headline + medians only.
+    detail_path = os.environ.get("GRAFT_BENCH_DETAIL", "/tmp/kgx_bench_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump({"query_trials": samples, "rows": rows}, f)
+        out["detail_file"] = detail_path
+    except OSError:
+        pass
     return out
 
 
@@ -278,8 +287,11 @@ def run_scaling_queries(sf_dir: str, cpus_low: int = 4, cpus_high: int = 16,
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = sf_dir
+        # pin --trials 1: run_scaling_queries samples are regression
+        # tripwires; 3x trials per leg would triple wall time and change
+        # sample semantics vs prior rounds (ADVICE r3)
         out = subprocess.run(
-            [sys.executable, __file__, "--queries", *names],
+            [sys.executable, __file__, "--queries", *names, "--trials", "1"],
             capture_output=True, text=True, env=env, check=True,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
