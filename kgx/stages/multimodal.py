@@ -13,16 +13,23 @@ the body bytes.  Everything around it — schema, batch sizing for wide rows,
 actor-pool decode, fail-open on corrupt payloads — is real and tested.  The
 genuine decoder entry point is ``decode_image_real`` below, a clearly-marked
 NotImplementedError stub to swap for PIL/ffmpeg off-sandbox.
+
+The header parse and stride-sample kernels are VECTORIZED over the Arrow
+binary column's (offsets, data) buffers — no per-row Python in the decode
+hot path (r3 VERDICT #4); per-row loops remain only in ``decode_payload``,
+the scalar reference implementation the vector kernels are tested against.
 """
 
 from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pyarrow as pa
 
 MAGIC = b"KX1\x00"
 HEADER = struct.Struct("<4sHH")  # magic, width, height
+_MAGIC_NP = np.frombuffer(MAGIC, dtype=np.uint8)
 
 
 def encode_payload(body: bytes, width: int, height: int) -> bytes:
@@ -31,7 +38,10 @@ def encode_payload(body: bytes, width: int, height: int) -> bytes:
 
 def decode_payload(payload: bytes | None) -> tuple[int, int, int] | None:
     """(width, height, body_bytes) or None on a corrupt/short payload —
-    fail-open like the reference's OCR-error keep (extractor.py:393-394)."""
+    fail-open like the reference's OCR-error keep (extractor.py:393-394).
+
+    Scalar REFERENCE implementation; the pipeline stages use the vectorized
+    ``_parse_headers`` and are property-tested against this."""
     if payload is None or len(payload) < HEADER.size:
         return None
     magic, width, height = HEADER.unpack_from(bytes(payload[: HEADER.size]))
@@ -58,19 +68,130 @@ def payload_height(doc_id: int) -> int:
     return (doc_id * 7) % 480 + 16
 
 
+def _binary_buffers(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(null_mask, offsets, data) numpy views of an Arrow binary column.
+
+    Handles ChunkedArray / sliced arrays / large_binary; zero-copy except
+    the (rare) multi-chunk combine.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64, copy=False)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    if arr.null_count:
+        null_mask = np.asarray(arr.is_null())
+    else:
+        null_mask = np.zeros(len(arr), dtype=bool)
+    return null_mask, offsets, data
+
+
+def _parse_headers(col) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                                 np.ndarray, np.ndarray]:
+    """Vectorized KX1 header parse over a binary column.
+
+    Returns (valid, width, height, body_len, offsets, data): ``valid`` is the
+    fail-open keep mask (non-null, >= 8 bytes, magic matches); width/height
+    are little-endian u16 reads from the fixed 8-byte header via a single
+    gather (``np.frombuffer``-style — no per-row unpack)."""
+    null_mask, offsets, data = _binary_buffers(col)
+    lengths = offsets[1:] - offsets[:-1]
+    long_enough = (~null_mask) & (lengths >= HEADER.size)
+    n = len(lengths)
+    width = np.zeros(n, dtype=np.int64)
+    height = np.zeros(n, dtype=np.int64)
+    valid = np.zeros(n, dtype=bool)
+    if long_enough.any():
+        starts = offsets[:-1][long_enough]
+        # one (k, 8) gather for every candidate header
+        hdr = data[starts[:, None] + np.arange(HEADER.size)]
+        magic_ok = (hdr[:, :4] == _MAGIC_NP).all(axis=1)
+        w = hdr[:, 4].astype(np.int64) | (hdr[:, 5].astype(np.int64) << 8)
+        h = hdr[:, 6].astype(np.int64) | (hdr[:, 7].astype(np.int64) << 8)
+        idx = np.flatnonzero(long_enough)[magic_ok]
+        valid[idx] = True
+        width[idx] = w[magic_ok]
+        height[idx] = h[magic_ok]
+    body_len = np.maximum(lengths - HEADER.size, 0)
+    return valid, width, height, body_len, offsets, data
+
+
 def attach_payload_batch(batch: pa.Table) -> pa.Table:
     """documents -> (doc_id, payload:binary): fake-image payload whose header
-    dims derive from doc_id and whose body is the utf8 text bytes."""
-    doc_ids = batch["doc_id"].to_pylist()
-    texts = batch["text"].to_pylist()
-    payloads = [
-        encode_payload((t or "").encode("utf-8"), payload_width(d), payload_height(d))
-        for d, t in zip(doc_ids, texts)
-    ]
-    return pa.table(
-        {"doc_id": doc_ids, "payload": payloads},
-        schema=pa.schema([("doc_id", pa.int64()), ("payload", pa.binary())]),
+    dims derive from doc_id and whose body is the utf8 text bytes.
+
+    Vectorized: headers packed as an (n, 8) uint8 matrix, bodies copied via
+    one repeat-gather from the source text buffer into the output buffer —
+    the synthetic stand-in for a read that already carries bytes in blocks.
+    """
+    ids = batch["doc_id"].to_numpy()
+    n = len(ids)
+    text_col = batch["text"]
+    if not pa.types.is_binary(text_col.type):
+        text_col = text_col.cast(pa.binary()) if not isinstance(
+            text_col, pa.ChunkedArray
+        ) else text_col.combine_chunks().cast(pa.binary())
+    null_mask, src_off, src_data = _binary_buffers(text_col)
+    body_len = src_off[1:] - src_off[:-1]
+    body_len = np.where(null_mask, 0, body_len)  # null text -> empty body
+
+    widths = ids % 640 + 16
+    heights = (ids * 7) % 480 + 16
+    hdr = np.empty((n, HEADER.size), dtype=np.uint8)
+    hdr[:, :4] = _MAGIC_NP
+    hdr[:, 4] = widths & 0xFF
+    hdr[:, 5] = (widths >> 8) & 0xFF
+    hdr[:, 6] = heights & 0xFF
+    hdr[:, 7] = (heights >> 8) & 0xFF
+
+    out_len = body_len + HEADER.size
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_len, out=out_off[1:])
+    out_data = np.empty(out_off[-1], dtype=np.uint8)
+    # headers: one (n, 8) scatter
+    out_data[out_off[:-1][:, None] + np.arange(HEADER.size)] = hdr
+    # bodies: repeat-gather (standard variable-length copy — see the same
+    # pattern in ThumbnailStage's stride sample)
+    if body_len.sum():
+        row = np.repeat(np.arange(n), body_len)
+        within = np.arange(len(row)) - np.repeat(
+            np.concatenate(([0], np.cumsum(body_len)[:-1])), body_len
+        )
+        src_idx = np.repeat(np.where(null_mask, 0, src_off[:-1]), body_len) + within
+        dst_idx = np.repeat(out_off[:-1] + HEADER.size, body_len) + within
+        out_data[dst_idx] = src_data[src_idx]
+    payload = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(out_off.astype(np.int32).tobytes()),
+         pa.py_buffer(out_data.tobytes())],
     )
+    return pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()), "payload": payload},
+    )
+
+
+def _pool_size() -> int:
+    """Actor-pool upper bound scaled from the CLUSTER, not a constant: the
+    r3 fixed ``(1, 4)`` cap throttled decode at 4 actors on any machine
+    (VERDICT r3 #4).  cpus//2 keeps the documented CPU-reservation
+    tradeoff (pool actors reserve CPUs while idle; see BASELINE.md) while
+    growing with the node/cluster."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — sizing must never fail a pipeline
+        cpus = 8
+    return max(4, cpus // 2)
 
 
 class PayloadDecoder:
@@ -85,24 +206,15 @@ class PayloadDecoder:
         self.header = HEADER  # stand-in for codec handle loaded once
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "width": [], "height": [], "n_bytes": []}
-        for doc_id, payload in zip(
-            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
-        ):
-            meta = decode_payload(payload)
-            if meta is None:
-                continue
-            w, h, body = meta
-            out["doc_id"].append(doc_id)
-            out["width"].append(w)
-            out["height"].append(h)
-            out["n_bytes"].append(body)
+        valid, width, height, body_len, _, _ = _parse_headers(batch["payload"])
+        ids = batch["doc_id"].to_numpy()
         return pa.table(
-            out,
-            schema=pa.schema(
-                [("doc_id", pa.int64()), ("width", pa.int64()),
-                 ("height", pa.int64()), ("n_bytes", pa.int64())]
-            ),
+            {
+                "doc_id": pa.array(ids[valid], type=pa.int64()),
+                "width": pa.array(width[valid], type=pa.int64()),
+                "height": pa.array(height[valid], type=pa.int64()),
+                "n_bytes": pa.array(body_len[valid], type=pa.int64()),
+            }
         )
 
 
@@ -110,7 +222,8 @@ def payload_stats(docs_ds):
     """documents -> decoded payload metadata via the actor-pool decoder."""
     payloads = docs_ds.map_batches(attach_payload_batch, batch_format="pyarrow")
     return payloads.map_batches(
-        PayloadDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        PayloadDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, _pool_size()),
     )
 
 
@@ -130,6 +243,9 @@ class ThumbnailStage:
     extraction).  Emits integer metadata + a checksum of the sampled bytes
     so correctness is oracle-checkable end to end; corrupt payloads drop
     (fail-open).  Real codec swap-in point: ``decode_image_real``.
+
+    The stride sample runs as ONE repeat-gather over the batch's data
+    buffer with per-row sums via ``np.bincount`` — no per-row Python.
     """
 
     def __init__(self, scale: int = THUMB_SCALE, stride: int = SAMPLE_STRIDE):
@@ -137,31 +253,36 @@ class ThumbnailStage:
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        out = {"doc_id": [], "t_width": [], "t_height": [],
-               "n_sampled": [], "sample_sum": []}
-        for doc_id, payload in zip(
-            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
-        ):
-            meta = decode_payload(payload)
-            if meta is None:
-                continue
-            w, h, _ = meta
-            body = np.frombuffer(bytes(payload[HEADER.size:]), dtype=np.uint8)
-            sampled = body[:: self.stride]
-            out["doc_id"].append(doc_id)
-            out["t_width"].append(max(w // self.scale, 1))
-            out["t_height"].append(max(h // self.scale, 1))
-            out["n_sampled"].append(int(sampled.size))
-            out["sample_sum"].append(int(sampled.astype(np.int64).sum()))
+        valid, width, height, body_len, offsets, data = _parse_headers(
+            batch["payload"]
+        )
+        ids = batch["doc_id"].to_numpy()[valid]
+        w = width[valid]
+        h = height[valid]
+        blen = body_len[valid]
+        starts = (offsets[:-1] + HEADER.size)[valid]
+        n = len(ids)
+        n_sampled = (blen + self.stride - 1) // self.stride
+        total = int(n_sampled.sum())
+        if total:
+            row = np.repeat(np.arange(n), n_sampled)
+            within = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(n_sampled)[:-1])), n_sampled
+            )
+            sampled = data[np.repeat(starts, n_sampled) + within * self.stride]
+            sums = np.bincount(row, weights=sampled, minlength=n).astype(np.int64)
+        else:
+            sums = np.zeros(n, dtype=np.int64)
         return pa.table(
-            out,
-            schema=pa.schema(
-                [("doc_id", pa.int64()), ("t_width", pa.int64()),
-                 ("t_height", pa.int64()), ("n_sampled", pa.int64()),
-                 ("sample_sum", pa.int64())]
-            ),
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "t_width": pa.array(np.maximum(w // self.scale, 1),
+                                    type=pa.int64()),
+                "t_height": pa.array(np.maximum(h // self.scale, 1),
+                                     type=pa.int64()),
+                "n_sampled": pa.array(n_sampled, type=pa.int64()),
+                "sample_sum": pa.array(sums, type=pa.int64()),
+            }
         )
 
 
@@ -169,5 +290,6 @@ def thumbnails(docs_ds):
     """documents -> thumbnail metadata via the actor-pool resize stage."""
     payloads = docs_ds.map_batches(attach_payload_batch, batch_format="pyarrow")
     return payloads.map_batches(
-        ThumbnailStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        ThumbnailStage, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, _pool_size()),
     )
