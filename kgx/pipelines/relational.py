@@ -1121,7 +1121,7 @@ def sql_lineitem_rollup() -> str:
 # ---------------------------------------------------------------------------
 
 
-def priority_mode_per_segment(sf_dir: str):
+def priority_mode_per_segment(sf_dir: str, broadcast_limit: int = 2_000_000):
     """(c_mktsegment, mode_priority, n_orders): each segment's most common
     order priority, tie-break priority asc.
 
@@ -1129,51 +1129,75 @@ def priority_mode_per_segment(sf_dir: str):
     (segment, priority) per batch — the cell count is bounded, 25 here and
     segments x priorities in general), the keyed exchange merges them, and
     the argmax runs over the merged cell table, which is group-cardinality
-    scale by construction (never row scale)."""
+    scale by construction (never row scale).
+
+    The segment attach is gated on the measured dimension size: a dim
+    within ``broadcast_limit`` rows broadcasts ONCE as a pandas Series and
+    every batch attaches via the vectorized ``reindex`` (the
+    median_orders_per_nation pattern); a larger dim routes through the
+    native hash join so the driver never holds it."""
     import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
 
     from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
-    # orders carry no segment: broadcast-join the (small) customer dim the
-    # same way rel_broadcast_join does, then count cells
-    import pyarrow as pa
-    import ray
+    cust_meta = pq.read_metadata(str(Path(sf_dir) / "customer.parquet"))
+    if cust_meta.num_rows > broadcast_limit:
+        # dim too big to broadcast: attach segment via the native hash join,
+        # then count cells (both sides stream; nothing lands on the driver)
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        n_parts = _join_partitions(orders, cust_ds)
+        attached = orders.join(
+            cust_ds,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
 
-    seg_tbl = pa.concat_tables(
-        [ray.get(r) for r in cust.materialize().to_arrow_refs()]
-    )
-    seg_ref = ray.put(
-        dict(
-            zip(
-                seg_tbl["c_custkey"].to_pylist(),
-                seg_tbl["c_mktsegment"].to_pylist(),
+        def count_cells(df: "pd.DataFrame") -> "pd.DataFrame":
+            out = pd.DataFrame(
+                {"c_mktsegment": df["c_mktsegment"],
+                 "o_orderpriority": df["o_orderpriority"], "n_orders": 1}
+            )
+            return out.groupby(
+                ["c_mktsegment", "o_orderpriority"], sort=False, as_index=False
+            ).agg(n_orders=("n_orders", "sum"))
+
+        cell_src = attached.map_batches(count_cells, batch_format="pandas")
+    else:
+        cust = pq.read_table(
+            str(Path(sf_dir) / "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        seg_ref = ray.put(
+            pd.Series(
+                cust["c_mktsegment"].to_pandas().values,
+                index=cust["c_custkey"].to_pandas().values,
             )
         )
-    )
 
-    def to_cells(df: "pd.DataFrame") -> "pd.DataFrame":
-        lookup = ray.get(seg_ref)
-        seg = df["o_custkey"].map(lookup)
-        out = pd.DataFrame(
-            {"c_mktsegment": seg, "o_orderpriority": df["o_orderpriority"],
-             "n_orders": 1}
-        )
-        return out.groupby(
-            ["c_mktsegment", "o_orderpriority"], sort=False, as_index=False
-        ).agg(n_orders=("n_orders", "sum"))
+        def to_cells(df: "pd.DataFrame") -> "pd.DataFrame":
+            lookup = ray.get(seg_ref)
+            out = pd.DataFrame(
+                {"c_mktsegment": lookup.reindex(df["o_custkey"].values).values,
+                 "o_orderpriority": df["o_orderpriority"], "n_orders": 1}
+            ).dropna(subset=["c_mktsegment"])
+            return out.groupby(
+                ["c_mktsegment", "o_orderpriority"], sort=False, as_index=False
+            ).agg(n_orders=("n_orders", "sum"))
+
+        cell_src = orders.map_batches(to_cells, batch_format="pandas")
 
     def combine(df: "pd.DataFrame") -> "pd.DataFrame":
         return df.groupby(
             ["c_mktsegment", "o_orderpriority"], sort=False, as_index=False
         ).agg(n_orders=("n_orders", "sum"))
 
-    cells = hash_partitioned_agg(
-        orders.map_batches(to_cells, batch_format="pandas"),
-        ["c_mktsegment"], combine,
-    )
+    cells = hash_partitioned_agg(cell_src, ["c_mktsegment"], combine)
 
     def argmax_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
         d = df.sort_values(
@@ -1213,7 +1237,11 @@ def sql_priority_mode_per_segment() -> str:
 # ---------------------------------------------------------------------------
 
 
-def customers_with_orders_bloom(sf_dir: str):
+def customers_with_orders_bloom(
+    sf_dir: str,
+    gate_bytes: int = 64 * 1024 * 1024,
+    force: str | None = None,
+):
     """Same result set as ``customers_with_orders``, different scale
     strategy: the orders key set is summarized into the fixed-size Bloom
     bitset (one combiner exchange over bit rows, never keys), the bitset
@@ -1227,12 +1255,25 @@ def customers_with_orders_bloom(sf_dir: str):
     path always broadcasts O(BLOOM_M) bits and shuffles only probe rows
     that (almost all correctly) claim a match — for selective semi-joins
     the probe exchange shrinks by the selectivity factor at an 8 KB fixed
-    cost."""
+    cost.
+
+    COST GATE (same split discipline as the anti-join's
+    broadcast-vs-native choice): the prefilter saves shuffle bytes
+    proportional to the probe side's size, but costs three fixed setup
+    stages (bitset exchange, collect, broadcast). When the probe side's
+    metadata byte estimate is under ``gate_bytes`` the savings can't cover
+    the setup, so the plain semi-join path runs instead — identical result
+    set either way (``force='bloom'|'plain'`` pins a path for tests)."""
     import numpy as np
     import ray
 
     from ..stages.exchange import hash_partitioned_apply
     from ..stages.sketch import BLOOM_M, bloom_build, bloom_membership_mask
+
+    probe_bytes = _read(sf_dir, "customer", ["c_custkey"]).size_bytes() or 0
+    path = force or ("bloom" if probe_bytes > gate_bytes else "plain")
+    if path == "plain":
+        return customers_with_orders(sf_dir)
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
 

@@ -157,7 +157,15 @@ def pagerank_ds(edges_ds, iterations: int = 3, num_partitions: int | None = None
         rp = ranks_t["pr"].to_numpy()
         order = np.argsort(rn)
         pr = rp[order][np.searchsorted(rn[order], e_src)]
-        contrib = (pr * DAMP_NUM) // (DAMP_DEN * edges_t["outdeg"].to_numpy())
+        # divide-first with exact remainder handling: pr*85 would overflow
+        # int64 once a hub's rank passes ~1.08e8 * R0 (possible beyond ~1e8
+        # nodes at the 100 TB target).  With pr = q*den + r,
+        # (pr*85)//den == q*85 + (r*85)//den exactly; q*85 < pr (den >= 100)
+        # and r*85 < 8500*outdeg, so the rewrite is overflow-safe for any
+        # graph whose TOTAL mass N*R0 fits int64 (N <= ~9.2e9 nodes).
+        den = DAMP_DEN * edges_t["outdeg"].to_numpy()
+        q, r = np.divmod(pr, den)
+        contrib = q * DAMP_NUM + (r * DAMP_NUM) // den
         dst = edges_t["dst"].to_numpy()
         o = np.argsort(dst, kind="stable")
         d, c = dst[o], contrib[o]

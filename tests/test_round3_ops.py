@@ -93,6 +93,26 @@ def test_pagerank_mass_bounded(ray_session):
     assert (out["pr"] > 0).all()
 
 
+def test_pagerank_contrib_identity_near_int64_bound():
+    """The divide-first contribution rewrite equals the naive
+    (pr * DAMP_NUM) // den under Python big ints for hub ranks where the
+    naive int64 product would wrap (pr up to total-mass-at-9e9-nodes)."""
+    from kgx.stages.graph import DAMP_DEN, DAMP_NUM
+
+    prs = np.array(
+        [10**9, 123_456_789_012, 10**17 + 7, 9 * 10**18 // 1, 2**62 + 3],
+        dtype=np.int64,
+    )
+    outdegs = np.array([1, 3, 7, 1000, 2], dtype=np.int64)
+    for pr in prs:
+        for od in outdegs:
+            den = DAMP_DEN * od
+            q, r = np.divmod(pr, den)
+            got = int(q) * DAMP_NUM + (int(r) * DAMP_NUM) // int(den)
+            want = (int(pr) * DAMP_NUM) // int(den)  # big-int truth
+            assert got == want, (pr, od)
+
+
 # ---------------------------------------------------------------------------
 # tf-idf / inverted index
 # ---------------------------------------------------------------------------

@@ -542,8 +542,48 @@ def test_semi_join_bloom_agrees_with_exact(ray_session):
     )
 
     exact = set(_collect(customers_with_orders(SF))["c_custkey"])
-    bloom = set(_collect(customers_with_orders_bloom(SF))["c_custkey"])
+    bloom = set(
+        _collect(customers_with_orders_bloom(SF, force="bloom"))["c_custkey"]
+    )
     assert bloom == exact and exact
+
+
+def test_semi_join_bloom_cost_gate(ray_session):
+    """The cost gate routes sub-threshold probe sides down the plain path
+    (identical rows), and a tiny threshold re-engages the Bloom plan."""
+    from kgx.pipelines.relational import (
+        customers_with_orders,
+        customers_with_orders_bloom,
+    )
+
+    exact = set(_collect(customers_with_orders(SF))["c_custkey"])
+    # default gate at testdata scale: plain path
+    gated = set(_collect(customers_with_orders_bloom(SF))["c_custkey"])
+    assert gated == exact
+    # force the gate itself (not the override) to pick bloom
+    low_gate = set(
+        _collect(customers_with_orders_bloom(SF, gate_bytes=1))["c_custkey"]
+    )
+    assert low_gate == exact
+
+
+def test_grouped_mode_join_path_agrees(ray_session):
+    """priority_mode_per_segment with the dim-too-big-to-broadcast gate
+    tripped (broadcast_limit=0 forces the native-join attach) returns the
+    same table as the broadcast path."""
+    from kgx.pipelines.relational import priority_mode_per_segment
+
+    a = (
+        _collect(priority_mode_per_segment(SF))
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    b = (
+        _collect(priority_mode_per_segment(SF, broadcast_limit=0))
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
 def test_lm_score_vs_brute_force(ray_session):
