@@ -173,30 +173,17 @@ def label_propagation_ds(pairs_ds, max_rounds: int = 50, stats: dict | None = No
     import ray
     import ray.data as rd
 
-    P = max(2, int(ray.cluster_resources().get("CPU", 8)))
-    _C_ADD = np.uint64(0x9E3779B97F4A7C15)
-    _C_MUL = np.uint64(0xBF58476D1CE4E5B9)
+    from .pregel import (
+        concat_parts,
+        make_splitter,
+        partition_edges,
+        run_rounds,
+        split_by_owner,
+    )
 
-    def _owner(nodes: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            mix = (nodes.astype(np.uint64) + _C_ADD) * _C_MUL
-        return (mix % np.uint64(P)).astype(np.int64)
+    P = max(2, int(ray.cluster_resources().get("CPU", 8)))
 
     edge_key_schema = pa.schema([("node", pa.int64()), ("other", pa.int64())])
-
-    def _split_by(t: pa.Table, col_vals: np.ndarray):
-        own = _owner(col_vals)
-        order = np.argsort(own, kind="stable")
-        st = t.take(pa.array(order))
-        sp = own[order]
-        bounds = np.searchsorted(sp, np.arange(P + 1))
-        return tuple(
-            st.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)
-        )
-
-    def _concat(*pieces):
-        live = [p for p in pieces if p.num_rows]
-        return pa.concat_tables(live).combine_chunks() if live else pieces[0]
 
     def _min_per_node(n: np.ndarray, l: np.ndarray):
         o = np.lexsort((l, n))
@@ -204,30 +191,23 @@ def label_propagation_ds(pairs_ds, max_rounds: int = 50, stats: dict | None = No
         starts = np.flatnonzero(np.r_[True, n[1:] != n[:-1]]) if len(n) else n
         return (n[starts] if len(n) else n), (l[starts] if len(n) else l)
 
-    # ---- edge partitions, built once ---------------------------------------
-    def split_edges(t: pa.Table):
+    # ---- edge partitions, built once (shared pregel machinery) -------------
+    def norm_pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "id_a" not in t.schema.names:
-            empty = pa.table({"node": [], "other": []}, schema=edge_key_schema)
-            return tuple(empty for _ in range(P))
+            return pa.table({"node": [], "other": []}, schema=edge_key_schema)
         a = t["id_a"].to_numpy().astype(np.int64)
         b = t["id_b"].to_numpy().astype(np.int64)
-        keyed = pa.table(
+        return pa.table(
             {
                 "node": np.concatenate([a, b]),
                 "other": np.concatenate([b, a]),
             },
             schema=edge_key_schema,
         )
-        return _split_by(keyed, keyed["node"].to_numpy())
 
-    split_r = ray.remote(num_returns=P)(split_edges)
-    concat_r = ray.remote(_concat)
-    block_refs = pairs_ds.materialize().to_arrow_refs()
-    pieces = [split_r.remote(ref) for ref in block_refs]
-    edge_parts = [
-        concat_r.remote(*[pieces[b][p] for b in range(len(pieces))])
-        for p in range(P)
-    ]
+    edge_parts = partition_edges(
+        pairs_ds, make_splitter(norm_pairs, "node", P), P
+    )
 
     # ---- round 0: label(n) = min(n, neighbors(n)) — purely local ----------
     def seed_part(t: pa.Table) -> pa.Table:
@@ -245,10 +225,10 @@ def label_propagation_ds(pairs_ds, max_rounds: int = 50, stats: dict | None = No
         d = pa.table(
             {"node": t["label"], "other": t["node"]}, schema=edge_key_schema
         )
-        return _split_by(d, d["node"].to_numpy())
+        return split_by_owner(d, d["node"].to_numpy(), P)
 
     def message_part(edges_t: pa.Table, labels_t: pa.Table, *dbl_pieces):
-        e = _concat(edges_t, *dbl_pieces)
+        e = concat_parts(edges_t, *dbl_pieces)
         src = e["node"].to_numpy()
         rn = labels_t["node"].to_numpy()
         rl = labels_t["label"].to_numpy()
@@ -259,10 +239,10 @@ def label_propagation_ds(pairs_ds, max_rounds: int = 50, stats: dict | None = No
             {"node": tgt.astype(np.int64), "label": msg.astype(np.int64)},
             schema=_LABELS_SCHEMA,
         )
-        return _split_by(t, t["node"].to_numpy())
+        return split_by_owner(t, t["node"].to_numpy(), P)
 
     def merge_part(labels_t: pa.Table, *msg_pieces):
-        inc = _concat(*msg_pieces) if msg_pieces else None
+        inc = concat_parts(*msg_pieces) if msg_pieces else None
         n = labels_t["node"].to_numpy()
         l = labels_t["label"].to_numpy()
         if inc is not None and inc.num_rows:
@@ -280,38 +260,22 @@ def label_propagation_ds(pairs_ds, max_rounds: int = 50, stats: dict | None = No
         return out, int(l.sum())
 
     seed_r = ray.remote(seed_part)
-    dbl_r = ray.remote(num_returns=P)(doubling_edges)
-    msg_r = ray.remote(num_returns=P)(message_part)
-    merge_r = ray.remote(num_returns=2)(merge_part)
     sum0_r = ray.remote(lambda t: int(t["label"].to_numpy().sum()))
 
     label_parts = [seed_r.remote(edge_parts[p]) for p in range(P)]
     prev_sum = sum(ray.get([sum0_r.remote(r) for r in label_parts]))
 
-    converged = False
-    rounds = 0
-    for _ in range(max_rounds):
-        rounds += 1
-        dbl = [dbl_r.remote(label_parts[p]) for p in range(P)]
-        msgs = [
-            msg_r.remote(
-                edge_parts[p], label_parts[p], *[dbl[i][p] for i in range(P)]
-            )
-            for p in range(P)
-        ]
-        merged = [
-            merge_r.remote(label_parts[q], *[msgs[p][q] for p in range(P)])
-            for q in range(P)
-        ]
-        label_parts = [m[0] for m in merged]
-        new_sum = sum(ray.get([m[1] for m in merged]))
-        if new_sum == prev_sum:  # monotone: unchanged sum <=> fixpoint
-            converged = True
-            break
-        prev_sum = new_sum
-    if stats is not None:
-        stats["rounds"] = rounds
-        stats["converged"] = converged
+    label_parts, converged = run_rounds(
+        edge_parts,
+        label_parts,
+        message_part,
+        merge_part,
+        max_rounds=max_rounds,
+        extra_edges_fn=doubling_edges,
+        convergence=True,
+        init_total=prev_sum,
+        stats=stats,
+    )
     if not converged:
         # Silent exhaustion would fragment components with no signal
         # (ADVICE.md r2); with pointer doubling this needs diameter > 2^50.

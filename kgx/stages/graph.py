@@ -80,69 +80,42 @@ def pagerank_ds(edges_ds, iterations: int = 3, num_partitions: int | None = None
     )
 
     # ---- partitioned-edge Pregel rounds ------------------------------------
-    # The static edge set is hash-partitioned by src ONCE into P pinned
-    # object-store partitions; each round moves ONLY rank data: P contribute
-    # tasks (edge part ⋈ co-resident rank part, pre-summed per dst, split by
-    # owner) and P sum tasks (concat + reduce + BASE).  This is the
-    # documented drop-to-raw-Ray case — the Dataset API re-sorts the
-    # (unchanged) edge rows through the exchange every round, which at 3
-    # rounds re-shuffles the whole graph 3x for no information gain; raw
-    # tasks hold the partition handles across rounds instead (the same
-    # reason GraphX keeps a partitioned edge RDD).  Partitioning
-    # assumption: node n is OWNED by partition mix(n) % P; with a
-    # symmetrized edge set every node appears as a src, so ownership is
-    # derivable from the edge partitions alone and every node receives at
-    # least one in-contribution per round.
+    # The shared machinery (kgx.stages.pregel): the static edge set is
+    # hash-partitioned by src ONCE into P pinned object-store partitions;
+    # each round moves ONLY rank data — P contribute tasks (edge part ⋈
+    # co-resident rank part, pre-summed per dst, split by owner) and P sum
+    # tasks (concat + reduce + BASE).  Partitioning assumption: node n is
+    # OWNED by partition mix(n) % P; with a symmetrized edge set every node
+    # appears as a src, so ownership is derivable from the edge partitions
+    # alone and every node receives at least one in-contribution per round.
     import ray.data as rd
 
-    _C_ADD = np.uint64(0x9E3779B97F4A7C15)
-    _C_MUL = np.uint64(0xBF58476D1CE4E5B9)
-    P = max(2, P)
+    from .pregel import (
+        concat_parts,
+        make_splitter,
+        partition_edges,
+        run_rounds,
+        split_by_owner,
+    )
 
-    def _owner(nodes: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            mix = (nodes.astype(np.uint64) + _C_ADD) * _C_MUL
-        return (mix % np.uint64(P)).astype(np.int64)
+    P = max(2, P)
 
     edge_schema = pa.schema(
         [("src", pa.int64()), ("dst", pa.int64()), ("outdeg", pa.int64())]
     )
 
-    def _split_by(t: pa.Table, col_vals: np.ndarray):
-        own = _owner(col_vals)
-        order = np.argsort(own, kind="stable")
-        st = t.take(pa.array(order))
-        sp = own[order]
-        bounds = np.searchsorted(sp, np.arange(P + 1))
-        return tuple(
-            st.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)
-        )
-
-    def split_edges(t: pa.Table):
+    def norm_edges(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "src" not in t.schema.names:
-            empty = pa.table(
+            return pa.table(
                 {"src": [], "dst": [], "outdeg": []}, schema=edge_schema
             )
-            return tuple(empty for _ in range(P))
-        t = pa.table(
+        return pa.table(
             {c: t[c] for c in ("src", "dst", "outdeg")}, schema=edge_schema
         )
-        return _split_by(t, t["src"].to_numpy())
 
-    def concat_parts(*pieces):
-        live = [p for p in pieces if p.num_rows]
-        return (
-            pa.concat_tables(live).combine_chunks() if live else pieces[0]
-        )
-
-    split_r = ray.remote(num_returns=P)(split_edges)
-    concat_r = ray.remote(concat_parts)
-    block_refs = keyed_edges.materialize().to_arrow_refs()
-    pieces = [split_r.remote(ref) for ref in block_refs]
-    edge_parts = [
-        concat_r.remote(*[pieces[b][p] for b in range(len(pieces))])
-        for p in range(P)
-    ]
+    edge_parts = partition_edges(
+        keyed_edges, make_splitter(norm_edges, "src", P), P
+    )
 
     def seed_part(t: pa.Table) -> pa.Table:
         src = np.unique(t["src"].to_numpy().astype(np.int64))
@@ -175,9 +148,9 @@ def pagerank_ds(edges_ds, iterations: int = 3, num_partitions: int | None = None
             {"node": d[starts] if len(d) else d, "partial": sums},
             schema=pa.schema([("node", pa.int64()), ("partial", pa.int64())]),
         )
-        return _split_by(t, t["node"].to_numpy())
+        return split_by_owner(t, t["node"].to_numpy(), P)
 
-    def sum_part(*pieces) -> pa.Table:
+    def sum_part(_state_t: pa.Table, *pieces):
         t = concat_parts(*pieces)
         n = t["node"].to_numpy()
         s = t["partial"].to_numpy()
@@ -185,26 +158,21 @@ def pagerank_ds(edges_ds, iterations: int = 3, num_partitions: int | None = None
         n, s = n[o], s[o]
         starts = np.flatnonzero(np.r_[True, n[1:] != n[:-1]]) if len(n) else n
         sums = np.add.reduceat(s, starts) if len(n) else s
-        return pa.table(
+        out = pa.table(
             {
                 "node": (n[starts] if len(n) else n).astype(np.int64),
                 "pr": (BASE + sums).astype(np.int64),
             },
             schema=_RANK_SCHEMA,
         )
+        return out, 0  # power iteration runs a fixed round count
 
     seed_r = ray.remote(seed_part)
-    contribute_r = ray.remote(num_returns=P)(contribute_part)
-    sum_r = ray.remote(sum_part)
-
     rank_parts = [seed_r.remote(edge_parts[p]) for p in range(P)]
-    for _ in range(iterations):
-        partials = [
-            contribute_r.remote(edge_parts[p], rank_parts[p]) for p in range(P)
-        ]
-        rank_parts = [
-            sum_r.remote(*[partials[p][q] for p in range(P)]) for q in range(P)
-        ]
+    rank_parts, _ = run_rounds(
+        edge_parts, rank_parts, contribute_part, sum_part,
+        iterations=iterations,
+    )
 
     ranks = rd.from_arrow_refs(rank_parts)
 
