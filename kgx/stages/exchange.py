@@ -60,6 +60,53 @@ def hash_partitioned_agg(
     return partial_ds.groupby("part_id").map_groups(merge, batch_format="pandas")
 
 
+def _arrow_part_id(batch, keys: list[str], P: int):
+    """part_id for an Arrow batch: pandas' C hasher over the KEY column(s)
+    only (value-identical to ``_tag_part_id`` — hash_pandas_object of the
+    same values/dtypes — so mixing taggers within one exchange is safe);
+    every non-key column stays Arrow-resident, so blocks cross the shuffle
+    as Arrow instead of pickled pandas."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    if len(keys) == 1:
+        hashed = pd.util.hash_pandas_object(
+            batch[keys[0]].to_pandas(), index=False
+        ).to_numpy()
+    else:
+        frame = batch.select(keys).to_pandas()
+        hashed = pd.util.hash_pandas_object(
+            frame[keys].astype(str).agg("\x1f".join, axis=1), index=False
+        ).to_numpy()
+    part = pa.array((hashed % np.uint64(P)).astype(np.int64))
+    return batch.append_column("part_id", part)
+
+
+def hash_partitioned_agg_arrow(
+    ds,
+    keys: list[str],
+    combine: Callable,
+    num_partitions: int | None = None,
+):
+    """Arrow-end-to-end variant of :func:`hash_partitioned_agg` for the
+    hottest exchanges (VERDICT r3 #8): ``combine(pa.Table) -> pa.Table``
+    (typically ``t.group_by(keys).aggregate(...)``) runs once per input
+    batch and once per partition; blocks stay Arrow through tagging AND the
+    shuffle (zero-copy in the object store), with only the key column
+    round-tripping through pandas for the hash."""
+    P = num_partitions or _default_partitions()
+
+    def partial(t):
+        return _arrow_part_id(combine(t), keys, P)
+
+    def merge(t):
+        return combine(t.drop_columns(["part_id"]))
+
+    tagged = ds.map_batches(partial, batch_format="pyarrow")
+    return tagged.groupby("part_id").map_groups(merge, batch_format="pyarrow")
+
+
 def _tag_part_id(df, keys: list[str], P: int):
     import pandas as pd
 
@@ -81,6 +128,7 @@ def hash_partitioned_apply(
     num_partitions: int | None = None,
     int_keys: bool = False,
     kernel_format: str = "pandas",
+    arrow_tag: bool = False,
 ):
     """Partition-ONLY exchange for holistic per-key operations that admit no
     combiner (sessionization, as-of joins, ordered windows, bucket
@@ -139,6 +187,13 @@ def hash_partitioned_apply(
 
     if int_keys:
         tagged = ds.map_batches(tag_arrow, batch_format="pyarrow")
+    elif arrow_tag:
+        # opt-in (caller asserts all columns are Arrow-convertible — no
+        # Python-set/object cells): hash only the key column(s) through
+        # pandas, keep the block Arrow across the shuffle
+        tagged = ds.map_batches(
+            lambda t: _arrow_part_id(t, keys, P), batch_format="pyarrow"
+        )
     else:
         tagged = ds.map_batches(tag_pandas, batch_format="pandas")
     return tagged.groupby("part_id").map_groups(run, batch_format=kernel_format)
