@@ -96,6 +96,44 @@ def test_ngram_topk_rank_survives_multiblock_limit(ray_session):
     assert occ == sorted(occ, reverse=True)
 
 
+def test_ngram_topk_no_cross_doc_or_sentinel_grams(ray_session):
+    """Regression for the sentinel-mask bug: numpy converts a "\\x00"
+    comparison scalar to unicode and STRIPS trailing NULs, so a
+    `toks == sentinel` mask is silently all-False and boundary grams
+    (word, SENT) / (SENT, word) get counted.  Make those junk grams the
+    dominant count (many single-token docs) so they'd win top-k if
+    present, and assert the real gram is the only output."""
+    import ray.data as rd
+
+    texts = ["solo"] * 200 + ["alpha beta"] * 3
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = _collect(ngram_topk(ds, n=2, k=5))
+    assert got["gram"].tolist() == ["alpha beta"]
+    assert got["n_occurrences"].tolist() == [3]
+    assert not any("\x00" in g for g in got["gram"])
+
+
+def test_bigram_lm_score_single_token_docs_excluded(ray_session):
+    """Same sentinel-mask class for bigram_lm_score: single-token docs have
+    no bigrams and must produce NO output row (a boundary bigram would
+    both emit a row for the doc and pollute the w1 prefix counts)."""
+    import ray.data as rd
+
+    from kgx.stages.corpus import LM_SCALE, bigram_lm_score
+
+    texts = ["solo"] * 50 + ["solo run"] * 2
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = _collect(bigram_lm_score(ds)).sort_values("doc_id")
+    # only the two-token docs emit rows; "solo run" is the ONLY bigram with
+    # prefix "solo" (count 2 of 2), so the score is exactly LM_SCALE
+    assert got["doc_id"].tolist() == [50, 51]
+    assert got["lm_score"].tolist() == [LM_SCALE, LM_SCALE]
+
+
 def test_grouped_median_matches_brute_force(ray_session, tmp_path):
     """Random orders/customer tables -> per-nation lower median equals the
     serial computation."""
