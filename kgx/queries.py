@@ -723,6 +723,16 @@ def sketch_cms(sf_dir: str):
     return cms_build(_docs_ds(sf_dir))
 
 
+def sketch_quantile(sf_dir: str):
+    """Approximate price percentiles (p50/p90/p99) from a mergeable
+    fixed-width histogram — bounded-state quantiles with no global sort;
+    exchange volume is O(batches x occupied_bins)."""
+    from .pipelines.relational import _read
+    from .stages.sketch import quantile_histogram
+
+    return quantile_histogram(_read(sf_dir, "lineitem", ["l_extendedprice"]))
+
+
 def graph_degree_stats(sf_dir: str):
     """Degree distribution (degree, n_nodes) of the symmetrized
     supplier<->part graph — two bounded exchanges, histogram keyed by
@@ -808,6 +818,7 @@ def registry() -> dict:
         "doc_sample_stratified": doc_sample_stratified,
         "dedup_decontaminate": dedup_decontaminate,
         "sketch_cms": sketch_cms,
+        "sketch_quantile": sketch_quantile,
         "rel_grouped_mode": rel_grouped_mode,
         "rel_semi_join_bloom": rel_semi_join_bloom,
         "text_lm_score": text_lm_score,
@@ -1005,6 +1016,12 @@ def _sql_decontaminate_oracle() -> str:
     from .stages.corpus import sql_decontaminate
 
     return sql_decontaminate(_sql_ngram_pairs(), eval_pct=10)
+
+
+def _sql_quantile_oracle() -> str:
+    from .stages.sketch import sql_quantile_histogram
+
+    return sql_quantile_histogram()
 
 
 def _sql_cms_oracle() -> str:
@@ -1218,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_stratified": _sql_stratified_oracle(),
         "dedup_decontaminate": _sql_decontaminate_oracle(),
         "sketch_cms": _sql_cms_oracle(),
+        "sketch_quantile": _sql_quantile_oracle(),
         "rel_grouped_mode": _sql_grouped_mode_oracle(),
         "rel_semi_join_bloom": (
             # identical semantics to rel_semi_join: the Bloom stage only

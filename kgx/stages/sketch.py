@@ -458,3 +458,101 @@ def sql_cms_build(sql_token_list: str) -> str:
         + " UNION ALL ".join(parts)
         + ") GROUP BY d_row, cell"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (fixed-width histogram)
+# ---------------------------------------------------------------------------
+
+QUANT_BIN_W = 10_000            # cents per bin ($100) — data-independent
+QUANT_PS = (50, 90, 99)
+
+
+def quantile_histogram(lineitem_ds, bin_w: int = QUANT_BIN_W,
+                       ps: tuple[int, ...] = QUANT_PS):
+    """lineitem -> (p, est_cents): approximate percentiles of
+    l_extendedprice from a MERGEABLE fixed-width histogram — the
+    bounded-state alternative to the exact order-statistics path
+    (rel_grouped_quantiles) when a global sort is off the table at corpus
+    scale.
+
+    Values quantize to integer cents (floor(v*100 + 0.5), the repo's money
+    convention) and bin by ``cents // bin_w`` — bins are keyed by value
+    range, NOT by data-dependent boundaries, so per-batch partial
+    histograms merge by plain addition in any order.  Exchange volume is
+    O(batches x occupied_bins) regardless of row count; the final
+    cumulative scan runs over one partition of at most value_range/bin_w
+    rows.  Estimate = bin midpoint (error <= bin_w/2 cents by
+    construction), target rank = ceil(N * p / 100) — all integer, so the
+    DuckDB oracle reproduces the sketch bit-exactly.
+    """
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        bins, cnt = np.unique(cents // bin_w, return_counts=True)
+        return pd.DataFrame({"bin": bins, "cnt": cnt.astype(np.int64)})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("bin", sort=False, as_index=False).agg(
+            cnt=("cnt", "sum")
+        )
+
+    hist = hash_partitioned_agg(
+        lineitem_ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin"], combine,
+    )
+
+    def finalize(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.sort_values("bin").reset_index(drop=True)
+        cum = d["cnt"].to_numpy().cumsum()
+        if len(cum) == 0:  # hostile input: empty table has no percentiles
+            return pd.DataFrame(
+                {"p": pd.Series([], dtype="int64"),
+                 "est_cents": pd.Series([], dtype="int64")}
+            )
+        n = int(cum[-1])
+        out_p, out_est = [], []
+        for p in ps:
+            target = (n * p + 99) // 100  # ceil(N*p/100)
+            i = int(np.searchsorted(cum, target, side="left"))
+            b = int(d["bin"].iloc[i])
+            out_p.append(p)
+            out_est.append(b * bin_w + bin_w // 2)
+        return pd.DataFrame(
+            {"p": np.asarray(out_p, dtype=np.int64),
+             "est_cents": np.asarray(out_est, dtype=np.int64)}
+        )
+
+    # the histogram is bounded (value_range/bin_w rows) — coalesce to ONE
+    # block before the cumulative scan (same layout-dependence class as the
+    # ngram_topk rank projection, r3 driver bug)
+    return hist.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_quantile_histogram(bin_w: int = QUANT_BIN_W,
+                           ps: tuple[int, ...] = QUANT_PS) -> str:
+    """DuckDB oracle: the SAME histogram estimate (not the exact
+    percentile) — bin counts, cumulative scan, ceil-rank target, bin
+    midpoint."""
+    pvals = ", ".join(f"({p})" for p in ps)
+    return f"""
+WITH cents AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+), b AS (
+  SELECT c // {bin_w} AS bin, count(*) AS cnt FROM cents GROUP BY 1
+), cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM b
+), n AS (SELECT count(*) AS n FROM cents)
+SELECT CAST(p AS BIGINT) AS p,
+       CAST(min(cum.bin) * {bin_w} + {bin_w // 2} AS BIGINT) AS est_cents
+FROM (VALUES {pvals}) v(p) CROSS JOIN n
+JOIN cum ON cum.cum >= (n.n * p + 99) // 100
+GROUP BY p
+"""
