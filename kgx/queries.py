@@ -723,6 +723,16 @@ def sketch_cms(sf_dir: str):
     return cms_build(_docs_ds(sf_dir))
 
 
+def text_pmi_topk(sf_dir: str):
+    """Top-k collocations by integer fixed-point PMI over the corpus bigram
+    event space — one tokenization scan, combiner-compressed bigram
+    partials materialized once (the N-reduction point), two keyed
+    exchanges (c1 on first word, c2 + score on second)."""
+    from .stages.corpus import pmi_topk
+
+    return pmi_topk(_docs_ds(sf_dir))
+
+
 def sketch_quantile(sf_dir: str):
     """Approximate price percentiles (p50/p90/p99) from a mergeable
     fixed-width histogram — bounded-state quantiles with no global sort;
@@ -819,6 +829,7 @@ def registry() -> dict:
         "dedup_decontaminate": dedup_decontaminate,
         "sketch_cms": sketch_cms,
         "sketch_quantile": sketch_quantile,
+        "text_pmi_topk": text_pmi_topk,
         "rel_grouped_mode": rel_grouped_mode,
         "rel_semi_join_bloom": rel_semi_join_bloom,
         "text_lm_score": text_lm_score,
@@ -1016,6 +1027,12 @@ def _sql_decontaminate_oracle() -> str:
     from .stages.corpus import sql_decontaminate
 
     return sql_decontaminate(_sql_ngram_pairs(), eval_pct=10)
+
+
+def _sql_pmi_oracle() -> str:
+    from .stages.corpus import sql_pmi_topk
+
+    return sql_pmi_topk(ts.sql_token_list(_TEXT))
 
 
 def _sql_quantile_oracle() -> str:
@@ -1236,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decontaminate": _sql_decontaminate_oracle(),
         "sketch_cms": _sql_cms_oracle(),
         "sketch_quantile": _sql_quantile_oracle(),
+        "text_pmi_topk": _sql_pmi_oracle(),
         "rel_grouped_mode": _sql_grouped_mode_oracle(),
         "rel_semi_join_bloom": (
             # identical semantics to rel_semi_join: the Bloom stage only

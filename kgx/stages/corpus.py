@@ -648,3 +648,157 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams
 FROM s GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (log-free integer fixed-point)
+# ---------------------------------------------------------------------------
+
+PMI_SCALE = 1000
+PMI_MIN_PAIR = 5
+
+
+def pmi_scores_np(c12: np.ndarray, c1: np.ndarray, c2: np.ndarray,
+                  n_bigrams: int) -> np.ndarray:
+    """(c12 * N * PMI_SCALE) // (c1 * c2), exact: numpy int64 fast path with
+    an automatic Python-big-int fallback when the numerator could exceed
+    int64 (N beyond ~9e12 at PMI_SCALE=1000)."""
+    if c12.size and int(c12.max()) * n_bigrams * PMI_SCALE >= 2**63:
+        num = c12.astype(object) * n_bigrams * PMI_SCALE
+        return np.asarray(
+            num // (c1.astype(object) * c2.astype(object)), dtype=np.int64
+        )
+    return (c12 * n_bigrams * PMI_SCALE) // (c1 * c2)
+
+
+def pmi_topk(docs_ds, k: int = 20, min_pair: int = PMI_MIN_PAIR):
+    """documents -> the k strongest collocations (gram, pair_count,
+    pmi_score, rank): word pairs that co-occur far more than their parts'
+    frequencies predict — the classic phrase-mining signal ("new york",
+    "machine learning") for tokenizer vocab curation.
+
+    PMI's log is monotone, so ranking needs no floats: over the corpus
+    bigram event space (c1 = occurrences as first word, c2 = as second,
+    N = total bigrams),
+
+        pmi_score = (c12 * N * PMI_SCALE) // (c1 * c2)
+
+    is integer fixed-point exp(PMI) and the DuckDB oracle reproduces it
+    bit-exactly (HUGEINT product; the kernel flips to exact Python-int
+    arithmetic if ``c12.max() * N * PMI_SCALE`` would exceed int64 —
+    N <= ~9e12 stays on the numpy fast path at PMI_SCALE=1000).
+    ``min_pair`` drops rare pairs whose PMI is spuriously high (the
+    standard collocation floor).
+
+    Shape: ONE tokenization scan emits combiner-compressed bigram partials
+    (a, b, c) — O(batches x distinct bigrams) rows, never raw occurrences.
+    The partials MATERIALIZE once: that pinned copy feeds the tiny
+    N-reduction plus both keyed exchanges without re-running the scan
+    (also the natural resume point).  Exchange on a attaches c1 (every
+    (a, *) row co-locates), exchange on b attaches c2 and scores; only the
+    k-row result reaches the driver.
+    """
+    import pandas as pd
+
+    from ..functions.text import tokenize
+    from .exchange import hash_partitioned_apply
+
+    _SENT = "\x00"
+    _EMPTY = pa.table(
+        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+         "c": pa.array([], pa.int64())}
+    )
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        flat: list[str] = []
+        sent_pos: list[int] = []
+        for text in batch["text"].to_pylist():
+            flat.extend(tokenize(text or ""))
+            sent_pos.append(len(flat))
+            flat.append(_SENT)
+        if len(flat) < 2:
+            return _EMPTY
+        toks = np.asarray(flat, dtype=object)
+        # index-tracked sentinel mask (numpy strips trailing NULs in a
+        # `== "\x00"` compare; see ngram partial)
+        sent = np.zeros(len(toks), dtype=bool)
+        sent[np.asarray(sent_pos, dtype=np.int64)] = True
+        ok = ~(sent[:-1] | sent[1:])
+        pairs = pa.table(
+            {"a": pa.array(toks[:-1][ok], pa.string()),
+             "b": pa.array(toks[1:][ok], pa.string())}
+        )
+        g = pairs.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "c"])
+
+    partials = docs_ds.map_batches(pair_rows, batch_format="pyarrow").materialize()
+    n_bigrams = int(partials.sum("c") or 0)
+
+    def c1_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        g = d.groupby(["a", "b"], sort=False, as_index=False).agg(
+            c12=("c", "sum")
+        )
+        c1 = g.groupby("a", sort=False)["c12"].transform("sum")
+        return pd.DataFrame(
+            {"key": g["b"], "a": g["a"],
+             "c12": g["c12"].astype("int64"), "c1": c1.astype("int64")}
+        )
+
+    e1 = hash_partitioned_apply(partials, ["a"], c1_kernel, arrow_tag=True)
+
+    def score_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        c2 = d.groupby("key", sort=False)["c12"].transform("sum").to_numpy()
+        c12 = d["c12"].to_numpy()
+        c1 = d["c1"].to_numpy()
+        score = pmi_scores_np(c12, c1, c2, n_bigrams)
+        out = pd.DataFrame(
+            {"gram": d["a"].to_numpy(dtype=object) + " "
+                     + d["key"].to_numpy(dtype=object),
+             "pair_count": c12.astype("int64"),
+             "pmi_score": score.astype("int64")}
+        )
+        return out[c12 >= min_pair]
+
+    scored = hash_partitioned_apply(e1, ["key"], score_kernel, arrow_tag=True)
+    topk = scored.sort(["pmi_score", "gram"], descending=[True, False]).limit(k)
+
+    def add_rank(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.sort_values(["pmi_score", "gram"], ascending=[False, True])
+        d = d.reset_index(drop=True)
+        d["rank"] = (d.index + 1).astype("int64")
+        return d[["gram", "pair_count", "pmi_score", "rank"]]
+
+    # k rows: coalesce before ranking (ngram_topk layout-dependence class)
+    return topk.repartition(1).map_batches(
+        add_rank, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_pmi_topk(sql_token_list: str, k: int = 20,
+                 min_pair: int = PMI_MIN_PAIR) -> str:
+    idx = "generate_series(1, len(toks) - 1)"
+    return f"""
+WITH tok AS (SELECT {sql_token_list} AS toks FROM documents),
+bg AS (
+  SELECT unnest(list_transform({idx}, i -> toks[i])) AS w1,
+         unnest(list_transform({idx}, i -> toks[i + 1])) AS w2
+  FROM tok WHERE len(toks) >= 2
+), b AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1
+), c2 AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1
+), n AS (SELECT count(*) AS n FROM bg),
+s AS (
+  SELECT w1 || ' ' || w2 AS gram, c12,
+         CAST((CAST(c12 AS HUGEINT) * n.n * {PMI_SCALE})
+              // (CAST(c1 AS HUGEINT) * c2) AS BIGINT) AS pmi_score
+  FROM b JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+  WHERE c12 >= {min_pair}
+)
+SELECT gram, CAST(c12 AS BIGINT) AS pair_count, pmi_score,
+       CAST(row_number() OVER (ORDER BY pmi_score DESC, gram) AS BIGINT)
+         AS "rank"
+FROM s ORDER BY pmi_score DESC, gram LIMIT {k}
+"""

@@ -77,3 +77,83 @@ def test_quantile_histogram_single_bin(ray_session):
     got = _collect(quantile_histogram(ds))
     assert (got["est_cents"] == QUANT_BIN_W // 2).all()
     assert sorted(got["p"]) == [50, 90, 99]
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def _brute_pmi(texts, k, min_pair):
+    import collections
+
+    from kgx.functions.text import tokenize
+    from kgx.stages.corpus import PMI_SCALE
+
+    bg = []
+    for t in texts:
+        toks = tokenize(t)
+        bg.extend(zip(toks, toks[1:]))
+    n = len(bg)
+    c12 = collections.Counter(bg)
+    c1 = collections.Counter(a for a, _ in bg)
+    c2 = collections.Counter(b for _, b in bg)
+    rows = [
+        (f"{a} {b}", c, (c * n * PMI_SCALE) // (c1[a] * c2[b]))
+        for (a, b), c in c12.items() if c >= min_pair
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return rows[:k]
+
+
+def test_pmi_topk_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import pmi_topk
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(0, 25)))
+             for _ in range(250)]
+    # plant a strong collocation: "neural nets" always adjacent
+    texts += ["filler neural nets filler"] * 8
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(8)
+    got = _collect(pmi_topk(ds, k=15, min_pair=3))
+    want = _brute_pmi(texts, 15, 3)
+    assert (
+        list(zip(got["gram"], got["pair_count"], got["pmi_score"])) == want
+    )
+    assert got["rank"].tolist() == list(range(1, len(want) + 1))
+    assert "neural nets" in set(got["gram"])
+
+
+def test_pmi_scores_bigint_fallback_matches_fastpath():
+    from kgx.stages.corpus import PMI_SCALE, pmi_scores_np
+
+    c12 = np.array([3, 7, 2], dtype=np.int64)
+    c1 = np.array([10, 14, 9], dtype=np.int64)
+    c2 = np.array([5, 7, 3], dtype=np.int64)
+    small = pmi_scores_np(c12, c1, c2, 1000)
+    expect = [(int(a) * 1000 * PMI_SCALE) // (int(x) * int(y))
+              for a, x, y in zip(c12, c1, c2)]
+    assert small.tolist() == expect
+    # force the big-int branch: numerator would overflow int64
+    n_huge = 2**52
+    big = pmi_scores_np(c12, c1, c2, n_huge)
+    expect_big = [(int(a) * n_huge * PMI_SCALE) // (int(x) * int(y))
+                  for a, x, y in zip(c12, c1, c2)]
+    assert big.tolist() == expect_big
+
+
+def test_pmi_topk_empty_and_single_token_corpus(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import pmi_topk
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [0, 1], "text": ["solo", ""]})
+    )
+    got = _collect(pmi_topk(ds, k=5, min_pair=1))
+    assert len(got) == 0
