@@ -723,6 +723,16 @@ def sketch_cms(sf_dir: str):
     return cms_build(_docs_ds(sf_dir))
 
 
+def emb_kmeans(sf_dir: str):
+    """Integer-exact Lloyd k-means over the embedding column: centroids
+    broadcast as a tiny k x d matrix, one streaming pass per iteration
+    (per-batch np.add.at partials, k rows per batch), floor-mean update;
+    the DuckDB oracle is an unrolled-CTE Lloyd program."""
+    from .stages.kmeans import kmeans_labels
+
+    return kmeans_labels(_emb_ds(sf_dir))
+
+
 def text_pmi_topk(sf_dir: str):
     """Top-k collocations by integer fixed-point PMI over the corpus bigram
     event space — one tokenization scan, combiner-compressed bigram
@@ -830,6 +840,7 @@ def registry() -> dict:
         "sketch_cms": sketch_cms,
         "sketch_quantile": sketch_quantile,
         "text_pmi_topk": text_pmi_topk,
+        "emb_kmeans": emb_kmeans,
         "rel_grouped_mode": rel_grouped_mode,
         "rel_semi_join_bloom": rel_semi_join_bloom,
         "text_lm_score": text_lm_score,
@@ -1027,6 +1038,12 @@ def _sql_decontaminate_oracle() -> str:
     from .stages.corpus import sql_decontaminate
 
     return sql_decontaminate(_sql_ngram_pairs(), eval_pct=10)
+
+
+def _sql_kmeans_oracle() -> str:
+    from .stages.kmeans import sql_kmeans_labels
+
+    return sql_kmeans_labels()
 
 
 def _sql_pmi_oracle() -> str:
@@ -1254,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cms": _sql_cms_oracle(),
         "sketch_quantile": _sql_quantile_oracle(),
         "text_pmi_topk": _sql_pmi_oracle(),
+        "emb_kmeans": _sql_kmeans_oracle(),
         "rel_grouped_mode": _sql_grouped_mode_oracle(),
         "rel_semi_join_bloom": (
             # identical semantics to rel_semi_join: the Bloom stage only

@@ -1,0 +1,206 @@
+"""Distributed k-means over an embedding column (list<float>) — the
+centroid-based complement to the graph clustering in kgx.stages.cluster
+(label propagation / union-find) for corpus organization and IVF-style
+partition assignment.
+
+Lloyd iterations in pure integer arithmetic so the DuckDB oracle (an
+unrolled-CTE program, the graph_pagerank precedent) reproduces the fit
+bit-exactly:
+
+* vectors quantize once: ``q = floor(x * KM_SCALE + 0.5) + KM_OFFSET``.
+  The OFFSET makes every coordinate non-negative — DuckDB's ``//``
+  truncates toward zero while numpy floors, but they agree on
+  non-negative operands; the shift cancels inside squared distances and
+  passes through the centroid mean exactly
+  (``floor((sum + n*OFF)/n) = OFF + floor(sum/n)``).
+* assignment: integer squared-L2 argmin, tie-break lowest cluster id
+  (numpy first-min == SQL ``row_number() ORDER BY dist, cluster``).
+* update: elementwise ``sum // count`` floor mean; empty clusters keep
+  their previous centroid.
+
+Scale shape: centroids are a k x d int64 matrix (tiny) broadcast into
+every task; each iteration is ONE streaming pass — per-batch partial
+(cluster, cnt, sums) rows (k rows per batch via np.add.at, never raw
+vectors) tree-combine before at most blocks x k rows reach the driver.
+Seeds are the k smallest vec_ids found by a min-k combiner (k rows per
+batch, then one coalesced block) — no global sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+KM_SCALE = 1000
+KM_OFFSET = 1 << 20            # makes quantized coords non-negative
+KM_K = 8
+KM_ITERS = 3
+
+
+def quantized_matrix(batch: pa.Table):
+    """(vec_ids int64[n], q int64[n, d]) — one flat-buffer reshape, no
+    per-row Python (embedding dim is fixed per table)."""
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = batch["embedding"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(ids), -1) if len(ids) else flat.reshape(0, 1)
+    q = np.floor(mat * KM_SCALE + 0.5).astype(np.int64) + KM_OFFSET
+    return ids, q
+
+
+def _argmin_cluster(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Integer squared-L2 argmin; ties -> lowest cluster index (matches
+    the SQL row_number tie-break)."""
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1)
+
+
+def _seed_centroids(emb_ds, k: int) -> np.ndarray:
+    """k x d quantized centroids from the k smallest vec_ids: min-k
+    combiner per batch, final min-k over one coalesced block — O(batches
+    x k) rows move, no global sort."""
+    def min_k(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        idx = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(idx))
+
+    cands = emb_ds.map_batches(min_k, batch_format="pyarrow")
+    rows = cands.repartition(1).map_batches(
+        min_k, batch_format="pyarrow"
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    return np.floor(mat * KM_SCALE + 0.5).astype(np.int64) + KM_OFFSET
+
+
+def _update_centroids(emb_ds, cents: np.ndarray) -> np.ndarray:
+    """One Lloyd iteration: per-batch (cluster, cnt, sums) partials
+    (np.add.at fold — k rows per batch regardless of batch size),
+    level-2 combine per coalesced block, final floor-mean on the driver
+    over <= blocks x k rows."""
+    k, d = cents.shape
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, q = quantized_matrix(batch)
+        if not len(ids):
+            return pa.table(
+                {"cluster": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64()),
+                 "sums": pa.array([], pa.list_(pa.int64(), d))}
+            )
+        best = _argmin_cluster(q, cents)
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, best, q)
+        cnt = np.bincount(best, minlength=k).astype(np.int64)
+        nz = cnt > 0
+        return pa.table(
+            {"cluster": pa.array(np.arange(k, dtype=np.int64)[nz]),
+             "cnt": pa.array(cnt[nz]),
+             "sums": pa.FixedSizeListArray.from_arrays(
+                 pa.array(sums[nz].ravel()), d)}
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        cl = batch["cluster"].to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        s = batch["sums"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(len(cl), d)
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, cl, s)
+        tot = np.zeros(k, dtype=np.int64)
+        np.add.at(tot, cl, cnt)
+        nz = tot > 0
+        return pa.table(
+            {"cluster": pa.array(np.arange(k, dtype=np.int64)[nz]),
+             "cnt": pa.array(tot[nz]),
+             "sums": pa.FixedSizeListArray.from_arrays(
+                 pa.array(sums[nz].ravel()), d)}
+        )
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow")
+    rows = parts.repartition(1).map_batches(
+        merge, batch_format="pyarrow"
+    ).take_all()
+
+    new = cents.copy()  # empty clusters keep their previous centroid
+    for r in rows:
+        c = int(r["cluster"])
+        s = np.asarray(r["sums"], dtype=np.int64)
+        new[c] = s // int(r["cnt"])  # non-negative: floor == truncate
+    return new
+
+
+def kmeans_labels(emb_ds, k: int = KM_K, iters: int = KM_ITERS):
+    """embeddings -> (vec_id, cluster): cluster ids are 1-based seed
+    ranks, stable across iterations.  ``iters`` centroid updates, then
+    one final assignment pass."""
+    cents = _seed_centroids(emb_ds, k)
+    for _ in range(iters):
+        cents = _update_centroids(emb_ds, cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids, q = quantized_matrix(batch)
+        if not len(ids):
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64())}
+            )
+        best = _argmin_cluster(q, cents)
+        return pa.table(
+            {"vec_id": pa.array(ids),
+             "cluster": pa.array(best.astype(np.int64) + 1)}
+        )
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_kmeans_labels(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    """Unrolled-CTE Lloyd program (the graph_pagerank oracle precedent):
+    c0 = seed centroids, then per iteration an assignment CTE (cross join
+    + list_transform squared distance + row_number argmin) and an update
+    CTE (parallel unnest of index/value, per-(cluster, i) floor mean,
+    list(... ORDER BY i) rebuild, LEFT JOIN keeps empty clusters)."""
+    quant = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{KM_SCALE} + 0.5) AS BIGINT) + {KM_OFFSET})"
+    )
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(q.q)), "
+        "i -> (q.q[i] - {c}.cq[i]) * (q.q[i] - {c}.cq[i])))"
+    )
+    parts = [
+        f"q AS (SELECT vec_id, {quant} AS q FROM embeddings)",
+        ("c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT)"
+         f" AS cluster, q AS cq FROM q ORDER BY vec_id LIMIT {k})"),
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        a, u, c = f"a{it}", f"u{it}", f"c{it}"
+        parts.append(
+            f"{a} AS (SELECT vec_id, cluster FROM ("
+            f"SELECT q.vec_id, {prev}.cluster, row_number() OVER ("
+            f"PARTITION BY q.vec_id ORDER BY {dist.format(c=prev)} ASC, "
+            f"{prev}.cluster ASC) AS rn FROM q CROSS JOIN {prev}) "
+            "WHERE rn = 1)"
+        )
+        parts.append(
+            f"{u} AS (SELECT cluster, list(s ORDER BY i) AS cq FROM ("
+            "SELECT cluster, i, sum(v) // count(*) AS s FROM ("
+            f"SELECT {a}.cluster, unnest(generate_series(1, len(q.q))) AS i,"
+            f" unnest(q.q) AS v FROM q JOIN {a} USING (vec_id)) "
+            "GROUP BY cluster, i) GROUP BY cluster)"
+        )
+        parts.append(
+            f"{c} AS (SELECT {prev}.cluster, "
+            f"coalesce({u}.cq, {prev}.cq) AS cq "
+            f"FROM {prev} LEFT JOIN {u} USING (cluster))"
+        )
+        prev = c
+    final = (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(cluster AS BIGINT) AS cluster FROM ("
+        f"SELECT q.vec_id, {prev}.cluster, row_number() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {dist.format(c=prev)} ASC, "
+        f"{prev}.cluster ASC) AS rn FROM q CROSS JOIN {prev}) WHERE rn = 1"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final

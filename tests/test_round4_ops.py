@@ -157,3 +157,85 @@ def test_pmi_topk_empty_and_single_token_corpus(ray_session):
     )
     got = _collect(pmi_topk(ds, k=5, min_pair=1))
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _serial_kmeans(vecs, k, iters):
+    from kgx.stages.kmeans import KM_OFFSET, KM_SCALE
+
+    q = np.floor(np.asarray(vecs, dtype=np.float64) * KM_SCALE + 0.5)
+    q = q.astype(np.int64) + KM_OFFSET
+    cents = q[:k].copy()  # rows pre-sorted by vec_id in callers
+    for _ in range(iters):
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        new = cents.copy()
+        for c in range(k):
+            m = best == c
+            if m.any():
+                new[c] = q[m].sum(axis=0) // int(m.sum())
+        cents = new
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1) + 1
+
+
+def test_kmeans_matches_serial_lloyd(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kmeans import kmeans_labels
+
+    rng = np.random.RandomState(17)
+    # three separated blobs INTERLEAVED so the first-k seeds span all
+    # blobs (first-k seeding with clumped ids degenerates by design)
+    blobs = [rng.normal(loc, 0.05, size=(60, 8)) for loc in (-1.0, 0.0, 1.0)]
+    vecs = np.stack(blobs, axis=1).reshape(-1, 8).astype(np.float32)
+    blob_of = np.tile(np.arange(3), 60)
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table(
+        {"vec_id": ids,
+         "embedding": pa.FixedSizeListArray.from_arrays(
+             pa.array(vecs.ravel()), 8).cast(pa.list_(pa.float32()))}
+    )
+    ds = rd.from_arrow(tbl).repartition(7)
+    got = _collect(kmeans_labels(ds, k=3, iters=3)).sort_values("vec_id")
+    want = _serial_kmeans(vecs, 3, 3)
+    assert got["cluster"].tolist() == want.tolist()
+    # each blob lands in exactly one internally-consistent cluster
+    lab = got["cluster"].to_numpy()
+    for b in range(3):
+        assert len(np.unique(lab[blob_of == b])) == 1
+
+
+def test_kmeans_empty_cluster_keeps_seed(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kmeans import kmeans_labels
+
+    # two tight groups, k=3: the third seed goes empty and must not crash
+    vecs = np.array([[0.0, 0.0], [0.01, 0.0], [0.0, 0.01],
+                     [1.0, 1.0], [1.01, 1.0], [1.0, 1.01]], dtype=np.float32)
+    tbl = pa.table(
+        {"vec_id": np.arange(6, dtype=np.int64),
+         "embedding": pa.FixedSizeListArray.from_arrays(
+             pa.array(vecs.ravel()), 2).cast(pa.list_(pa.float32()))}
+    )
+    got = _collect(kmeans_labels(rd.from_arrow(tbl), k=3, iters=2))
+    want = _serial_kmeans(vecs, 3, 2)
+    assert got.sort_values("vec_id")["cluster"].tolist() == want.tolist()
+
+
+def test_kmeans_quantize_offset_nonnegative():
+    from kgx.stages.kmeans import quantized_matrix
+
+    tbl = pa.table(
+        {"vec_id": np.arange(2, dtype=np.int64),
+         "embedding": pa.array([[-0.9, 0.3], [0.0, -0.0001]],
+                               pa.list_(pa.float32()))}
+    )
+    ids, q = quantized_matrix(tbl)
+    assert (q >= 0).all()  # DuckDB // truncates; non-negative => floor==trunc
+    assert ids.tolist() == [0, 1]
