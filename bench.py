@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "rel_grouped_mode",
     "rel_semi_join_bloom",
     "text_lm_score",
+    "sketch_quantile",
+    "text_pmi_topk",
+    "emb_kmeans",
 ]
 
 

@@ -723,6 +723,15 @@ def sketch_cms(sf_dir: str):
     return cms_build(_docs_ds(sf_dir))
 
 
+def doc_pack(sf_dir: str):
+    """Concatenate-and-chunk sequence packing: global token prefix sum via
+    the two-pass range scan (bucket partials -> broadcast offsets ->
+    partition-local cumsum); (doc_id, n_tokens, seq_id, seq_offset)."""
+    from .stages.corpus import pack_sequences
+
+    return pack_sequences(_docs_ds(sf_dir))
+
+
 def emb_kmeans(sf_dir: str):
     """Integer-exact Lloyd k-means over the embedding column: centroids
     broadcast as a tiny k x d matrix, one streaming pass per iteration
@@ -841,6 +850,7 @@ def registry() -> dict:
         "sketch_quantile": sketch_quantile,
         "text_pmi_topk": text_pmi_topk,
         "emb_kmeans": emb_kmeans,
+        "doc_pack": doc_pack,
         "rel_grouped_mode": rel_grouped_mode,
         "rel_semi_join_bloom": rel_semi_join_bloom,
         "text_lm_score": text_lm_score,
@@ -1038,6 +1048,12 @@ def _sql_decontaminate_oracle() -> str:
     from .stages.corpus import sql_decontaminate
 
     return sql_decontaminate(_sql_ngram_pairs(), eval_pct=10)
+
+
+def _sql_doc_pack_oracle() -> str:
+    from .stages.corpus import sql_pack_sequences
+
+    return sql_pack_sequences(ts.sql_n_tokens(_TEXT))
 
 
 def _sql_kmeans_oracle() -> str:
@@ -1272,6 +1288,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_quantile": _sql_quantile_oracle(),
         "text_pmi_topk": _sql_pmi_oracle(),
         "emb_kmeans": _sql_kmeans_oracle(),
+        "doc_pack": _sql_doc_pack_oracle(),
         "rel_grouped_mode": _sql_grouped_mode_oracle(),
         "rel_semi_join_bloom": (
             # identical semantics to rel_semi_join: the Bloom stage only

@@ -802,3 +802,133 @@ SELECT gram, CAST(c12 AS BIGINT) AS pair_count, pmi_score,
          AS "rank"
 FROM s ORDER BY pmi_score DESC, gram LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concatenate-and-chunk for LLM training batches)
+# ---------------------------------------------------------------------------
+
+PACK_WINDOW = 512
+
+
+def pack_sequences(docs_ds, window: int = PACK_WINDOW,
+                   num_buckets: int | None = None):
+    """documents -> (doc_id, n_tokens, seq_id, seq_offset): where each doc
+    starts in the GPT-style concatenate-and-chunk token stream — docs in
+    doc_id order, fixed ``window``-token training sequences, seq_id =
+    exclusive-prefix-sum // window, seq_offset = prefix % window.
+
+    The distributed prefix sum is the classic two-pass range scan, not a
+    driver loop:
+
+    1. token counts materialize once (two tiny int64 columns — the reuse
+       point for both passes);
+    2. pass A: docs range-bucket by ``(doc_id - lo) // bucket_w``; per-batch
+       np.add.at bucket partials tree-combine to <= num_buckets rows, whose
+       exclusive prefix (the per-bucket global offsets, a small array)
+       broadcasts into pass B;
+    3. pass B: one partition-only exchange on the bucket key — each kernel
+       sorts its buckets locally, local exclusive cumsum + the bucket's
+       global offset.  No stage ever sees token text twice or rows out of
+       its own bucket.
+
+    Docs straddle sequence boundaries by design (the packing stream is
+    continuous); a doc's tokens begin at stream position
+    ``seq_id * window + seq_offset``.
+    """
+    import pandas as pd
+
+    from .exchange import _default_partitions, hash_partitioned_apply
+    from .text_analysis import token_count_batch
+
+    counts = docs_ds.map_batches(
+        token_count_batch, batch_format="pandas"
+    ).materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    agg = counts.aggregate(Min("doc_id"), Max("doc_id"))
+    if not agg or agg.get("min(doc_id)") is None:
+        return counts.map_batches(
+            lambda t: pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "seq_id": pa.array([], pa.int64()),
+                 "seq_offset": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    lo, hi = int(agg["min(doc_id)"]), int(agg["max(doc_id)"])
+    B = num_buckets or _default_partitions() * 8
+    bucket_w = max(1, (hi - lo + B) // B)
+    n_buckets = (hi - lo) // bucket_w + 1
+
+    def bucket_sums(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        b = (ids - lo) // bucket_w
+        ub, inv = np.unique(b, return_inverse=True)
+        s = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(s, inv, nt)
+        return pa.table({"bucket": pa.array(ub.astype(np.int64)),
+                         "n_tokens": pa.array(s)})
+
+    # tree-combine: per-batch partials, then one coalesced merge block
+    merged = counts.map_batches(bucket_sums, batch_format="pyarrow") \
+        .repartition(1).map_batches(
+            lambda t: t.group_by("bucket").aggregate([("n_tokens", "sum")])
+                       .rename_columns(["bucket", "n_tokens"]),
+            batch_format="pyarrow",
+        ).take_all()
+    totals = np.zeros(n_buckets, dtype=np.int64)
+    for r in merged:
+        totals[int(r["bucket"])] = int(r["n_tokens"])
+    bucket_pre = np.cumsum(totals) - totals  # exclusive global offsets
+
+    def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        d = d.sort_values("doc_id")
+        ids = d["doc_id"].to_numpy()
+        nt = d["n_tokens"].to_numpy()
+        b = (ids - lo) // bucket_w
+        cs = np.cumsum(nt) - nt
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        base = np.repeat(cs[starts], np.diff(np.r_[starts, len(b)]))
+        pre = bucket_pre[b] + (cs - base)
+        return pd.DataFrame(
+            {"doc_id": ids.astype("int64"),
+             "n_tokens": nt.astype("int64"),
+             "seq_id": (pre // window).astype("int64"),
+             "seq_offset": (pre % window).astype("int64")}
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(((ids - lo) // bucket_w).astype(np.int64))
+        )
+
+    tagged = counts.map_batches(add_bucket, batch_format="pyarrow")
+
+    def drop_bucket_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        return kernel(d.drop(columns=["bucket"]))
+
+    return hash_partitioned_apply(
+        tagged, ["bucket"], drop_bucket_kernel, int_keys=True
+    )
+
+
+def sql_pack_sequences(sql_n_tokens: str, window: int = PACK_WINDOW) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST({sql_n_tokens} AS BIGINT) AS n_tokens FROM documents
+), p AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       CAST(pre // {window} AS BIGINT) AS seq_id,
+       CAST(pre % {window} AS BIGINT) AS seq_offset
+FROM p
+"""

@@ -239,3 +239,46 @@ def test_kmeans_quantize_offset_nonnegative():
     ids, q = quantized_matrix(tbl)
     assert (q >= 0).all()  # DuckDB // truncates; non-negative => floor==trunc
     assert ids.tolist() == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (global prefix sum)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_matches_serial_prefix_sum(ray_session):
+    import ray.data as rd
+
+    from kgx.functions.text import tokenize
+    from kgx.stages.corpus import pack_sequences
+
+    rng = np.random.RandomState(23)
+    texts = [" ".join(f"w{j}" for j in range(rng.randint(0, 40)))
+             for _ in range(400)]
+    # non-dense, shuffled doc_ids: the range bucketing must not assume
+    # density or order
+    ids = (np.arange(400, dtype=np.int64) * 7 + 13)
+    perm = rng.permutation(400)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": ids[perm], "text": [texts[i] for i in perm]})
+    ).repartition(9)
+    got = _collect(pack_sequences(ds, window=64)).sort_values("doc_id")
+
+    nt = np.array([len(tokenize(t)) for t in texts], dtype=np.int64)
+    pre = np.cumsum(nt) - nt  # exclusive, in doc_id order
+    assert got["doc_id"].tolist() == ids.tolist()
+    assert got["n_tokens"].tolist() == nt.tolist()
+    assert got["seq_id"].tolist() == (pre // 64).tolist()
+    assert got["seq_offset"].tolist() == (pre % 64).tolist()
+
+
+def test_pack_sequences_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import pack_sequences
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    assert len(_collect(pack_sequences(ds))) == 0
