@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "sketch_quantile",
     "text_pmi_topk",
     "emb_kmeans",
+    "doc_pack",
 ]
 
 

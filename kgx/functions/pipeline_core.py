@@ -133,7 +133,11 @@ def segments_for_page_adaptive(url: str, html, text, lang: str, cfg: dict) -> tu
 
 def mentions_for_segment(seg: dict, aliases: AliasMatcher) -> list[dict]:
     out = []
-    for b, e, surf in aliases.find(seg["text"]):
+    # mention_ord (scan ordinal within the segment) is assigned HERE, where
+    # the segment's mentions exist as one unit — a downstream per-block
+    # cumcount silently restarts when target_max_block_size slices a
+    # segment's rows across blocks (r4 --small-blocks sweep finding)
+    for ord_, (b, e, surf) in enumerate(aliases.find(seg["text"])):
         cands = aliases.candidates(surf)
         ner = cands[0].ner_type if cands else "UNK"
         out.append(
@@ -141,6 +145,7 @@ def mentions_for_segment(seg: dict, aliases: AliasMatcher) -> list[dict]:
                 "url": seg["url"],
                 "seg_id": seg["seg_id"],
                 "mention_id": stable_hash64(f"{seg['url']}|{seg['seg_id']}|{b}") & ((1 << 63) - 1),
+                "mention_ord": ord_,
                 "begin": b,
                 "end": e,
                 "surface": surf,

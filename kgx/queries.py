@@ -235,29 +235,28 @@ def kg_mentions(sf_dir: str):
     """Mention-detector output (actor-pool alias automaton) with char spans
     projected to a per-segment scan ordinal (SQL regex can't return offsets;
     offsets stay pytest-gated via kgx.oracle)."""
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from .pipeline import broadcast_kb, mentions_ds
 
-    def project(df: "pd.DataFrame") -> "pd.DataFrame":
-        out = pd.DataFrame(
+    def project(batch: "pa.Table") -> "pa.Table":
+        # mention_ord comes from the PRODUCER (assigned while the segment's
+        # mentions are one unit) — a per-block cumcount here restarts when
+        # target_max_block_size slices a segment across blocks (r4
+        # --small-blocks sweep finding), so the projection is layout-free
+        return pa.table(
             {
-                "url": df["url"],
-                "seg_id": df["seg_id"].astype("int64"),
-                "begin": df["begin"],
-                "surface": df["surface"],
-                "ner_type": df["ner_type"],
+                "url": batch["url"],
+                "seg_id": pc.cast(batch["seg_id"], pa.int64()),
+                "mention_ord": batch["mention_ord"],
+                "surface": batch["surface"],
+                "ner_type": batch["ner_type"],
             }
-        ).sort_values(["url", "seg_id", "begin"], kind="stable")
-        out["mention_ord"] = out.groupby(["url", "seg_id"], sort=False).cumcount()
-        out["mention_ord"] = out["mention_ord"].astype("int64")
-        return out[["url", "seg_id", "mention_ord", "surface", "ner_type"]]
+        )
 
     ds = mentions_ds(_kg_sql_pages(sf_dir), _kg_sql_cfg(), broadcast_kb())
-    # batch_size=None: one whole upstream block per batch, so a segment's
-    # mention rows (contiguous within their producing block) never split
-    # across cumcount calls.
-    return ds.map_batches(project, batch_format="pandas", batch_size=None)
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,7 @@ MENTIONS = pa.schema(
         pa.field("url", pa.string()),
         pa.field("seg_id", pa.int32()),
         pa.field("mention_id", pa.int64()),
+        pa.field("mention_ord", pa.int64()),
         pa.field("begin", pa.int32()),
         pa.field("end", pa.int32()),
         pa.field("surface", pa.string()),

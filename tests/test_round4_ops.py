@@ -282,3 +282,21 @@ def test_pack_sequences_empty_corpus(ray_session):
                   "text": pa.array([], pa.string())})
     )
     assert len(_collect(pack_sequences(ds))) == 0
+
+
+def test_mention_ord_assigned_at_producer():
+    """Layout-independence regression (r4 --small-blocks sweep): the
+    per-segment scan ordinal is assigned by mentions_for_segment itself,
+    not by a downstream per-block cumcount."""
+    from kgx.functions.extract_kg import AliasMatcher
+    from kgx.functions.pipeline_core import mentions_for_segment
+    from kgx.synth import build_knowledge_base
+
+    kb = build_knowledge_base()
+    aliases = AliasMatcher(kb["alias_table"].to_pylist())
+    surf = kb["alias_table"]["alias"][0].as_py()
+    seg = {"url": "u", "seg_id": 0,
+           "text": f"{surf} filler {surf} filler {surf}", "lang": "en"}
+    rows = mentions_for_segment(seg, aliases)
+    assert [r["mention_ord"] for r in rows] == list(range(len(rows)))
+    assert len(rows) >= 3
