@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "text_pmi_topk",
     "emb_kmeans",
     "doc_pack",
+    "graph_triangles",
 ]
 
 

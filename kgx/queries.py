@@ -722,6 +722,18 @@ def sketch_cms(sf_dir: str):
     return cms_build(_docs_ds(sf_dir))
 
 
+def graph_triangles(sf_dir: str):
+    """Exact triangle count of the constructed co-supplier graph
+    (relational -> graph projection, degree-ordered orientation bounds
+    wedge volume at hubs, pair-keyed closure exchange)."""
+    from .pipelines.relational import _read
+    from .stages.triangles import cosupplier_triangles
+
+    return cosupplier_triangles(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    )
+
+
 def doc_pack(sf_dir: str):
     """Concatenate-and-chunk sequence packing: global token prefix sum via
     the two-pass range scan (bucket partials -> broadcast offsets ->
@@ -850,6 +862,7 @@ def registry() -> dict:
         "text_pmi_topk": text_pmi_topk,
         "emb_kmeans": emb_kmeans,
         "doc_pack": doc_pack,
+        "graph_triangles": graph_triangles,
         "rel_grouped_mode": rel_grouped_mode,
         "rel_semi_join_bloom": rel_semi_join_bloom,
         "text_lm_score": text_lm_score,
@@ -1047,6 +1060,12 @@ def _sql_decontaminate_oracle() -> str:
     from .stages.corpus import sql_decontaminate
 
     return sql_decontaminate(_sql_ngram_pairs(), eval_pct=10)
+
+
+def _sql_triangles_oracle() -> str:
+    from .stages.triangles import sql_cosupplier_triangles
+
+    return sql_cosupplier_triangles()
 
 
 def _sql_doc_pack_oracle() -> str:
@@ -1288,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pmi_topk": _sql_pmi_oracle(),
         "emb_kmeans": _sql_kmeans_oracle(),
         "doc_pack": _sql_doc_pack_oracle(),
+        "graph_triangles": _sql_triangles_oracle(),
         "rel_grouped_mode": _sql_grouped_mode_oracle(),
         "rel_semi_join_bloom": (
             # identical semantics to rel_semi_join: the Bloom stage only

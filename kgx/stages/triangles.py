@@ -1,0 +1,286 @@
+"""Exact distributed triangle counting — the standard graph-health /
+community-density statistic over a CONSTRUCTED graph: suppliers are
+connected when they co-supply the same order, so the operator exercises
+both halves of the classic pipeline (relational -> graph projection, then
+degree-ordered triangle enumeration).
+
+Scale shape (all existing exchange machinery, no new primitives):
+
+1. co-supplier edges: partition-only exchange on l_orderkey; the kernel
+   builds per-order distinct supplier pairs with a fully-vectorized
+   within-group pair generator (no per-order Python) — pair volume per
+   order is C(lines, 2), bounded by the order's line count;
+2. edge dedup + degree: combiner-pre-deduped exchanges (the dedup_exact /
+   degree_histogram shapes);
+3. DEGREE-ORDERED orientation: each undirected edge points from its
+   lower-(degree, id) endpoint — the out-degree of any node is then
+   O(sqrt(m)) (Chiba–Nishizeki), so per-source wedge generation cannot
+   blow up on hubs the way id-only orientation does;
+4. wedges + closure: per-source neighbor pairs (ordered by rank) meet the
+   oriented edge set in ONE pair-keyed exchange; per-partition match
+   counts tree-sum to a single (n_triangles) row.
+
+Degrees attach to edge endpoints via kind-discriminated union rows through
+the SAME keyed exchanges (the inverted-index pattern) — no driver-side
+node map at any point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _pairs_within_groups(starts: np.ndarray, sizes: np.ndarray, n: int):
+    """All (i < j) GLOBAL index pairs within contiguous groups of a sorted
+    array — fully vectorized: element idx pairs with the idx+1..group_end
+    range that follows it."""
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    ends = np.repeat(starts + sizes, sizes)
+    idx = np.arange(n, dtype=np.int64)
+    reps = ends - idx - 1
+    total = int(reps.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    left = np.repeat(idx, reps)
+    block_starts = np.cumsum(reps) - reps
+    right = (np.arange(total, dtype=np.int64)
+             - np.repeat(block_starts, reps) + left + 1)
+    return left, right
+
+
+def _group_bounds(keys: np.ndarray):
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    sizes = np.diff(np.r_[starts, len(keys)])
+    return starts, sizes
+
+
+def cosupplier_triangles(lineitem_ds, num_partitions: int | None = None,
+                         broadcast_deg_limit: int = 2_000_000):
+    """lineitem -> one row (n_triangles,): exact triangle count of the
+    co-supplier graph (edge iff two suppliers share an order)."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    # -- 1. per-order supplier pairs (a < b), combiner-deduped per batch --
+    def order_pairs_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        d = d.drop_duplicates(subset=["l_orderkey", "l_suppkey"]).sort_values(
+            ["l_orderkey", "l_suppkey"]
+        )
+        o = d["l_orderkey"].to_numpy()
+        s = d["l_suppkey"].to_numpy().astype(np.int64)
+        starts, sizes = _group_bounds(o)
+        li, ri = _pairs_within_groups(starts, sizes, len(o))
+        return pd.DataFrame(
+            {"a": s[li], "b": s[ri]}
+        ).drop_duplicates()
+
+    pairs = hash_partitioned_apply(
+        lineitem_ds, ["l_orderkey"], order_pairs_kernel, num_partitions,
+        int_keys=True,
+    )
+
+    # -- 2. distinct edges ------------------------------------------------
+    def edge_dedup(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates(subset=["a", "b"])[["a", "b"]]
+
+    # edges / deg / oriented are each consumed by TWO downstream branches;
+    # Ray re-executes a lazy plan per consumer, so the shared graph-sized
+    # intermediates pin once (the pagerank partition-pinning rationale —
+    # without this the diamond reuse re-runs the edge build ~6x)
+    edges = hash_partitioned_apply(
+        pairs.map_batches(edge_dedup, batch_format="pandas"),
+        ["a", "b"], edge_dedup, num_partitions, int_keys=True,
+    ).materialize()
+
+    # -- 3. degrees (undirected), then attach to both endpoints ----------
+    def symmetrize(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd2
+
+        return pd2.DataFrame(
+            {"node": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]),
+             "cnt": np.ones(2 * len(df), dtype=np.int64)}
+        )
+
+    def deg_combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("node", sort=False, as_index=False).agg(
+            cnt=("cnt", "sum")
+        )
+
+    deg = hash_partitioned_agg(
+        edges.map_batches(symmetrize, batch_format="pandas"),
+        ["node"], deg_combine, num_partitions,
+    ).materialize()
+
+    # kind-discriminated union through a node-keyed exchange: edge rows key
+    # by ONE endpoint, degree rows by their node; the kernel maps deg onto
+    # that endpoint (inverted-index pattern — no driver-side node map)
+    def _attach(edge_rows, edge_cols, key_col, deg_out_col):
+        # union schema: edge_cols + [node, cnt]; deg rows fill edge cols
+        # with -1 and keep cnt >= 0 as their discriminator (real degrees
+        # are >= 1, edge rows carry cnt = -1); column ORDER matches across
+        # both union branches
+        all_cols = list(edge_cols) + ["node", "cnt"]
+
+        def to_union_edges(df: "pd.DataFrame") -> "pd.DataFrame":
+            out = df.copy()
+            out["node"] = out[key_col].astype("int64")
+            out["cnt"] = np.int64(-1)
+            return out[all_cols]
+
+        def to_union_deg(df: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as pd2
+
+            out = pd2.DataFrame(
+                {c: np.full(len(df), -1, dtype=np.int64)
+                 for c in edge_cols}
+            )
+            out["node"] = df["node"].to_numpy().astype(np.int64)
+            out["cnt"] = df["cnt"].to_numpy().astype(np.int64)
+            return out[all_cols]
+
+        def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+            dd = d[d["cnt"] >= 0]
+            ee = d[d["cnt"] < 0]
+            m = ee.merge(dd[["node", "cnt"]].rename(
+                columns={"cnt": deg_out_col}), on="node", how="inner")
+            return m.drop(columns=["node", "cnt"])
+
+        u = edge_rows.map_batches(
+            to_union_edges, batch_format="pandas"
+        ).union(deg.map_batches(to_union_deg, batch_format="pandas"))
+        return hash_partitioned_apply(u, ["node"], kernel, num_partitions,
+                                      int_keys=True)
+
+    # -- 4. orient by (degree, id); wedges; closure -----------------------
+    def _orient_arrays(a, b, da, db):
+        fwd = (da < db) | ((da == db) & (a < b))
+        import pandas as pd2
+
+        return pd2.DataFrame(
+            {"src": np.where(fwd, a, b), "dst": np.where(fwd, b, a),
+             "ddst": np.where(fwd, db, da).astype(np.int64)}
+        )
+
+    # cost gate (the anti-join broadcast-vs-native precedent): the degree
+    # table is node-sized — when it fits the broadcast budget, ship it once
+    # via ray.put and orient in ONE map over the edges, skipping both
+    # attach exchanges; the exchange path remains the unbounded-node route
+    if deg.count() <= broadcast_deg_limit:
+        import pandas as pd_b
+        import ray
+
+        deg_pd = deg.to_pandas()
+        deg_ref = ray.put(
+            pd_b.Series(deg_pd["cnt"].values, index=deg_pd["node"].values)
+        )
+
+        def orient_bcast(df: "pd.DataFrame") -> "pd.DataFrame":
+            import ray as _ray
+
+            s = _ray.get(deg_ref)
+            a = df["a"].to_numpy()
+            b = df["b"].to_numpy()
+            da = s.reindex(a).to_numpy().astype(np.int64)
+            db = s.reindex(b).to_numpy().astype(np.int64)
+            return _orient_arrays(a, b, da, db)
+
+        oriented = edges.map_batches(
+            orient_bcast, batch_format="pandas"
+        ).materialize()
+    else:
+        e_da = _attach(edges, ["a", "b"], "a", "da")
+        e_db = _attach(e_da, ["a", "b", "da"], "b", "db")
+
+        def orient(df: "pd.DataFrame") -> "pd.DataFrame":
+            return _orient_arrays(
+                df["a"].to_numpy(), df["b"].to_numpy(),
+                df["da"].to_numpy(), df["db"].to_numpy(),
+            )
+
+        oriented = e_db.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedge_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd2
+
+        # neighbors sorted by rank (ddst, dst) per src; all rank-ordered
+        # pairs (u, w) — out-degree is O(sqrt(m)) under the orientation
+        d = d.sort_values(["src", "ddst", "dst"])
+        srcs = d["src"].to_numpy()
+        dst = d["dst"].to_numpy()
+        starts, sizes = _group_bounds(srcs)
+        li, ri = _pairs_within_groups(starts, sizes, len(srcs))
+        return pd2.DataFrame(
+            {"u": dst[li], "w": dst[ri],
+             "kind": np.zeros(len(li), dtype=np.int64)}
+        )
+
+    wedges = hash_partitioned_apply(
+        oriented, ["src"], wedge_kernel, num_partitions, int_keys=True
+    )
+
+    def edge_probe_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd2
+
+        return pd2.DataFrame(
+            {"u": df["src"], "w": df["dst"],
+             "kind": np.ones(len(df), dtype=np.int64)}
+        )
+
+    probe = wedges.union(
+        oriented.map_batches(edge_probe_rows, batch_format="pandas")
+    )
+
+    def close_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd2
+
+        w = d[d["kind"] == 0]
+        e = d[d["kind"] == 1].drop_duplicates(subset=["u", "w"])
+        n = len(w.merge(e[["u", "w"]], on=["u", "w"], how="inner"))
+        return pd2.DataFrame({"n_triangles": [np.int64(n)]})
+
+    counts = hash_partitioned_apply(
+        probe, ["u", "w"], close_kernel, num_partitions, int_keys=True
+    )
+
+    def total(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd2
+
+        return pd2.DataFrame(
+            {"n_triangles": [np.int64(df["n_triangles"].sum())]}
+        )
+
+    # per-partition counts are tiny: one coalesced block sums them
+    return counts.repartition(1).map_batches(
+        total, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_cosupplier_triangles() -> str:
+    """DuckDB oracle: same graph, same count — rank-DAG triple join (each
+    triangle counted once)."""
+    return """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem
+), e AS (
+  SELECT DISTINCT x.s AS a, y.s AS b
+  FROM ls x JOIN ls y ON x.o = y.o AND x.s < y.s
+), und AS (
+  SELECT a AS node, b AS other FROM e
+  UNION ALL SELECT b AS node, a AS other FROM e
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY node
+), o AS (
+  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM o e1 JOIN o e2 ON e2.src = e1.dst
+JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+"""

@@ -300,3 +300,94 @@ def test_mention_ord_assigned_at_producer():
     rows = mentions_for_segment(seg, aliases)
     assert [r["mention_ord"] for r in rows] == list(range(len(rows)))
     assert len(rows) >= 3
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def test_pairs_within_groups_vectorized():
+    from kgx.stages.triangles import _group_bounds, _pairs_within_groups
+
+    keys = np.array([1, 1, 1, 2, 3, 3])
+    starts, sizes = _group_bounds(keys)
+    li, ri = _pairs_within_groups(starts, sizes, len(keys))
+    got = sorted(zip(li.tolist(), ri.tolist()))
+    assert got == [(0, 1), (0, 2), (1, 2), (4, 5)]
+    # empty + singleton groups
+    li, ri = _pairs_within_groups(*_group_bounds(np.array([7])), 1)
+    assert len(li) == 0
+
+
+def _brute_triangles(order_supp):
+    import itertools
+
+    edges = set()
+    by_order = {}
+    for o, s in order_supp:
+        by_order.setdefault(o, set()).add(s)
+    for supps in by_order.values():
+        for a, b in itertools.combinations(sorted(supps), 2):
+            edges.add((a, b))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = 0
+    for a, b in edges:
+        n += len(adj[a] & adj[b])
+    return n // 3  # each triangle is counted once per its 3 edges
+
+
+def test_triangles_match_brute_force(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.triangles import cosupplier_triangles
+
+    rng = np.random.RandomState(29)
+    rows = [(int(o), int(rng.randint(0, 25)))
+            for o in rng.randint(0, 120, size=600)]
+    tbl = pa.table(
+        {"l_orderkey": [o for o, _ in rows],
+         "l_suppkey": [s for _, s in rows]}
+    )
+    ds = rd.from_arrow(tbl).repartition(6)
+    got = _collect(cosupplier_triangles(ds))
+    want = _brute_triangles(rows)
+    assert got["n_triangles"].tolist() == [want]
+    assert want > 0  # the corpus is dense enough to have triangles
+
+
+def test_triangles_empty_and_triangle_free(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.triangles import cosupplier_triangles
+
+    # a pure star (orders sharing supplier 0 with ONE other) is
+    # triangle-free
+    tbl = pa.table(
+        {"l_orderkey": [1, 1, 2, 2, 3, 3],
+         "l_suppkey": [0, 1, 0, 2, 0, 3]}
+    )
+    got = _collect(cosupplier_triangles(rd.from_arrow(tbl)))
+    assert got["n_triangles"].tolist() == [0]
+
+
+def test_triangles_exchange_path_agrees_with_broadcast(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.triangles import cosupplier_triangles
+
+    rng = np.random.RandomState(31)
+    rows = [(int(o), int(rng.randint(0, 20)))
+            for o in rng.randint(0, 80, size=400)]
+    tbl = pa.table(
+        {"l_orderkey": [o for o, _ in rows],
+         "l_suppkey": [s for _, s in rows]}
+    )
+    ds = rd.from_arrow(tbl).repartition(5)
+    bcast = _collect(cosupplier_triangles(ds))
+    forced = _collect(cosupplier_triangles(ds, broadcast_deg_limit=0))
+    assert bcast["n_triangles"].tolist() == forced["n_triangles"].tolist()
+    assert _brute_triangles(rows) == bcast["n_triangles"].iloc[0]
