@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "emb_kmeans",
     "doc_pack",
     "graph_triangles",
+    "rel_top_revenue",
 ]
 
 

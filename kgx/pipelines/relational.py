@@ -1322,3 +1322,147 @@ def customers_with_orders_bloom(
         right_on=("o_custkey",),
     )
     return joined.select_columns(["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# Composed multi-table pipeline (TPC-H Q3 shape): segment filter ->
+# revenue aggregate -> order attach -> global top-k
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_K = 10
+
+
+def top_revenue_orders(sf_dir: str, segment: str = Q3_SEGMENT,
+                       k: int = Q3_K, broadcast_limit: int = 2_000_000):
+    """The classic three-table analytics composition, end-to-end streaming:
+    customers in one market segment -> their orders -> per-order lineitem
+    revenue -> global top-k; (o_orderkey, revenue_cp, rank).
+
+    Revenue is integer "cent-percent" units so the whole plan is
+    hash-exact: ``floor(price*100+0.5) * (100 - floor(discount*100+0.5))``
+    summed per order (no float accumulation-order ambiguity).
+
+    Plan shape (each piece is an already-measured primitive):
+    * customer read prunes to 2 columns; the segment's custkeys broadcast
+      via ``ray.put`` when they fit ``broadcast_limit`` (Q3 segments are
+      ~1/5 of customers — at larger scale the Bloom-prefiltered or native
+      join path of rel_semi_join* applies, so the gate mirrors
+      customers_with_orders);
+    * orders filter by the broadcast key set, then ship (o_orderkey,)
+      rows into the SAME orderkey-keyed exchange as the lineitem revenue
+      partials (kind-discriminated union — revenue rows carry cnt>=0,
+      order rows are the keep-filter), so qualifying-order revenue
+      finishes in ONE exchange;
+    * only k rows cross to the driver (sort + limit + single-block rank,
+      the ngram_topk coalesce rule)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.exchange import hash_partitioned_apply
+
+    cust = pq.read_table(
+        str(Path(sf_dir) / "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    keys = cust.filter(
+        pc.equal(cust["c_mktsegment"], segment)
+    )["c_custkey"].to_numpy()
+    if len(keys) > broadcast_limit:  # pragma: no cover - sf-dependent
+        raise NotImplementedError(
+            "segment key set exceeds the broadcast budget; use the "
+            "rel_semi_join_bloom plan shape for the filter stage"
+        )
+    keys_ref = ray.put(np.sort(keys))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def order_rows(batch: "pa.Table") -> "pd.DataFrame":
+        ks = ray.get(keys_ref)
+        ck = batch["o_custkey"].to_numpy()
+        if len(ks) == 0:
+            m = np.zeros(len(ck), dtype=bool)
+        else:
+            m = ks[np.searchsorted(ks, ck).clip(max=len(ks) - 1)] == ck
+        return pd.DataFrame(
+            {"o_orderkey": batch["o_orderkey"].to_numpy()[m].astype("int64"),
+             "revenue_cp": np.full(int(m.sum()), -1, dtype=np.int64)}
+        )
+
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue_partial(batch: "pa.Table") -> "pd.DataFrame":
+        okey = batch["l_orderkey"].to_numpy()
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        dpct = np.floor(
+            batch["l_discount"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        rev = cents * (100 - dpct)
+        uk, inv = np.unique(okey, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, rev)
+        return pd.DataFrame(
+            {"o_orderkey": uk.astype("int64"), "revenue_cp": s}
+        )
+
+    union = line.map_batches(revenue_partial, batch_format="pyarrow").union(
+        orders.map_batches(order_rows, batch_format="pyarrow")
+    )
+
+    def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        keep = set(d.loc[d["revenue_cp"] < 0, "o_orderkey"].tolist())
+        rev = d[d["revenue_cp"] >= 0]
+        g = rev.groupby("o_orderkey", sort=False, as_index=False).agg(
+            revenue_cp=("revenue_cp", "sum")
+        )
+        g = g[g["o_orderkey"].isin(keep)]
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].astype("int64"),
+             "revenue_cp": g["revenue_cp"].astype("int64")}
+        )
+
+    per_order = hash_partitioned_apply(
+        union, ["o_orderkey"], kernel, int_keys=True
+    )
+    topk = per_order.sort(
+        ["revenue_cp", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+
+    def add_rank(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.sort_values(["revenue_cp", "o_orderkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+        d["rank"] = (d.index + 1).astype("int64")
+        return d[["o_orderkey", "revenue_cp", "rank"]]
+
+    return topk.repartition(1).map_batches(
+        add_rank, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_top_revenue_orders(segment: str = Q3_SEGMENT, k: int = Q3_K) -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+           AS revenue_cp
+  FROM lineitem GROUP BY 1
+), q AS (
+  SELECT r.o_orderkey, r.revenue_cp
+  FROM rev r JOIN orders o ON o.o_orderkey = r.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = '{segment}'
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(revenue_cp AS BIGINT) AS revenue_cp,
+       CAST(row_number() OVER (ORDER BY revenue_cp DESC, o_orderkey)
+            AS BIGINT) AS "rank"
+FROM q ORDER BY revenue_cp DESC, o_orderkey LIMIT {k}
+"""

@@ -722,6 +722,16 @@ def sketch_cms(sf_dir: str):
     return cms_build(_docs_ds(sf_dir))
 
 
+def rel_top_revenue(sf_dir: str):
+    """TPC-H Q3-shape composition: segment-filtered customers -> their
+    orders (broadcast key filter) -> per-order lineitem revenue (integer
+    cent-percent) -> global top-k; ONE orderkey-keyed exchange finishes
+    the qualify+aggregate via a kind-discriminated union."""
+    from .pipelines.relational import top_revenue_orders
+
+    return top_revenue_orders(sf_dir)
+
+
 def graph_triangles(sf_dir: str):
     """Exact triangle count of the constructed co-supplier graph
     (relational -> graph projection, degree-ordered orientation bounds
@@ -863,6 +873,7 @@ def registry() -> dict:
         "emb_kmeans": emb_kmeans,
         "doc_pack": doc_pack,
         "graph_triangles": graph_triangles,
+        "rel_top_revenue": rel_top_revenue,
         "rel_grouped_mode": rel_grouped_mode,
         "rel_semi_join_bloom": rel_semi_join_bloom,
         "text_lm_score": text_lm_score,
@@ -1060,6 +1071,12 @@ def _sql_decontaminate_oracle() -> str:
     from .stages.corpus import sql_decontaminate
 
     return sql_decontaminate(_sql_ngram_pairs(), eval_pct=10)
+
+
+def _sql_top_revenue_oracle() -> str:
+    from .pipelines.relational import sql_top_revenue_orders
+
+    return sql_top_revenue_orders()
 
 
 def _sql_triangles_oracle() -> str:
@@ -1308,6 +1325,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _sql_kmeans_oracle(),
         "doc_pack": _sql_doc_pack_oracle(),
         "graph_triangles": _sql_triangles_oracle(),
+        "rel_top_revenue": _sql_top_revenue_oracle(),
         "rel_grouped_mode": _sql_grouped_mode_oracle(),
         "rel_semi_join_bloom": (
             # identical semantics to rel_semi_join: the Bloom stage only

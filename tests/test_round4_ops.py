@@ -391,3 +391,51 @@ def test_triangles_exchange_path_agrees_with_broadcast(ray_session):
     forced = _collect(cosupplier_triangles(ds, broadcast_deg_limit=0))
     assert bcast["n_triangles"].tolist() == forced["n_triangles"].tolist()
     assert _brute_triangles(rows) == bcast["n_triangles"].iloc[0]
+
+
+# ---------------------------------------------------------------------------
+# composed Q3-shape pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_top_revenue_orders_vs_pandas(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import top_revenue_orders
+
+    rng = np.random.RandomState(37)
+    n_cust, n_ord, n_line = 40, 200, 900
+    cust = pa.table(
+        {"c_custkey": np.arange(n_cust, dtype=np.int64),
+         "c_mktsegment": [("BUILDING" if i % 3 == 0 else "AUTO")
+                          for i in range(n_cust)]}
+    )
+    orders = pa.table(
+        {"o_orderkey": np.arange(n_ord, dtype=np.int64),
+         "o_custkey": rng.randint(0, n_cust, n_ord).astype(np.int64)}
+    )
+    line = pa.table(
+        {"l_orderkey": rng.randint(0, n_ord, n_line).astype(np.int64),
+         "l_extendedprice": np.round(rng.uniform(1, 1000, n_line), 2),
+         "l_discount": np.round(rng.choice([0.0, 0.05, 0.1], n_line), 2)}
+    )
+    for name, t in [("customer", cust), ("orders", orders),
+                    ("lineitem", line)]:
+        pq.write_table(t, tmp_path / f"{name}.parquet")
+
+    got = _collect(top_revenue_orders(str(tmp_path), k=7))
+
+    seg_cust = set(np.flatnonzero(np.arange(n_cust) % 3 == 0).tolist())
+    keep = {int(o) for o, c in zip(orders["o_orderkey"].to_numpy(),
+                                   orders["o_custkey"].to_numpy())
+            if int(c) in seg_cust}
+    cents = np.floor(line["l_extendedprice"].to_numpy() * 100 + 0.5)
+    dpct = np.floor(line["l_discount"].to_numpy() * 100 + 0.5)
+    rev = (cents * (100 - dpct)).astype(np.int64)
+    agg: dict[int, int] = {}
+    for o, r in zip(line["l_orderkey"].to_numpy(), rev):
+        if int(o) in keep:
+            agg[int(o)] = agg.get(int(o), 0) + int(r)
+    want = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
+    assert list(zip(got["o_orderkey"], got["revenue_cp"])) == want
+    assert got["rank"].tolist() == list(range(1, len(want) + 1))
