@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "doc_pack",
     "graph_triangles",
     "rel_top_revenue",
+    "graph_cc",
 ]
 
 

@@ -722,6 +722,15 @@ def sketch_cms(sf_dir: str):
     return cms_build(_docs_ds(sf_dir))
 
 
+def graph_cc(sf_dir: str):
+    """Round-exact connected-component labels (6 synchronous min-label
+    rounds) over the supplier<->part graph — third consumer of the shared
+    partitioned-edge Pregel; oracle is the unrolled-CTE recurrence."""
+    from .stages.graph import supplier_part_cc
+
+    return supplier_part_cc(sf_dir)
+
+
 def rel_top_revenue(sf_dir: str):
     """TPC-H Q3-shape composition: segment-filtered customers -> their
     orders (broadcast key filter) -> per-order lineitem revenue (integer
@@ -874,6 +883,7 @@ def registry() -> dict:
         "doc_pack": doc_pack,
         "graph_triangles": graph_triangles,
         "rel_top_revenue": rel_top_revenue,
+        "graph_cc": graph_cc,
         "rel_grouped_mode": rel_grouped_mode,
         "rel_semi_join_bloom": rel_semi_join_bloom,
         "text_lm_score": text_lm_score,
@@ -1071,6 +1081,12 @@ def _sql_decontaminate_oracle() -> str:
     from .stages.corpus import sql_decontaminate
 
     return sql_decontaminate(_sql_ngram_pairs(), eval_pct=10)
+
+
+def _sql_cc_oracle() -> str:
+    from .stages.graph import sql_supplier_part_cc
+
+    return sql_supplier_part_cc()
 
 
 def _sql_top_revenue_oracle() -> str:
@@ -1326,6 +1342,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack": _sql_doc_pack_oracle(),
         "graph_triangles": _sql_triangles_oracle(),
         "rel_top_revenue": _sql_top_revenue_oracle(),
+        "graph_cc": _sql_cc_oracle(),
         "rel_grouped_mode": _sql_grouped_mode_oracle(),
         "rel_semi_join_bloom": (
             # identical semantics to rel_semi_join: the Bloom stage only

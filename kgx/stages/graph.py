@@ -312,3 +312,134 @@ def degree_histogram(edges_ds, num_partitions: int | None = None):
         )
 
     return hash_partitioned_agg(deg, ["degree"], hist_combine, P)
+
+
+# ---------------------------------------------------------------------------
+# Round-exact connected-component labels (shared Pregel, third consumer)
+# ---------------------------------------------------------------------------
+
+CC_ROUNDS = 6
+_CC_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def cc_rounds_ds(edges_ds, rounds: int = CC_ROUNDS):
+    """edges (src,dst; symmetric) -> (node, label) after EXACTLY ``rounds``
+    synchronous min-label propagation rounds from label(n) = n.
+
+    The contract is round-exact (not converged-CC): the label set after a
+    fixed round count is a deterministic function of the graph, so the
+    DuckDB oracle (one unrolled CTE level per round) reproduces it
+    bit-exactly — and it EQUALS the true component min-id wherever the
+    component diameter is <= rounds.  This is deliberately the plain
+    synchronous recurrence (no pointer doubling — doubling's extra edges
+    depend on intermediate state and would put the oracle out of reach);
+    the converging variant with doubling is
+    ``kgx.stages.cluster.label_propagation_ds``.
+
+    Third consumer of the shared partitioned-edge Pregel: the edge set
+    pins once, each round moves only label rows, duplicate edges are
+    harmless under the min-merge (so no dedup pass is spent)."""
+    import ray
+    import ray.data as rd
+
+    from .pregel import (
+        concat_parts,
+        make_splitter,
+        partition_edges,
+        run_rounds,
+        split_by_owner,
+    )
+
+    P = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    key_schema = pa.schema([("node", pa.int64()), ("other", pa.int64())])
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": [], "other": []}, schema=key_schema)
+        return pa.table(
+            {"node": t["src"], "other": t["dst"]}, schema=key_schema
+        )
+
+    edge_parts = partition_edges(
+        edges_ds, make_splitter(norm, "node", P), P
+    )
+
+    def _min_per_node(n: np.ndarray, l: np.ndarray):
+        o = np.lexsort((l, n))
+        n, l = n[o], l[o]
+        starts = np.flatnonzero(np.r_[True, n[1:] != n[:-1]]) if len(n) else n
+        return (n[starts] if len(n) else n), (l[starts] if len(n) else l)
+
+    def seed_part(t: pa.Table) -> pa.Table:
+        nodes = np.unique(t["node"].to_numpy())
+        return pa.table(
+            {"node": nodes.astype(np.int64), "label": nodes.astype(np.int64)},
+            schema=_CC_SCHEMA,
+        )
+
+    def message_part(edges_t: pa.Table, labels_t: pa.Table):
+        src = edges_t["node"].to_numpy()
+        rn = labels_t["node"].to_numpy()
+        rl = labels_t["label"].to_numpy()
+        order = np.argsort(rn)
+        lab = rl[order][np.searchsorted(rn[order], src)]
+        tgt, msg = _min_per_node(edges_t["other"].to_numpy(), lab)
+        t = pa.table(
+            {"node": tgt.astype(np.int64), "label": msg.astype(np.int64)},
+            schema=_CC_SCHEMA,
+        )
+        return split_by_owner(t, t["node"].to_numpy(), P)
+
+    def merge_part(labels_t: pa.Table, *msg_pieces):
+        inc = concat_parts(*msg_pieces) if msg_pieces else None
+        n = labels_t["node"].to_numpy()
+        l = labels_t["label"].to_numpy()
+        if inc is not None and inc.num_rows:
+            mn = inc["node"].to_numpy()
+            ml = inc["label"].to_numpy()
+            order = np.argsort(n)
+            ns, ls = n[order], l[order].copy()
+            np.minimum.at(ls, np.searchsorted(ns, mn), ml)
+            n, l = ns, ls
+        out = pa.table(
+            {"node": n.astype(np.int64), "label": l.astype(np.int64)},
+            schema=_CC_SCHEMA,
+        )
+        return out, 0
+
+    seed_r = ray.remote(seed_part)
+    label_parts = [seed_r.remote(edge_parts[p]) for p in range(P)]
+    label_parts, _ = run_rounds(
+        edge_parts, label_parts, message_part, merge_part,
+        iterations=rounds,
+    )
+    return rd.from_arrow_refs(list(label_parts))
+
+
+def supplier_part_cc(sf_dir: str, rounds: int = CC_ROUNDS):
+    """Round-exact CC labels over the symmetrized supplier<->part graph."""
+    return cc_rounds_ds(supplier_part_edges(sf_dir), rounds=rounds)
+
+
+def sql_supplier_part_cc(rounds: int = CC_ROUNDS) -> str:
+    """Unrolled min-propagation: one CTE level per round (the pagerank
+    oracle precedent)."""
+    lines = [
+        "WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT)*2 AS src, "
+        "CAST(l_partkey AS BIGINT)*2+1 AS dst FROM lineitem), "
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), "
+        "l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)",
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        lines.append(
+            f", l{i} AS (SELECT l.node, least(l.lab, min(p.lab)) AS lab "
+            f"FROM {prev} l JOIN edges e ON e.src = l.node "
+            f"JOIN {prev} p ON p.node = e.dst GROUP BY l.node, l.lab)"
+        )
+        prev = f"l{i}"
+    lines.append(
+        f" SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS label "
+        f"FROM {prev}"
+    )
+    return "".join(lines)

@@ -439,3 +439,48 @@ def test_top_revenue_orders_vs_pandas(ray_session, tmp_path):
     want = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
     assert list(zip(got["o_orderkey"], got["revenue_cp"])) == want
     assert got["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+# ---------------------------------------------------------------------------
+# round-exact CC (shared Pregel, third consumer)
+# ---------------------------------------------------------------------------
+
+
+def _serial_cc_rounds(edges, rounds):
+    nodes = sorted({n for e in edges for n in e})
+    lab = {n: n for n in nodes}
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    for _ in range(rounds):
+        new = dict(lab)
+        for n in nodes:
+            m = min((lab[x] for x in adj.get(n, [])), default=lab[n])
+            new[n] = min(lab[n], m)
+        lab = new
+    return lab
+
+
+def test_cc_rounds_matches_serial_recurrence(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.graph import cc_rounds_ds
+
+    rng = np.random.RandomState(41)
+    # two components: a long chain (diameter > rounds, so labels must
+    # match the ROUND-EXACT recurrence, not converged CC) + a clique
+    chain = [(i, i + 1) for i in range(100, 130)]
+    clique = [(a, b) for a in range(0, 6) for b in range(0, 6) if a != b]
+    und = chain + [(b, a) for a, b in chain] + clique
+    tbl = pa.table(
+        {"src": [a for a, _ in und], "dst": [b for _, b in und]}
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    got = _collect(cc_rounds_ds(ds, rounds=5)).sort_values("node")
+    want = _serial_cc_rounds(und, 5)
+    assert dict(zip(got["node"], got["label"])) == want
+    # the clique (diameter 1) fully converged to its min id
+    assert all(want[n] == 0 for n in range(6))
+    # the chain did NOT fully converge in 5 rounds — the round-exact
+    # contract is what the oracle checks
+    assert want[129] == 124
