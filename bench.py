@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "graph_triangles",
     "rel_top_revenue",
     "graph_cc",
+    "sketch_quantile_grouped",
 ]
 
 

@@ -722,6 +722,17 @@ def sketch_cms(sf_dir: str):
     return cms_build(_docs_ds(sf_dir))
 
 
+def sketch_quantile_grouped(sf_dir: str):
+    """Per-group mergeable histogram percentiles: (group, bin) partials,
+    per-group cumulative scans inside one group-keyed exchange."""
+    from .pipelines.relational import _read
+    from .stages.sketch import grouped_quantile_histogram
+
+    return grouped_quantile_histogram(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    )
+
+
 def graph_cc(sf_dir: str):
     """Round-exact connected-component labels (6 synchronous min-label
     rounds) over the supplier<->part graph — third consumer of the shared
@@ -884,6 +895,7 @@ def registry() -> dict:
         "graph_triangles": graph_triangles,
         "rel_top_revenue": rel_top_revenue,
         "graph_cc": graph_cc,
+        "sketch_quantile_grouped": sketch_quantile_grouped,
         "rel_grouped_mode": rel_grouped_mode,
         "rel_semi_join_bloom": rel_semi_join_bloom,
         "text_lm_score": text_lm_score,
@@ -1081,6 +1093,12 @@ def _sql_decontaminate_oracle() -> str:
     from .stages.corpus import sql_decontaminate
 
     return sql_decontaminate(_sql_ngram_pairs(), eval_pct=10)
+
+
+def _sql_quantile_grouped_oracle() -> str:
+    from .stages.sketch import sql_grouped_quantile_histogram
+
+    return sql_grouped_quantile_histogram()
 
 
 def _sql_cc_oracle() -> str:
@@ -1343,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": _sql_triangles_oracle(),
         "rel_top_revenue": _sql_top_revenue_oracle(),
         "graph_cc": _sql_cc_oracle(),
+        "sketch_quantile_grouped": _sql_quantile_grouped_oracle(),
         "rel_grouped_mode": _sql_grouped_mode_oracle(),
         "rel_semi_join_bloom": (
             # identical semantics to rel_semi_join: the Bloom stage only

@@ -556,3 +556,87 @@ FROM (VALUES {pvals}) v(p) CROSS JOIN n
 JOIN cum ON cum.cum >= (n.n * p + 99) // 100
 GROUP BY p
 """
+
+
+def grouped_quantile_histogram(lineitem_ds, bin_w: int = QUANT_BIN_W,
+                               ps: tuple[int, ...] = QUANT_PS):
+    """lineitem -> (l_returnflag, p, est_cents): the per-GROUP form of the
+    mergeable histogram sketch — partials key by (group, bin), so the
+    exchange stays O(batches x groups x occupied_bins) and the final
+    per-group cumulative scans run inside ONE partition-only exchange on
+    the group key (each group's full histogram co-locates; no global
+    sort, no per-group Python)."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        g = batch["l_returnflag"].to_pandas()
+        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        d = pd.DataFrame({"l_returnflag": g, "bin": cents // bin_w})
+        out = d.groupby(["l_returnflag", "bin"], sort=False).size()
+        out = out.rename("cnt").reset_index()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["l_returnflag", "bin"], sort=False,
+                          as_index=False).agg(cnt=("cnt", "sum"))
+
+    hist = hash_partitioned_agg(
+        lineitem_ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "bin"], combine,
+    )
+
+    def finalize(df: "pd.DataFrame") -> "pd.DataFrame":
+        rows_g, rows_p, rows_e = [], [], []
+        d = df.sort_values(["l_returnflag", "bin"])
+        for flag, grp in d.groupby("l_returnflag", sort=False):
+            cum = grp["cnt"].to_numpy().cumsum()
+            n = int(cum[-1])
+            bins = grp["bin"].to_numpy()
+            for p in ps:
+                target = (n * p + 99) // 100
+                i = int(np.searchsorted(cum, target, side="left"))
+                rows_g.append(flag)
+                rows_p.append(p)
+                rows_e.append(int(bins[i]) * bin_w + bin_w // 2)
+        return pd.DataFrame(
+            {"l_returnflag": pd.Series(rows_g, dtype="object"),
+             "p": np.asarray(rows_p, dtype=np.int64),
+             "est_cents": np.asarray(rows_e, dtype=np.int64)}
+        )
+
+    # group-keyed partition-only exchange: a group's histogram co-locates,
+    # the per-partition kernel scans ALL its groups in one call (the
+    # len(ps)-per-group Python loop is over GROUPS, whose cardinality is
+    # tiny — returnflag has 3 values)
+    return hash_partitioned_apply(hist, ["l_returnflag"], finalize)
+
+
+def sql_grouped_quantile_histogram(bin_w: int = QUANT_BIN_W,
+                                   ps: tuple[int, ...] = QUANT_PS) -> str:
+    pvals = ", ".join(f"({p})" for p in ps)
+    return f"""
+WITH cents AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+), b AS (
+  SELECT l_returnflag, c // {bin_w} AS bin, count(*) AS cnt
+  FROM cents GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, bin,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum
+  FROM b
+), n AS (
+  SELECT l_returnflag, count(*) AS n FROM cents GROUP BY 1
+)
+SELECT n.l_returnflag, CAST(p AS BIGINT) AS p,
+       CAST(min(cum.bin) * {bin_w} + {bin_w // 2} AS BIGINT) AS est_cents
+FROM (VALUES {pvals}) v(p) CROSS JOIN n
+JOIN cum ON cum.l_returnflag = n.l_returnflag
+        AND cum.cum >= (n.n * p + 99) // 100
+GROUP BY n.l_returnflag, p
+"""

@@ -484,3 +484,23 @@ def test_cc_rounds_matches_serial_recurrence(ray_session):
     # the chain did NOT fully converge in 5 rounds — the round-exact
     # contract is what the oracle checks
     assert want[129] == 124
+
+
+def test_grouped_quantile_histogram_vs_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.sketch import grouped_quantile_histogram
+
+    rng = np.random.RandomState(43)
+    flags = rng.choice(["A", "N", "R"], size=8000)
+    prices = np.round(rng.lognormal(6.5, 0.8, size=8000), 2)
+    ds = rd.from_arrow(
+        pa.table({"l_returnflag": flags, "l_extendedprice": prices})
+    ).repartition(11)
+    got = _collect(grouped_quantile_histogram(ds))
+    for flag in "ANR":
+        sub = prices[flags == flag]
+        want = _serial_quantile_hist(sub, QUANT_BIN_W, (50, 90, 99))
+        g = got[got["l_returnflag"] == flag].set_index("p")["est_cents"]
+        for p, est in want.items():
+            assert g[p] == est
