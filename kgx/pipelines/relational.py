@@ -1382,6 +1382,10 @@ def top_revenue_orders(sf_dir: str, segment: str = Q3_SEGMENT,
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
     def order_rows(batch: "pa.Table") -> "pd.DataFrame":
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch["o_orderkey"]),
+                    pc.is_valid(batch["o_custkey"]))
+        )
         ks = ray.get(keys_ref)
         ck = batch["o_custkey"].to_numpy()
         if len(ks) == 0:
@@ -1398,6 +1402,12 @@ def top_revenue_orders(sf_dir: str, segment: str = Q3_SEGMENT,
     )
 
     def revenue_partial(batch: "pa.Table") -> "pd.DataFrame":
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch["l_orderkey"]),
+                    pc.is_valid(batch["l_extendedprice"])),
+            pc.is_valid(batch["l_discount"]),
+        )
+        batch = batch.filter(ok)  # NaN revenue would poison the order's sum
         okey = batch["l_orderkey"].to_numpy()
         cents = np.floor(
             batch["l_extendedprice"].to_numpy() * 100.0 + 0.5

@@ -40,6 +40,9 @@ KM_ITERS = 3
 def quantized_matrix(batch: pa.Table):
     """(vec_ids int64[n], q int64[n, d]) — one flat-buffer reshape, no
     per-row Python (embedding dim is fixed per table)."""
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.is_valid(batch["embedding"]))  # null vecs drop
     ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     col = batch["embedding"].combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -60,6 +63,9 @@ def _seed_centroids(emb_ds, k: int) -> np.ndarray:
     combiner per batch, final min-k over one coalesced block — O(batches
     x k) rows move, no global sort."""
     def min_k(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_valid(batch["embedding"]))  # no null seeds
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         idx = np.argsort(ids, kind="stable")[:k]
         return batch.take(pa.array(idx))

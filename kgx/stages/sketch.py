@@ -491,7 +491,8 @@ def quantile_histogram(lineitem_ds, bin_w: int = QUANT_BIN_W,
     from .exchange import hash_partitioned_agg
 
     def partial(batch: pa.Table) -> "pd.DataFrame":
-        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        col = batch["l_extendedprice"].drop_null()  # NaN floors to INT64_MIN
+        v = col.to_numpy(zero_copy_only=False)
         cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
         bins, cnt = np.unique(cents // bin_w, return_counts=True)
         return pd.DataFrame({"bin": bins, "cnt": cnt.astype(np.int64)})
@@ -571,6 +572,11 @@ def grouped_quantile_histogram(lineitem_ds, bin_w: int = QUANT_BIN_W,
     from .exchange import hash_partitioned_agg, hash_partitioned_apply
 
     def partial(batch: pa.Table) -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        ok = pc.and_(pc.is_valid(batch["l_returnflag"]),
+                     pc.is_valid(batch["l_extendedprice"]))
+        batch = batch.filter(ok)  # null flag/price rows carry no percentile
         g = batch["l_returnflag"].to_pandas()
         v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         cents = np.floor(v * 100.0 + 0.5).astype(np.int64)

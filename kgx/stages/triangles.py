@@ -68,6 +68,7 @@ def cosupplier_triangles(lineitem_ds, num_partitions: int | None = None,
 
     # -- 1. per-order supplier pairs (a < b), combiner-deduped per batch --
     def order_pairs_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        d = d.dropna(subset=["l_orderkey", "l_suppkey"])
         d = d.drop_duplicates(subset=["l_orderkey", "l_suppkey"]).sort_values(
             ["l_orderkey", "l_suppkey"]
         )

@@ -504,3 +504,71 @@ def test_grouped_quantile_histogram_vs_serial(ray_session):
         g = got[got["l_returnflag"] == flag].set_index("p")["est_cents"]
         for p, est in want.items():
             assert g[p] == est
+
+
+# ---------------------------------------------------------------------------
+# hostile nulls (the r3 hostile-input tradition: null ingest must DROP,
+# never NaN-poison — floor(nan).astype(int64) is INT64_MIN garbage)
+# ---------------------------------------------------------------------------
+
+
+def test_round4_ops_drop_nulls(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kmeans import kmeans_labels
+    from kgx.stages.sketch import grouped_quantile_histogram
+    from kgx.stages.triangles import cosupplier_triangles
+
+    # global quantile: null price rows contribute nothing
+    got = _collect(quantile_histogram(rd.from_arrow(
+        pa.table({"l_extendedprice": pa.array([5.0, None, 5.0],
+                                              pa.float64())})
+    )))
+    assert (got["est_cents"] == QUANT_BIN_W // 2).all()
+
+    # grouped: null flag / null price rows drop (no INT64_MIN bins)
+    got = _collect(grouped_quantile_histogram(rd.from_arrow(
+        pa.table({"l_returnflag": pa.array(["A", None, "A"]),
+                  "l_extendedprice": pa.array([5.0, 2.0, None],
+                                              pa.float64())})
+    )))
+    assert got["l_returnflag"].tolist() == ["A"] * 3
+    assert (got["est_cents"] == QUANT_BIN_W // 2).all()
+
+    # kmeans: null embedding rows drop from seeds AND assignment
+    tbl = pa.table(
+        {"vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+         "embedding": pa.array([[0.1, 0.2], None, [0.9, 0.8], [0.11, 0.2]],
+                               pa.list_(pa.float32()))}
+    )
+    got = _collect(kmeans_labels(rd.from_arrow(tbl), k=2, iters=1))
+    assert sorted(got["vec_id"]) == [0, 2, 3]
+
+    # triangles: null lineitem keys drop before pair generation
+    got = _collect(cosupplier_triangles(rd.from_arrow(pa.table(
+        {"l_orderkey": pa.array([1, 1, 1, None], pa.int64()),
+         "l_suppkey": pa.array([0, 1, 2, 3], pa.int64())}
+    ))))
+    assert got["n_triangles"].tolist() == [1]
+
+
+def test_top_revenue_null_rows_drop(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import top_revenue_orders
+
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array([1, 2], pa.int64()),
+         "c_mktsegment": ["BUILDING", "BUILDING"]}), tmp_path / "customer.parquet")
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array([10, 11, None], pa.int64()),
+         "o_custkey": pa.array([1, 2, 1], pa.int64())}), tmp_path / "orders.parquet")
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array([10, 10, 11, None], pa.int64()),
+         "l_extendedprice": pa.array([1.0, None, 2.0, 3.0], pa.float64()),
+         "l_discount": pa.array([0.0, 0.0, 0.1, 0.0], pa.float64())}),
+        tmp_path / "lineitem.parquet")
+    got = _collect(top_revenue_orders(str(tmp_path), k=5))
+    # order 10: one valid line 1.00 at 0% = 100*100; order 11: 2.00 at 10%
+    assert dict(zip(got["o_orderkey"], got["revenue_cp"])) == {
+        10: 100 * 100, 11: 200 * 90}
