@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "rel_top_revenue",
     "graph_cc",
     "sketch_quantile_grouped",
+    "dedup_substring",
 ]
 
 

@@ -733,6 +733,15 @@ def sketch_quantile_grouped(sf_dir: str):
     )
 
 
+def dedup_substring(sf_dir: str):
+    """Exact-substring dedup: doc pairs sharing >= 1 exact 8-token window
+    (distinct shared-window count) — one tokenization scan, fp-keyed pair
+    generation, pair-keyed count combiner."""
+    from .stages.dedup import substring_dup_pairs
+
+    return substring_dup_pairs(_docs_ds(sf_dir))
+
+
 def graph_cc(sf_dir: str):
     """Round-exact connected-component labels (6 synchronous min-label
     rounds) over the supplier<->part graph — third consumer of the shared
@@ -895,6 +904,7 @@ def registry() -> dict:
         "graph_triangles": graph_triangles,
         "rel_top_revenue": rel_top_revenue,
         "graph_cc": graph_cc,
+        "dedup_substring": dedup_substring,
         "sketch_quantile_grouped": sketch_quantile_grouped,
         "rel_grouped_mode": rel_grouped_mode,
         "rel_semi_join_bloom": rel_semi_join_bloom,
@@ -1099,6 +1109,12 @@ def _sql_quantile_grouped_oracle() -> str:
     from .stages.sketch import sql_grouped_quantile_histogram
 
     return sql_grouped_quantile_histogram()
+
+
+def _sql_substring_oracle() -> str:
+    from .stages.dedup import sql_substring_dup_pairs
+
+    return sql_substring_dup_pairs(ts.sql_token_list(_TEXT))
 
 
 def _sql_cc_oracle() -> str:
@@ -1361,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": _sql_triangles_oracle(),
         "rel_top_revenue": _sql_top_revenue_oracle(),
         "graph_cc": _sql_cc_oracle(),
+        "dedup_substring": _sql_substring_oracle(),
         "sketch_quantile_grouped": _sql_quantile_grouped_oracle(),
         "rel_grouped_mode": _sql_grouped_mode_oracle(),
         "rel_semi_join_bloom": (

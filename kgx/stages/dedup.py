@@ -811,3 +811,140 @@ def embedding_dup_pairs(emb_ds, all_ref, threshold: float = 0.5):
         return pa.table({"id_a": out_a, "id_b": out_b}, schema=_PAIR_SCHEMA)
 
     return emb_ds.map_batches(per_batch, batch_format="pyarrow", batch_size=512)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (shared w-token windows, Lee et al. '21 class)
+# ---------------------------------------------------------------------------
+
+SUBSTR_W = 8
+
+
+def substring_dup_pairs(docs_ds, w: int = SUBSTR_W):
+    """documents -> (doc_a, doc_b, n_shared_windows): pairs of docs that
+    share at least one EXACT ``w``-token window, with the count of distinct
+    shared windows — the exact-substring dedup signal (boilerplate blocks,
+    quoted passages, licence headers) that doc-level MinHash/SimHash can
+    miss when the rest of the doc differs.
+
+    Shape: one tokenization scan emits DISTINCT (doc, window-fp) rows via
+    the sentinel-flat shifted-concat assembly (ngram_topk machinery) +
+    Arrow group_by; the fp-keyed exchange generates in-bucket doc pairs
+    with the vectorized within-group pair generator; a pair-keyed combiner
+    exchange sums shared-window counts.  Window volume is O(tokens) per
+    doc and a bucket's pair count is quadratic only in the number of DOCS
+    sharing that exact window (cap-able the same way the banded dedups cap
+    hot buckets; uncapped here because the contract is exact).
+
+    Fingerprint = ``stable_hash64(window_text) % 2^62`` — the repo's
+    md5_number_upper identity, so Ray and the SQL oracle group by the SAME
+    value and any (cryptographically negligible) collision affects both
+    sides identically.  The md5-per-distinct-window cost is the price of
+    SQL parity; the at-scale swap-in is a rolling hash (documented, not
+    needed for exactness here)."""
+    import pandas as pd
+
+    from ..functions.text import stable_hash64, tokenize
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    _SENT = "\x00"
+    _EMPTY = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat: list[str] = []
+        fids: list[int] = []
+        sent_pos: list[int] = []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            tk = tokenize(text or "")
+            flat.extend(tk)
+            sent_pos.append(len(flat))
+            flat.append(_SENT)
+            fids.extend([did] * (len(tk) + 1))
+        if len(flat) < w:
+            return _EMPTY
+        toks = np.asarray(flat, dtype=object)
+        m = len(toks) - w + 1
+        grams = toks[:m]
+        sent = np.zeros(len(toks), dtype=bool)  # index-tracked (NUL trap)
+        sent[np.asarray(sent_pos, dtype=np.int64)] = True
+        bad = sent[:m].copy()
+        for j in range(1, w):
+            grams = grams + " " + toks[j : j + m]
+            bad |= sent[j : j + m]
+        ids_np = np.asarray(fids, dtype=np.int64)[:m][~bad]
+        grams = grams[~bad]
+        if not len(grams):
+            return _EMPTY
+        t = pa.table(
+            {"doc_id": pa.array(ids_np),
+             "win": pa.array(grams, pa.string())}
+        )
+        dd = t.group_by(["doc_id", "win"]).aggregate([])
+        fps = np.fromiter(
+            (stable_hash64(s) % (1 << 62) for s in dd["win"].to_pylist()),
+            dtype=np.int64, count=dd.num_rows,
+        )
+        return pa.table(
+            {"doc_id": dd["doc_id"], "fp": pa.array(fps)}
+        )
+
+    wins = docs_ds.map_batches(partial, batch_format="pyarrow")
+
+    def pair_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        from .triangles import _group_bounds, _pairs_within_groups
+
+        d = d.drop_duplicates(subset=["fp", "doc_id"]).sort_values(
+            ["fp", "doc_id"]
+        )
+        fp = d["fp"].to_numpy()
+        ids = d["doc_id"].to_numpy()
+        starts, sizes = _group_bounds(fp)
+        li, ri = _pairs_within_groups(starts, sizes, len(fp))
+        out = pd.DataFrame({"doc_a": ids[li], "doc_b": ids[ri]})
+        return out.groupby(["doc_a", "doc_b"], sort=False,
+                           as_index=False).size().rename(
+                               columns={"size": "n_shared_windows"})
+
+    pairs = hash_partitioned_apply(wins, ["fp"], pair_kernel, int_keys=True)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["doc_a", "doc_b"], sort=False, as_index=False).agg(
+            n_shared_windows=("n_shared_windows", "sum")
+        )
+
+    out = hash_partitioned_agg(pairs, ["doc_a", "doc_b"], combine)
+
+    def typed(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"doc_a": df["doc_a"].astype("int64"),
+             "doc_b": df["doc_b"].astype("int64"),
+             "n_shared_windows": df["n_shared_windows"].astype("int64")}
+        )
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+def sql_substring_dup_pairs(sql_token_list: str, w: int = SUBSTR_W) -> str:
+    m62 = f"{1 << 62}::HUGEINT"
+    return f"""
+WITH tok AS (SELECT doc_id, {sql_token_list} AS toks FROM documents),
+win AS (
+  SELECT DISTINCT doc_id,
+         CAST(md5_number_upper('0:' || wtext) % {m62} AS BIGINT) AS fp
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - {w} + 1),
+                  i -> array_to_string(list_slice(toks, i, i + {w} - 1), ' ')))
+             AS wtext
+    FROM tok WHERE len(toks) >= {w}
+  )
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_windows
+FROM win a JOIN win b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""

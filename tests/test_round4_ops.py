@@ -572,3 +572,58 @@ def test_top_revenue_null_rows_drop(ray_session, tmp_path):
     # order 10: one valid line 1.00 at 0% = 100*100; order 11: 2.00 at 10%
     assert dict(zip(got["o_orderkey"], got["revenue_cp"])) == {
         10: 100 * 100, 11: 200 * 90}
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dup_pairs_vs_brute_force(ray_session):
+    import ray.data as rd
+
+    from kgx.functions.text import tokenize
+    from kgx.stages.dedup import substring_dup_pairs
+
+    boiler = "this content is provided under the standard licence terms ok"
+    texts = [
+        f"alpha doc one {boiler} tail a",
+        f"beta doc two {boiler} tail b",
+        "gamma unrelated text with nothing shared at all here folks",
+        f"delta doc four {boiler} and another shared run {boiler}",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(3)
+    got = _collect(substring_dup_pairs(ds, w=6)).sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+
+    # brute force: distinct 6-token windows per doc, pairwise intersection
+    wins = [
+        {" ".join(tokenize(t)[i:i + 6])
+         for i in range(len(tokenize(t)) - 5)}
+        for t in texts
+    ]
+    want = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            n = len(wins[a] & wins[b])
+            if n:
+                want.append((a, b, n))
+    assert (
+        list(zip(got["doc_a"], got["doc_b"], got["n_shared_windows"]))
+        == want
+    )
+    assert len(want) >= 3  # the boilerplate block links 0-1, 0-3, 1-3
+
+
+def test_substring_dup_pairs_short_and_empty_docs(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.dedup import substring_dup_pairs
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [0, 1, 2],
+                  "text": ["too short", "", None]})
+    )
+    assert len(_collect(substring_dup_pairs(ds, w=8))) == 0
