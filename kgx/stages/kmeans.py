@@ -124,9 +124,21 @@ def _update_centroids(emb_ds, cents: np.ndarray) -> np.ndarray:
         )
 
     parts = emb_ds.map_batches(partial, batch_format="pyarrow")
-    rows = parts.repartition(1).map_batches(
-        merge, batch_format="pyarrow"
-    ).take_all()
+    # partials are <= input_blocks x k rows; when that is driver-scale,
+    # skip the repartition(1) barrier (one shuffle per Lloyd pass — the
+    # dominant cost on small corpora) and merge the k x d sums directly;
+    # the tree-combine stays as the many-block route
+    n_parts = emb_ds.num_blocks() * k
+    if n_parts <= 100_000:
+        import ray
+
+        pieces = [p for p in ray.get(parts.materialize().to_arrow_refs())
+                  if p.num_rows]
+        rows = merge(pa.concat_tables(pieces)).to_pylist() if pieces else []
+    else:
+        rows = parts.repartition(1).map_batches(
+            merge, batch_format="pyarrow"
+        ).take_all()
 
     new = cents.copy()  # empty clusters keep their previous centroid
     for r in rows:
@@ -140,6 +152,10 @@ def kmeans_labels(emb_ds, k: int = KM_K, iters: int = KM_ITERS):
     """embeddings -> (vec_id, cluster): cluster ids are 1-based seed
     ranks, stable across iterations.  ``iters`` centroid updates, then
     one final assignment pass."""
+    # pin the input once: seeding + each Lloyd pass + the final assignment
+    # would otherwise re-run the parquet read per consumer (iters + 2
+    # scans; the Dataset diamond-reuse trap)
+    emb_ds = emb_ds.materialize()
     cents = _seed_centroids(emb_ds, k)
     for _ in range(iters):
         cents = _update_centroids(emb_ds, cents)
