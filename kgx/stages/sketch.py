@@ -166,18 +166,24 @@ def heavy_hitter_tokens(docs_ds, k: int = 100):
     )
 
     def pass1(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        n_b = 0
+        # flat token list + ONE value_counts C call (the sentinel-flat
+        # vectorization pattern; the dict loop was the hot cost of pass 1)
+        flat: list[str] = []
         for text in batch["text"].to_pylist():
-            for t in tokenize(text or ""):
-                counts[t] = counts.get(t, 0) + 1
-                n_b += 1
-        cand = [(t, c) for t, c in counts.items() if c * k > n_b]
-        toks = [t for t, _ in cand] + [""]
-        cnts = [c for _, c in cand] + [n_b]
-        flags = [0] * len(cand) + [1]
+            flat.extend(tokenize(text or ""))
+        n_b = len(flat)
+        if n_b:
+            vc = pc.value_counts(pa.array(flat, pa.string()))
+            toks_np = vc.field("values")
+            cnts_np = vc.field("counts").to_numpy()
+            keep = cnts_np * k > n_b
+            toks = toks_np.filter(pa.array(keep)).to_pylist()
+            cnts = cnts_np[keep].tolist()
+        else:
+            toks, cnts = [], []
         return pa.table(
-            {"token": toks, "cnt": cnts, "is_total": flags}, schema=part_schema
+            {"token": toks + [""], "cnt": cnts + [n_b],
+             "is_total": [0] * len(toks) + [1]}, schema=part_schema
         )
 
     def combine(df: "pd.DataFrame") -> "pd.DataFrame":
@@ -206,14 +212,19 @@ def heavy_hitter_tokens(docs_ds, k: int = 100):
     cand_ref = ray.put(cand_arr)  # bounded: < k rows per pass-1 batch
 
     def pass2(batch: pa.Table) -> "pd.DataFrame":
-        cand = set(ray.get(cand_ref).to_pylist())
-        counts: dict[str, int] = {}
+        # vectorized candidate-only recount: one value_counts + one is_in
+        flat: list[str] = []
         for text in batch["text"].to_pylist():
-            for t in tokenize(text or ""):
-                if t in cand:
-                    counts[t] = counts.get(t, 0) + 1
+            flat.extend(tokenize(text or ""))
+        if not flat:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        vc = pc.value_counts(pa.array(flat, pa.string()))
+        toks = vc.field("values")
+        keep = pc.is_in(toks, value_set=ray.get(cand_ref))
         return pd.DataFrame(
-            {"token": list(counts), "cnt": list(counts.values())}
+            {"token": toks.filter(keep).to_pylist(),
+             "cnt": vc.field("counts").filter(keep).to_numpy()}
         )
 
     def combine2(df: "pd.DataFrame") -> "pd.DataFrame":
