@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "graph_cc",
     "sketch_quantile_grouped",
     "dedup_substring",
+    "emb_kmeans_cost",
 ]
 
 

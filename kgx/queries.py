@@ -733,6 +733,15 @@ def sketch_quantile_grouped(sf_dir: str):
     )
 
 
+def emb_kmeans_cost(sf_dir: str):
+    """Per-cluster inertia over the same Lloyd fit as emb_kmeans:
+    (cluster, n_vecs, sse) — one extra streaming pass of np.add.at
+    partials + a k-row combiner exchange."""
+    from .stages.kmeans import kmeans_cost
+
+    return kmeans_cost(_emb_ds(sf_dir))
+
+
 def dedup_substring(sf_dir: str):
     """Exact-substring dedup: doc pairs sharing >= 1 exact 8-token window
     (distinct shared-window count) — one tokenization scan, fp-keyed pair
@@ -905,6 +914,7 @@ def registry() -> dict:
         "rel_top_revenue": rel_top_revenue,
         "graph_cc": graph_cc,
         "dedup_substring": dedup_substring,
+        "emb_kmeans_cost": emb_kmeans_cost,
         "sketch_quantile_grouped": sketch_quantile_grouped,
         "rel_grouped_mode": rel_grouped_mode,
         "rel_semi_join_bloom": rel_semi_join_bloom,
@@ -1109,6 +1119,12 @@ def _sql_quantile_grouped_oracle() -> str:
     from .stages.sketch import sql_grouped_quantile_histogram
 
     return sql_grouped_quantile_histogram()
+
+
+def _sql_kmeans_cost_oracle() -> str:
+    from .stages.kmeans import sql_kmeans_cost
+
+    return sql_kmeans_cost()
 
 
 def _sql_substring_oracle() -> str:
@@ -1378,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_revenue": _sql_top_revenue_oracle(),
         "graph_cc": _sql_cc_oracle(),
         "dedup_substring": _sql_substring_oracle(),
+        "emb_kmeans_cost": _sql_kmeans_cost_oracle(),
         "sketch_quantile_grouped": _sql_quantile_grouped_oracle(),
         "rel_grouped_mode": _sql_grouped_mode_oracle(),
         "rel_semi_join_bloom": (

@@ -148,10 +148,8 @@ def _update_centroids(emb_ds, cents: np.ndarray) -> np.ndarray:
     return new
 
 
-def kmeans_labels(emb_ds, k: int = KM_K, iters: int = KM_ITERS):
-    """embeddings -> (vec_id, cluster): cluster ids are 1-based seed
-    ranks, stable across iterations.  ``iters`` centroid updates, then
-    one final assignment pass."""
+def _fit(emb_ds, k: int, iters: int):
+    """Pinned input + seeded Lloyd loop -> (pinned_ds, final centroids)."""
     # pin the input once: seeding + each Lloyd pass + the final assignment
     # would otherwise re-run the parquet read per consumer (iters + 2
     # scans; the Dataset diamond-reuse trap)
@@ -159,6 +157,14 @@ def kmeans_labels(emb_ds, k: int = KM_K, iters: int = KM_ITERS):
     cents = _seed_centroids(emb_ds, k)
     for _ in range(iters):
         cents = _update_centroids(emb_ds, cents)
+    return emb_ds, cents
+
+
+def kmeans_labels(emb_ds, k: int = KM_K, iters: int = KM_ITERS):
+    """embeddings -> (vec_id, cluster): cluster ids are 1-based seed
+    ranks, stable across iterations.  ``iters`` centroid updates, then
+    one final assignment pass."""
+    emb_ds, cents = _fit(emb_ds, k, iters)
 
     def assign(batch: pa.Table) -> pa.Table:
         ids, q = quantized_matrix(batch)
@@ -176,19 +182,22 @@ def kmeans_labels(emb_ds, k: int = KM_K, iters: int = KM_ITERS):
     return emb_ds.map_batches(assign, batch_format="pyarrow")
 
 
-def sql_kmeans_labels(k: int = KM_K, iters: int = KM_ITERS) -> str:
-    """Unrolled-CTE Lloyd program (the graph_pagerank oracle precedent):
-    c0 = seed centroids, then per iteration an assignment CTE (cross join
-    + list_transform squared distance + row_number argmin) and an update
-    CTE (parallel unnest of index/value, per-(cluster, i) floor mean,
-    list(... ORDER BY i) rebuild, LEFT JOIN keeps empty clusters)."""
+_SQL_DIST = (
+    "list_sum(list_transform(generate_series(1, len(q.q)), "
+    "i -> (q.q[i] - {c}.cq[i]) * (q.q[i] - {c}.cq[i])))"
+)
+
+
+def _sql_lloyd_prefix(k: int, iters: int):
+    """Shared unrolled-CTE Lloyd prefix (the graph_pagerank oracle
+    precedent): quantized vectors, seed centroids, then per iteration an
+    assignment CTE (cross join + list_transform squared distance +
+    row_number argmin) and an update CTE (parallel unnest of index/value,
+    per-(cluster, i) floor mean, list(... ORDER BY i) rebuild, LEFT JOIN
+    keeps empty clusters).  Returns (cte_parts, final_centroid_cte)."""
     quant = (
         f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
         f"{KM_SCALE} + 0.5) AS BIGINT) + {KM_OFFSET})"
-    )
-    dist = (
-        "list_sum(list_transform(generate_series(1, len(q.q)), "
-        "i -> (q.q[i] - {c}.cq[i]) * (q.q[i] - {c}.cq[i])))"
     )
     parts = [
         f"q AS (SELECT vec_id, {quant} AS q FROM embeddings)",
@@ -201,7 +210,7 @@ def sql_kmeans_labels(k: int = KM_K, iters: int = KM_ITERS) -> str:
         parts.append(
             f"{a} AS (SELECT vec_id, cluster FROM ("
             f"SELECT q.vec_id, {prev}.cluster, row_number() OVER ("
-            f"PARTITION BY q.vec_id ORDER BY {dist.format(c=prev)} ASC, "
+            f"PARTITION BY q.vec_id ORDER BY {_SQL_DIST.format(c=prev)} ASC, "
             f"{prev}.cluster ASC) AS rn FROM q CROSS JOIN {prev}) "
             "WHERE rn = 1)"
         )
@@ -218,11 +227,78 @@ def sql_kmeans_labels(k: int = KM_K, iters: int = KM_ITERS) -> str:
             f"FROM {prev} LEFT JOIN {u} USING (cluster))"
         )
         prev = c
+    return parts, prev
+
+
+def sql_kmeans_labels(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    parts, prev = _sql_lloyd_prefix(k, iters)
     final = (
         "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
         "CAST(cluster AS BIGINT) AS cluster FROM ("
         f"SELECT q.vec_id, {prev}.cluster, row_number() OVER ("
-        f"PARTITION BY q.vec_id ORDER BY {dist.format(c=prev)} ASC, "
+        f"PARTITION BY q.vec_id ORDER BY {_SQL_DIST.format(c=prev)} ASC, "
         f"{prev}.cluster ASC) AS rn FROM q CROSS JOIN {prev}) WHERE rn = 1"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def kmeans_cost(emb_ds, k: int = KM_K, iters: int = KM_ITERS):
+    """embeddings -> (cluster, n_vecs, sse): per-cluster size and integer
+    sum of squared distances to the fitted centroid — the cluster-quality
+    diagnostic (inertia) over the SAME fit as kmeans_labels.  One extra
+    streaming pass (per-batch np.add.at partials, k rows/batch); empty
+    clusters emit no row (matching the SQL group-by).  int64 headroom:
+    per-vector sse is ~d * (2 * KM_SCALE)^2 (~2.6e8 at d=64), so a
+    cluster overflows only past ~3e10 members."""
+    import pandas as pd
+
+    emb_ds, cents = _fit(emb_ds, k, iters)
+    kk, d = cents.shape
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, q = quantized_matrix(batch)
+        if not len(ids):
+            return pa.table(
+                {"cluster": pa.array([], pa.int64()),
+                 "n_vecs": pa.array([], pa.int64()),
+                 "sse": pa.array([], pa.int64())}
+            )
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        dist = d2[np.arange(len(best)), best]
+        sse = np.zeros(kk, dtype=np.int64)
+        np.add.at(sse, best, dist)
+        cnt = np.bincount(best, minlength=kk).astype(np.int64)
+        nz = cnt > 0
+        return pa.table(
+            {"cluster": pa.array(np.arange(kk, dtype=np.int64)[nz] + 1),
+             "n_vecs": pa.array(cnt[nz]),
+             "sse": pa.array(sse[nz])}
+        )
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("cluster", sort=False, as_index=False).agg(
+            n_vecs=("n_vecs", "sum"), sse=("sse", "sum")
+        )
+
+    from .exchange import hash_partitioned_agg
+
+    return hash_partitioned_agg(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["cluster"], combine,
+    )
+
+
+def sql_kmeans_cost(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    parts, prev = _sql_lloyd_prefix(k, iters)
+    final = (
+        "SELECT CAST(cluster AS BIGINT) AS cluster, "
+        "CAST(count(*) AS BIGINT) AS n_vecs, "
+        "CAST(sum(dist) AS BIGINT) AS sse FROM ("
+        f"SELECT q.vec_id, {prev}.cluster, "
+        f"{_SQL_DIST.format(c=prev)} AS dist, row_number() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {_SQL_DIST.format(c=prev)} ASC, "
+        f"{prev}.cluster ASC) AS rn FROM q CROSS JOIN {prev}) "
+        "WHERE rn = 1 GROUP BY cluster"
     )
     return "WITH " + ",\n".join(parts) + "\n" + final

@@ -627,3 +627,41 @@ def test_substring_dup_pairs_short_and_empty_docs(ray_session):
                   "text": ["too short", "", None]})
     )
     assert len(_collect(substring_dup_pairs(ds, w=8))) == 0
+
+
+def test_kmeans_cost_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kmeans import KM_OFFSET, KM_SCALE, kmeans_cost
+
+    rng = np.random.RandomState(47)
+    vecs = np.concatenate(
+        [rng.normal(-1, 0.05, (40, 6)), rng.normal(1, 0.05, (40, 6))]
+    )[rng.permutation(80)].astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": np.arange(80, dtype=np.int64),
+         "embedding": pa.FixedSizeListArray.from_arrays(
+             pa.array(vecs.ravel()), 6).cast(pa.list_(pa.float32()))}
+    )
+    got = _collect(kmeans_cost(rd.from_arrow(tbl).repartition(5),
+                               k=2, iters=2)).sort_values("cluster")
+
+    # serial replica: same fit, then per-cluster sse/size
+    q = np.floor(vecs.astype(np.float64) * KM_SCALE + 0.5).astype(np.int64) \
+        + KM_OFFSET
+    cents = q[:2].copy()
+    for _ in range(2):
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        for c in range(2):
+            m = best == c
+            if m.any():
+                cents[c] = q[m].sum(axis=0) // int(m.sum())
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    best = d2.argmin(axis=1)
+    dist = d2[np.arange(80), best]
+    for c in range(2):
+        m = best == c
+        row = got[got["cluster"] == c + 1]
+        assert row["n_vecs"].tolist() == [int(m.sum())]
+        assert row["sse"].tolist() == [int(dist[m].sum())]
