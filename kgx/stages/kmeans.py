@@ -35,6 +35,7 @@ KM_SCALE = 1000
 KM_OFFSET = 1 << 20            # makes quantized coords non-negative
 KM_K = 8
 KM_ITERS = 3
+KM_DRIVER_MERGE_LIMIT = 100_000  # partial rows; above -> tree-combine
 
 
 def quantized_matrix(batch: pa.Table):
@@ -129,7 +130,7 @@ def _update_centroids(emb_ds, cents: np.ndarray) -> np.ndarray:
     # dominant cost on small corpora) and merge the k x d sums directly;
     # the tree-combine stays as the many-block route
     n_parts = emb_ds.num_blocks() * k
-    if n_parts <= 100_000:
+    if n_parts <= KM_DRIVER_MERGE_LIMIT:
         import ray
 
         pieces = [p for p in ray.get(parts.materialize().to_arrow_refs())
