@@ -662,8 +662,12 @@ def pmi_scores_np(c12: np.ndarray, c1: np.ndarray, c2: np.ndarray,
                   n_bigrams: int) -> np.ndarray:
     """(c12 * N * PMI_SCALE) // (c1 * c2), exact: numpy int64 fast path with
     an automatic Python-big-int fallback when the numerator could exceed
-    int64 (N beyond ~9e12 at PMI_SCALE=1000)."""
-    if c12.size and int(c12.max()) * n_bigrams * PMI_SCALE >= 2**63:
+    int64 (N beyond ~9e12 at PMI_SCALE=1000), or when the denominator
+    c1 * c2 could (both marginals beyond ~3e9 — ADVICE r4)."""
+    if c12.size and (
+        int(c12.max()) * n_bigrams * PMI_SCALE >= 2**63
+        or int(c1.max()) * int(c2.max()) >= 2**63
+    ):
         num = c12.astype(object) * n_bigrams * PMI_SCALE
         return np.asarray(
             num // (c1.astype(object) * c2.astype(object)), dtype=np.int64

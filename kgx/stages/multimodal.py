@@ -156,6 +156,13 @@ def attach_payload_batch(batch: pa.Table) -> pa.Table:
     out_len = body_len + HEADER.size
     out_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(out_len, out=out_off[1:])
+    # pa.binary() carries int32 offsets; numpy astype silently wraps on
+    # overflow (ADVICE r4) — a >2 GiB batch must shrink batch_size instead.
+    if out_off[-1] >= 2**31:
+        raise ValueError(
+            f"attach_payload_batch: {out_off[-1]} payload bytes in one batch "
+            "overflows binary int32 offsets — reduce batch_size"
+        )
     out_data = np.empty(out_off[-1], dtype=np.uint8)
     # headers: one (n, 8) scatter
     out_data[out_off[:-1][:, None] + np.arange(HEADER.size)] = hdr

@@ -556,7 +556,7 @@ def sql_quantile_histogram(bin_w: int = QUANT_BIN_W,
     return f"""
 WITH cents AS (
   SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 ), b AS (
   SELECT c // {bin_w} AS bin, count(*) AS cnt FROM cents GROUP BY 1
 ), cum AS (
@@ -640,6 +640,7 @@ WITH cents AS (
   SELECT l_returnflag,
          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
 ), b AS (
   SELECT l_returnflag, c // {bin_w} AS bin, count(*) AS cnt
   FROM cents GROUP BY 1, 2
