@@ -212,20 +212,29 @@ SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS "rank" FROM scored WHERE r <=
 
 
 def sql_ann_topk_ivf(every: int, k: int, n_lists: int, nprobe: int) -> str:
-    """IVF with the sample coarse quantizer (ivf_train iters=0): centroids =
-    evenly-strided corpus rows in vec_id order; assignment/probing by cosine
-    with (sim DESC, centroid ASC) tie-breaks matching numpy argmax/argsort."""
+    """IVF with the sample coarse quantizer (ivf_train iters=0) trained on
+    the DISTRIBUTED stride sample (r5: the full corpus never reaches the
+    driver): centroids = evenly-strided rows of the vec_id %% every sample in
+    vec_id order, index wrapping ``(i*stride) %% n`` when the sample is
+    smaller than n_lists (duplicate centroid vectors, distinct list ids);
+    assignment/probing by cosine with (sim DESC, centroid ASC) tie-breaks
+    matching numpy first-max argmax / stable argsort."""
     return f"""
 WITH emb AS (
-  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS rn
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS e
   FROM embeddings
-), meta AS (
-  SELECT greatest(count(*) // {n_lists}, 1) AS stride FROM emb
+), qs AS (
+  SELECT vec_id, e,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS rn
+  FROM emb WHERE vec_id % {every} = 0
+), qm AS (
+  SELECT count(*) AS n, greatest(count(*) // {n_lists}, 1) AS stride FROM qs
+), cidx AS (
+  SELECT CAST(g.c AS BIGINT) AS c,
+         (CAST(g.c AS BIGINT) * qm.stride) % qm.n AS idx
+  FROM generate_series(0, {n_lists - 1}) g(c), qm
 ), cent AS (
-  SELECT CAST(emb.rn // meta.stride AS BIGINT) AS c, emb.e AS ce
-  FROM emb, meta
-  WHERE emb.rn % meta.stride = 0 AND emb.rn // meta.stride < {n_lists}
+  SELECT cidx.c, qs.e AS ce FROM cidx JOIN qs ON qs.rn = cidx.idx
 ), assign AS (
   SELECT vec_id, c FROM (
     SELECT emb.vec_id, cent.c,

@@ -183,3 +183,84 @@ class TestEmbeddingDup:
         )
         assert got == want
         assert (3, 5) in got
+
+
+class TestEmbeddingDedupGate:
+    """r5: the cost-gated default (brute below EMB_BRUTE_LIMIT, LSH-bucketed
+    banded path above) — both-paths agreement on planted near-dups, recall
+    vs brute at the near-dup threshold, and the hot-bucket window path."""
+
+    @staticmethod
+    def _corpus(n=120, dim=16, n_dups=8):
+        """Well-separated pseudo-random vectors + planted exact/near dups."""
+        rng = np.random.default_rng(11)
+        mat = rng.normal(size=(n, dim))
+        planted = set()
+        for i in range(n_dups):
+            a, b = 2 * i, 2 * i + 1
+            mat[b] = mat[a] + rng.normal(scale=1e-3, size=dim)  # near-identical
+            planted.add((a, b))
+        tab = pa.table(
+            {"vec_id": list(range(n)),
+             "embedding": [[float(x) for x in row] for row in mat]},
+            schema=pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+            ),
+        )
+        return tab, planted
+
+    def _brute(self, tab, threshold):
+        ids, mat = D.normalized_matrix(tab)
+        return {
+            (int(ids[i]), int(ids[j]))
+            for i, j in itertools.combinations(range(len(ids)), 2)
+            if float(mat[i] @ mat[j]) >= threshold
+        }
+
+    def test_gate_takes_brute_below_limit(self, ray_session):
+        import ray.data as rd
+
+        tab, planted = self._corpus()
+        got = pairs_set(
+            D.embedding_dup_pairs_gated(rd.from_arrow(tab), threshold=0.95)
+        )
+        assert got == self._brute(tab, 0.95)
+        assert planted <= got
+
+    def test_forced_lsh_path_agrees_on_planted_dups(self, ray_session):
+        import ray.data as rd
+
+        tab, planted = self._corpus()
+        want = self._brute(tab, 0.95)
+        got = pairs_set(
+            D.embedding_dup_pairs_gated(rd.from_arrow(tab), threshold=0.95,
+                                        brute_limit=0)
+        )
+        # exact in-bucket verify: no false positives, ever
+        assert got <= want
+        # deterministic planes + near-identical planted vectors: every
+        # planted pair lands in a shared bucket
+        assert planted <= got
+        # recall vs brute at the near-dup threshold
+        assert len(got) >= 0.9 * len(want)
+
+    def test_lsh_hot_bucket_window_path_keeps_identical_pairs(self, ray_session):
+        import ray.data as rd
+
+        # one degenerate bucket: > VERIFY_GROUP_CAP copies of the SAME vector
+        # (every table's bucket is identical) — the sorted-window path must
+        # still chain all of them (connectivity preservation)
+        n = D.VERIFY_GROUP_CAP + 10
+        tab = pa.table(
+            {"vec_id": list(range(n)), "embedding": [[1.0, 0.5, -0.25]] * n},
+            schema=pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+            ),
+        )
+        got = pairs_set(D.embedding_dup_pairs_lsh(
+            rd.from_arrow(tab), threshold=0.99
+        ))
+        # windowed, not all-pairs: adjacent chain must be present
+        chain = {(i, i + 1) for i in range(n - 1)}
+        assert chain <= got
+        assert len(got) < n * (n - 1) // 2  # the cap actually bounded work
