@@ -101,6 +101,10 @@ BENCH_QUERIES = [
     "sketch_quantile_grouped",
     "dedup_substring",
     "emb_kmeans_cost",
+    "sketch_hll_grouped",
+    "emb_label_centroids",
+    "rel_user_retention",
+    "text_winnow",
 ]
 
 

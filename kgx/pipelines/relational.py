@@ -1526,3 +1526,67 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
             AS BIGINT) AS "rank"
 FROM q ORDER BY revenue_cp DESC, o_orderkey LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# User retention (r5): per-user lifetime span + activity count
+# ---------------------------------------------------------------------------
+
+RETAIN_DAYS = 30
+RETAIN_US = RETAIN_DAYS * 86_400 * 1_000_000
+
+
+def user_retention(sf_dir: str, retain_us: int = RETAIN_US):
+    """events -> (user_id, n_events, span_us, retained): per-user event
+    count, first-to-last timestamp span, and the cohort-retention flag
+    (span >= ``retain_us``, default 30 days) — the "did the user come back"
+    signal behind retention curves.
+
+    Pure combiner shape: per batch one groupby emits (user, n, min_us,
+    max_us) partials — min/max/count are associative, so the user-keyed
+    exchange merges them without ever co-locating raw events; output is
+    user-cardinality, never event-cardinality.  Null user/ts rows drop at
+    ingest (hostile-null convention)."""
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_agg
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        if "min_us" not in df.columns:  # first application: raw event rows
+            df = df.dropna(subset=["user_id", "ts"])
+            us = df["ts"].astype("datetime64[us]").astype("int64")
+            df = pd.DataFrame(
+                {"user_id": df["user_id"].astype("int64"), "n_events": 1,
+                 "min_us": us, "max_us": us}
+            )
+        return df.groupby("user_id", sort=False, as_index=False).agg(
+            n_events=("n_events", "sum"), min_us=("min_us", "min"),
+            max_us=("max_us", "max")
+        )
+
+    agg = hash_partitioned_agg(
+        _read(sf_dir, "events", ["user_id", "ts"]), ["user_id"], combine
+    )
+
+    def finalize(df: "pd.DataFrame") -> "pd.DataFrame":
+        span = (df["max_us"] - df["min_us"]).astype("int64")
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "n_events": df["n_events"].astype("int64"),
+             "span_us": span,
+             "retained": (span >= retain_us).astype("int64")}
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def sql_user_retention(retain_us: int = RETAIN_US) -> str:
+    return f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS span_us,
+       CAST(max(epoch_us(ts)) - min(epoch_us(ts)) >= {retain_us}
+            AS BIGINT) AS retained
+FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+GROUP BY user_id
+"""

@@ -857,6 +857,11 @@ def registry() -> dict:
     BASELINE.md round-5 certification).
     """
     return {
+        # --- new in r5 (never driver-checked) ---
+        "sketch_hll_grouped": sketch_hll_grouped,
+        "emb_label_centroids": emb_label_centroids,
+        "rel_user_retention": rel_user_retention,
+        "text_winnow": text_winnow,
         # --- never driver-checked through r4 (rotated to the front, r5) ---
         "sketch_hll": sketch_hll,
         "text_heavy_hitters": text_heavy_hitters,
@@ -1204,13 +1209,68 @@ def _sql_lm_score_oracle() -> str:
     return sql_bigram_lm_score(ts.sql_token_list(_TEXT))
 
 
+# ---------------------------------------------------------------------------
+# Round-5 operators
+# ---------------------------------------------------------------------------
+
+
+def sketch_hll_grouped(sf_dir: str):
+    """events -> per-event_type HLL registers of distinct user_ids (the
+    grouped mergeable distinct-count sketch)."""
+    import ray.data as rd
+
+    from .stages.sketch import hll_grouped_registers
+
+    ds = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return hll_grouped_registers(ds)
+
+
+def emb_label_centroids(sf_dir: str):
+    """embeddings -> integer-exact per-label prototype sums (long format) —
+    the class-prototype build over the embeddings table's label column."""
+    import ray.data as rd
+
+    from .stages.kmeans import label_centroids
+
+    ds = rd.read_parquet(
+        str(Path(sf_dir) / "embeddings.parquet"), columns=["label", "embedding"]
+    )
+    return label_centroids(ds)
+
+
+def rel_user_retention(sf_dir: str):
+    """events -> per-user lifetime span / count / 30-day retention flag."""
+    from .pipelines.relational import user_retention
+
+    return user_retention(sf_dir)
+
+
+def text_winnow(sf_dir: str):
+    """documents -> winnowing fingerprints (Schleimer et al. '03), distinct
+    (doc_id, fp) rows."""
+    from .stages.corpus import winnow_fingerprints
+
+    return winnow_fingerprints(_docs_ds(sf_dir))
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB SQL per SQL-expressible query; keys match registry()."""
     from . import sql_oracles as so
 
+    from .pipelines.relational import sql_user_retention
+    from .stages.corpus import sql_winnow_fingerprints
+    from .stages.kmeans import sql_label_centroids
+    from .stages.sketch import sql_hll_grouped_registers
+
     d = config_loader.resolve_settings()["processing"]["dedup"]
     norm = ts.sql_norm_text(_TEXT)
     return {
+        "sketch_hll_grouped": sql_hll_grouped_registers(),
+        "emb_label_centroids": sql_label_centroids(),
+        "rel_user_retention": sql_user_retention(),
+        "text_winnow": sql_winnow_fingerprints(ts.sql_token_list(_TEXT)),
         "kg_triples": so.sql_kg_triples(),
         "kg_entities": so.sql_kg_entities(),
         "kg_adjacency": so.sql_kg_adjacency(),

@@ -936,3 +936,131 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
        CAST(pre % {window} AS BIGINT) AS seq_offset
 FROM p
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (r5): Schleimer/Wilkerson/Aiken '03 — the MOSS
+# local document fingerprinting scheme.
+# ---------------------------------------------------------------------------
+
+WIN_K = 3                       # token k-grams
+WIN_W = 4                       # winnowing window over the gram-hash stream
+
+
+def winnow_fingerprints(docs_ds, k: int = WIN_K, w: int = WIN_W):
+    """documents -> DISTINCT (doc_id, fp): winnowing fingerprints — in each
+    window of ``w`` consecutive k-gram hashes keep the minimum (docs with
+    fewer than ``w`` grams keep their single overall minimum), then dedupe.
+    The classic guarantee: any match of at least w + k - 1 consecutive
+    tokens between two documents shares at least one selected fingerprint,
+    with expected density 2/(w+1) of the gram stream — the robust
+    counterpart of exact-substring fingerprinting at a fraction of the
+    rows.
+
+    Scale shape: a PURE MAP — each document is one input row, so selection
+    is batch-local with no exchange at all.  Per batch the token stream is
+    flattened once, k-grams become dense integer ids via chained
+    ``pd.factorize`` packs (so the md5 — the ``stable_hash64`` identity the
+    SQL oracle mirrors — is paid once per DISTINCT gram, not per
+    occurrence), the sliding window minimum is one
+    ``sliding_window_view(...).min`` over the concatenated hash stream
+    with windows that straddle documents masked out by positional
+    arithmetic, and short docs resolve via ``np.minimum.reduceat``.
+    """
+    import itertools
+
+    import pandas as pd
+
+    from ..functions.text import stable_hash64
+    from ..functions.textstats import TOKEN_PATTERN
+
+    _M62 = (1 << 62) - 1 + 1  # fp domain: stable_hash64 % 2^62
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "fp": pd.Series([], dtype="int64")}
+        )
+        texts = df["text"].fillna("").str.lower()
+        tok_lists = texts.str.findall(TOKEN_PATTERN)
+        lens = tok_lists.str.len().to_numpy(dtype=np.int64)
+        m = np.maximum(lens - (k - 1), 0)          # grams per doc
+        flat = list(itertools.chain.from_iterable(tok_lists))
+        L = len(flat)
+        if L < k:
+            return empty
+        codes = pd.factorize(np.asarray(flat, dtype=object))[0].astype(np.int64)
+        kk = int(codes.max()) + 1
+        Lm = L - k + 1
+        acc = codes[:Lm]
+        for j in range(1, k):                      # dense gram ids, no overflow
+            acc = pd.factorize(acc * kk + codes[j : j + Lm])[0].astype(np.int64)
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos_in = np.arange(L, dtype=np.int64) - np.repeat(starts, lens)
+        valid = pos_in[:Lm] + k <= lens[doc_of[:Lm]]
+        vpos = np.flatnonzero(valid)
+        if not len(vpos):
+            return empty
+        vg = acc[vpos]
+        uniq_g, first_idx = np.unique(vg, return_index=True)
+        rep_pos = vpos[first_idx]
+        fps_u = np.fromiter(
+            (stable_hash64(" ".join(flat[p : p + k])) % _M62
+             for p in rep_pos),
+            dtype=np.int64, count=len(rep_pos),
+        )
+        lut = np.zeros(int(uniq_g.max()) + 1, dtype=np.int64)
+        lut[uniq_g] = fps_u
+        h = lut[vg]                                # per-doc hash streams, concatenated
+        gstarts = np.concatenate(([0], np.cumsum(m)[:-1]))
+        out_doc, out_fp = [], []
+        if len(h) >= w:
+            wm = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            p = np.arange(len(h) - w + 1, dtype=np.int64)
+            dd = np.repeat(np.arange(len(df), dtype=np.int64), m)
+            fits = (p - gstarts[dd[p]]) + w <= m[dd[p]]
+            out_doc.append(dd[p][fits])
+            out_fp.append(wm[fits])
+        nz = m > 0
+        small_in_nz = m[nz] < w
+        if small_in_nz.any():
+            red = np.minimum.reduceat(h, gstarts[nz])
+            out_doc.append(np.flatnonzero(nz)[small_in_nz])
+            out_fp.append(red[small_in_nz])
+        ids = df["doc_id"].to_numpy()
+        out = pd.DataFrame(
+            {"doc_id": ids[np.concatenate(out_doc)].astype("int64"),
+             "fp": np.concatenate(out_fp)}
+        ).drop_duplicates()
+        return out.reset_index(drop=True)
+
+    return docs_ds.map_batches(partial, batch_format="pandas")
+
+
+def sql_winnow_fingerprints(sql_token_list: str, k: int = WIN_K,
+                            w: int = WIN_W) -> str:
+    """DuckDB oracle: same gram text / md5 fp as sql_substring_dup_pairs,
+    list_min over each w-window (short docs: one overall min), DISTINCT."""
+    m62 = f"{1 << 62}::HUGEINT"
+    return f"""
+WITH tok AS (SELECT doc_id, {sql_token_list} AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - {k} + 1),
+           i -> CAST(md5_number_upper('0:' ||
+                  array_to_string(list_slice(toks, i, i + {k} - 1), ' '))
+                % {m62} AS BIGINT)) AS hs
+  FROM tok WHERE len(toks) >= {k}
+), wmin AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) < {w} THEN [list_min(hs)]
+              ELSE list_transform(generate_series(1, len(hs) - {w} + 1),
+                     i -> list_min(list_slice(hs, i, i + {w} - 1)))
+         END AS fps
+  FROM h
+)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(unnest(fps) AS BIGINT) AS fp
+FROM wmin
+"""

@@ -303,3 +303,91 @@ def sql_kmeans_cost(k: int = KM_K, iters: int = KM_ITERS) -> str:
         "WHERE rn = 1 GROUP BY cluster"
     )
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+# ---------------------------------------------------------------------------
+# Supervised class prototypes (r5): per-label centroid sums over the
+# embeddings table's label column — the "class prototype / nearest-centroid
+# classifier build" companion to the unsupervised Lloyd fit above.
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(emb_ds):
+    """embeddings -> (label, dim, sum_q, n_vecs): integer-exact per-label
+    prototype partials in LONG format (one row per label x dimension).
+
+    Uses the same ``floor(x * KM_SCALE + 0.5)`` quantization as the Lloyd
+    fit (without the non-negativity offset — sums may be negative), so the
+    result is bit-exact under any batch order: per batch one flat-buffer
+    reshape + np.unique + np.add.at fold emits at most labels x d rows,
+    and the (label, dim)-keyed combiner exchange sums them.  The raw
+    vectors never shuffle; the driver-side centroid is ``sum_q // n_vecs``
+    (or a float mean) per (label, dim).  Null embeddings / labels drop at
+    ingest (r4 hostile-null convention).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_partitioned_agg
+
+    _EMPTY = pd.DataFrame(
+        {"label": pd.Series([], dtype="int64"),
+         "dim": pd.Series([], dtype="int64"),
+         "sum_q": pd.Series([], dtype="int64"),
+         "n_vecs": pd.Series([], dtype="int64")}
+    )
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        ok = pc.and_(pc.is_valid(batch["embedding"]),
+                     pc.is_valid(batch["label"]))
+        batch = batch.filter(ok)
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(flat) // n
+        q = np.floor(flat.reshape(n, d) * KM_SCALE + 0.5).astype(np.int64)
+        u, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(u), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pd.DataFrame(
+            {"label": np.repeat(u, d),
+             "dim": np.tile(np.arange(d, dtype=np.int64), len(u)),
+             "sum_q": sums.ravel(),
+             "n_vecs": np.repeat(cnt, d)}
+        )
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["label", "dim"], sort=False, as_index=False).agg(
+            sum_q=("sum_q", "sum"), n_vecs=("n_vecs", "sum")
+        )
+
+    return hash_partitioned_agg(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], combine,
+    )
+
+
+def sql_label_centroids() -> str:
+    """DuckDB oracle: same quantization expression as _sql_lloyd_prefix
+    (minus the offset), parallel index/value unnest, group by label/dim."""
+    return f"""
+WITH q AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+), u AS (
+  SELECT label,
+         unnest(generate_series(1, len(q))) AS i,
+         unnest(q) AS v
+  FROM q
+)
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(sum(v) AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM u GROUP BY label, i
+"""

@@ -134,6 +134,84 @@ FROM r GROUP BY register
 """
 
 
+def hll_grouped_registers(events_ds):
+    """events -> (event_type, register, max_rank): one HLL sketch of
+    DISTINCT user_ids PER GROUP — the grouped form of the mergeable
+    distinct-count sketch (approximate "unique users per event type" at
+    unbounded user cardinality).
+
+    Per batch: distinct (event_type, user_id) via one Arrow group_by, md5
+    hash of the user id (``stable_hash64`` == the oracle's
+    ``md5_number_upper``), register/rank split, per-(group, register) max
+    fold — so the exchange carries at most groups x 256 rows per batch no
+    matter how many users appear, and max-merge keeps the result exact
+    under any partitioning (the sketch_hll contract, partitioned by key).
+    Driver post-process: ``hll_estimate`` per group over the densified
+    registers.
+    """
+    import pandas as pd
+
+    from ..functions.text import stable_hash64
+    from .exchange import hash_partitioned_agg
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        ok = pc.and_(pc.is_valid(batch["event_type"]),
+                     pc.is_valid(batch["user_id"]))
+        dd = (
+            batch.filter(ok).select(["event_type", "user_id"])
+            .group_by(["event_type", "user_id"]).aggregate([])
+        )
+        uids = dd["user_id"].to_pylist()
+        hs = np.fromiter(
+            (stable_hash64(str(u)) for u in uids), dtype=np.uint64,
+            count=len(uids),
+        )
+        reg = (hs >> np.uint64(_W_BITS)).astype(np.int64)
+        w = hs & _W_MASK
+        rank = (_W_BITS + 1) - _bit_length_u64(w)
+        df = pd.DataFrame(
+            {"event_type": dd["event_type"].to_pylist(), "register": reg,
+             "max_rank": rank}
+        )
+        return df.groupby(["event_type", "register"], sort=False,
+                          as_index=False).agg(max_rank=("max_rank", "max"))
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["event_type", "register"], sort=False,
+                          as_index=False).agg(max_rank=("max_rank", "max"))
+
+    return hash_partitioned_agg(
+        events_ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "register"], combine,
+    )
+
+
+def sql_hll_grouped_registers() -> str:
+    """DuckDB oracle: identical hash / register / rank arithmetic as
+    sql_hll_token_registers, partitioned by event_type."""
+    two_w = 1 << _W_BITS
+    return f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+), h AS (
+  SELECT event_type,
+         md5_number_upper('0:' || CAST(user_id AS VARCHAR)) AS h
+  FROM du
+), r AS (
+  SELECT event_type, CAST(h // {two_w} AS BIGINT) AS register,
+         CAST(h % {two_w} AS BIGINT) AS w
+  FROM h
+)
+SELECT event_type, register,
+       max(CASE WHEN w = 0 THEN {_W_BITS + 1}
+                ELSE {_W_BITS + 1} - length(bin(w)) END) AS max_rank
+FROM r GROUP BY event_type, register
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact heavy hitters (two-pass candidate-generate + verify)
 # ---------------------------------------------------------------------------

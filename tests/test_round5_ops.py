@@ -1,0 +1,266 @@
+"""Round-5 operators: grouped HLL, per-label centroids, user retention,
+winnowing fingerprints — serial-parity + hostile-null + property tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kgx.functions.text import stable_hash64, tokenize
+
+
+def _collect(ds) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(ds, ray.data.Dataset):
+        return ds.to_pandas()
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL
+# ---------------------------------------------------------------------------
+
+
+def _serial_grouped_hll(events: list[tuple[str, int]]):
+    from kgx.stages.sketch import HLL_B
+
+    w_bits = 64 - HLL_B
+    out: dict[tuple[str, int], int] = {}
+    for et, uid in set(events):
+        h = stable_hash64(str(uid))
+        reg = h >> w_bits
+        w = h & ((1 << w_bits) - 1)
+        rank = w_bits + 1 - w.bit_length() if w else w_bits + 1
+        key = (et, reg)
+        out[key] = max(out.get(key, 0), rank)
+    return out
+
+
+def test_hll_grouped_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.sketch import hll_grouped_registers
+
+    rng = np.random.default_rng(5)
+    ets = rng.choice(["view", "click", "buy"], size=3000).tolist()
+    uids = rng.integers(0, 400, size=3000).tolist()
+    tbl = pa.table({"event_type": ets, "user_id": pa.array(uids, pa.int64())})
+    got = _collect(hll_grouped_registers(rd.from_arrow(tbl).repartition(7)))
+    want = _serial_grouped_hll(list(zip(ets, uids)))
+    got_map = {
+        (r.event_type, r.register): r.max_rank for r in got.itertuples()
+    }
+    assert got_map == want
+
+
+def test_hll_grouped_estimate_accuracy(ray_session):
+    """The per-group estimate from the grouped registers lands within the
+    HLL error envelope for well-separated group cardinalities."""
+    import ray.data as rd
+
+    from kgx.stages.sketch import HLL_M, hll_estimate, hll_grouped_registers
+
+    rng = np.random.default_rng(17)
+    rows_et, rows_uid = [], []
+    true = {"a": 200, "b": 2000}
+    for et, n in true.items():
+        ids = rng.choice(10**9, size=n, replace=False)
+        rows_et += [et] * n
+        rows_uid += ids.tolist()
+    tbl = pa.table(
+        {"event_type": rows_et, "user_id": pa.array(rows_uid, pa.int64())}
+    )
+    got = _collect(hll_grouped_registers(rd.from_arrow(tbl).repartition(5)))
+    for et, n in true.items():
+        dense = np.zeros(HLL_M, dtype=np.int64)
+        sub = got[got["event_type"] == et]
+        dense[sub["register"].to_numpy()] = sub["max_rank"].to_numpy()
+        est = hll_estimate(dense)
+        assert abs(est - n) / n < 0.25  # 3.8 sigma at m=256
+
+
+def test_hll_grouped_drops_nulls(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.sketch import hll_grouped_registers
+
+    tbl = pa.table(
+        {"event_type": pa.array(["a", None, "a"]),
+         "user_id": pa.array([1, 2, None], pa.int64())}
+    )
+    got = _collect(hll_grouped_registers(rd.from_arrow(tbl)))
+    want = _serial_grouped_hll([("a", 1)])
+    assert {(r.event_type, r.register): r.max_rank
+            for r in got.itertuples()} == want
+
+
+# ---------------------------------------------------------------------------
+# per-label centroids
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroids_match_numpy(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kmeans import KM_SCALE, label_centroids
+
+    rng = np.random.default_rng(23)
+    n, d = 300, 8
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 5, size=n).astype(np.int32)
+    tbl = pa.table(
+        {"label": pa.array(labels, pa.int32()),
+         "embedding": pa.array([row.tolist() for row in mat],
+                               pa.list_(pa.float32()))}
+    )
+    got = _collect(label_centroids(rd.from_arrow(tbl).repartition(9)))
+    q = np.floor(mat.astype(np.float64) * KM_SCALE + 0.5).astype(np.int64)
+    for lbl in range(5):
+        sub = got[got["label"] == lbl].sort_values("dim")
+        sel = q[labels == lbl]
+        assert sub["sum_q"].to_numpy().tolist() == sel.sum(axis=0).tolist()
+        assert (sub["n_vecs"] == len(sel)).all()
+    # centroid recovery: floor-mean reproducible from the long rows
+    sub = got[got["label"] == 0].sort_values("dim")
+    cent = sub["sum_q"].to_numpy() // sub["n_vecs"].to_numpy()
+    sel = q[labels == 0]
+    assert cent.tolist() == (sel.sum(axis=0) // len(sel)).tolist()
+
+
+def test_label_centroids_drop_nulls(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kmeans import KM_SCALE, label_centroids
+
+    tbl = pa.table(
+        {"label": pa.array([0, None, 0], pa.int32()),
+         "embedding": pa.array([[1.0, 2.0], [3.0, 4.0], None],
+                               pa.list_(pa.float32()))}
+    )
+    got = _collect(label_centroids(rd.from_arrow(tbl))).sort_values(
+        "dim"
+    ).reset_index(drop=True)
+    assert got["label"].tolist() == [0, 0]
+    assert got["sum_q"].tolist() == [1 * KM_SCALE, 2 * KM_SCALE]
+    assert got["n_vecs"].tolist() == [1, 1]
+
+
+# ---------------------------------------------------------------------------
+# user retention
+# ---------------------------------------------------------------------------
+
+
+def test_user_retention_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import RETAIN_US, user_retention
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 90 * 86_400_000_000, size=n).astype(
+        "timedelta64[us]"
+    )
+    users = rng.integers(0, 80, size=n)
+    tbl = pa.table(
+        {"user_id": pa.array(users, pa.int64()),
+         "ts": pa.array(ts.astype("datetime64[us]"))}
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = _collect(user_retention(str(tmp_path))).sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+    df = pd.DataFrame({"user_id": users, "us": ts.astype("int64")})
+    want = df.groupby("user_id").agg(
+        n_events=("us", "size"), mn=("us", "min"), mx=("us", "max")
+    ).reset_index()
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    span = (want["mx"] - want["mn"]).to_numpy()
+    assert got["span_us"].tolist() == span.tolist()
+    assert got["retained"].tolist() == (span >= RETAIN_US).astype(int).tolist()
+
+
+def test_user_retention_null_rows_drop(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import user_retention
+
+    tbl = pa.table(
+        {"user_id": pa.array([1, None, 1], pa.int64()),
+         "ts": pa.array([np.datetime64("2025-01-01", "us"),
+                         np.datetime64("2025-01-02", "us"), None])}
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = _collect(user_retention(str(tmp_path)))
+    assert got["user_id"].tolist() == [1]
+    assert got["n_events"].tolist() == [1]
+    assert got["span_us"].tolist() == [0]
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+
+def _serial_winnow(text: str, k: int, w: int) -> set[int]:
+    toks = tokenize(text or "")
+    hs = [
+        stable_hash64(" ".join(toks[i : i + k])) % (1 << 62)
+        for i in range(max(len(toks) - k + 1, 0))
+    ]
+    if not hs:
+        return set()
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+def test_winnow_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import WIN_K, WIN_W, winnow_fingerprints
+
+    rng = np.random.default_rng(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(m)))
+        for m in rng.integers(0, 40, size=200)
+    ] + ["", "one", "one two", "one two three", "one two three four"]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": texts}
+    )
+    got = _collect(winnow_fingerprints(rd.from_arrow(tbl).repartition(7)))
+    got_map: dict[int, set[int]] = {}
+    for r in got.itertuples():
+        got_map.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in enumerate(texts):
+        assert got_map.get(i, set()) == _serial_winnow(t, WIN_K, WIN_W), i
+
+
+def test_winnow_shared_substring_guarantee(ray_session):
+    """Any two docs sharing >= w + k - 1 consecutive tokens share at least
+    one fingerprint (the Schleimer et al. winnowing guarantee)."""
+    import ray.data as rd
+
+    from kgx.stages.corpus import WIN_K, WIN_W, winnow_fingerprints
+
+    shared = "lorem ipsum dolor sit amet consectetur"  # 6 = w + k - 1
+    texts = [
+        "aa bb cc " + shared + " dd ee",
+        "xx yy " + shared + " zz ww vv uu",
+        "totally different words here with nothing in common at all",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    assert WIN_W + WIN_K - 1 <= 6
+    got = _collect(winnow_fingerprints(rd.from_arrow(tbl)))
+    sets = {
+        i: set(got[got["doc_id"] == i]["fp"]) for i in range(len(texts))
+    }
+    assert sets[0] & sets[1]
+    assert not (sets[0] & sets[2])
