@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "emb_label_centroids",
     "rel_user_retention",
     "text_winnow",
+    "corpus_curate",
 ]
 
 

