@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "rel_user_retention",
     "text_winnow",
     "corpus_curate",
+    "graph_kcore",
 ]
 
 

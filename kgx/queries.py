@@ -859,13 +859,14 @@ def text_heavy_hitters(sf_dir: str):
 def registry() -> dict:
     """Query registry. ORDER MATTERS: the driver's correctness snapshot
     covers the FIRST 50 entries in insertion order (verified r1-r4), so the
-    never-driver-checked queries are placed first: the 5 new r5 operators,
+    never-driver-checked queries are placed first: the 6 new r5 operators,
     then the 20 that were added in r3/r4 but never reached the driver
-    window, then as many long-verified queries as fit (25 of the curated
-    30 — rel_range_join / rel_sessionize / text_ngram_topk /
-    text_tfidf_topk / graph_pagerank land just past the window).  Every
-    entry past slot 50 stays green in the local 32-CPU default +
-    --small-blocks replica (see BASELINE.md round-5 certification).
+    window, then as many long-verified queries as fit (24 of the curated
+    30 — rel_asof_join / rel_range_join / rel_sessionize /
+    text_ngram_topk / text_tfidf_topk / graph_pagerank land just past the
+    window).  Every entry past slot 50 stays green in the local 32-CPU
+    default + --small-blocks replica (see BASELINE.md round-5
+    certification).
     """
     return {
         # --- new in r5 (never driver-checked) ---
@@ -874,6 +875,7 @@ def registry() -> dict:
         "rel_user_retention": rel_user_retention,
         "text_winnow": text_winnow,
         "corpus_curate": corpus_curate,
+        "graph_kcore": graph_kcore,
         # --- never driver-checked through r4 (rotated to the front, r5) ---
         "sketch_hll": sketch_hll,
         "text_heavy_hitters": text_heavy_hitters,
@@ -1267,6 +1269,16 @@ def text_winnow(sf_dir: str):
     return winnow_fingerprints(_docs_ds(sf_dir))
 
 
+def graph_kcore(sf_dir: str):
+    """Round-exact k-core survivors (4 synchronous peeling rounds, k=4)
+    over the symmetrized supplier<->part graph — fourth consumer of the
+    shared partitioned-edge Pregel; oracle is the unrolled HAVING-count
+    recurrence."""
+    from .stages.graph import supplier_part_kcore
+
+    return supplier_part_kcore(sf_dir)
+
+
 CURATE_LANG = "en"
 
 
@@ -1337,6 +1349,12 @@ def corpus_curate(sf_dir: str):
     return hash_partitioned_apply(u, ["doc_id"], kernel, int_keys=True)
 
 
+def _sql_kcore_oracle() -> str:
+    from .stages.graph import sql_supplier_part_kcore
+
+    return sql_supplier_part_kcore()
+
+
 def _sql_corpus_curate() -> str:
     """Composed funnel oracle: the quality / langid / repetition fragments
     and the recursive-CTE cluster representatives, joined on doc_id."""
@@ -1369,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_user_retention": sql_user_retention(),
         "text_winnow": sql_winnow_fingerprints(ts.sql_token_list(_TEXT)),
         "corpus_curate": _sql_corpus_curate(),
+        "graph_kcore": _sql_kcore_oracle(),
         "kg_triples": so.sql_kg_triples(),
         "kg_entities": so.sql_kg_entities(),
         "kg_adjacency": so.sql_kg_adjacency(),

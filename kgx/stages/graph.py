@@ -443,3 +443,181 @@ def sql_supplier_part_cc(rounds: int = CC_ROUNDS) -> str:
         f"FROM {prev}"
     )
     return "".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Round-exact k-core peeling (shared Pregel, fourth consumer)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 4
+KCORE_ROUNDS = 4
+_KC_SCHEMA = pa.schema([("node", pa.int64()), ("alive", pa.int64())])
+_KC_MSG = pa.schema([("node", pa.int64()), ("cnt", pa.int64())])
+_KC_OUT = pa.schema([("node", pa.int64()), ("core_deg", pa.int64())])
+
+
+def kcore_rounds_ds(edges_ds, k: int = KCORE_K, rounds: int = KCORE_ROUNDS):
+    """edges (src, dst; symmetric) -> surviving (node, core_deg) after
+    EXACTLY ``rounds`` synchronous k-core peeling rounds: each round every
+    node counts its still-alive neighbors and dies when the count is below
+    ``k``; ``core_deg`` is the within-survivor degree after the final
+    round.
+
+    The contract is round-exact (the cc_rounds_ds precedent): a fixed
+    round count makes the survivor set a deterministic function of the
+    graph, so the DuckDB oracle (one HAVING-count CTE level per round)
+    reproduces it bit-exactly — and it EQUALS the true k-core wherever
+    peeling converges within ``rounds``.
+
+    Fourth consumer of the shared partitioned-edge Pregel.  Unlike CC's
+    min-merge (idempotent, so duplicate edges are free), peeling COUNTS
+    edges — each pinned edge partition therefore dedups its (node, other)
+    rows ONCE at build time; per round only alive-flag rows and per-node
+    count messages move."""
+    import ray
+    import ray.data as rd
+
+    from .pregel import (
+        concat_parts,
+        make_splitter,
+        partition_edges,
+        run_rounds,
+        split_by_owner,
+    )
+
+    P = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    key_schema = pa.schema([("node", pa.int64()), ("other", pa.int64())])
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": [], "other": []}, schema=key_schema)
+        return pa.table(
+            {"node": t["src"], "other": t["dst"]}, schema=key_schema
+        )
+
+    def dedup_part(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy()
+        o = t["other"].to_numpy()
+        order = np.lexsort((o, n))
+        ns, os_ = n[order], o[order]
+        keep = np.r_[True, (ns[1:] != ns[:-1]) | (os_[1:] != os_[:-1])] \
+            if len(ns) else np.zeros(0, dtype=bool)
+        return pa.table(
+            {"node": ns[keep].astype(np.int64),
+             "other": os_[keep].astype(np.int64)},
+            schema=key_schema,
+        )
+
+    raw_parts = partition_edges(edges_ds, make_splitter(norm, "node", P), P)
+    dedup_r = ray.remote(dedup_part)
+    edge_parts = [dedup_r.remote(p) for p in raw_parts]
+
+    def seed_part(t: pa.Table) -> pa.Table:
+        nodes = np.unique(t["node"].to_numpy())
+        return pa.table(
+            {"node": nodes.astype(np.int64),
+             "alive": np.ones(len(nodes), dtype=np.int64)},
+            schema=_KC_SCHEMA,
+        )
+
+    def message_part(edges_t: pa.Table, state_t: pa.Table):
+        """For every edge (v, u) with alive(v): +1 toward deg(u) — the
+        symmetric edge set makes per-target sums the alive-neighbor count."""
+        src = edges_t["node"].to_numpy()
+        sn = state_t["node"].to_numpy()
+        sa = state_t["alive"].to_numpy()
+        order = np.argsort(sn)
+        alive_src = sa[order][np.searchsorted(sn[order], src)] == 1
+        tgt = edges_t["other"].to_numpy()[alive_src]
+        u, c = (np.unique(tgt, return_counts=True) if len(tgt)
+                else (np.zeros(0, np.int64), np.zeros(0, np.int64)))
+        t = pa.table(
+            {"node": u.astype(np.int64), "cnt": c.astype(np.int64)},
+            schema=_KC_MSG,
+        )
+        return split_by_owner(t, t["node"].to_numpy(), P)
+
+    def _counts_for(state_t: pa.Table, pieces) -> np.ndarray:
+        inc = concat_parts(*pieces) if pieces else None
+        n = state_t["node"].to_numpy()
+        cnt = np.zeros(len(n), dtype=np.int64)
+        if inc is not None and inc.num_rows:
+            order = np.argsort(n)
+            pos = order[np.searchsorted(n[order], inc["node"].to_numpy())]
+            np.add.at(cnt, pos, inc["cnt"].to_numpy())
+        return cnt
+
+    def merge_part(state_t: pa.Table, *msg_pieces):
+        cnt = _counts_for(state_t, msg_pieces)
+        alive = state_t["alive"].to_numpy()
+        new_alive = ((alive == 1) & (cnt >= k)).astype(np.int64)
+        out = pa.table(
+            {"node": state_t["node"], "alive": pa.array(new_alive)},
+            schema=_KC_SCHEMA,
+        )
+        return out, 0
+
+    seed_r = ray.remote(seed_part)
+    state_parts = [seed_r.remote(edge_parts[p]) for p in range(P)]
+    state_parts, _ = run_rounds(
+        edge_parts, state_parts, message_part, merge_part,
+        iterations=rounds,
+    )
+
+    # final within-core degrees: one more message pass over the FINAL alive
+    # set, merged per partition into (node, core_deg) survivor rows
+    msg_r = ray.remote(num_returns=P)(message_part)
+    pieces = [msg_r.remote(edge_parts[p], state_parts[p]) for p in range(P)]
+
+    def final_part(state_t: pa.Table, *msg_pieces) -> pa.Table:
+        cnt = _counts_for(state_t, msg_pieces)
+        alive = state_t["alive"].to_numpy() == 1
+        return pa.table(
+            {"node": state_t["node"].to_numpy()[alive].astype(np.int64),
+             "core_deg": cnt[alive].astype(np.int64)},
+            schema=_KC_OUT,
+        )
+
+    final_r = ray.remote(final_part)
+    out_parts = [
+        final_r.remote(state_parts[q], *[pieces[p][q] for p in range(P)])
+        for q in range(P)
+    ]
+    return rd.from_arrow_refs(list(out_parts))
+
+
+def supplier_part_kcore(sf_dir: str, k: int = KCORE_K,
+                        rounds: int = KCORE_ROUNDS):
+    """Round-exact k-core survivors of the symmetrized supplier<->part
+    graph."""
+    return kcore_rounds_ds(supplier_part_edges(sf_dir), k=k, rounds=rounds)
+
+
+def sql_supplier_part_kcore(k: int = KCORE_K,
+                            rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled peeling: one HAVING-count CTE level per round, then the
+    within-survivor degree of the final set."""
+    lines = [
+        "WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT)*2 AS src, "
+        "CAST(l_partkey AS BIGINT)*2+1 AS dst FROM lineitem), "
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), "
+        "a0 AS (SELECT DISTINCT src AS node FROM edges)",
+    ]
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        lines.append(
+            f", a{i} AS (SELECT e.src AS node FROM edges e "
+            f"JOIN {prev} s ON s.node = e.src "
+            f"JOIN {prev} t ON t.node = e.dst "
+            f"GROUP BY e.src HAVING count(*) >= {k})"
+        )
+        prev = f"a{i}"
+    lines.append(
+        # LEFT JOINs so a survivor whose neighbors all died in the final
+        # round still appears with core_deg = 0 (the Ray side emits it)
+        f" SELECT CAST(s.node AS BIGINT) AS node, "
+        f"CAST(count(t.node) AS BIGINT) AS core_deg "
+        f"FROM {prev} s LEFT JOIN edges e ON e.src = s.node "
+        f"LEFT JOIN {prev} t ON t.node = e.dst GROUP BY s.node"
+    )
+    return "".join(lines)

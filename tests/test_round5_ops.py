@@ -324,3 +324,72 @@ def test_corpus_curate_funnel(ray_session, tmp_path, monkeypatch):
     # n_tokens matches the tokenizer
     for r in got.itertuples():
         assert r.n_tokens == len(tokenize(texts[r.doc_id]))
+
+
+# ---------------------------------------------------------------------------
+# round-exact k-core
+# ---------------------------------------------------------------------------
+
+
+def _serial_kcore(edges: set[tuple[int, int]], k: int, rounds: int):
+    """Synchronous peeling reference: returns {node: core_deg} survivors."""
+    sym = edges | {(b, a) for a, b in edges}
+    alive = {n for e in sym for n in e}
+    for _ in range(rounds):
+        deg = {n: 0 for n in alive}
+        for a, b in sym:
+            if a in alive and b in alive:
+                deg[a] += 1
+        alive = {n for n in alive if deg[n] >= k}
+    return {
+        n: sum(1 for a, b in sym if a == n and b in alive) for n in alive
+    }
+
+
+def test_kcore_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.graph import kcore_rounds_ds
+
+    rng = np.random.default_rng(7)
+    edges = set()
+    # clique of 6 (survives k=4) + a chain + random sprinkle (mostly dies)
+    for i in range(6):
+        for j in range(i + 1, 6):
+            edges.add((i, j))
+    for i in range(10, 20):
+        edges.add((i, i + 1))
+    while len(edges) < 60:
+        a, b = rng.integers(0, 40, size=2)
+        if a != b:
+            edges.add((int(min(a, b)), int(max(a, b))))
+    sym = list(edges) + [(b, a) for a, b in edges]
+    # include duplicate rows: peeling must dedup (COUNT semantics)
+    sym = sym + sym[:7]
+    tbl = pa.table(
+        {"src": pa.array([a for a, _ in sym], pa.int64()),
+         "dst": pa.array([b for _, b in sym], pa.int64())}
+    )
+    for k, rounds in ((4, 4), (2, 3), (1, 2)):
+        got = _collect(kcore_rounds_ds(
+            rd.from_arrow(tbl).repartition(5), k=k, rounds=rounds
+        ))
+        want = _serial_kcore(edges, k, rounds)
+        assert {r.node: r.core_deg for r in got.itertuples()} == want, (k, rounds)
+    # sanity: the 6-clique survives k=4 with core_deg 5
+    got = _collect(kcore_rounds_ds(rd.from_arrow(tbl), k=4, rounds=4))
+    m = {r.node: r.core_deg for r in got.itertuples()}
+    assert all(m.get(i) == 5 for i in range(6))
+
+
+def test_kcore_empty_survivors(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.graph import kcore_rounds_ds
+
+    tbl = pa.table(
+        {"src": pa.array([1, 2, 2, 3], pa.int64()),
+         "dst": pa.array([2, 1, 3, 2], pa.int64())}
+    )
+    got = _collect(kcore_rounds_ds(rd.from_arrow(tbl), k=5, rounds=2))
+    assert len(got) == 0
