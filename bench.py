@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "text_winnow",
     "corpus_curate",
     "graph_kcore",
+    "doc_shuffle",
 ]
 
 

