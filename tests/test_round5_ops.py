@@ -437,3 +437,54 @@ def test_doc_shuffle_matches_serial_and_is_stable(ray_session):
     tbl2 = pa.table({"doc_id": pa.array(ids2), "text": ["x"] * len(ids2)})
     got2 = _collect(shuffle_shards(rd.from_arrow(tbl2))).set_index("doc_id")
     assert (got2["shard"].reindex(gi.index) == gi["shard"]).all()
+
+
+# ---------------------------------------------------------------------------
+# product quantization codes
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_match_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.similarity import PQ_SCALE, pq_codebooks, pq_codes
+
+    rng = np.random.default_rng(13)
+    n, d, m, ksub = 400, 16, 4, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": pa.array(range(n), pa.int64()),
+         "embedding": pa.array([r.tolist() for r in mat],
+                               pa.list_(pa.float32()))}
+    )
+    sample = tbl.filter(pa.array(np.arange(n) % 10 == 0))
+    cb = pq_codebooks(sample, m=m, ksub=ksub)
+    assert cb.shape == (m, ksub, d // m)
+    got = _collect(pq_codes(rd.from_arrow(tbl).repartition(5), cb))
+    q = np.floor(mat.astype(np.float64) * PQ_SCALE + 0.5).astype(np.int64)
+    gm = {(r.vec_id, r.sub): r.code for r in got.itertuples()}
+    dsub = d // m
+    for i in range(n):
+        for s in range(m):
+            dist = ((q[i, s * dsub:(s + 1) * dsub] - cb[s]) ** 2).sum(axis=1)
+            assert gm[(i, s)] == int(dist.argmin()), (i, s)
+
+
+def test_pq_codebook_wrap_and_null_drop(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.similarity import pq_codebooks, pq_codes
+
+    # sample smaller than ksub: the strided index wraps (IVF convention)
+    tbl = pa.table(
+        {"vec_id": pa.array([0, 1, 2], pa.int64()),
+         "embedding": pa.array([[1.0, 2.0], None, [5.0, 6.0]],
+                               pa.list_(pa.float32()))}
+    )
+    cb = pq_codebooks(tbl, m=1, ksub=4)
+    assert cb.shape == (1, 4, 2)
+    # null row dropped: only rows 0 and 2 alternate under the wrap
+    assert cb[0].tolist() == [[1000, 2000], [5000, 6000],
+                              [1000, 2000], [5000, 6000]]
+    got = _collect(pq_codes(rd.from_arrow(tbl), cb))
+    assert sorted(got["vec_id"].unique()) == [0, 2]  # null vec dropped
