@@ -186,8 +186,10 @@ def customers_with_orders(sf_dir: str, broadcast_limit: int = 2_000_000):
         )
         return joined.select_columns(["c_custkey"])
 
-    keys_arr = pa.concat_tables(
-        [ray.get(r) for r in distinct_keys.to_arrow_refs()]
+    from ..stages.exchange import collect_arrow
+
+    keys_arr = collect_arrow(
+        distinct_keys, schema=key_schema
     )["o_custkey"].combine_chunks()
     keys_ref = ray.put(keys_arr)
 
@@ -917,8 +919,10 @@ def customers_without_urgent(sf_dir: str, broadcast_limit: int = 2_000_000):
         )
         return joined.select_columns(["c_custkey"])
 
-    keys_arr = pa.concat_tables(
-        [ray.get(r) for r in distinct_keys.to_arrow_refs()]
+    from ..stages.exchange import collect_arrow
+
+    keys_arr = collect_arrow(
+        distinct_keys, schema=key_schema
     )["o_custkey"].combine_chunks()
     keys_ref = ray.put(keys_arr)
 

@@ -912,11 +912,14 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float,
 
 def collect_emb_table(emb_ds) -> pa.Table:
     """Bounded driver collect for the gated brute route (the gate guarantees
-    <= EMB_BRUTE_LIMIT rows) — distributed read, concat of block refs."""
-    import ray
+    <= EMB_BRUTE_LIMIT rows) — distributed read, empty-block-safe concat."""
+    from .exchange import collect_arrow
 
-    tabs = ray.get(emb_ds.to_arrow_refs())
-    return pa.concat_tables(tabs, promote_options="default")
+    return collect_arrow(
+        emb_ds,
+        schema=pa.schema([("vec_id", pa.int64()),
+                          ("embedding", pa.list_(pa.float32()))]),
+    )
 
 
 def embedding_dup_pairs_gated(emb_ds, threshold: float,

@@ -197,3 +197,24 @@ def hash_partitioned_apply(
     else:
         tagged = ds.map_batches(tag_pandas, batch_format="pandas")
     return tagged.groupby("part_id").map_groups(run, batch_format=kernel_format)
+
+
+def collect_arrow(ds, schema: "pa.Table | None" = None):
+    """Driver-side collect of a SMALL Dataset as one Arrow table.
+
+    Skips empty blocks before the concat: a ``groupby(part_id).map_groups``
+    partition with no rows can emit an empty block carrying NO schema (the
+    recurring empty-block trap — at high partition counts over tiny inputs
+    most partitions are empty), and ``pa.concat_tables`` raises on the
+    mixed schemas.  Falls back to ``schema.empty_table()`` when every block
+    is empty.  Caller asserts the collected result is driver-scale (gated
+    key sets, stride samples, sketch grids)."""
+    import pyarrow as pa
+    import ray
+
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if tabs:
+        return pa.concat_tables(tabs).combine_chunks()
+    if schema is not None:
+        return schema.empty_table()
+    return pa.table({})

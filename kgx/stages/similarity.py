@@ -281,14 +281,15 @@ def stride_sample_table(emb_ds, every: int) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(ids % every == 0))
 
+    from .exchange import collect_arrow
+
     sampled = emb_ds.map_batches(keep, batch_format="pyarrow")
-    tabs = ray.get(sampled.to_arrow_refs())
-    if not tabs:
-        return pa.table(
-            {"vec_id": pa.array([], pa.int64()),
-             "embedding": pa.array([], pa.list_(pa.float32()))}
-        )
-    return pa.concat_tables(tabs, promote_options="default").sort_by("vec_id")
+    tab = collect_arrow(
+        sampled,
+        schema=pa.schema([("vec_id", pa.int64()),
+                          ("embedding", pa.list_(pa.float32()))]),
+    )
+    return tab.sort_by("vec_id")
 
 
 def build_query_side(emb_table: pa.Table, every: int = 100):

@@ -488,3 +488,54 @@ def test_pq_codebook_wrap_and_null_drop(ray_session):
                               [1000, 2000], [5000, 6000]]
     got = _collect(pq_codes(rd.from_arrow(tbl), cb))
     assert sorted(got["vec_id"].unique()) == [0, 2]  # null vec dropped
+
+
+# ---------------------------------------------------------------------------
+# empty-block-safe driver collect (the sf0.001 x 32-CPU rel_anti_join crash)
+# ---------------------------------------------------------------------------
+
+
+def test_collect_arrow_skips_schemaless_empty_blocks(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.exchange import collect_arrow
+
+    schema = pa.schema([("o_custkey", pa.int64())])
+    good = pa.table({"o_custkey": pa.array([1, 2, 3], pa.int64())})
+    # a schema-less empty block like the one an empty map_groups partition
+    # emits at high partition counts over tiny inputs
+    ds = rd.from_arrow([pa.table({}), good, pa.table({})])
+    out = collect_arrow(ds, schema=schema)
+    assert out.schema.equals(schema)
+    assert out["o_custkey"].to_pylist() == [1, 2, 3]
+    # all-empty input falls back to the explicit schema
+    out = collect_arrow(rd.from_arrow([pa.table({})]), schema=schema)
+    assert out.num_rows == 0 and out.schema.equals(schema)
+
+
+def test_anti_and_semi_join_survive_high_partition_tiny_input(
+    ray_session, tmp_path
+):
+    """sf0.001-class repro: a tiny distinct-key set under the default 8x-CPU
+    partition count leaves most exchange partitions empty; the broadcast
+    collect must survive the schema-less empty blocks (crashed r5 pre-fix)."""
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import (
+        customers_with_orders,
+        customers_without_urgent,
+    )
+
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([1, 2], pa.int64()),
+                  "o_orderpriority": ["1-URGENT", "3-MEDIUM"]}),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())}),
+        tmp_path / "customer.parquet",
+    )
+    anti = _collect(customers_without_urgent(str(tmp_path)))
+    assert sorted(anti["c_custkey"]) == [2, 3]
+    semi = _collect(customers_with_orders(str(tmp_path)))
+    assert sorted(semi["c_custkey"]) == [1, 2]
