@@ -539,3 +539,72 @@ def test_anti_and_semi_join_survive_high_partition_tiny_input(
     assert sorted(anti["c_custkey"]) == [2, 3]
     semi = _collect(customers_with_orders(str(tmp_path)))
     assert sorted(semi["c_custkey"]) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties for the r5 kernels (pure-Python sides — fast)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tokens = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), min_size=0,
+    max_size=30,
+)
+
+
+class TestWinnowProperties:
+    @given(_tokens, _tokens)
+    @settings(max_examples=60, deadline=None)
+    def test_shared_run_implies_shared_fp(self, a, b):
+        """Schleimer et al. guarantee: docs sharing >= w + k - 1
+        consecutive tokens share >= 1 winnow fingerprint (checked on the
+        serial kernel the Ray stage is parity-tested against)."""
+        from kgx.stages.corpus import WIN_K, WIN_W
+
+        run = ["zz%d" % i for i in range(WIN_W + WIN_K - 1)]
+        ta = " ".join(a + run + a)
+        tb = " ".join(b + run + b)
+        fa = _serial_winnow(ta, WIN_K, WIN_W)
+        fb = _serial_winnow(tb, WIN_K, WIN_W)
+        assert fa & fb
+
+    @given(_tokens)
+    @settings(max_examples=60, deadline=None)
+    def test_density_bound(self, toks):
+        """Fingerprint count never exceeds the window count (one min per
+        window) and is >= 1 whenever any gram exists."""
+        from kgx.stages.corpus import WIN_K, WIN_W
+
+        text = " ".join(toks)
+        fps = _serial_winnow(text, WIN_K, WIN_W)
+        n_grams = max(len(toks) - WIN_K + 1, 0)
+        if n_grams == 0:
+            assert fps == set()
+        else:
+            assert 1 <= len(fps) <= max(n_grams - WIN_W + 1, 1)
+
+
+class TestShuffleShardProperties:
+    @given(st.sets(st.integers(min_value=0, max_value=2**40), min_size=1,
+                   max_size=200))
+    @settings(max_examples=40, deadline=None)
+    def test_assignment_is_pure_and_dense(self, ids_set):
+        from kgx.stages.corpus import (
+            SAMPLE_ADD,
+            SAMPLE_MUL,
+            SHUFFLE_SHARDS,
+        )
+
+        ids = np.array(sorted(ids_set), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * np.uint64(SAMPLE_MUL)
+                 + np.uint64(SAMPLE_ADD))
+        shard = ((h >> np.uint64(32)) % np.uint64(SHUFFLE_SHARDS))
+        # pure function of the id: recompute identically
+        with np.errstate(over="ignore"):
+            h2 = (ids.astype(np.uint64) * np.uint64(SAMPLE_MUL)
+                  + np.uint64(SAMPLE_ADD))
+        assert (h == h2).all()
+        assert (shard < SHUFFLE_SHARDS).all()
