@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "graph_kcore",
     "doc_shuffle",
     "emb_pq",
+    "graph_bfs",
+    "doc_split",
+    "emb_outliers",
 ]
 
 

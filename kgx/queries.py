@@ -769,6 +769,35 @@ def graph_cc(sf_dir: str):
     return supplier_part_cc(sf_dir)
 
 
+def doc_split(sf_dir: str):
+    """Exact-proportion deterministic train/val/test split, stratified by
+    source (80/10/10 by within-source hash rank) — the pack_sequences
+    two-pass range prefix sum gives exact per-stratum counts without
+    co-locating a whole stratum."""
+    from .stages.corpus import split_documents
+
+    return split_documents(_docs_ds_with_source(sf_dir))
+
+
+def emb_outliers(sf_dir: str):
+    """Embedding-space outlier flags: vectors whose integer squared
+    distance to the nearest fitted k-means centroid exceeds the threshold
+    — one extra streaming pass over the same Lloyd fit as emb_kmeans."""
+    from .stages.kmeans import kmeans_outliers
+
+    return kmeans_outliers(_emb_ds(sf_dir))
+
+
+def graph_bfs(sf_dir: str):
+    """Truncated multi-source BFS ball (4 min-plus rounds from the
+    suppkey%7==1 source set) over the supplier<->part graph — fifth
+    consumer of the shared partitioned-edge Pregel; round-exact
+    Bellman-Ford keeps the unrolled-CTE oracle bit-exact."""
+    from .stages.graph import supplier_part_bfs
+
+    return supplier_part_bfs(sf_dir)
+
+
 def rel_top_revenue(sf_dir: str):
     """TPC-H Q3-shape composition: segment-filtered customers -> their
     orders (broadcast key filter) -> per-order lineitem revenue (integer
@@ -951,6 +980,10 @@ def registry() -> dict:
         "rel_pivot": rel_pivot,
         "rel_running_total": rel_running_total,
         "rel_rollup": rel_rollup,
+        # --- new in r5 (post-rotation; replica-certified like all 50+) ---
+        "graph_bfs": graph_bfs,
+        "doc_split": doc_split,
+        "emb_outliers": emb_outliers,
     }
 
 
@@ -1404,6 +1437,24 @@ WHERE q.quality_pass = 1 AND l.pred_lang = '{CURATE_LANG}' AND r.rep_pass = 1
 """
 
 
+def _sql_bfs_oracle() -> str:
+    from .stages.graph import sql_supplier_part_bfs
+
+    return sql_supplier_part_bfs()
+
+
+def _sql_doc_split() -> str:
+    from .stages.corpus import sql_split_documents
+
+    return sql_split_documents()
+
+
+def _sql_outliers_oracle() -> str:
+    from .stages.kmeans import sql_kmeans_outliers
+
+    return sql_kmeans_outliers()
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB SQL per SQL-expressible query; keys match registry()."""
     from . import sql_oracles as so
@@ -1636,4 +1687,7 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk "
             "FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rnk <= 3"
         ),
+        "graph_bfs": _sql_bfs_oracle(),
+        "doc_split": _sql_doc_split(),
+        "emb_outliers": _sql_outliers_oracle(),
     }

@@ -1138,3 +1138,158 @@ SELECT doc_id, shard,
             AS BIGINT) AS pos
 FROM k
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-proportion deterministic train/val/test split (r5): the training-
+# prep step that partitions a corpus into fixed-ratio splits, stratified
+# by source, with EXACT per-stratum counts (hash-threshold sampling like
+# stratified_sample_documents only approximates the ratio).
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10
+
+
+def split_documents(docs_ds, train_pct: int = SPLIT_TRAIN_PCT,
+                    val_pct: int = SPLIT_VAL_PCT,
+                    num_buckets: int | None = None):
+    """documents -> (doc_id, source, split): per-source exact-proportion
+    deterministic split — within each source, docs ordered by
+    (shuffle-hash, doc_id) take the first ceil(train_pct% * n) slots as
+    'train', the next ceil((train+val)% * n) - train as 'val', the rest
+    'test'.  Pure function of (doc_id, source, corpus), reproducible
+    across runs and cluster sizes.
+
+    Scale shape — the pack_sequences two-pass range prefix sum, NOT a
+    per-source co-location (strata are few and huge at 100 TB, so one
+    kernel per source would be a straggler):
+
+    1. each doc keys by its wraparound-multiply hash (the doc_shuffle
+       family, SQL-mirrorable in HUGEINT) and range-buckets on the key's
+       top bits;
+    2. pass A: per-(source, bucket) counts tree-combine to a tiny table;
+       the driver takes per-source totals + per-bucket exclusive prefix
+       offsets (sources x B rows — KB-scale, never corpus-scale);
+    3. pass B: ONE partition-only exchange on (source, bucket) — each
+       kernel sorts its buckets locally by (key, doc_id); local rank +
+       the bucket's broadcast offset = the doc's exact global rank within
+       its source, compared against the integer ceil thresholds.
+    """
+    import pandas as pd
+
+    from .exchange import _default_partitions, hash_partitioned_apply
+
+    B = num_buckets or _default_partitions() * 8
+    bucket_w = ((1 << 62) + B - 1) // B
+
+    key_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("key", pa.int64()), ("bucket", pa.int64())]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(SAMPLE_MUL) + np.uint64(
+                SAMPLE_ADD
+            )
+        key = (h % np.uint64(1 << 62)).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids.astype(np.int64)),
+             "source": batch["source"],
+             "key": pa.array(key),
+             "bucket": pa.array((key // bucket_w).astype(np.int64))},
+            schema=key_schema,
+        )
+
+    # reused by pass A and pass B — pin once (the diamond-reuse trap)
+    keyed_ds = docs_ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        return t.select(["source", "bucket"]).group_by(
+            ["source", "bucket"]
+        ).aggregate([([], "count_all")]).rename_columns(
+            ["source", "bucket", "n"]
+        )
+
+    merged = keyed_ds.map_batches(bucket_counts, batch_format="pyarrow") \
+        .repartition(1).map_batches(
+            lambda t: t.group_by(["source", "bucket"])
+                       .aggregate([("n", "sum")])
+                       .rename_columns(["source", "bucket", "n"]),
+            batch_format="pyarrow",
+        ).take_all()
+    cdf = pd.DataFrame(merged)
+    if not len(cdf):
+        return keyed_ds.map_batches(
+            lambda t: pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "source": pa.array([], pa.string()),
+                 "split": pa.array([], pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+    cdf = cdf.sort_values(["source", "bucket"])
+    cdf["offset"] = cdf.groupby("source")["n"].cumsum() - cdf["n"]
+    totals = cdf.groupby("source")["n"].sum().to_dict()
+    offsets = {
+        (s, int(b)): int(o)
+        for s, b, o in zip(cdf["source"], cdf["bucket"], cdf["offset"])
+    }
+    thresholds = {
+        s: ((train_pct * n + 99) // 100,
+            ((train_pct + val_pct) * n + 99) // 100)
+        for s, n in totals.items()
+    }
+
+    def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        d = d.sort_values(["source", "bucket", "key", "doc_id"],
+                          kind="stable")
+        local = d.groupby(["source", "bucket"], sort=False).cumcount()
+        off = np.fromiter(
+            (offsets[(s, int(b))] for s, b in zip(d["source"], d["bucket"])),
+            dtype=np.int64, count=len(d),
+        )
+        rank = off + local.to_numpy()
+        tr = np.fromiter((thresholds[s][0] for s in d["source"]),
+                         dtype=np.int64, count=len(d))
+        va = np.fromiter((thresholds[s][1] for s in d["source"]),
+                         dtype=np.int64, count=len(d))
+        split = np.where(rank < tr, "train",
+                         np.where(rank < va, "val", "test"))
+        return pd.DataFrame(
+            {"doc_id": d["doc_id"].astype("int64"),
+             "source": d["source"].astype(str),
+             "split": split}
+        )
+
+    return hash_partitioned_apply(
+        keyed_ds, ["source", "bucket"], kernel, arrow_tag=True,
+    )
+
+
+def sql_split_documents(train_pct: int = SPLIT_TRAIN_PCT,
+                        val_pct: int = SPLIT_VAL_PCT) -> str:
+    """DuckDB oracle: same HUGEINT wraparound hash, per-source rank via
+    row_number, integer ceil thresholds."""
+    two64 = 1 << 64
+    h = f"((CAST(doc_id AS HUGEINT) * {SAMPLE_MUL} + {SAMPLE_ADD}) % {two64})"
+    return f"""
+WITH k AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST({h} % {1 << 62} AS BIGINT) AS key
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY key, doc_id) - 1
+           AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM k
+)
+SELECT doc_id, source,
+       CASE WHEN rk < ({train_pct} * n + 99) // 100 THEN 'train'
+            WHEN rk < ({train_pct + val_pct} * n + 99) // 100 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""

@@ -621,3 +621,151 @@ def sql_supplier_part_kcore(k: int = KCORE_K,
         f"LEFT JOIN {prev} t ON t.node = e.dst GROUP BY s.node"
     )
     return "".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Round-exact multi-source BFS distances (shared Pregel, fifth consumer)
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 4
+BFS_SRC_MOD = 7          # sources: supplier nodes with suppkey % MOD == REM
+BFS_SRC_REM = 1
+_BFS_INF = np.int64(1) << np.int64(40)   # > any reachable distance
+_BFS_SCHEMA = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+
+def bfs_rounds_ds(edges_ds, rounds: int = BFS_ROUNDS):
+    """edges (src, dst; symmetric) -> (node, dist) for every node whose
+    BFS distance from the source set is <= ``rounds`` — multi-source
+    shortest hop counts (the KG 'neighborhood expansion' primitive; see
+    reference extractor.py:302-353 for the analog entity-neighborhood
+    walk the reference performs serially per document).
+
+    Sources are supplier nodes with ``suppkey % BFS_SRC_MOD ==
+    BFS_SRC_REM`` (node ids are 2*suppkey — the supplier_part_edges
+    encoding).  The contract is round-exact Bellman-Ford: after R
+    synchronous min-plus rounds every node at true distance d <= R holds
+    exactly d (induction on hop count), and every farther node holds a
+    value > R — so filtering ``dist <= rounds`` yields the exact
+    truncated BFS ball deterministically, which keeps the unrolled-CTE
+    DuckDB oracle bit-exact (the cc_rounds_ds precedent).
+
+    Fifth consumer of the shared partitioned-edge Pregel: edges pin once,
+    each round moves only (node, dist) rows, duplicate edges are harmless
+    under the min-merge (no dedup pass spent)."""
+    import ray
+    import ray.data as rd
+
+    from .pregel import (
+        concat_parts,
+        make_splitter,
+        partition_edges,
+        run_rounds,
+        split_by_owner,
+    )
+
+    P = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    key_schema = pa.schema([("node", pa.int64()), ("other", pa.int64())])
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": [], "other": []}, schema=key_schema)
+        return pa.table(
+            {"node": t["src"], "other": t["dst"]}, schema=key_schema
+        )
+
+    edge_parts = partition_edges(
+        edges_ds, make_splitter(norm, "node", P), P
+    )
+
+    def _min_per_node(n: np.ndarray, d: np.ndarray):
+        o = np.lexsort((d, n))
+        n, d = n[o], d[o]
+        starts = np.flatnonzero(np.r_[True, n[1:] != n[:-1]]) if len(n) else n
+        return (n[starts] if len(n) else n), (d[starts] if len(n) else d)
+
+    def seed_part(t: pa.Table) -> pa.Table:
+        nodes = np.unique(t["node"].to_numpy())
+        is_src = (nodes % 2 == 0) & ((nodes // 2) % BFS_SRC_MOD == BFS_SRC_REM)
+        dist = np.where(is_src, np.int64(0), _BFS_INF)
+        return pa.table(
+            {"node": nodes.astype(np.int64), "dist": dist.astype(np.int64)},
+            schema=_BFS_SCHEMA,
+        )
+
+    def message_part(edges_t: pa.Table, state_t: pa.Table):
+        src = edges_t["node"].to_numpy()
+        sn = state_t["node"].to_numpy()
+        sd = state_t["dist"].to_numpy()
+        order = np.argsort(sn)
+        d = sd[order][np.searchsorted(sn[order], src)] + 1
+        tgt, msg = _min_per_node(edges_t["other"].to_numpy(), d)
+        t = pa.table(
+            {"node": tgt.astype(np.int64), "dist": msg.astype(np.int64)},
+            schema=_BFS_SCHEMA,
+        )
+        return split_by_owner(t, t["node"].to_numpy(), P)
+
+    def merge_part(state_t: pa.Table, *msg_pieces):
+        inc = concat_parts(*msg_pieces) if msg_pieces else None
+        n = state_t["node"].to_numpy()
+        d = state_t["dist"].to_numpy()
+        if inc is not None and inc.num_rows:
+            mn = inc["node"].to_numpy()
+            md = inc["dist"].to_numpy()
+            order = np.argsort(n)
+            ns, ds = n[order], d[order].copy()
+            np.minimum.at(ds, np.searchsorted(ns, mn), md)
+            n, d = ns, ds
+        out = pa.table(
+            {"node": n.astype(np.int64), "dist": d.astype(np.int64)},
+            schema=_BFS_SCHEMA,
+        )
+        return out, 0
+
+    seed_r = ray.remote(seed_part)
+    state_parts = [seed_r.remote(edge_parts[p]) for p in range(P)]
+    state_parts, _ = run_rounds(
+        edge_parts, state_parts, message_part, merge_part,
+        iterations=rounds,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = t["dist"].to_numpy()
+        return t.filter(pa.array(d <= rounds))
+
+    return rd.from_arrow_refs(list(state_parts)).map_batches(
+        finalize, batch_format="pyarrow"
+    )
+
+
+def supplier_part_bfs(sf_dir: str, rounds: int = BFS_ROUNDS):
+    """Truncated multi-source BFS ball over the supplier<->part graph."""
+    return bfs_rounds_ds(supplier_part_edges(sf_dir), rounds=rounds)
+
+
+def sql_supplier_part_bfs(rounds: int = BFS_ROUNDS) -> str:
+    """Unrolled min-plus propagation: one CTE level per round (the
+    cc_rounds_ds oracle shape), sources seeded at 0, sentinel elsewhere."""
+    inf = int(_BFS_INF)
+    lines = [
+        "WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT)*2 AS src, "
+        "CAST(l_partkey AS BIGINT)*2+1 AS dst FROM lineitem), "
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), "
+        "d0 AS (SELECT DISTINCT src AS node, "
+        f"CASE WHEN src % 2 = 0 AND (src // 2) % {BFS_SRC_MOD} = "
+        f"{BFS_SRC_REM} THEN 0 ELSE {inf} END AS dist FROM edges)",
+    ]
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        lines.append(
+            f", d{i} AS (SELECT l.node, least(l.dist, min(p.dist) + 1) "
+            f"AS dist FROM {prev} l JOIN edges e ON e.src = l.node "
+            f"JOIN {prev} p ON p.node = e.dst GROUP BY l.node, l.dist)"
+        )
+        prev = f"d{i}"
+    lines.append(
+        f" SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist "
+        f"FROM {prev} WHERE dist <= {rounds}"
+    )
+    return "".join(lines)

@@ -391,3 +391,60 @@ SELECT label, CAST(i - 1 AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS n_vecs
 FROM u GROUP BY label, i
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outlier flags (r5): vectors far from every fitted
+# centroid — the embedding-quality filter a training-data build runs after
+# clustering (off-manifold / garbage-embedding removal).
+# ---------------------------------------------------------------------------
+
+OUTLIER_THRESHOLD = 975_000   # quantized squared-L2; see kmeans_outliers
+
+
+def kmeans_outliers(emb_ds, k: int = KM_K, iters: int = KM_ITERS,
+                    threshold: int = OUTLIER_THRESHOLD):
+    """embeddings -> (vec_id, dist): vectors whose integer squared
+    distance to the NEAREST fitted centroid exceeds ``threshold`` — the
+    same Lloyd fit as kmeans_labels (integer-exact, so the unrolled-CTE
+    oracle reproduces the flag set bit-exactly), one extra streaming
+    assignment pass, output is outlier-cardinality only.
+
+    ``threshold`` is in quantized units: coordinates scale by KM_SCALE
+    (1e3), so squared distance scales by 1e6 — 975_000 = true squared
+    distance 0.975, the ~P85 of the synthetic corpus's min-centroid
+    distance at every sf (measured 973k at sf0.001 and sf0.01), so the
+    flag set is non-trivial without being the whole table."""
+
+    emb_ds, cents = _fit(emb_ds, k, iters)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ids, q = quantized_matrix(batch)
+        if not len(ids):
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "dist": pa.array([], pa.int64())}
+            )
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        dist = d2.min(axis=1)
+        mask = dist > threshold
+        return pa.table(
+            {"vec_id": pa.array(ids[mask]),
+             "dist": pa.array(dist[mask].astype(np.int64))}
+        )
+
+    return emb_ds.map_batches(flag, batch_format="pyarrow")
+
+
+def sql_kmeans_outliers(k: int = KM_K, iters: int = KM_ITERS,
+                        threshold: int = OUTLIER_THRESHOLD) -> str:
+    parts, prev = _sql_lloyd_prefix(k, iters)
+    final = (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(dist AS BIGINT) AS dist FROM ("
+        f"SELECT q.vec_id, {_SQL_DIST.format(c=prev)} AS dist, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"{_SQL_DIST.format(c=prev)} ASC, {prev}.cluster ASC) AS rn "
+        f"FROM q CROSS JOIN {prev}) WHERE rn = 1 AND dist > {threshold}"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final

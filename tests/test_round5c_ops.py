@@ -1,0 +1,276 @@
+"""Round-5 batch-3 operators: truncated multi-source BFS, exact-proportion
+stratified train/val/test split, embedding outlier flags — serial-parity +
+edge-case tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _collect(ds) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(ds, ray.data.Dataset):
+        return ds.to_pandas()
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# truncated multi-source BFS
+# ---------------------------------------------------------------------------
+
+
+def _is_source(node: int) -> bool:
+    from kgx.stages.graph import BFS_SRC_MOD, BFS_SRC_REM
+
+    return node % 2 == 0 and (node // 2) % BFS_SRC_MOD == BFS_SRC_REM
+
+
+def _serial_bfs(edges: set[tuple[int, int]], rounds: int) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {n: 0 for n in adj if _is_source(n)}
+    frontier = set(dist)
+    for d in range(1, rounds + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj[n]:
+                if m not in dist:
+                    dist[m] = d
+                    nxt.add(m)
+        frontier = nxt
+    return dist
+
+
+def _edge_table(edges, dup: int = 0) -> pa.Table:
+    sym = list(edges) + [(b, a) for a, b in edges]
+    sym = sym + sym[:dup]  # duplicate rows: min-merge must not care
+    return pa.table(
+        {"src": pa.array([a for a, _ in sym], pa.int64()),
+         "dst": pa.array([b for _, b in sym], pa.int64())}
+    )
+
+
+def test_bfs_matches_serial_chain_and_unreached(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.graph import bfs_rounds_ds
+
+    # node 2 (= 2*1, 1 % 7 == 1) is a source; the chain extends to depth 6
+    # so rounds=4 must truncate; odd nodes 101..107 form a sourceless
+    # island (odd ids can never satisfy the even-node source predicate).
+    chain = [2, 4, 5, 6, 8, 10, 12]
+    edges = {(chain[i], chain[i + 1]) for i in range(len(chain) - 1)}
+    edges |= {(101, 103), (103, 105), (105, 107)}
+    for rounds in (1, 2, 4):
+        got = _collect(bfs_rounds_ds(
+            rd.from_arrow(_edge_table(edges, dup=5)).repartition(5),
+            rounds=rounds,
+        ))
+        want = {n: d for n, d in _serial_bfs(edges, rounds).items()
+                if d <= rounds}
+        assert {r.node: r.dist for r in got.itertuples()} == want, rounds
+    # sanity: the island never appears
+    got = _collect(bfs_rounds_ds(rd.from_arrow(_edge_table(edges)), rounds=4))
+    assert not (set(got["node"]) & {101, 103, 105, 107})
+
+
+def test_bfs_multi_source_takes_min(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.graph import bfs_rounds_ds
+
+    # sources 2 (=2*1) and 16 (=2*8): node 9 sits 1 hop from 16 and
+    # 3 hops from 2 — the min (1) must win.
+    edges = {(2, 3), (3, 5), (5, 9), (9, 16), (16, 20)}
+    got = _collect(bfs_rounds_ds(rd.from_arrow(_edge_table(edges)), rounds=4))
+    m = {r.node: r.dist for r in got.itertuples()}
+    assert m[2] == 0 and m[16] == 0
+    assert m[9] == 1 and m[20] == 1
+    assert m[5] == 2 and m[3] == 1
+
+
+def test_bfs_oracle_shape_matches_ray(ray_session):
+    """The supplier<->part wiring end-to-end at sf0.001 against DuckDB
+    (belt over the check_queries gate — BFS is new this round)."""
+    import duckdb
+
+    from kgx.queries import graph_bfs, oracle_sql
+
+    got = _collect(graph_bfs("/root/testdata/sf0.001"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "'/root/testdata/sf0.001/lineitem.parquet'"
+    )
+    want = con.execute(oracle_sql()["graph_bfs"]).fetchdf()
+    g = got.sort_values(["node"]).reset_index(drop=True)
+    w = want.sort_values(["node"]).reset_index(drop=True)
+    assert g["node"].tolist() == w["node"].tolist()
+    assert g["dist"].tolist() == w["dist"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# exact-proportion stratified split
+# ---------------------------------------------------------------------------
+
+
+def _serial_split(ids, sources, train_pct=80, val_pct=10):
+    from kgx.stages.corpus import SAMPLE_ADD, SAMPLE_MUL
+
+    ids = np.asarray(ids, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        key = (ids * np.uint64(SAMPLE_MUL) + np.uint64(SAMPLE_ADD)) % np.uint64(
+            1 << 62
+        )
+    df = pd.DataFrame(
+        {"doc_id": ids.astype(np.int64), "source": sources,
+         "key": key.astype(np.int64)}
+    ).sort_values(["source", "key", "doc_id"])
+    out = {}
+    for s, grp in df.groupby("source", sort=False):
+        n = len(grp)
+        tr = (train_pct * n + 99) // 100
+        va = ((train_pct + val_pct) * n + 99) // 100
+        for rk, doc in enumerate(grp["doc_id"]):
+            out[int(doc)] = "train" if rk < tr else ("val" if rk < va else "test")
+    return out
+
+
+def test_doc_split_matches_serial_exact_proportions(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import split_documents
+
+    rng = np.random.default_rng(11)
+    # stratum sizes deliberately NOT divisible by 10 (ceil edges matter)
+    sizes = {"web": 23, "wiki": 17, "books": 7, "code": 1}
+    ids, srcs = [], []
+    base = 1000
+    for s, n in sizes.items():
+        pick = rng.choice(np.arange(base, base + 10 * n), size=n, replace=False)
+        ids.extend(int(x) for x in pick)
+        srcs.extend([s] * n)
+        base += 10_000
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "source": srcs})
+    got = _collect(split_documents(rd.from_arrow(tbl).repartition(6)))
+    want = _serial_split(ids, srcs)
+    assert len(got) == len(ids)
+    assert {int(r.doc_id): r.split for r in got.itertuples()} == want
+    # exact ceil proportions per stratum
+    counts = got.groupby(["source", "split"]).size()
+    for s, n in sizes.items():
+        tr = (80 * n + 99) // 100
+        va = (90 * n + 99) // 100
+        assert counts.get((s, "train"), 0) == tr, s
+        assert counts.get((s, "val"), 0) == va - tr, s
+        assert counts.get((s, "test"), 0) == n - va, s
+
+
+def test_doc_split_is_stable_and_pure(ray_session):
+    """Same corpus twice -> identical assignment (pure function of ids)."""
+    import ray.data as rd
+
+    from kgx.stages.corpus import split_documents
+
+    tbl = pa.table(
+        {"doc_id": pa.array(range(100), pa.int64()),
+         "source": ["a" if i % 3 else "b" for i in range(100)]}
+    )
+    a = _collect(split_documents(rd.from_arrow(tbl).repartition(3)))
+    b = _collect(split_documents(rd.from_arrow(tbl).repartition(9)))
+    ka = {int(r.doc_id): r.split for r in a.itertuples()}
+    kb = {int(r.doc_id): r.split for r in b.itertuples()}
+    assert ka == kb
+
+
+def test_doc_split_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import split_documents
+
+    tbl = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string())}
+    )
+    got = _collect(split_documents(rd.from_arrow(tbl)))
+    assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# embedding outlier flags
+# ---------------------------------------------------------------------------
+
+
+def _emb_table(vecs: np.ndarray) -> pa.Table:
+    n, d = vecs.shape
+    return pa.table(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": pa.FixedSizeListArray.from_arrays(
+             pa.array(vecs.ravel()), d).cast(pa.list_(pa.float32()))}
+    )
+
+
+def _serial_outlier_dists(vecs, k, iters):
+    from kgx.stages.kmeans import KM_OFFSET, KM_SCALE
+
+    q = np.floor(np.asarray(vecs, dtype=np.float64) * KM_SCALE + 0.5)
+    q = q.astype(np.int64) + KM_OFFSET
+    cents = q[:k].copy()  # first-k seeding by vec_id (ids are 0..n-1 here)
+    for _ in range(iters):
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        new = cents.copy()
+        for c in range(k):
+            m = best == c
+            if m.any():
+                new[c] = q[m].sum(axis=0) // int(m.sum())
+        cents = new
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d2.min(axis=1)
+
+
+def test_outliers_match_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kmeans import kmeans_outliers
+
+    rng = np.random.RandomState(23)
+    blobs = [rng.normal(loc, 0.05, size=(40, 6)) for loc in (-1.0, 0.0, 1.0)]
+    vecs = np.stack(blobs, axis=1).reshape(-1, 6)
+    # plant 4 far-away junk vectors that must flag (offset 7 keeps the
+    # planted rows clear of the first-k Lloyd seeds)
+    vecs[7::31] = rng.normal(8.0, 0.01, size=(len(vecs[7::31]), 6))
+    vecs = vecs.astype(np.float32)
+    dist = _serial_outlier_dists(vecs, 3, 2)
+    thr = int(np.percentile(dist, 80))
+    got = _collect(kmeans_outliers(
+        rd.from_arrow(_emb_table(vecs)).repartition(5),
+        k=3, iters=2, threshold=thr,
+    )).sort_values("vec_id")
+    want_ids = np.flatnonzero(dist > thr)
+    assert got["vec_id"].tolist() == want_ids.tolist()
+    assert got["dist"].tolist() == dist[want_ids].tolist()
+    # the planted junk is in the flag set
+    assert set(range(7, len(vecs), 31)) <= set(got["vec_id"])
+
+
+def test_outliers_threshold_boundary_is_strict(ray_session):
+    """dist == threshold must NOT flag (strict >, matching the SQL)."""
+    import ray.data as rd
+
+    from kgx.stages.kmeans import kmeans_outliers
+
+    vecs = np.array(
+        [[0.0, 0.0], [0.0, 0.0], [3.0, 4.0]], dtype=np.float32
+    )
+    dist = _serial_outlier_dists(vecs, 2, 1)
+    # vec 2 keeps some distance to its nearest centroid; use it as the bound
+    thr = int(dist.max())
+    got = _collect(kmeans_outliers(
+        rd.from_arrow(_emb_table(vecs)), k=2, iters=1, threshold=thr
+    ))
+    assert len(got) == 0
