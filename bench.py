@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "graph_bfs",
     "doc_split",
     "emb_outliers",
+    "dedup_cross_source",
 ]
 
 

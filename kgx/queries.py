@@ -788,6 +788,18 @@ def emb_outliers(sf_dir: str):
     return kmeans_outliers(_emb_ds(sf_dir))
 
 
+def dedup_cross_source(sf_dir: str):
+    """Cross-source contamination matrix: n-gram-jaccard near-dup pair
+    counts per (source, source) cell — the provenance-level leakage
+    report; doc->source attach via two kind-discriminated doc_id-keyed
+    exchanges, never a corpus-map broadcast."""
+    from .stages.corpus import cross_source_pairs
+    from .stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs_ds(sf_dir), n=NGRAM_N, threshold=NGRAM_T)
+    return cross_source_pairs(pairs, _docs_ds_with_source(sf_dir))
+
+
 def graph_bfs(sf_dir: str):
     """Truncated multi-source BFS ball (4 min-plus rounds from the
     suppkey%7==1 source set) over the supplier<->part graph — fifth
@@ -984,6 +996,7 @@ def registry() -> dict:
         "graph_bfs": graph_bfs,
         "doc_split": doc_split,
         "emb_outliers": emb_outliers,
+        "dedup_cross_source": dedup_cross_source,
     }
 
 
@@ -1437,6 +1450,12 @@ WHERE q.quality_pass = 1 AND l.pred_lang = '{CURATE_LANG}' AND r.rep_pass = 1
 """
 
 
+def _sql_cross_source() -> str:
+    from .stages.corpus import sql_cross_source_pairs
+
+    return sql_cross_source_pairs(_sql_ngram_pairs())
+
+
 def _sql_bfs_oracle() -> str:
     from .stages.graph import sql_supplier_part_bfs
 
@@ -1690,4 +1709,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs": _sql_bfs_oracle(),
         "doc_split": _sql_doc_split(),
         "emb_outliers": _sql_outliers_oracle(),
+        "dedup_cross_source": _sql_cross_source(),
     }

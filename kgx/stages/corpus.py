@@ -1293,3 +1293,102 @@ SELECT doc_id, source,
             ELSE 'test' END AS split
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix (r5): near-dup pair counts per
+# (source, source) cell — the provenance-level leakage report a corpus
+# audit publishes (e.g. how much of source A is boilerplate shared with
+# source B) before mixing sources into a training run.
+# ---------------------------------------------------------------------------
+
+
+def cross_source_pairs(pairs_ds, docs_ds):
+    """near-dup pairs (id_a, id_b) + documents (doc_id, source) ->
+    (source_a, source_b, n_pairs) with source_a <= source_b — the
+    contamination matrix over whatever similarity the chosen pair
+    generator encodes.
+
+    Scale shape: the doc_id -> source attach is TWO kind-discriminated
+    doc_id-keyed exchanges (the corpus_curate semi-join pattern) — pair
+    volume plus one doc-cardinality source column cross the wire, never a
+    broadcast of the corpus-sized doc->source map; the final cell count
+    is an ordinary (source_a, source_b)-keyed count combiner whose
+    exchange carries at most |sources|^2 rows per batch."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.int64)
+        b = batch["id_b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"key": pa.array(a), "other": pa.array(b),
+             "src": pa.array([""] * len(a), pa.string()),
+             "kind": pa.array(np.zeros(len(a), dtype=np.int64))}
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"key": pa.array(ids),
+             "other": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+             "src": batch["source"].cast(pa.string()),
+             "kind": pa.array(np.ones(len(ids), dtype=np.int64))}
+        )
+
+    def attach(d: "pd.DataFrame") -> "pd.DataFrame":
+        lut = d[d["kind"] == 1].set_index("key")["src"]
+        p = d[d["kind"] == 0]
+        # pairs come from the same corpus, so every id resolves; map()
+        # keeps it vectorized
+        return pd.DataFrame(
+            {"key": p["other"].astype("int64"),
+             "other": np.full(len(p), -1, dtype=np.int64),
+             "src": p["key"].map(lut).astype(str),
+             "kind": np.zeros(len(p), dtype=np.int64)}
+        )
+
+    docs_keyed = docs_ds.map_batches(doc_rows, batch_format="pyarrow")
+    # exchange 1: key = id_a -> re-key rows by id_b carrying source_a
+    half = hash_partitioned_apply(
+        pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
+        .union(docs_keyed),
+        ["key"], attach, int_keys=True,
+    )
+
+    def cell_partials(d: "pd.DataFrame") -> "pd.DataFrame":
+        lut = d[d["kind"] == 1].set_index("key")["src"]
+        p = d[d["kind"] == 0]
+        sa = p["src"].astype(str).to_numpy()
+        sb = p["key"].map(lut).astype(str).to_numpy()
+        swap = sa > sb
+        lo = np.where(swap, sb, sa)
+        hi = np.where(swap, sa, sb)
+        out = pd.DataFrame({"source_a": lo, "source_b": hi})
+        return out.groupby(["source_a", "source_b"], as_index=False).agg(
+            n_pairs=("source_a", "size")
+        )
+
+    # exchange 2: key = id_b -> (source_a, source_b) count partials
+    cells = hash_partitioned_apply(
+        half.union(docs_keyed), ["key"], cell_partials, int_keys=True,
+    )
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["source_a", "source_b"], sort=False,
+                          as_index=False).agg(n_pairs=("n_pairs", "sum"))
+
+    return hash_partitioned_agg(cells, ["source_a", "source_b"], combine)
+
+
+def sql_cross_source_pairs(pairs_sql: str) -> str:
+    return (
+        f"WITH pairs AS ({pairs_sql}) "
+        "SELECT least(da.source, db.source) AS source_a, "
+        "greatest(da.source, db.source) AS source_b, "
+        "CAST(count(*) AS BIGINT) AS n_pairs "
+        "FROM pairs JOIN documents da ON da.doc_id = pairs.id_a "
+        "JOIN documents db ON db.doc_id = pairs.id_b "
+        "GROUP BY source_a, source_b"
+    )

@@ -1,5 +1,6 @@
 """Round-5 batch-3 operators: truncated multi-source BFS, exact-proportion
-stratified train/val/test split, embedding outlier flags — serial-parity +
+stratified train/val/test split, embedding outlier flags, cross-source
+contamination matrix — serial-parity +
 edge-case tests."""
 
 from __future__ import annotations
@@ -273,4 +274,60 @@ def test_outliers_threshold_boundary_is_strict(ray_session):
     got = _collect(kmeans_outliers(
         rd.from_arrow(_emb_table(vecs)), k=2, iters=1, threshold=thr
     ))
+    assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination matrix
+# ---------------------------------------------------------------------------
+
+
+def test_cross_source_matches_brute(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import cross_source_pairs
+
+    rng = np.random.default_rng(3)
+    n = 120
+    sources = [f"s{int(x)}" for x in rng.integers(0, 4, size=n)]
+    docs = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "source": sources}
+    )
+    # random pair list incl. same-source pairs and repeated cells
+    a = rng.integers(0, n, size=300)
+    b = rng.integers(0, n, size=300)
+    keep = a != b
+    a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    pairs = pa.table(
+        {"id_a": pa.array(a.astype(np.int64)),
+         "id_b": pa.array(b.astype(np.int64))}
+    )
+    got = _collect(cross_source_pairs(
+        rd.from_arrow(pairs).repartition(5),
+        rd.from_arrow(docs).repartition(3),
+    ))
+    want: dict[tuple[str, str], int] = {}
+    for x, y in zip(a, b):
+        sa, sb = sources[int(x)], sources[int(y)]
+        cell = (min(sa, sb), max(sa, sb))
+        want[cell] = want.get(cell, 0) + 1
+    got_map = {
+        (r.source_a, r.source_b): int(r.n_pairs) for r in got.itertuples()
+    }
+    assert got_map == want
+
+
+def test_cross_source_empty_pairs(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import cross_source_pairs
+
+    docs = pa.table(
+        {"doc_id": pa.array(range(10), pa.int64()),
+         "source": ["a"] * 10}
+    )
+    pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+    got = _collect(cross_source_pairs(rd.from_arrow(pairs), rd.from_arrow(docs)))
     assert len(got) == 0
