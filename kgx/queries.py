@@ -791,13 +791,20 @@ def emb_outliers(sf_dir: str):
 def dedup_cross_source(sf_dir: str):
     """Cross-source contamination matrix: n-gram-jaccard near-dup pair
     counts per (source, source) cell — the provenance-level leakage
-    report; doc->source attach via two kind-discriminated doc_id-keyed
-    exchanges, never a corpus-map broadcast."""
+    report; measured-size gate between a broadcast doc->source-code map
+    (small corpora) and two kind-discriminated doc_id-keyed exchanges
+    (unbounded; never a corpus-map broadcast)."""
+    import pyarrow.parquet as pq
+
     from .stages.corpus import cross_source_pairs
     from .stages.dedup import ngram_jaccard_pairs
 
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")
+    ).metadata.num_rows
     pairs = ngram_jaccard_pairs(_docs_ds(sf_dir), n=NGRAM_N, threshold=NGRAM_T)
-    return cross_source_pairs(pairs, _docs_ds_with_source(sf_dir))
+    return cross_source_pairs(pairs, _docs_ds_with_source(sf_dir),
+                              n_docs=n_docs)
 
 
 def graph_bfs(sf_dir: str):

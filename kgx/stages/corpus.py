@@ -1303,21 +1303,114 @@ FROM r
 # ---------------------------------------------------------------------------
 
 
-def cross_source_pairs(pairs_ds, docs_ds):
+XS_CELL_SCHEMA = pa.schema(
+    [("source_a", pa.string()), ("source_b", pa.string()),
+     ("n_pairs", pa.int64())]
+)
+
+
+def _xs_cell_combine(t: pa.Table) -> pa.Table:
+    return t.group_by(["source_a", "source_b"]).aggregate(
+        [("n_pairs", "sum")]
+    ).rename_columns(["source_a", "source_b", "n_pairs"]).cast(
+        XS_CELL_SCHEMA
+    )
+
+
+def cross_source_pairs(pairs_ds, docs_ds, n_docs: int | None = None,
+                       broadcast_limit: int = 2_000_000):
     """near-dup pairs (id_a, id_b) + documents (doc_id, source) ->
     (source_a, source_b, n_pairs) with source_a <= source_b — the
     contamination matrix over whatever similarity the chosen pair
     generator encodes.
 
-    Scale shape: the doc_id -> source attach is TWO kind-discriminated
-    doc_id-keyed exchanges (the corpus_curate semi-join pattern) — pair
-    volume plus one doc-cardinality source column cross the wire, never a
-    broadcast of the corpus-sized doc->source map; the final cell count
-    is an ordinary (source_a, source_b)-keyed count combiner whose
-    exchange carries at most |sources|^2 rows per batch."""
-    import pandas as pd
+    Measured-size strategy split (the semi/anti-join gate convention):
 
-    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+    * ``n_docs <= broadcast_limit`` — the (doc_id, source-code) map is two
+      int64 arrays; broadcast it once via ``ray.put`` and resolve both
+      pair endpoints in ONE vectorized map over the pair stream (zero
+      extra all-to-all barriers — the exchange route's four chained
+      barriers cost ~6 s of pure wall at sf0.1 for a 256-pair input);
+    * larger — :func:`cross_source_pairs_exchange`, where nothing
+      corpus-sized ever lands on the driver or in a broadcast.
+
+    Both routes return identical cells (agreement-tested)."""
+    if n_docs is not None and n_docs <= broadcast_limit:
+        return _cross_source_broadcast(pairs_ds, docs_ds)
+    return cross_source_pairs_exchange(pairs_ds, docs_ds)
+
+
+def _cross_source_broadcast(pairs_ds, docs_ds):
+    """Broadcast route: sorted doc_id array + factorized source codes pin
+    once in the object store (codes index np.unique's SORTED distinct
+    sources, so code order == lexical source order and the least/greatest
+    cell normalization stays exact on integers)."""
+    import ray
+
+    from .exchange import collect_arrow
+
+    doc_t = collect_arrow(
+        docs_ds, pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+    )
+    ids = doc_t["doc_id"].to_numpy()
+    srcs = doc_t["source"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    uniq, codes = np.unique(srcs[order], return_inverse=True)
+    ref = ray.put((ids[order], codes.astype(np.int64), uniq))
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids_s, codes_s, u = ray.get(ref)
+        a = batch["id_a"].to_numpy()
+        b = batch["id_b"].to_numpy()
+        if not len(a):
+            return XS_CELL_SCHEMA.empty_table()
+        ca = codes_s[np.searchsorted(ids_s, a)]
+        cb = codes_s[np.searchsorted(ids_s, b)]
+        lo = np.minimum(ca, cb)
+        hi = np.maximum(ca, cb)
+        cell, n = np.unique(lo * len(u) + hi, return_counts=True)
+        return pa.table(
+            {"source_a": pa.array(u[cell // len(u)], pa.string()),
+             "source_b": pa.array(u[cell % len(u)], pa.string()),
+             "n_pairs": pa.array(n.astype(np.int64))},
+            schema=XS_CELL_SCHEMA,
+        )
+
+    return pairs_ds.map_batches(
+        cells, batch_format="pyarrow"
+    ).repartition(1).map_batches(_xs_cell_combine, batch_format="pyarrow")
+
+
+def cross_source_pairs_exchange(pairs_ds, docs_ds):
+    """Unbounded route: the doc_id -> source attach is TWO
+    kind-discriminated doc_id-keyed exchanges (the corpus_curate
+    semi-join pattern) — pair volume plus one doc-cardinality source
+    column cross the wire, never a broadcast of the corpus-sized
+    doc->source map; the final cell count coalesces per-partition
+    partials (<= |sources|^2 rows each) into one merge block.
+
+    Arrow end-to-end: both attach kernels run ``kernel_format="pyarrow"``
+    with explicit output schemas — the first (pandas) version emitted
+    schema-less empty pandas blocks from the many empty partitions of a
+    small-pair input, which cost a measured ~5 s of size-estimator and
+    schema-unification overhead at sf0.1."""
+    from .exchange import _default_partitions, hash_partitioned_apply
+
+    # P = CPU count, not the 8x apply default: the attach kernels are
+    # uniform O(rows) lookups (no straggler smoothing to buy), and this
+    # pipeline chains FOUR all-to-all barriers (two pair-generator sorts +
+    # two attach exchanges) whose reduce-task count is P each — 8x here
+    # paid ~4 s of pure task overhead at sf0.1 for zero balance gain.
+    P = _default_partitions()
+
+    xs_schema = pa.schema(
+        [("key", pa.int64()), ("other", pa.int64()),
+         ("src", pa.string()), ("kind", pa.int64())]
+    )
+    cell_schema = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string()),
+         ("n_pairs", pa.int64())]
+    )
 
     def pair_rows(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy().astype(np.int64)
@@ -1325,7 +1418,8 @@ def cross_source_pairs(pairs_ds, docs_ds):
         return pa.table(
             {"key": pa.array(a), "other": pa.array(b),
              "src": pa.array([""] * len(a), pa.string()),
-             "kind": pa.array(np.zeros(len(a), dtype=np.int64))}
+             "kind": pa.array(np.zeros(len(a), dtype=np.int64))},
+            schema=xs_schema,
         )
 
     def doc_rows(batch: pa.Table) -> pa.Table:
@@ -1334,19 +1428,33 @@ def cross_source_pairs(pairs_ds, docs_ds):
             {"key": pa.array(ids),
              "other": pa.array(np.full(len(ids), -1, dtype=np.int64)),
              "src": batch["source"].cast(pa.string()),
-             "kind": pa.array(np.ones(len(ids), dtype=np.int64))}
+             "kind": pa.array(np.ones(len(ids), dtype=np.int64))},
+            schema=xs_schema,
         )
 
-    def attach(d: "pd.DataFrame") -> "pd.DataFrame":
-        lut = d[d["kind"] == 1].set_index("key")["src"]
-        p = d[d["kind"] == 0]
-        # pairs come from the same corpus, so every id resolves; map()
-        # keeps it vectorized
-        return pd.DataFrame(
-            {"key": p["other"].astype("int64"),
-             "other": np.full(len(p), -1, dtype=np.int64),
-             "src": p["key"].map(lut).astype(str),
-             "kind": np.zeros(len(p), dtype=np.int64)}
+    def _lut(t: pa.Table):
+        """(sorted doc keys, src column aligned to that order) — the
+        vectorized searchsorted lookup both kernels share.  Pairs come
+        from the same corpus, so every probe resolves."""
+        kind = t["kind"].to_numpy()
+        keys = t["key"].to_numpy()
+        doc_idx = np.flatnonzero(kind == 1)
+        order = np.argsort(keys[doc_idx])
+        return keys[doc_idx][order], t["src"].take(pa.array(doc_idx[order]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        dk, dsrc = _lut(t)
+        p_idx = np.flatnonzero(t["kind"].to_numpy() == 0)
+        if not len(p_idx):
+            return xs_schema.empty_table()
+        pos = np.searchsorted(dk, t["key"].to_numpy()[p_idx])
+        n = len(p_idx)
+        return pa.table(
+            {"key": t["other"].take(pa.array(p_idx)),
+             "other": pa.array(np.full(n, -1, dtype=np.int64)),
+             "src": dsrc.take(pa.array(pos)),
+             "kind": pa.array(np.zeros(n, dtype=np.int64))},
+            schema=xs_schema,
         )
 
     docs_keyed = docs_ds.map_batches(doc_rows, batch_format="pyarrow")
@@ -1354,32 +1462,43 @@ def cross_source_pairs(pairs_ds, docs_ds):
     half = hash_partitioned_apply(
         pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
         .union(docs_keyed),
-        ["key"], attach, int_keys=True,
+        ["key"], attach, int_keys=True, kernel_format="pyarrow",
+        num_partitions=P,
     )
 
-    def cell_partials(d: "pd.DataFrame") -> "pd.DataFrame":
-        lut = d[d["kind"] == 1].set_index("key")["src"]
-        p = d[d["kind"] == 0]
-        sa = p["src"].astype(str).to_numpy()
-        sb = p["key"].map(lut).astype(str).to_numpy()
+    def cell_partials(t: pa.Table) -> pa.Table:
+        dk, dsrc = _lut(t)
+        p_idx = np.flatnonzero(t["kind"].to_numpy() == 0)
+        if not len(p_idx):
+            return cell_schema.empty_table()
+        pos = np.searchsorted(dk, t["key"].to_numpy()[p_idx])
+        sa = t["src"].take(pa.array(p_idx)).to_numpy(zero_copy_only=False)
+        sb = dsrc.take(pa.array(pos)).to_numpy(zero_copy_only=False)
         swap = sa > sb
         lo = np.where(swap, sb, sa)
         hi = np.where(swap, sa, sb)
-        out = pd.DataFrame({"source_a": lo, "source_b": hi})
-        return out.groupby(["source_a", "source_b"], as_index=False).agg(
-            n_pairs=("source_a", "size")
+        return pa.table(
+            {"source_a": pa.array(lo, pa.string()),
+             "source_b": pa.array(hi, pa.string())}
+        ).group_by(["source_a", "source_b"]).aggregate(
+            [([], "count_all")]
+        ).rename_columns(["source_a", "source_b", "n_pairs"]).cast(
+            cell_schema
         )
 
     # exchange 2: key = id_b -> (source_a, source_b) count partials
     cells = hash_partitioned_apply(
-        half.union(docs_keyed), ["key"], cell_partials, int_keys=True,
+        half.union(docs_keyed), ["key"], cell_partials,
+        int_keys=True, kernel_format="pyarrow", num_partitions=P,
     )
 
-    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
-        return df.groupby(["source_a", "source_b"], sort=False,
-                          as_index=False).agg(n_pairs=("n_pairs", "sum"))
-
-    return hash_partitioned_agg(cells, ["source_a", "source_b"], combine)
+    # per-partition partials are already <= |sources|^2 rows, so the final
+    # merge coalesces to ONE block (the pack_sequences tree-combine shape)
+    # instead of paying a third keyed exchange for a cell table bounded by
+    # provenance-bucket cardinality squared
+    return cells.repartition(1).map_batches(
+        _xs_cell_combine, batch_format="pyarrow"
+    )
 
 
 def sql_cross_source_pairs(pairs_sql: str) -> str:

@@ -282,27 +282,30 @@ def test_outliers_threshold_boundary_is_strict(ray_session):
 # ---------------------------------------------------------------------------
 
 
-def test_cross_source_matches_brute(ray_session):
-    import ray.data as rd
-
-    from kgx.stages.corpus import cross_source_pairs
-
-    rng = np.random.default_rng(3)
-    n = 120
-    sources = [f"s{int(x)}" for x in rng.integers(0, 4, size=n)]
+def _random_cross_source_input(rng, n=120, n_sources=4, n_pairs=300):
+    sources = [f"s{int(x)}" for x in rng.integers(0, n_sources, size=n)]
     docs = pa.table(
         {"doc_id": pa.array(range(n), pa.int64()), "source": sources}
     )
-    # random pair list incl. same-source pairs and repeated cells
-    a = rng.integers(0, n, size=300)
-    b = rng.integers(0, n, size=300)
+    a = rng.integers(0, n, size=n_pairs)
+    b = rng.integers(0, n, size=n_pairs)
     keep = a != b
     a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
     pairs = pa.table(
         {"id_a": pa.array(a.astype(np.int64)),
          "id_b": pa.array(b.astype(np.int64))}
     )
-    got = _collect(cross_source_pairs(
+    return docs, sources, pairs, a, b
+
+
+def test_cross_source_matches_brute(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import cross_source_pairs_exchange
+
+    rng = np.random.default_rng(3)
+    docs, sources, pairs, a, b = _random_cross_source_input(rng)
+    got = _collect(cross_source_pairs_exchange(
         rd.from_arrow(pairs).repartition(5),
         rd.from_arrow(docs).repartition(3),
     ))
@@ -315,6 +318,39 @@ def test_cross_source_matches_brute(ray_session):
         (r.source_a, r.source_b): int(r.n_pairs) for r in got.itertuples()
     }
     assert got_map == want
+
+
+def test_cross_source_broadcast_route_agrees(ray_session):
+    """Both cost-gate routes return identical cells (the repo's standard
+    both-paths agreement convention)."""
+    import ray.data as rd
+
+    from kgx.stages.corpus import (
+        cross_source_pairs,
+        cross_source_pairs_exchange,
+    )
+
+    rng = np.random.default_rng(17)
+    docs, _, pairs, _, _ = _random_cross_source_input(rng, n=80, n_sources=3)
+    bc = _collect(cross_source_pairs(
+        rd.from_arrow(pairs).repartition(4),
+        rd.from_arrow(docs).repartition(2),
+        n_docs=80,  # <= limit -> broadcast route
+    ))
+    ex = _collect(cross_source_pairs_exchange(
+        rd.from_arrow(pairs).repartition(4),
+        rd.from_arrow(docs).repartition(2),
+    ))
+    key = ["source_a", "source_b"]
+    bc = bc.sort_values(key).reset_index(drop=True)
+    ex = ex.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, ex, check_dtype=False)
+    # the gate wrapper takes the exchange route when n_docs is unknown
+    un = _collect(cross_source_pairs(
+        rd.from_arrow(pairs).repartition(4),
+        rd.from_arrow(docs).repartition(2),
+    )).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(un, ex, check_dtype=False)
 
 
 def test_cross_source_empty_pairs(ray_session):
@@ -331,3 +367,52 @@ def test_cross_source_empty_pairs(ray_session):
     )
     got = _collect(cross_source_pairs(rd.from_arrow(pairs), rd.from_arrow(docs)))
     assert len(got) == 0
+    # broadcast route too
+    got_bc = _collect(cross_source_pairs(
+        rd.from_arrow(pairs), rd.from_arrow(docs), n_docs=10
+    ))
+    assert len(got_bc) == 0
+
+
+# ---------------------------------------------------------------------------
+# split invariant properties (serial — the Ray path is covered above)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestSplitProperties:
+    @given(
+        st.dictionaries(
+            st.sampled_from(["web", "wiki", "books", "code", "law"]),
+            st.sets(st.integers(min_value=0, max_value=2**40),
+                    min_size=1, max_size=60),
+            min_size=1, max_size=5,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_exact_ceil_proportions_and_purity(self, strata):
+        # flatten (dedupe ids across strata: doc_ids are globally unique)
+        seen: set[int] = set()
+        ids, srcs = [], []
+        for s, group in sorted(strata.items()):
+            for i in sorted(group):
+                if i not in seen:
+                    seen.add(i)
+                    ids.append(i)
+                    srcs.append(s)
+        assignment = _serial_split(ids, srcs)
+        df = pd.DataFrame({"doc_id": ids, "source": srcs})
+        df["split"] = [assignment[i] for i in ids]
+        for s, grp in df.groupby("source"):
+            n = len(grp)
+            tr = (80 * n + 99) // 100
+            va = (90 * n + 99) // 100
+            c = grp["split"].value_counts()
+            assert c.get("train", 0) == tr
+            assert c.get("val", 0) == va - tr
+            assert c.get("test", 0) == n - va
+        # purity: assignment depends only on (doc_id, own stratum
+        # membership) given the stratum's id set — recompute == identical
+        assert _serial_split(ids, srcs) == assignment
