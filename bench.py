@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "doc_split",
     "emb_outliers",
     "dedup_cross_source",
+    "doc_mixture",
 ]
 
 

@@ -807,6 +807,22 @@ def dedup_cross_source(sf_dir: str):
                               n_docs=n_docs)
 
 
+def doc_mixture(sf_dir: str):
+    """Token-budget mixture sampling: per-source keep rates DERIVED from
+    measured token totals (uniform-mixture rebalance at a half-corpus
+    budget) — one pinned stats scan, a |sources|-row totals exchange, a
+    driver-scale integer plan, one vectorized filter."""
+    import ray.data as rd
+
+    from .stages.corpus import mixture_sample
+
+    docs = rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return mixture_sample(docs)
+
+
 def graph_bfs(sf_dir: str):
     """Truncated multi-source BFS ball (4 min-plus rounds from the
     suppkey%7==1 source set) over the supplier<->part graph — fifth
@@ -1004,6 +1020,7 @@ def registry() -> dict:
         "doc_split": doc_split,
         "emb_outliers": emb_outliers,
         "dedup_cross_source": dedup_cross_source,
+        "doc_mixture": doc_mixture,
     }
 
 
@@ -1457,6 +1474,12 @@ WHERE q.quality_pass = 1 AND l.pred_lang = '{CURATE_LANG}' AND r.rep_pass = 1
 """
 
 
+def _sql_mixture() -> str:
+    from .stages.corpus import sql_mixture_sample
+
+    return sql_mixture_sample(ts.sql_n_tokens(_TEXT))
+
+
 def _sql_cross_source() -> str:
     from .stages.corpus import sql_cross_source_pairs
 
@@ -1717,4 +1740,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": _sql_doc_split(),
         "emb_outliers": _sql_outliers_oracle(),
         "dedup_cross_source": _sql_cross_source(),
+        "doc_mixture": _sql_mixture(),
     }

@@ -1511,3 +1511,126 @@ def sql_cross_source_pairs(pairs_sql: str) -> str:
         "JOIN documents db ON db.doc_id = pairs.id_b "
         "GROUP BY source_a, source_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling (r5): derive per-source keep rates from
+# MEASURED token totals so the sampled corpus approaches a target mixture
+# under a global token budget — the Pile/Dolma-style "data mixing" step,
+# distinct from stratified_sample_documents whose rates are static config.
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET_DEN = 2           # budget = total_tokens // 2
+MIX_BUCKETS = 1000
+
+
+def mixture_sample(docs_ds, budget_den: int = MIX_BUDGET_DEN,
+                   buckets: int = MIX_BUCKETS):
+    """documents -> (doc_id, source, n_tokens) of the kept docs: a
+    uniform-mixture rebalance under a global token budget of
+    ``total_tokens // budget_den`` — each source gets an equal token
+    target ``budget // n_sources``, and keeps the deterministic
+    hash-bucket fraction ``min(1, target / its_tokens)`` of its docs (a
+    source with no tokens keeps everything: its docs are free).
+
+    All-integer plan so the DuckDB oracle reproduces the kept set
+    bit-exactly: ``keep_below(s) = min(buckets, target * buckets //
+    tokens(s))`` with the doc_sample hash family deciding membership.
+
+    Scale shape: ONE stats scan (token counts + source) pins; per-source
+    totals are a tiny combiner exchange collected to the driver
+    (|sources| rows — the plan is driver-scale by definition); the filter
+    is one vectorized map over the pinned stats.  Doc-level bucket
+    sampling approximates the token budget the way every sampler does —
+    determinism, not exact token arithmetic, is the contract."""
+    import pandas as pd
+
+    from .exchange import collect_arrow, hash_partitioned_agg_arrow
+
+    stats_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("n_tokens", pa.int64())]
+    )
+
+    def stats(df: "pd.DataFrame") -> pa.Table:
+        from ..functions import textstats as ts
+
+        text = df["text"].fillna("")
+        return pa.table(
+            {"doc_id": df["doc_id"].astype("int64").to_numpy(),
+             "source": pa.array(df["source"].astype(str), pa.string()),
+             "n_tokens": text.str.count(ts.TOKEN_PATTERN)
+                             .astype("int64").to_numpy()},
+            schema=stats_schema,
+        )
+
+    stats_ds = docs_ds.map_batches(stats, batch_format="pandas").materialize()
+
+    def tok_combine(t: pa.Table) -> pa.Table:
+        # closed under its own output schema: the exchange runs it on raw
+        # (source, n_tokens) partials AND on merged (source, toks) blocks
+        col = "toks" if "toks" in t.column_names else "n_tokens"
+        return t.select(["source", col]).group_by("source").aggregate(
+            [(col, "sum")]
+        ).rename_columns(["source", "toks"])
+
+    totals = collect_arrow(
+        hash_partitioned_agg_arrow(stats_ds, ["source"], tok_combine),
+        pa.schema([("source", pa.string()), ("toks", pa.int64())]),
+    )
+    srcs = totals["source"].to_pylist()
+    toks = [int(x) for x in totals["toks"].to_pylist()]
+    if not srcs:
+        # empty corpus: a zero-block Dataset loses its schema — return one
+        # explicit empty Arrow block instead
+        import ray.data as rd
+
+        return rd.from_arrow(stats_schema.empty_table())
+    target = (sum(toks) // budget_den) // len(srcs)
+    keep_below = {
+        s: (buckets if t == 0 else min(buckets, target * buckets // t))
+        for s, t in zip(srcs, toks)
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        if not len(ids):
+            return stats_schema.empty_table()
+        src_arr = np.asarray(t["source"].to_pylist(), dtype=object)
+        u, inv = np.unique(src_arr, return_inverse=True)
+        kb = np.fromiter((keep_below[s] for s in u), dtype=np.int64,
+                         count=len(u))[inv]
+        mask = sample_bucket_np(ids, buckets) < kb
+        return t.filter(pa.array(mask))
+
+    return stats_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sql_mixture_sample(sql_n_tokens: str, budget_den: int = MIX_BUDGET_DEN,
+                       buckets: int = MIX_BUCKETS) -> str:
+    two64 = 1 << 64
+    bucket = (
+        f"(((CAST(doc_id AS HUGEINT) * {SAMPLE_MUL} + {SAMPLE_ADD}) "
+        f"% {two64}) // {1 << 32}) % {buckets}"
+    )
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST({sql_n_tokens} AS BIGINT) AS n_tokens,
+         CAST({bucket} AS BIGINT) AS b
+  FROM documents
+), tot AS (
+  SELECT source, sum(n_tokens) AS toks FROM t GROUP BY source
+), g AS (
+  SELECT (sum(toks) // {budget_den}) // count(*) AS target FROM tot
+), plan AS (
+  SELECT source,
+         CASE WHEN toks = 0 THEN {buckets}
+              ELSE least({buckets}, (SELECT target FROM g) * {buckets} // toks)
+         END AS keep_below
+  FROM tot
+)
+SELECT t.doc_id, t.source, t.n_tokens
+FROM t JOIN plan USING (source)
+WHERE t.b < plan.keep_below
+"""

@@ -416,3 +416,81 @@ class TestSplitProperties:
         # purity: assignment depends only on (doc_id, own stratum
         # membership) given the stratum's id set — recompute == identical
         assert _serial_split(ids, srcs) == assignment
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def _serial_mixture(ids, srcs, texts, budget_den=2, buckets=1000):
+    import re
+
+    from kgx.functions.textstats import TOKEN_PATTERN
+    from kgx.stages.corpus import sample_bucket_np
+
+    pat = re.compile(TOKEN_PATTERN)
+    ntok = [len(pat.findall(t or "")) for t in texts]
+    tot: dict[str, int] = {}
+    for s, n in zip(srcs, ntok):
+        tot[s] = tot.get(s, 0) + n
+    target = (sum(tot.values()) // budget_den) // len(tot)
+    keep_below = {
+        s: (buckets if t == 0 else min(buckets, target * buckets // t))
+        for s, t in tot.items()
+    }
+    b = sample_bucket_np(np.asarray(ids, dtype=np.int64), buckets)
+    kept = [
+        (i, s, n) for i, s, n, bk in zip(ids, srcs, ntok, b)
+        if bk < keep_below[s]
+    ]
+    return sorted(kept)
+
+
+def test_mixture_matches_serial_skewed(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import mixture_sample
+
+    # one token-heavy source, one light, one empty-text source
+    ids, srcs, texts = [], [], []
+    for i in range(300):
+        ids.append(i)
+        srcs.append("heavy")
+        texts.append("alpha beta gamma delta " * 40)
+    for i in range(300, 360):
+        ids.append(i)
+        srcs.append("light")
+        texts.append("one two")
+    for i in range(360, 380):
+        ids.append(i)
+        srcs.append("empty")
+        texts.append("")
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": texts, "source": srcs})
+    ).repartition(7)
+    out = _collect(mixture_sample(docs))
+    got = sorted(zip(out["doc_id"].astype(int), out["source"],
+                     out["n_tokens"].astype(int)))
+    exp = _serial_mixture(ids, srcs, texts)
+    assert got == exp
+    # zero-token source keeps everything (its docs cost nothing)
+    assert sum(1 for _, s, _ in got if s == "empty") == 20
+    # heavy source was down-sampled, light source fully kept
+    assert sum(1 for _, s, _ in got if s == "heavy") < 300
+    assert sum(1 for _, s, _ in got if s == "light") == 60
+
+
+def test_mixture_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import mixture_sample
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string()),
+                  "source": pa.array([], pa.string())})
+    )
+    out = _collect(mixture_sample(docs))
+    assert len(out) == 0
