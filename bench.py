@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "emb_outliers",
     "dedup_cross_source",
     "doc_mixture",
+    "emb_gram",
 ]
 
 

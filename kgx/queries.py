@@ -823,6 +823,16 @@ def doc_mixture(sf_dir: str):
     return mixture_sample(docs)
 
 
+def emb_gram(sf_dir: str):
+    """Distributed integer Gram (scatter) matrix over the embedding
+    column — the PCA/covariance ingredient: per batch one d x d int64
+    matmul partial (O(batches x d^2) rows move, the vectors never
+    shuffle), merged by addition in a (dim_i, dim_j)-keyed exchange."""
+    from .stages.kmeans import gram_matrix
+
+    return gram_matrix(_emb_ds(sf_dir))
+
+
 def graph_bfs(sf_dir: str):
     """Truncated multi-source BFS ball (4 min-plus rounds from the
     suppkey%7==1 source set) over the supplier<->part graph — fifth
@@ -1021,6 +1031,7 @@ def registry() -> dict:
         "emb_outliers": emb_outliers,
         "dedup_cross_source": dedup_cross_source,
         "doc_mixture": doc_mixture,
+        "emb_gram": emb_gram,
     }
 
 
@@ -1480,6 +1491,12 @@ def _sql_mixture() -> str:
     return sql_mixture_sample(ts.sql_n_tokens(_TEXT))
 
 
+def _sql_gram() -> str:
+    from .stages.kmeans import sql_gram_matrix
+
+    return sql_gram_matrix()
+
+
 def _sql_cross_source() -> str:
     from .stages.corpus import sql_cross_source_pairs
 
@@ -1741,4 +1758,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_outliers": _sql_outliers_oracle(),
         "dedup_cross_source": _sql_cross_source(),
         "doc_mixture": _sql_mixture(),
+        "emb_gram": _sql_gram(),
     }

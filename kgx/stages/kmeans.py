@@ -448,3 +448,81 @@ def sql_kmeans_outliers(k: int = KM_K, iters: int = KM_ITERS,
         f"FROM q CROSS JOIN {prev}) WHERE rn = 1 AND dist > {threshold}"
     )
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+# ---------------------------------------------------------------------------
+# Integer Gram (scatter) matrix — the distributed PCA/covariance ingredient
+# (r5): sum_v q_v q_v^T over CENTERED quantized embeddings.
+# ---------------------------------------------------------------------------
+
+GRAM_SCHEMA_COLS = ("dim_i", "dim_j", "gram")
+
+
+def gram_matrix(emb_ds):
+    """Upper-triangle integer Gram matrix ``G[i, j] = sum_v q_v[i] *
+    q_v[j]`` (``i <= j``) over centered quantized embeddings ``q =
+    floor(x * KM_SCALE + 0.5)`` — NO ``KM_OFFSET`` shift: unit-norm
+    coordinates quantize to |q| <= ~1000, so a cell sum stays int64-safe
+    past 10^12 vectors, where offset-shifted products (~2^40 each) would
+    overflow near 10^5.
+
+    Scale shape: per batch ONE d x d int64 ``q.T @ q`` matmul collapsed
+    to d(d+1)/2 (dim_i, dim_j, gram) rows — partial volume is
+    O(batches x d^2) regardless of batch size — merged by addition in a
+    (dim_i, dim_j)-keyed combiner exchange.  The vectors themselves never
+    shuffle; this is the one-pass scatter matrix a distributed PCA eigens
+    on the driver (d x d is driver-scale by definition)."""
+    import pyarrow.compute as pc
+
+    from .exchange import hash_partitioned_agg_arrow
+
+    schema = pa.schema([(c, pa.int64()) for c in GRAM_SCHEMA_COLS])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        n = batch.num_rows
+        if not n:
+            return schema.empty_table()
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat.reshape(n, -1) * KM_SCALE + 0.5).astype(np.int64)
+        g = q.T @ q
+        iu, ju = np.triu_indices(g.shape[0])
+        return pa.table(
+            {"dim_i": iu.astype(np.int64), "dim_j": ju.astype(np.int64),
+             "gram": g[iu, ju]},
+            schema=schema,
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        # closed under its own output schema (runs on raw partials AND on
+        # already-merged blocks — the doc_mixture lesson)
+        return t.select(list(GRAM_SCHEMA_COLS)).group_by(
+            ["dim_i", "dim_j"]
+        ).aggregate([("gram", "sum")]).rename_columns(list(GRAM_SCHEMA_COLS))
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partitioned_agg_arrow(partials, ["dim_i", "dim_j"], combine)
+
+
+def sql_gram_matrix() -> str:
+    """DuckDB mirror: same centered quantization, parallel unnest to
+    (vec_id, dim, v), self-join on vec_id with dim_j >= dim_i.  Exact
+    integer arithmetic on both sides -> bit-identical cells."""
+    quant = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{KM_SCALE} + 0.5) AS BIGINT))"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, {quant} AS q FROM embeddings WHERE embedding IS NOT NULL
+), flat AS (
+  SELECT vec_id,
+         CAST(unnest(generate_series(1, len(q))) AS BIGINT) - 1 AS dim,
+         CAST(unnest(q) AS BIGINT) AS v
+  FROM q
+)
+SELECT a.dim AS dim_i, b.dim AS dim_j, CAST(sum(a.v * b.v) AS BIGINT) AS gram
+FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+GROUP BY 1, 2
+"""

@@ -494,3 +494,47 @@ def test_mixture_empty_corpus(ray_session):
     )
     out = _collect(mixture_sample(docs))
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# integer Gram matrix over embeddings
+# ---------------------------------------------------------------------------
+
+
+def test_gram_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kmeans import KM_SCALE, gram_matrix
+
+    rng = np.random.default_rng(7)
+    vecs = (rng.standard_normal((40, 5)) * 0.4).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": np.arange(40, dtype=np.int64),
+         "embedding": pa.array(list(vecs), pa.list_(pa.float32()))}
+    )
+    out = _collect(gram_matrix(rd.from_arrow(tbl).repartition(6)))
+    q = np.floor(vecs.astype(np.float64) * KM_SCALE + 0.5).astype(np.int64)
+    g = q.T @ q
+    got = {(r.dim_i, r.dim_j): r.gram for r in out.itertuples()}
+    iu, ju = np.triu_indices(5)
+    assert got == {(int(i), int(j)): int(g[i, j]) for i, j in zip(iu, ju)}
+    assert len(out) == 15  # upper triangle only
+
+
+def test_gram_drops_null_vectors(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kmeans import KM_SCALE, gram_matrix
+
+    vecs = [[0.5, -0.25], None, [0.1, 0.2]]
+    tbl = pa.table(
+        {"vec_id": pa.array([0, 1, 2], pa.int64()),
+         "embedding": pa.array(vecs, pa.list_(pa.float32()))}
+    )
+    out = _collect(gram_matrix(rd.from_arrow(tbl)))
+    m = np.array([[0.5, -0.25], [0.1, 0.2]], dtype=np.float64)
+    q = np.floor(m * KM_SCALE + 0.5).astype(np.int64)
+    g = q.T @ q
+    got = {(r.dim_i, r.dim_j): r.gram for r in out.itertuples()}
+    assert got == {(0, 0): int(g[0, 0]), (0, 1): int(g[0, 1]),
+                   (1, 1): int(g[1, 1])}
