@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "dedup_cross_source",
     "doc_mixture",
     "emb_gram",
+    "text_ttr",
+    "doc_chunks",
 ]
 
 

@@ -823,6 +823,24 @@ def doc_mixture(sf_dir: str):
     return mixture_sample(docs)
 
 
+def doc_chunks(sf_dir: str):
+    """Context-window chunking: sliding 256-token windows advancing by
+    192 (64-token overlap), final chunk clipped — chunk spans derived
+    arithmetically from per-doc token counts in one map-only kernel."""
+    from .stages.corpus import chunk_documents
+
+    return chunk_documents(_docs_ds(sf_dir))
+
+
+def text_ttr(sf_dir: str):
+    """Per-doc type-token stats (lexical diversity): total vs DISTINCT
+    lowercase tokens — flat-stream factorize + packed-key np.unique,
+    map-only (no exchange)."""
+    from .stages.text_analysis import ttr_batch
+
+    return _docs_ds(sf_dir).map_batches(ttr_batch, batch_format="pandas")
+
+
 def emb_gram(sf_dir: str):
     """Distributed integer Gram (scatter) matrix over the embedding
     column — the PCA/covariance ingredient: per batch one d x d int64
@@ -1032,6 +1050,8 @@ def registry() -> dict:
         "dedup_cross_source": dedup_cross_source,
         "doc_mixture": doc_mixture,
         "emb_gram": emb_gram,
+        "text_ttr": text_ttr,
+        "doc_chunks": doc_chunks,
     }
 
 
@@ -1491,6 +1511,18 @@ def _sql_mixture() -> str:
     return sql_mixture_sample(ts.sql_n_tokens(_TEXT))
 
 
+def _sql_chunks() -> str:
+    from .stages.corpus import sql_chunk_documents
+
+    return sql_chunk_documents(ts.sql_n_tokens(_TEXT))
+
+
+def _sql_ttr() -> str:
+    from .stages.text_analysis import sql_ttr
+
+    return sql_ttr(_TEXT)
+
+
 def _sql_gram() -> str:
     from .stages.kmeans import sql_gram_matrix
 
@@ -1759,4 +1791,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cross_source": _sql_cross_source(),
         "doc_mixture": _sql_mixture(),
         "emb_gram": _sql_gram(),
+        "text_ttr": _sql_ttr(),
+        "doc_chunks": _sql_chunks(),
     }

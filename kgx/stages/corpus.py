@@ -1634,3 +1634,82 @@ SELECT t.doc_id, t.source, t.n_tokens
 FROM t JOIN plan USING (source)
 WHERE t.b < plan.keep_below
 """
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (r5): fixed token windows with overlap — the
+# training-example construction step (complement of pack_sequences, which
+# packs SHORT docs up; this splits LONG docs down).
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW = 256
+CHUNK_STRIDE = 192           # 64-token overlap between consecutive windows
+
+
+def chunk_documents(docs_ds, window: int = CHUNK_WINDOW,
+                    stride: int = CHUNK_STRIDE):
+    """documents -> (doc_id, chunk_id, tok_start, tok_end): sliding token
+    windows of ``window`` tokens advancing by ``stride`` (the context-
+    window chunking every LLM data pipeline runs before tokenizer
+    packing).  A doc with n tokens emits ``1 + max(0, ceil((n - window) /
+    stride))`` chunks (0 for an empty doc); the final chunk is clipped to
+    n, never padded.
+
+    Map-only — chunk spans derive arithmetically from the per-doc token
+    count inside one vectorized kernel (np.repeat + arange over batch
+    totals); output volume ~ corpus_tokens / stride rows.  No exchange,
+    no materialization; at 100 TB this stage is pure streaming."""
+    import pandas as pd
+
+    from ..functions import textstats as ts
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+         ("tok_start", pa.int64()), ("tok_end", pa.int64())]
+    )
+
+    def chunks(df: "pd.DataFrame") -> pa.Table:
+        n = df["text"].fillna("").str.count(ts.TOKEN_PATTERN) \
+                       .to_numpy(dtype=np.int64)
+        extra = np.maximum(n - window, 0)
+        n_chunks = np.where(
+            n > 0, 1 + (extra + stride - 1) // stride, 0
+        ).astype(np.int64)
+        total = int(n_chunks.sum())
+        if not total:
+            return out_schema.empty_table()
+        doc_ids = df["doc_id"].astype("int64").to_numpy()
+        rep_doc = np.repeat(doc_ids, n_chunks)
+        offsets = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        cid = np.arange(total, dtype=np.int64) - np.repeat(offsets, n_chunks)
+        starts = cid * stride
+        ends = np.minimum(starts + window, np.repeat(n, n_chunks))
+        return pa.table(
+            {"doc_id": rep_doc, "chunk_id": cid,
+             "tok_start": starts, "tok_end": ends},
+            schema=out_schema,
+        )
+
+    return docs_ds.map_batches(chunks, batch_format="pandas")
+
+
+def sql_chunk_documents(sql_n_tokens: str, window: int = CHUNK_WINDOW,
+                        stride: int = CHUNK_STRIDE) -> str:
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST({sql_n_tokens} AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         CASE WHEN n > 0
+              THEN 1 + (greatest(n - {window}, 0) + {stride} - 1) // {stride}
+              ELSE 0 END AS n_chunks
+  FROM t
+)
+SELECT doc_id, CAST(u AS BIGINT) AS chunk_id,
+       CAST(u * {stride} AS BIGINT) AS tok_start,
+       CAST(least(u * {stride} + {window}, n) AS BIGINT) AS tok_end
+FROM c, unnest(generate_series(0, n_chunks - 1)) AS s(u)
+WHERE n_chunks > 0
+"""

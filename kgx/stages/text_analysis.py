@@ -157,3 +157,44 @@ def repetition_batch(df: pd.DataFrame) -> pd.DataFrame:
             "rep_pass": rep_pass,
         }
     )
+
+
+def ttr_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc type-token stats (lexical diversity): total tokens and
+    DISTINCT lowercase tokens.  Flat-stream vectorization (the heavy-
+    hitters shape): one findall, one factorize, distinct-per-doc via
+    np.unique over a packed (doc, token-code) int64 key — no per-row
+    Python in the loop.  Map-only: embarrassingly parallel, no exchange."""
+    import itertools
+
+    import numpy as np
+
+    texts = df["text"].fillna("").str.lower()
+    tok_lists = texts.str.findall(ts.TOKEN_PATTERN)
+    lens = tok_lists.str.len().to_numpy(dtype=np.int64)
+    n = len(df)
+    types = np.zeros(n, dtype=np.int64)
+    flat = list(itertools.chain.from_iterable(tok_lists))
+    if flat:
+        codes = pd.factorize(np.asarray(flat, dtype=object))[0].astype(np.int64)
+        vocab = int(codes.max()) + 1
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uniq = np.unique(doc_of * vocab + codes)
+        np.add.at(types, (uniq // vocab), 1)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": lens,
+            "n_types": types,
+        }
+    )
+
+
+def sql_ttr(col: str) -> str:
+    toks = ts.sql_token_list(col)
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST(len({toks}) AS BIGINT) AS n_tokens, "
+        f"CAST(len(list_distinct({toks})) AS BIGINT) AS n_types "
+        "FROM documents"
+    )

@@ -538,3 +538,66 @@ def test_gram_drops_null_vectors(ray_session):
     got = {(r.dim_i, r.dim_j): r.gram for r in out.itertuples()}
     assert got == {(0, 0): int(g[0, 0]), (0, 1): int(g[0, 1]),
                    (1, 1): int(g[1, 1])}
+
+
+# ---------------------------------------------------------------------------
+# type-token ratio stats
+# ---------------------------------------------------------------------------
+
+
+def test_ttr_matches_serial():
+    import re
+
+    from kgx.functions.textstats import TOKEN_PATTERN
+    from kgx.stages.text_analysis import ttr_batch
+
+    pat = re.compile(TOKEN_PATTERN)
+    texts = ["the the THE cat", "", None, "a b c a_b 9 9 a", "solo"]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64), "text": texts})
+    out = ttr_batch(df)
+    for i, t in enumerate(texts):
+        toks = pat.findall((t or "").lower())
+        assert out["n_tokens"][i] == len(toks), t
+        assert out["n_types"][i] == len(set(toks)), t
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+# ---------------------------------------------------------------------------
+
+
+def _serial_chunks(n, window, stride):
+    if n <= 0:
+        return []
+    k = 1 + max(0, -(-(n - window) // stride)) if n > window else 1
+    return [(c, c * stride, min(c * stride + window, n)) for c in range(k)]
+
+
+def test_doc_chunks_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import chunk_documents
+
+    # token counts straddling every edge: 0, 1, window, window+1,
+    # exact multi-stride, ragged tail
+    W, S = 10, 7
+    counts = [0, 1, 9, 10, 11, 17, 18, 24, 100]
+    texts = ["w " * c for c in counts]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(counts)), pa.int64()), "text": texts}
+    )
+    out = _collect(chunk_documents(
+        rd.from_arrow(tbl).repartition(4), window=W, stride=S
+    ))
+    got = sorted(zip(out["doc_id"].astype(int), out["chunk_id"].astype(int),
+                     out["tok_start"].astype(int), out["tok_end"].astype(int)))
+    exp = sorted(
+        (d, c, s, e)
+        for d, n in enumerate(counts)
+        for c, s, e in _serial_chunks(n, W, S)
+    )
+    assert got == exp
+    # overlap property: consecutive chunks of one doc overlap by W - S
+    big = [r for r in got if r[0] == 8]
+    for a, b in zip(big, big[1:]):
+        assert a[3] - b[2] == W - S or b[3] == 100
