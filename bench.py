@@ -117,13 +117,18 @@ BENCH_QUERIES = [
     "emb_gram",
     "text_ttr",
     "doc_chunks",
+    "graph_common_neighbors",
 ]
 
 
 # Per-query input-scale overrides (value = sibling sf directory name).  Used
 # only when the sibling exists next to GRAFT_SF_DIR; otherwise the query
 # runs at the main scale.  The override is reported in the bench JSON.
-BENCH_SF_OVERRIDES = {"graph_triangles": "sf0.01"}
+BENCH_SF_OVERRIDES = {
+    "graph_triangles": "sf0.01",
+    # same wedge pipeline, same output-bound K1000 worst case at sf0.1
+    "graph_common_neighbors": "sf0.01",
+}
 
 
 def _sf_for(name: str, sf_dir: str) -> str:

@@ -823,6 +823,20 @@ def doc_mixture(sf_dir: str):
     return mixture_sample(docs)
 
 
+def graph_common_neighbors(sf_dir: str):
+    """Per-edge common-neighbor counts of the co-supplier graph (the
+    link-prediction feature): the triangles pipeline in per_edge mode —
+    wedge centers ride through the closure, each matched triangle credits
+    its three id-normalized edges, one (a, b)-keyed count combiner."""
+    from .pipelines.relational import _read
+    from .stages.triangles import cosupplier_triangles
+
+    return cosupplier_triangles(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]),
+        per_edge=True,
+    )
+
+
 def doc_chunks(sf_dir: str):
     """Context-window chunking: sliding 256-token windows advancing by
     192 (64-token overlap), final chunk clipped — chunk spans derived
@@ -1052,6 +1066,7 @@ def registry() -> dict:
         "emb_gram": emb_gram,
         "text_ttr": text_ttr,
         "doc_chunks": doc_chunks,
+        "graph_common_neighbors": graph_common_neighbors,
     }
 
 
@@ -1511,6 +1526,12 @@ def _sql_mixture() -> str:
     return sql_mixture_sample(ts.sql_n_tokens(_TEXT))
 
 
+def _sql_common_neighbors() -> str:
+    from .stages.triangles import sql_common_neighbors
+
+    return sql_common_neighbors()
+
+
 def _sql_chunks() -> str:
     from .stages.corpus import sql_chunk_documents
 
@@ -1793,4 +1814,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_gram": _sql_gram(),
         "text_ttr": _sql_ttr(),
         "doc_chunks": _sql_chunks(),
+        "graph_common_neighbors": _sql_common_neighbors(),
     }

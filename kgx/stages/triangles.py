@@ -59,9 +59,19 @@ def _group_bounds(keys: np.ndarray):
 
 
 def cosupplier_triangles(lineitem_ds, num_partitions: int | None = None,
-                         broadcast_deg_limit: int = 2_000_000):
+                         broadcast_deg_limit: int = 2_000_000,
+                         per_edge: bool = False):
     """lineitem -> one row (n_triangles,): exact triangle count of the
-    co-supplier graph (edge iff two suppliers share an order)."""
+    co-supplier graph (edge iff two suppliers share an order).
+
+    With ``per_edge=True`` the SAME pipeline instead returns (a, b,
+    n_common) — the common-neighbor count of every edge with >= 1 (the
+    classic link-prediction feature): wedges carry their center c through
+    the closure, each matched wedge is a triangle {c, u, w} whose THREE
+    id-normalized edges gain one common neighbor, and a final
+    (a, b)-keyed count combiner folds them.  Extra wire cost over the
+    count mode is one int64 column on the wedge rows plus a
+    triangle-volume count exchange."""
     import pandas as pd
 
     from .exchange import hash_partitioned_agg, hash_partitioned_apply
@@ -215,10 +225,11 @@ def cosupplier_triangles(lineitem_ds, num_partitions: int | None = None,
         dst = d["dst"].to_numpy()
         starts, sizes = _group_bounds(srcs)
         li, ri = _pairs_within_groups(starts, sizes, len(srcs))
-        return pd2.DataFrame(
-            {"u": dst[li], "w": dst[ri],
-             "kind": np.zeros(len(li), dtype=np.int64)}
-        )
+        out = {"u": dst[li], "w": dst[ri],
+               "kind": np.zeros(len(li), dtype=np.int64)}
+        if per_edge:
+            out["c"] = srcs[li]          # wedge center rides along
+        return pd2.DataFrame(out)
 
     wedges = hash_partitioned_apply(
         oriented, ["src"], wedge_kernel, num_partitions, int_keys=True
@@ -227,14 +238,51 @@ def cosupplier_triangles(lineitem_ds, num_partitions: int | None = None,
     def edge_probe_rows(df: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd2
 
-        return pd2.DataFrame(
-            {"u": df["src"], "w": df["dst"],
-             "kind": np.ones(len(df), dtype=np.int64)}
-        )
+        out = {"u": df["src"], "w": df["dst"],
+               "kind": np.ones(len(df), dtype=np.int64)}
+        if per_edge:
+            out["c"] = np.full(len(df), -1, dtype=np.int64)
+        return pd2.DataFrame(out)
 
     probe = wedges.union(
         oriented.map_batches(edge_probe_rows, batch_format="pandas")
     )
+
+    if per_edge:
+        def close_edges_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as pd2
+
+            w = d[d["kind"] == 0]
+            e = d[d["kind"] == 1].drop_duplicates(subset=["u", "w"])
+            m = w.merge(e[["u", "w"]], on=["u", "w"], how="inner")
+            u = m["u"].to_numpy()
+            v = m["w"].to_numpy()
+            c = m["c"].to_numpy()
+            # triangle {c, u, v}: all three id-normalized edges gain one
+            # common neighbor; pre-count per partition (the combiner)
+            a = np.concatenate([np.minimum(u, v), np.minimum(c, u),
+                                np.minimum(c, v)])
+            b = np.concatenate([np.maximum(u, v), np.maximum(c, u),
+                                np.maximum(c, v)])
+            out = pd2.DataFrame({"a": a, "b": b})
+            out["n_common"] = np.int64(1)
+            return out.groupby(["a", "b"], sort=False, as_index=False).agg(
+                n_common=("n_common", "sum")
+            )
+
+        tri_edges = hash_partitioned_apply(
+            probe, ["u", "w"], close_edges_kernel, num_partitions,
+            int_keys=True,
+        )
+
+        def cn_combine(df: "pd.DataFrame") -> "pd.DataFrame":
+            return df.groupby(["a", "b"], sort=False, as_index=False).agg(
+                n_common=("n_common", "sum")
+            )
+
+        return hash_partitioned_agg(
+            tri_edges, ["a", "b"], cn_combine, num_partitions
+        )
 
     def close_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd2
@@ -284,4 +332,29 @@ WITH ls AS (
 SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM o e1 JOIN o e2 ON e2.src = e1.dst
 JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+"""
+
+
+def sql_common_neighbors() -> str:
+    """DuckDB oracle for per_edge mode: common neighbors of edge (a, b)
+    directly — symmetric adjacency self-joined through the shared
+    neighbor.  c = a / c = b are impossible (no self-loops), so no extra
+    filter is needed; only edges with >= 1 common neighbor appear,
+    matching the Ray side's count-of-matched-triangles semantics."""
+    return """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem
+), e AS (
+  SELECT DISTINCT x.s AS a, y.s AS b
+  FROM ls x JOIN ls y ON x.o = y.o AND x.s < y.s
+), und AS (
+  SELECT a AS node, b AS other FROM e
+  UNION ALL SELECT b AS node, a AS other FROM e
+)
+SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS n_common
+FROM e
+JOIN und n1 ON n1.node = e.a
+JOIN und n2 ON n2.node = e.b AND n2.other = n1.other
+GROUP BY e.a, e.b
 """

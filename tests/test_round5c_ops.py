@@ -601,3 +601,75 @@ def test_doc_chunks_matches_serial(ray_session):
     big = [r for r in got if r[0] == 8]
     for a, b in zip(big, big[1:]):
         assert a[3] - b[2] == W - S or b[3] == 100
+
+
+# ---------------------------------------------------------------------------
+# per-edge common neighbors
+# ---------------------------------------------------------------------------
+
+
+def test_common_neighbors_matches_brute(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.triangles import cosupplier_triangles
+
+    # sparse co-supplier graph from synthetic orders
+    rng = np.random.default_rng(3)
+    orders, supps = [], []
+    for o in range(60):
+        members = rng.choice(np.arange(1, 25), size=rng.integers(1, 5),
+                             replace=False)
+        for s in members:
+            orders.append(o)
+            supps.append(int(s))
+    li = pa.table(
+        {"l_orderkey": pa.array(orders, pa.int64()),
+         "l_suppkey": pa.array(supps, pa.int64())}
+    )
+    out = _collect(cosupplier_triangles(
+        rd.from_arrow(li).repartition(5), per_edge=True
+    ))
+    # brute force
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for o, s in zip(orders, supps):
+        by_order[o].add(s)
+    edges = set()
+    for mem in by_order.values():
+        mem = sorted(mem)
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                edges.add((mem[i], mem[j]))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for a, b in edges:
+        n = len(adj[a] & adj[b])
+        if n:
+            want[(a, b)] = n
+    got = {(int(r.a), int(r.b)): int(r.n_common) for r in out.itertuples()}
+    assert got == want
+    assert want  # non-degenerate fixture
+
+
+def test_common_neighbors_consistent_with_triangle_count(ray_session):
+    """sum(n_common) over edges == 3 x n_triangles (each triangle credits
+    its three edges) — ties the per_edge mode to the counted mode."""
+    import ray.data as rd
+
+    from kgx.stages.triangles import cosupplier_triangles
+
+    orders = [1, 1, 1, 2, 2, 2, 3, 3]
+    supps = [10, 11, 12, 11, 12, 13, 10, 13]
+    li = pa.table(
+        {"l_orderkey": pa.array(orders, pa.int64()),
+         "l_suppkey": pa.array(supps, pa.int64())}
+    )
+    per_edge = _collect(cosupplier_triangles(
+        rd.from_arrow(li), per_edge=True
+    ))
+    count = _collect(cosupplier_triangles(rd.from_arrow(li)))
+    assert per_edge["n_common"].sum() == 3 * int(count["n_triangles"][0])
