@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "text_ttr",
     "doc_chunks",
     "graph_common_neighbors",
+    "rel_event_gaps",
 ]
 
 

@@ -1594,3 +1594,87 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user inter-event gap statistics (r5): holistic ordered per-key stats
+# with an exact integer order statistic — the engagement-cadence shape.
+# ---------------------------------------------------------------------------
+
+
+def event_gap_stats(sf_dir: str):
+    """events -> (user_id, n_gaps, min_gap_us, max_gap_us, p50_gap_us):
+    statistics of the microsecond gaps between a user's consecutive
+    events (ordered by ts, event_id tie-break).  p50 is the LOWER median
+    (the 0-indexed (n-1)//2-th order statistic) so both sides stay
+    integer-exact; users with a single event have no gaps and are
+    omitted.
+
+    Users co-locate via the partition-only exchange; ONE vectorized
+    kernel per partition handles all its users: sort by (user, ts,
+    event_id), adjacent diff masked at user boundaries, then a second
+    lexsort by (user, gap) so per-user min / max / median all fall out of
+    group bounds + reduceat-free indexing — no per-user Python (user
+    cardinality is unbounded at web scale)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_apply
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ["user_id", "n_gaps", "min_gap_us", "max_gap_us",
+                       "p50_gap_us"]}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        users = df["user_id"].to_numpy().astype(np.int64)
+        if len(df) < 2:
+            return empty
+        same = users[1:] == users[:-1]
+        gu = users[1:][same]
+        gv = (us[1:] - us[:-1])[same]
+        if not len(gu):
+            return empty
+        order = np.lexsort((gv, gu))       # sort by (user, gap)
+        gu, gv = gu[order], gv[order]
+        starts = np.flatnonzero(np.r_[True, gu[1:] != gu[:-1]])
+        sizes = np.diff(np.r_[starts, len(gu)])
+        return pd.DataFrame(
+            {"user_id": gu[starts],
+             "n_gaps": sizes.astype(np.int64),
+             "min_gap_us": gv[starts],
+             "max_gap_us": gv[starts + sizes - 1],
+             "p50_gap_us": gv[starts + (sizes - 1) // 2]}
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return hash_partitioned_apply(ds, ["user_id"], kernel, int_keys=True)
+
+
+def sql_event_gap_stats() -> str:
+    return """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), gg AS (
+  SELECT user_id, gap FROM g WHERE gap IS NOT NULL
+), r AS (
+  SELECT user_id, gap,
+         row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM gg
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us,
+       CAST(max(CASE WHEN rk = (n + 1) // 2 THEN gap END) AS BIGINT)
+         AS p50_gap_us
+FROM r GROUP BY user_id
+"""

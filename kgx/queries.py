@@ -823,6 +823,15 @@ def doc_mixture(sf_dir: str):
     return mixture_sample(docs)
 
 
+def rel_event_gaps(sf_dir: str):
+    """Per-user inter-event gap statistics (n/min/max/exact lower
+    median in microseconds): users co-locate once, one vectorized
+    boundary-masked diff + lexsort kernel per partition."""
+    from .pipelines.relational import event_gap_stats
+
+    return event_gap_stats(sf_dir)
+
+
 def graph_common_neighbors(sf_dir: str):
     """Per-edge common-neighbor counts of the co-supplier graph (the
     link-prediction feature): the triangles pipeline in per_edge mode —
@@ -1067,6 +1076,7 @@ def registry() -> dict:
         "text_ttr": text_ttr,
         "doc_chunks": doc_chunks,
         "graph_common_neighbors": graph_common_neighbors,
+        "rel_event_gaps": rel_event_gaps,
     }
 
 
@@ -1526,6 +1536,12 @@ def _sql_mixture() -> str:
     return sql_mixture_sample(ts.sql_n_tokens(_TEXT))
 
 
+def _sql_event_gaps() -> str:
+    from .pipelines.relational import sql_event_gap_stats
+
+    return sql_event_gap_stats()
+
+
 def _sql_common_neighbors() -> str:
     from .stages.triangles import sql_common_neighbors
 
@@ -1815,4 +1831,5 @@ def oracle_sql() -> dict[str, str]:
         "text_ttr": _sql_ttr(),
         "doc_chunks": _sql_chunks(),
         "graph_common_neighbors": _sql_common_neighbors(),
+        "rel_event_gaps": _sql_event_gaps(),
     }

@@ -673,3 +673,70 @@ def test_common_neighbors_consistent_with_triangle_count(ray_session):
     ))
     count = _collect(cosupplier_triangles(rd.from_arrow(li)))
     assert per_edge["n_common"].sum() == 3 * int(count["n_triangles"][0])
+
+
+# ---------------------------------------------------------------------------
+# per-user inter-event gap stats
+# ---------------------------------------------------------------------------
+
+
+def test_event_gaps_matches_serial(ray_session, tmp_path):
+    import ray.data as rd  # noqa: F401  (ray_session provides the cluster)
+
+    from kgx.pipelines.relational import event_gap_stats
+
+    rng = np.random.default_rng(5)
+    n = 400
+    users = rng.integers(1, 20, size=n)
+    # microsecond timestamps with deliberate ties
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    offs = rng.integers(0, 10_000_000, size=n) * 17
+    offs[::50] = offs[1::50][: len(offs[::50])]  # some exact ties
+    ts = base + offs.astype("timedelta64[us]")
+    tbl = pa.table(
+        {"event_id": pa.array(np.arange(n, dtype=np.int64)),
+         "ts": pa.array(ts),
+         "user_id": pa.array(users.astype(np.int64))}
+    )
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet")
+    out = _collect(event_gap_stats(str(sf)))
+    # serial
+    df = pd.DataFrame({"event_id": np.arange(n), "ts": ts, "user_id": users})
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    for u, grp in df.groupby("user_id"):
+        if len(grp) < 2:
+            continue
+        g = np.diff(grp["ts"].astype("datetime64[us]").astype("int64"))
+        g.sort()
+        want[int(u)] = (len(g), int(g[0]), int(g[-1]), int(g[(len(g) - 1) // 2]))
+    got = {int(r.user_id): (int(r.n_gaps), int(r.min_gap_us),
+                            int(r.max_gap_us), int(r.p50_gap_us))
+           for r in out.itertuples()}
+    assert got == want
+
+
+def test_event_gaps_single_event_users_omitted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import event_gap_stats
+
+    ts = np.array(["2024-01-01T00:00:00", "2024-01-01T01:00:00",
+                   "2024-01-01T02:00:00"], dtype="datetime64[us]")
+    tbl = pa.table(
+        {"event_id": pa.array([1, 2, 3], pa.int64()),
+         "ts": pa.array(ts),
+         "user_id": pa.array([7, 7, 9], pa.int64())}
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet")
+    out = _collect(event_gap_stats(str(sf)))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.user_id), int(r.n_gaps), int(r.min_gap_us)) == \
+        (7, 1, 3_600_000_000)
