@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "graph_common_neighbors",
     "rel_event_gaps",
+    "graph_assortativity",
 ]
 
 

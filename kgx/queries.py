@@ -823,6 +823,16 @@ def doc_mixture(sf_dir: str):
     return mixture_sample(docs)
 
 
+def graph_assortativity(sf_dir: str):
+    """Exact integer degree-mixing moments (n_edges, sum_ds, sum_dd,
+    sum_dsdd, sum_ds2, sum_dd2) of the symmetrized supplier<->part graph
+    — Pearson assortativity is a driver-side scalar from the six sums;
+    cost-gated degree attach (broadcast vs two node-keyed exchanges)."""
+    from .stages.graph import assortativity_moments, supplier_part_edges
+
+    return assortativity_moments(supplier_part_edges(sf_dir))
+
+
 def rel_event_gaps(sf_dir: str):
     """Per-user inter-event gap statistics (n/min/max/exact lower
     median in microseconds): users co-locate once, one vectorized
@@ -1077,6 +1087,7 @@ def registry() -> dict:
         "doc_chunks": doc_chunks,
         "graph_common_neighbors": graph_common_neighbors,
         "rel_event_gaps": rel_event_gaps,
+        "graph_assortativity": graph_assortativity,
     }
 
 
@@ -1536,6 +1547,12 @@ def _sql_mixture() -> str:
     return sql_mixture_sample(ts.sql_n_tokens(_TEXT))
 
 
+def _sql_assortativity() -> str:
+    from .stages.graph import sql_assortativity
+
+    return sql_assortativity()
+
+
 def _sql_event_gaps() -> str:
     from .pipelines.relational import sql_event_gap_stats
 
@@ -1832,4 +1849,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _sql_chunks(),
         "graph_common_neighbors": _sql_common_neighbors(),
         "rel_event_gaps": _sql_event_gaps(),
+        "graph_assortativity": _sql_assortativity(),
     }

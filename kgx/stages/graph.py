@@ -769,3 +769,158 @@ def sql_supplier_part_bfs(rounds: int = BFS_ROUNDS) -> str:
         f"FROM {prev} WHERE dist <= {rounds}"
     )
     return "".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity moments (r5): exact integer degree-mixing sums over
+# the symmetrized edge list — the "do hubs link to hubs?" diagnostic.
+# ---------------------------------------------------------------------------
+
+ASSORT_BCAST_LIMIT = 2_000_000     # deg rows; above -> exchange attach
+
+
+def assortativity_moments(edges_ds, num_partitions: int | None = None,
+                          broadcast_deg_limit: int = ASSORT_BCAST_LIMIT):
+    """edges (src, dst; symmetric) -> ONE row of exact integer moments of
+    (deg(src), deg(dst)) over the distinct directed edge list:
+    (n_edges, sum_ds, sum_dd, sum_dsdd, sum_ds2, sum_dd2).  Pearson
+    degree assortativity is a driver-side scalar from these six numbers;
+    keeping the OUTPUT in integer moment space keeps the oracle
+    bit-exact (int64-safe while m * dmax^2 < 2^63 — fine to ~30k-degree
+    hubs at 10^10 edges; beyond that the moments need a wider type).
+
+    Scale shape: distinct edges pin once (combiner-pre-deduped exchange);
+    degrees come from the same partition kernel as degree_histogram;
+    degree attach is COST-GATED (the triangles/orient convention):
+    node-scale deg tables broadcast once via ray.put and both endpoints
+    resolve in one vectorized map, the unbounded route chains two
+    kind-discriminated node-keyed exchanges; per-batch moment partials
+    (one row each) coalesce into the single output row."""
+    import pandas as pd
+    import ray
+
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    P = num_partitions or max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def pre_dedup(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates(subset=["src", "dst"])[["src", "dst"]]
+
+    edges = hash_partitioned_apply(
+        edges_ds.map_batches(pre_dedup, batch_format="pandas"),
+        ["src", "dst"], pre_dedup, P, int_keys=True,
+    ).materialize()
+
+    def node_deg(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"node": df["src"].to_numpy().astype(np.int64),
+             "cnt": np.ones(len(df), dtype=np.int64)}
+        )
+
+    def deg_combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("node", sort=False, as_index=False).agg(
+            cnt=("cnt", "sum")
+        )
+
+    deg = hash_partitioned_agg(
+        edges.map_batches(node_deg, batch_format="pandas"),
+        ["node"], deg_combine, P,
+    ).materialize()
+
+    MOMENTS = ["n_edges", "sum_ds", "sum_dd", "sum_dsdd", "sum_ds2",
+               "sum_dd2"]
+
+    def _moment_row(ds_: np.ndarray, dd_: np.ndarray) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"n_edges": [np.int64(len(ds_))],
+             "sum_ds": [ds_.sum()], "sum_dd": [dd_.sum()],
+             "sum_dsdd": [(ds_ * dd_).sum()],
+             "sum_ds2": [(ds_ * ds_).sum()],
+             "sum_dd2": [(dd_ * dd_).sum()]}
+        ).astype("int64")
+
+    if deg.count() <= broadcast_deg_limit:
+        deg_pd = deg.to_pandas()
+        deg_ref = ray.put(
+            pd.Series(deg_pd["cnt"].values, index=deg_pd["node"].values)
+        )
+
+        def moments_bcast(df: "pd.DataFrame") -> "pd.DataFrame":
+            import ray as _ray
+
+            s = _ray.get(deg_ref)
+            ds_ = s.reindex(df["src"].to_numpy()).to_numpy().astype(np.int64)
+            dd_ = s.reindex(df["dst"].to_numpy()).to_numpy().astype(np.int64)
+            return _moment_row(ds_, dd_)
+
+        partials = edges.map_batches(moments_bcast, batch_format="pandas")
+    else:
+        # unbounded-node route: two kind-discriminated node-keyed attaches
+        def _attach(rows, cols, key_col, out_col):
+            all_cols = list(cols) + ["node", "cnt"]
+
+            def u_edges(df: "pd.DataFrame") -> "pd.DataFrame":
+                out = df.copy()
+                out["node"] = out[key_col].astype("int64")
+                out["cnt"] = np.int64(-1)
+                return out[all_cols]
+
+            def u_deg(df: "pd.DataFrame") -> "pd.DataFrame":
+                out = pd.DataFrame(
+                    {c: np.full(len(df), -1, dtype=np.int64) for c in cols}
+                )
+                out["node"] = df["node"].to_numpy().astype(np.int64)
+                out["cnt"] = df["cnt"].to_numpy().astype(np.int64)
+                return out[all_cols]
+
+            def kern(d: "pd.DataFrame") -> "pd.DataFrame":
+                dd = d[d["cnt"] >= 0]
+                ee = d[d["cnt"] < 0]
+                m = ee.merge(dd[["node", "cnt"]].rename(
+                    columns={"cnt": out_col}), on="node", how="inner")
+                return m.drop(columns=["node", "cnt"])
+
+            u = rows.map_batches(u_edges, batch_format="pandas").union(
+                deg.map_batches(u_deg, batch_format="pandas")
+            )
+            return hash_partitioned_apply(u, ["node"], kern, P, int_keys=True)
+
+        with_ds = _attach(edges, ["src", "dst"], "src", "ds")
+        with_both = _attach(with_ds, ["src", "dst", "ds"], "dst", "dd")
+
+        def moments_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+            return _moment_row(df["ds"].to_numpy().astype(np.int64),
+                               df["dd"].to_numpy().astype(np.int64))
+
+        partials = with_both.map_batches(moments_rows, batch_format="pandas")
+
+    def total(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({c: [np.int64(df[c].sum())] for c in MOMENTS})
+
+    return partials.repartition(1).map_batches(
+        total, batch_format="pandas", batch_size=None
+    )
+
+
+def sql_assortativity() -> str:
+    return """
+WITH e0 AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT)*2 AS src,
+         CAST(l_partkey AS BIGINT)*2+1 AS dst FROM lineitem
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+), j AS (
+  SELECT da.d AS ds, db.d AS dd
+  FROM edges JOIN deg da ON da.node = edges.src
+             JOIN deg db ON db.node = edges.dst
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(ds) AS BIGINT) AS sum_ds,
+       CAST(sum(dd) AS BIGINT) AS sum_dd,
+       CAST(sum(ds * dd) AS BIGINT) AS sum_dsdd,
+       CAST(sum(ds * ds) AS BIGINT) AS sum_ds2,
+       CAST(sum(dd * dd) AS BIGINT) AS sum_dd2
+FROM j
+"""

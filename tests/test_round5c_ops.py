@@ -740,3 +740,49 @@ def test_event_gaps_single_event_users_omitted(ray_session, tmp_path):
     r = out.iloc[0]
     assert (int(r.user_id), int(r.n_gaps), int(r.min_gap_us)) == \
         (7, 1, 3_600_000_000)
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity moments
+# ---------------------------------------------------------------------------
+
+
+def _serial_assort(edges_sym):
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges_sym:
+        deg[a] += 1
+    n = len(edges_sym)
+    ds = [deg[a] for a, _ in edges_sym]
+    dd = [deg[b] for _, b in edges_sym]
+    return (n, sum(ds), sum(dd), sum(x * y for x, y in zip(ds, dd)),
+            sum(x * x for x in ds), sum(y * y for y in dd))
+
+
+def test_assortativity_matches_serial_both_paths(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.graph import assortativity_moments
+
+    rng = np.random.default_rng(13)
+    und = {tuple(sorted(p)) for p in rng.integers(1, 30, size=(80, 2))
+           if p[0] != p[1]}
+    sym = sorted(und | {(b, a) for a, b in und})
+    # duplicate rows: the distinct-edge dedup must ignore them
+    dup = sym + sym[:10]
+    tbl = pa.table(
+        {"src": pa.array([a for a, _ in dup], pa.int64()),
+         "dst": pa.array([b for _, b in dup], pa.int64())}
+    )
+    want = _serial_assort(sym)
+    for limit in (2_000_000, 0):  # broadcast path, then exchange path
+        out = _collect(assortativity_moments(
+            rd.from_arrow(tbl).repartition(5), broadcast_deg_limit=limit
+        ))
+        got = tuple(int(out[c][0]) for c in
+                    ["n_edges", "sum_ds", "sum_dd", "sum_dsdd",
+                     "sum_ds2", "sum_dd2"])
+        assert got == want, ("bcast" if limit else "exchange")
+    # symmetry invariants
+    assert want[1] == want[2] and want[4] == want[5]
