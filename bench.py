@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "graph_common_neighbors",
     "rel_event_gaps",
     "graph_assortativity",
+    "emb_pca",
 ]
 
 

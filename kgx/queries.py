@@ -823,6 +823,17 @@ def doc_mixture(sf_dir: str):
     return mixture_sample(docs)
 
 
+def emb_pca(sf_dir: str):
+    """Distributed PCA projection: exact integer Gram (emb_gram's
+    machinery) -> driver-side d x d eigen -> one streaming projection
+    pass, sign-fixed components, integer milli-unit output.  No SQL
+    oracle (eigendecomposition is not SQL-expressible): rows-only
+    driver check + serial-parity pytest."""
+    from .stages.kmeans import pca_project
+
+    return pca_project(_emb_ds(sf_dir))
+
+
 def graph_assortativity(sf_dir: str):
     """Exact integer degree-mixing moments (n_edges, sum_ds, sum_dd,
     sum_dsdd, sum_ds2, sum_dd2) of the symmetrized supplier<->part graph
@@ -1088,6 +1099,7 @@ def registry() -> dict:
         "graph_common_neighbors": graph_common_neighbors,
         "rel_event_gaps": rel_event_gaps,
         "graph_assortativity": graph_assortativity,
+        "emb_pca": emb_pca,
     }
 
 

@@ -526,3 +526,87 @@ SELECT a.dim AS dim_i, b.dim AS dim_j, CAST(sum(a.v * b.v) AS BIGINT) AS gram
 FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND b.dim >= a.dim
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (r5): the gram_matrix consumer — eigen on the driver's
+# exact integer Gram, one distributed projection pass.
+# ---------------------------------------------------------------------------
+
+PCA_COMPONENTS = 2
+
+
+def pca_project(emb_ds, k: int = PCA_COMPONENTS):
+    """(vec_id, pc1_q .. pck_q): project every embedding onto the top-k
+    eigenvectors of the corpus scatter matrix.
+
+    The distributed-PCA shape: the d x d integer Gram comes from
+    :func:`gram_matrix` (only O(batches x d^2) rows ever moved), the
+    eigendecomposition is a DRIVER-SIDE d x d solve (d x d is
+    driver-scale by definition), and the projection is one streaming
+    map over the pinned-nothing input — vectors are read once more and
+    never shuffle.  Eigenvector sign is fixed deterministically (largest-
+    magnitude component made positive, first index on ties); projections
+    quantize to integer milli-units.  No SQL oracle — eigendecomposition
+    is not SQL-expressible; the driver records the weaker rows-only
+    check and pytest carries serial parity."""
+    import numpy as np
+
+    from .exchange import collect_arrow
+
+    g_tab = collect_arrow(
+        gram_matrix(emb_ds),
+        pa.schema([(c, pa.int64()) for c in GRAM_SCHEMA_COLS]),
+    )
+    di = g_tab["dim_i"].to_numpy()
+    dj = g_tab["dim_j"].to_numpy()
+    gv = g_tab["gram"].to_numpy().astype(np.float64)
+    if not len(di):
+        return emb_ds.map_batches(
+            lambda t: pa.schema(
+                [("vec_id", pa.int64())]
+                + [(f"pc{i + 1}_q", pa.int64()) for i in range(k)]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+    d = int(max(di.max(), dj.max())) + 1
+    G = np.zeros((d, d), dtype=np.float64)
+    G[di, dj] = gv
+    G[dj, di] = gv
+    w, v = np.linalg.eigh(G)               # ascending eigenvalues
+    comps = v[:, ::-1][:, :k]              # top-k columns
+    for c in range(comps.shape[1]):        # deterministic sign
+        j = int(np.argmax(np.abs(comps[:, c])))
+        if comps[j, c] < 0:
+            comps[:, c] = -comps[:, c]
+    import ray
+
+    comps_ref = ray.put(np.ascontiguousarray(comps))
+
+    out_schema = pa.schema(
+        [("vec_id", pa.int64())]
+        + [(f"pc{i + 1}_q", pa.int64()) for i in range(k)]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        import ray as _ray
+
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        n = batch.num_rows
+        if not n:
+            return out_schema.empty_table()
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat.reshape(n, -1) * KM_SCALE + 0.5)
+        p = q @ _ray.get(comps_ref)
+        cols = {"vec_id": ids}
+        for i in range(p.shape[1]):
+            cols[f"pc{i + 1}_q"] = np.floor(
+                p[:, i] * KM_SCALE + 0.5
+            ).astype(np.int64)
+        return pa.table(cols, schema=out_schema)
+
+    return emb_ds.map_batches(project, batch_format="pyarrow")

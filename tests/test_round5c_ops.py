@@ -786,3 +786,43 @@ def test_assortativity_matches_serial_both_paths(ray_session):
         assert got == want, ("bcast" if limit else "exchange")
     # symmetry invariants
     assert want[1] == want[2] and want[4] == want[5]
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (gram consumer)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_project_matches_serial_and_layout_stable(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kmeans import KM_SCALE, pca_project
+
+    rng = np.random.default_rng(21)
+    vecs = (rng.standard_normal((60, 6)) * 0.3).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": np.arange(60, dtype=np.int64),
+         "embedding": pa.array(list(vecs), pa.list_(pa.float32()))}
+    )
+    out = _collect(pca_project(rd.from_arrow(tbl).repartition(7)))
+    # serial reference
+    q = np.floor(vecs.astype(np.float64) * KM_SCALE + 0.5)
+    G = q.T @ q
+    w, v = np.linalg.eigh(G)
+    comps = v[:, ::-1][:, :2]
+    for c in range(2):
+        j = int(np.argmax(np.abs(comps[:, c])))
+        if comps[j, c] < 0:
+            comps[:, c] = -comps[:, c]
+    p = np.floor(q @ comps * KM_SCALE + 0.5).astype(np.int64)
+    got = {int(r.vec_id): (int(r.pc1_q), int(r.pc2_q))
+           for r in out.itertuples()}
+    assert got == {i: (int(p[i, 0]), int(p[i, 1])) for i in range(60)}
+    # layout independence: different partitioning -> identical output
+    out2 = _collect(pca_project(rd.from_arrow(tbl).repartition(2)))
+    got2 = {int(r.vec_id): (int(r.pc1_q), int(r.pc2_q))
+            for r in out2.itertuples()}
+    assert got2 == got
+    # variance ordering: pc1 spread >= pc2 spread
+    arr = np.array(list(got.values()), dtype=np.float64)
+    assert arr[:, 0].var() >= arr[:, 1].var()
