@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "rel_event_gaps",
     "graph_assortativity",
     "emb_pca",
+    "graph_neighbor_sample",
 ]
 
 

@@ -823,6 +823,17 @@ def doc_mixture(sf_dir: str):
     return mixture_sample(docs)
 
 
+def graph_neighbor_sample(sf_dir: str):
+    """Deterministic k-neighbor sampling (GraphSAGE mini-batch prep):
+    every node of the symmetrized supplier<->part graph keeps its 8
+    lowest-hash-ranked distinct neighbors — one node-keyed partition
+    exchange, per-partition lexsort + cumcount, reproducible across
+    cluster sizes and stable under graph growth."""
+    from .stages.graph import neighbor_sample, supplier_part_edges
+
+    return neighbor_sample(supplier_part_edges(sf_dir))
+
+
 def emb_pca(sf_dir: str):
     """Distributed PCA projection: exact integer Gram (emb_gram's
     machinery) -> driver-side d x d eigen -> one streaming projection
@@ -1100,6 +1111,7 @@ def registry() -> dict:
         "rel_event_gaps": rel_event_gaps,
         "graph_assortativity": graph_assortativity,
         "emb_pca": emb_pca,
+        "graph_neighbor_sample": graph_neighbor_sample,
     }
 
 
@@ -1559,6 +1571,12 @@ def _sql_mixture() -> str:
     return sql_mixture_sample(ts.sql_n_tokens(_TEXT))
 
 
+def _sql_neighbor_sample() -> str:
+    from .stages.graph import sql_neighbor_sample
+
+    return sql_neighbor_sample()
+
+
 def _sql_assortativity() -> str:
     from .stages.graph import sql_assortativity
 
@@ -1862,4 +1880,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_common_neighbors": _sql_common_neighbors(),
         "rel_event_gaps": _sql_event_gaps(),
         "graph_assortativity": _sql_assortativity(),
+        "graph_neighbor_sample": _sql_neighbor_sample(),
     }

@@ -924,3 +924,79 @@ SELECT CAST(count(*) AS BIGINT) AS n_edges,
        CAST(sum(dd * dd) AS BIGINT) AS sum_dd2
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-neighbor sampling (r5): the GNN mini-batch prep step —
+# every node keeps its K lowest-hash-ranked distinct neighbors.
+# ---------------------------------------------------------------------------
+
+NBR_SAMPLE_K = 8
+
+
+def neighbor_sample(edges_ds, k: int = NBR_SAMPLE_K,
+                    num_partitions: int | None = None):
+    """edges (src, dst; symmetric) -> (node, neighbor, rank): each node's
+    K lowest-ranked distinct neighbors under the deterministic
+    wraparound-multiply hash of the (node, neighbor) pair — the
+    GraphSAGE-style neighbor sampler, reproducible across runs and
+    cluster sizes and stable under graph growth (a node's sample only
+    changes where new neighbors hash below its current ones).
+
+    Pair key packs (node << 32) | neighbor before the multiplicative
+    hash — exact while ids < 2^32 (already assumed by the even/odd node
+    encoding); the SQL oracle mirrors it in HUGEINT.  Scale shape: per-
+    batch (src, dst) pre-dedup combiner, ONE node-keyed partition
+    exchange, per-partition lexsort + cumcount — no global sort, and
+    only edge rows (never adjacency lists) cross the wire."""
+    import pandas as pd
+
+    from ..stages.corpus import SAMPLE_ADD, SAMPLE_MUL
+    from .exchange import hash_partitioned_apply
+
+    def pre_dedup(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates(subset=["src", "dst"])[["src", "dst"]]
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop_duplicates(subset=["src", "dst"])
+        src = df["src"].to_numpy().astype(np.int64)
+        dst = df["dst"].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            pair = (src.astype(np.uint64) << np.uint64(32)) | dst.astype(
+                np.uint64
+            )
+            h = pair * np.uint64(SAMPLE_MUL) + np.uint64(SAMPLE_ADD)
+        key = (h % np.uint64(1 << 62)).astype(np.int64)
+        d2 = pd.DataFrame({"node": src, "neighbor": dst, "key": key})
+        d2 = d2.sort_values(["node", "key", "neighbor"], kind="stable")
+        d2["rank"] = d2.groupby("node", sort=False).cumcount().astype("int64")
+        return d2[d2["rank"] < k][["node", "neighbor", "rank"]]
+
+    partial = edges_ds.map_batches(pre_dedup, batch_format="pandas")
+    return hash_partitioned_apply(partial, ["src"], kernel, num_partitions,
+                                  int_keys=True)
+
+
+def sql_neighbor_sample(k: int = NBR_SAMPLE_K) -> str:
+    from ..stages.corpus import SAMPLE_ADD, SAMPLE_MUL
+
+    two64 = 1 << 64
+    pair = "(CAST(src AS HUGEINT) * 4294967296 + dst)"
+    h = f"(({pair} * {SAMPLE_MUL} + {SAMPLE_ADD}) % {two64})"
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT)*2 AS src,
+         CAST(l_partkey AS BIGINT)*2+1 AS dst FROM lineitem
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), keyed AS (
+  SELECT src, dst, CAST({h} % {1 << 62} AS BIGINT) AS key FROM edges
+), r AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY key, dst) - 1 AS rank
+  FROM keyed
+)
+SELECT CAST(src AS BIGINT) AS node, CAST(dst AS BIGINT) AS neighbor,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank < {k}
+"""

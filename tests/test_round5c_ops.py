@@ -826,3 +826,53 @@ def test_pca_project_matches_serial_and_layout_stable(ray_session):
     # variance ordering: pc1 spread >= pc2 spread
     arr = np.array(list(got.values()), dtype=np.float64)
     assert arr[:, 0].var() >= arr[:, 1].var()
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-neighbor sampling
+# ---------------------------------------------------------------------------
+
+
+def test_neighbor_sample_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import SAMPLE_ADD, SAMPLE_MUL
+    from kgx.stages.graph import neighbor_sample
+
+    rng = np.random.default_rng(17)
+    und = {tuple(sorted(p)) for p in rng.integers(1, 40, size=(120, 2))
+           if p[0] != p[1]}
+    sym = sorted(und | {(b, a) for a, b in und})
+    dup = sym + sym[:15]
+    tbl = pa.table(
+        {"src": pa.array([a for a, _ in dup], pa.int64()),
+         "dst": pa.array([b for _, b in dup], pa.int64())}
+    )
+    k = 3
+    out = _collect(neighbor_sample(
+        rd.from_arrow(tbl).repartition(5), k=k
+    ))
+    # serial
+    def key(a, b):
+        pair = (np.uint64(a) << np.uint64(32)) | np.uint64(b)
+        with np.errstate(over="ignore"):
+            h = pair * np.uint64(SAMPLE_MUL) + np.uint64(SAMPLE_ADD)
+        return int(h % np.uint64(1 << 62))
+
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in sym:
+        adj[a].add(b)
+    want = set()
+    for a, nbrs in adj.items():
+        ranked = sorted(nbrs, key=lambda b: (key(a, b), b))[:k]
+        for r, b in enumerate(ranked):
+            want.add((a, b, r))
+    got = {(int(r.node), int(r.neighbor), int(r.rank))
+           for r in out.itertuples()}
+    assert got == want
+    # every node emits min(deg, k) rows
+    counts = out.groupby("node").size()
+    for a, nbrs in adj.items():
+        assert counts[a] == min(len(nbrs), k)
