@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "graph_assortativity",
     "emb_pca",
     "graph_neighbor_sample",
+    "mm_resolution_hist",
 ]
 
 

@@ -823,6 +823,16 @@ def doc_mixture(sf_dir: str):
     return mixture_sample(docs)
 
 
+def mm_resolution_hist(sf_dir: str):
+    """Corpus resolution inventory (decode -> aggregate): actor-pool
+    payload decode streams typed metadata, a (width, height)-keyed
+    combiner exchange folds per-batch histogram partials — exchange
+    volume is distinct resolutions, never payloads."""
+    from .stages.multimodal import resolution_histogram
+
+    return resolution_histogram(_docs_ds(sf_dir))
+
+
 def graph_neighbor_sample(sf_dir: str):
     """Deterministic k-neighbor sampling (GraphSAGE mini-batch prep):
     every node of the symmetrized supplier<->part graph keeps its 8
@@ -1112,6 +1122,7 @@ def registry() -> dict:
         "graph_assortativity": graph_assortativity,
         "emb_pca": emb_pca,
         "graph_neighbor_sample": graph_neighbor_sample,
+        "mm_resolution_hist": mm_resolution_hist,
     }
 
 
@@ -1571,6 +1582,12 @@ def _sql_mixture() -> str:
     return sql_mixture_sample(ts.sql_n_tokens(_TEXT))
 
 
+def _sql_resolution_hist() -> str:
+    from .stages.multimodal import sql_resolution_histogram
+
+    return sql_resolution_histogram(_TEXT)
+
+
 def _sql_neighbor_sample() -> str:
     from .stages.graph import sql_neighbor_sample
 
@@ -1881,4 +1898,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_event_gaps": _sql_event_gaps(),
         "graph_assortativity": _sql_assortativity(),
         "graph_neighbor_sample": _sql_neighbor_sample(),
+        "mm_resolution_hist": _sql_resolution_hist(),
     }

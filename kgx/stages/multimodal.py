@@ -300,3 +300,44 @@ def thumbnails(docs_ds):
         ThumbnailStage, batch_format="pyarrow", batch_size=64,
         concurrency=(1, _pool_size()),
     )
+
+
+def resolution_histogram(docs_ds, num_partitions: int | None = None):
+    """documents -> (width, height, n_payloads, sum_bytes): corpus
+    resolution inventory — the decode -> aggregate composition every
+    multimodal pipeline runs before choosing resize targets.  The
+    actor-pool decoder streams typed metadata (bytes dropped inside the
+    pool, never shuffled); a (width, height)-keyed combiner exchange
+    folds per-batch partial histograms, so exchange volume is
+    O(batches x distinct_resolutions), not payloads."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg
+
+    stats = payload_stats(docs_ds)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["width", "height"], sort=False, as_index=False).agg(
+            n_payloads=("doc_id", "size"), sum_bytes=("n_bytes", "sum")
+        )
+        return g.astype("int64")
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["width", "height"], sort=False, as_index=False).agg(
+            n_payloads=("n_payloads", "sum"), sum_bytes=("sum_bytes", "sum")
+        )
+
+    return hash_partitioned_agg(
+        stats.map_batches(partial, batch_format="pandas"),
+        ["width", "height"], combine, num_partitions,
+    )
+
+
+def sql_resolution_histogram(sql_text: str) -> str:
+    return (
+        "SELECT CAST(doc_id % 640 + 16 AS BIGINT) AS width, "
+        "CAST((doc_id * 7) % 480 + 16 AS BIGINT) AS height, "
+        "CAST(count(*) AS BIGINT) AS n_payloads, "
+        f"CAST(sum(octet_length(encode({sql_text}))) AS BIGINT) AS sum_bytes "
+        "FROM documents GROUP BY 1, 2"
+    )

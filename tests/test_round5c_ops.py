@@ -876,3 +876,36 @@ def test_neighbor_sample_matches_serial(ray_session):
     counts = out.groupby("node").size()
     for a, nbrs in adj.items():
         assert counts[a] == min(len(nbrs), k)
+
+
+# ---------------------------------------------------------------------------
+# multimodal resolution histogram
+# ---------------------------------------------------------------------------
+
+
+def test_resolution_hist_matches_serial_and_drops_corrupt(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.multimodal import resolution_histogram
+
+    # width = id % 640 + 16, height = (7 id) % 480 + 16 — verified against
+    # a serial recomputation (ids include wrap-around values past 640)
+    ids = np.array([0, 1, 2, 640, 641, 961, 4480, 8960], dtype=np.int64)
+    texts = ["abc", "", None, "xy", "zz", "q", "longer text", "t"]
+    docs = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(ids), "text": texts,
+         "source": ["s"] * len(ids)}
+    )).repartition(3)
+    out = _collect(resolution_histogram(docs))
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for i, t in zip(ids, texts):
+        w, h = int(i % 640 + 16), int((i * 7) % 480 + 16)
+        agg[(w, h)][0] += 1
+        agg[(w, h)][1] += len((t or "").encode())
+    got = {(int(r.width), int(r.height)): (int(r.n_payloads),
+                                           int(r.sum_bytes))
+           for r in out.itertuples()}
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    assert sum(v[0] for v in got.values()) == len(ids)  # total mass
