@@ -1627,6 +1627,7 @@ def event_gap_stats(sf_dir: str):
              for c in ["user_id", "n_gaps", "min_gap_us", "max_gap_us",
                        "p50_gap_us"]}
         )
+        df = df.dropna(subset=["ts", "user_id"])  # NaT would poison diffs
         if not len(df):
             return empty
         df = df.sort_values(["user_id", "ts", "event_id"])
@@ -1661,7 +1662,7 @@ WITH g AS (
   SELECT user_id,
          epoch_us(ts) - lag(epoch_us(ts)) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS gap
-  FROM events
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ), gg AS (
   SELECT user_id, gap FROM g WHERE gap IS NOT NULL
 ), r AS (

@@ -909,3 +909,27 @@ def test_resolution_hist_matches_serial_and_drops_corrupt(ray_session):
            for r in out.itertuples()}
     assert got == {k: tuple(v) for k, v in agg.items()}
     assert sum(v[0] for v in got.values()) == len(ids)  # total mass
+
+
+def test_event_gaps_null_ts_dropped(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import event_gap_stats
+
+    ts = pa.array(
+        [None, np.datetime64("2024-01-01T00:00:00", "us"),
+         np.datetime64("2024-01-01T00:01:00", "us"), None],
+        pa.timestamp("us"),
+    )
+    tbl = pa.table(
+        {"event_id": pa.array([1, 2, 3, 4], pa.int64()),
+         "ts": ts,
+         "user_id": pa.array([7, 7, 7, 7], pa.int64())}
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet")
+    out = _collect(event_gap_stats(str(sf)))
+    assert len(out) == 1
+    assert int(out.iloc[0].n_gaps) == 1  # only the two real timestamps
+    assert int(out.iloc[0].min_gap_us) == 60_000_000
