@@ -67,11 +67,15 @@ def test_query_matches_duckdb_oracle(ray_session, con, name):
 def test_every_registry_query_is_sql_checked():
     """Registry hygiene: EVERY query has a DuckDB oracle (round 2 closed the
     8-query no_oracle gap — VERDICT r1 next-round #1) and every oracle key
-    names a registered query."""
+    names a registered query.  ROWS_ONLY is the explicit allowlist for
+    genuinely non-SQL-expressible ops (the brief's weaker-gate provision);
+    each entry must carry full serial parity in pytest instead."""
     from kgx import queries as Q
 
+    ROWS_ONLY = {"emb_pca"}  # eigendecomposition has no SQL expression
+
     reg, sqls = set(Q.registry()), set(Q.oracle_sql())
-    assert reg - sqls == set()
+    assert reg - sqls == ROWS_ONLY
     assert sqls - reg == set()
 
 
