@@ -564,7 +564,11 @@ def main() -> None:
             sf_dir,
             cpus_low=int(os.environ.get("GRAFT_CPUS_LOW", "4")),
             cpus_high=int(os.environ.get("GRAFT_CPUS_HIGH", "16")),
-            expand=int(os.environ.get("GRAFT_EXPAND", "32")),
+            # 256 x sf0.1 = 1.28M docs per leg: the smallest size where
+            # fixed session/actor ramp amortizes (expand=32 reads a
+            # meaningless ~0.55 — the 16-CPU leg is ramp-dominated;
+            # BASELINE.md round-4/5 scaling notes)
+            expand=int(os.environ.get("GRAFT_EXPAND", "256")),
             trials=int(os.environ.get("GRAFT_SCALING_TRIALS", "1")))))
         return
     if args.scaling_queries:
