@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "emb_pca",
     "graph_neighbor_sample",
     "mm_resolution_hist",
+    "rel_region_revenue",
 ]
 
 

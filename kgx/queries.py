@@ -823,6 +823,15 @@ def doc_mixture(sf_dir: str):
     return mixture_sample(docs)
 
 
+def rel_region_revenue(sf_dir: str):
+    """Composed TPC-H-Q5-shape snowflake: one year of revenue rolled up
+    through customer -> nation -> region — driver-scale dims resolved in
+    kernels, cost-gated customer map, one orderkey kind-union exchange."""
+    from .pipelines.relational import region_revenue
+
+    return region_revenue(sf_dir)
+
+
 def mm_resolution_hist(sf_dir: str):
     """Corpus resolution inventory (decode -> aggregate): actor-pool
     payload decode streams typed metadata, a (width, height)-keyed
@@ -1123,6 +1132,7 @@ def registry() -> dict:
         "emb_pca": emb_pca,
         "graph_neighbor_sample": graph_neighbor_sample,
         "mm_resolution_hist": mm_resolution_hist,
+        "rel_region_revenue": rel_region_revenue,
     }
 
 
@@ -1582,6 +1592,12 @@ def _sql_mixture() -> str:
     return sql_mixture_sample(ts.sql_n_tokens(_TEXT))
 
 
+def _sql_region_revenue() -> str:
+    from .pipelines.relational import sql_region_revenue
+
+    return sql_region_revenue()
+
+
 def _sql_resolution_hist() -> str:
     from .stages.multimodal import sql_resolution_histogram
 
@@ -1899,4 +1915,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_assortativity": _sql_assortativity(),
         "graph_neighbor_sample": _sql_neighbor_sample(),
         "mm_resolution_hist": _sql_resolution_hist(),
+        "rel_region_revenue": _sql_region_revenue(),
     }

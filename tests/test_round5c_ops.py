@@ -933,3 +933,28 @@ def test_event_gaps_null_ts_dropped(ray_session, tmp_path):
     assert len(out) == 1
     assert int(out.iloc[0].n_gaps) == 1  # only the two real timestamps
     assert int(out.iloc[0].min_gap_us) == 60_000_000
+
+
+# ---------------------------------------------------------------------------
+# composed Q5-shape region revenue
+# ---------------------------------------------------------------------------
+
+
+def test_region_revenue_both_paths_match_duckdb(ray_session):
+    import duckdb
+
+    from kgx.pipelines.relational import region_revenue, sql_region_revenue
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "nation", "region"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    want = {r[0]: int(r[1])
+            for r in con.execute(sql_region_revenue()).fetchall()}
+    for limit in (2_000_000, 0):  # broadcast path, then exchange path
+        out = _collect(region_revenue(sf, broadcast_limit=limit))
+        got = {r.r_name: int(r.revenue_cp) for r in out.itertuples()}
+        assert got == want, ("bcast" if limit else "exchange")
+    assert len(want) >= 1
