@@ -958,3 +958,71 @@ def test_region_revenue_both_paths_match_duckdb(ray_session):
         got = {r.r_name: int(r.revenue_cp) for r in out.itertuples()}
         assert got == want, ("bcast" if limit else "exchange")
     assert len(want) >= 1
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties for the batch-4 kernels (pure serial parts)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+class TestChunkProperties:
+    @given(st.integers(min_value=0, max_value=5000),
+           st.integers(min_value=2, max_value=64))
+    @settings(max_examples=60, deadline=None)
+    def test_chunks_tile_the_doc(self, n, window):
+        stride = max(1, window * 3 // 4)
+        chunks = _serial_chunks(n, window, stride)
+        if n == 0:
+            assert chunks == []
+            return
+        # coverage: every token position falls in >= 1 chunk
+        assert chunks[0][1] == 0
+        assert chunks[-1][2] == n
+        for (c0, s0, e0), (c1, s1, e1) in zip(chunks, chunks[1:]):
+            assert c1 == c0 + 1
+            assert s1 == s0 + stride
+            assert s1 < e0 or s1 == e0  # no gap (stride <= window)
+            assert e1 >= e0
+        # all but the last chunk are full-width
+        for _, s, e in chunks[:-1]:
+            assert e - s == window
+        assert 0 < chunks[-1][2] - chunks[-1][1] <= window
+
+
+class TestMixtureProperties:
+    @given(
+        st.dictionaries(
+            st.sampled_from(["web", "wiki", "code", "law"]),
+            st.lists(st.tuples(st.integers(0, 2**40), st.integers(0, 400)),
+                     min_size=1, max_size=40, unique_by=lambda t: t[0]),
+            min_size=1, max_size=4,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_budget_rebalance_invariants(self, strata):
+        # flatten, dedup ids across strata
+        seen = set()
+        ids, srcs, toks = [], [], []
+        for s, rows in sorted(strata.items()):
+            for i, t in rows:
+                if i not in seen:
+                    seen.add(i)
+                    ids.append(i)
+                    srcs.append(s)
+                    toks.append(t)
+        texts = ["w " * t for t in toks]
+        kept = _serial_mixture(ids, srcs, texts)
+        kept_ids = {i for i, _, _ in kept}
+        assert kept_ids <= set(ids)
+        # per-source: zero-token sources keep everything
+        tot = {}
+        for s, t in zip(srcs, toks):
+            tot[s] = tot.get(s, 0) + t
+        for i, s, t in zip(ids, srcs, toks):
+            if tot[s] == 0:
+                assert i in kept_ids, (i, s)
+        # determinism
+        assert _serial_mixture(ids, srcs, texts) == kept
