@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "graph_neighbor_sample",
     "mm_resolution_hist",
     "rel_region_revenue",
+    "kg_cooccurrence",
 ]
 
 

@@ -823,6 +823,18 @@ def doc_mixture(sf_dir: str):
     return mixture_sample(docs)
 
 
+def kg_cooccurrence(sf_dir: str):
+    """Page-level entity co-occurrence counts (surface_a < surface_b,
+    n_pages) from the mention stream — the related-entities / link-weight
+    signal: one url-keyed exchange with a vectorized within-page pair
+    kernel, then a pair-keyed count combiner."""
+    from .pipeline import broadcast_kb, mentions_ds
+    from .stages.kg_stages import entity_cooccurrence
+
+    ds = mentions_ds(_kg_sql_pages(sf_dir), _kg_sql_cfg(), broadcast_kb())
+    return entity_cooccurrence(ds)
+
+
 def rel_region_revenue(sf_dir: str):
     """Composed TPC-H-Q5-shape snowflake: one year of revenue rolled up
     through customer -> nation -> region — driver-scale dims resolved in
@@ -1133,6 +1145,7 @@ def registry() -> dict:
         "graph_neighbor_sample": graph_neighbor_sample,
         "mm_resolution_hist": mm_resolution_hist,
         "rel_region_revenue": rel_region_revenue,
+        "kg_cooccurrence": kg_cooccurrence,
     }
 
 
@@ -1694,6 +1707,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": so.sql_kg_entities(),
         "kg_adjacency": so.sql_kg_adjacency(),
         "kg_mentions": so.sql_kg_mentions(),
+        "kg_cooccurrence": so.sql_kg_cooccurrence(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

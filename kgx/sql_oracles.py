@@ -566,3 +566,21 @@ SELECT subj,
 FROM adj GROUP BY subj
 """
     )
+
+
+def sql_kg_cooccurrence() -> str:
+    """(surface_a, surface_b, n_pages): page-level co-occurrence of
+    distinct mention surfaces, a < b in binary string order (both engines
+    compare ASCII alias surfaces codepoint-wise)."""
+    return (
+        _kg_common_ctes()
+        + """
+, ents AS (
+  SELECT DISTINCT url, surface FROM am
+)
+SELECT a.surface AS surface_a, b.surface AS surface_b,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM ents a JOIN ents b ON a.url = b.url AND a.surface < b.surface
+GROUP BY 1, 2
+"""
+    )

@@ -204,3 +204,46 @@ class TripleLinker:
             for raw in raw_triples_for_segment(seg, matcher, predicates, self.cfg):
                 rows.append(link_raw_triple(raw, matcher, embeddings, self.cfg))
         return _rows_to_table(rows, LINKED_FULL)
+
+
+def entity_cooccurrence(mentions, num_partitions: int | None = None):
+    """mentions (url, surface, ...) -> (surface_a, surface_b, n_pages):
+    page-level entity co-occurrence counts — the KG-construction signal
+    behind "related entities" edges and PMI-style link weighting
+    (reference consumes its mention stream the same way when scoring
+    candidate relations, extractor semantics).
+
+    Scale shape: ONE url-keyed partition exchange; the kernel
+    dedups (url, surface), generates within-page unordered pairs with the
+    shared vectorized pair generator (page entity count is bounded by the
+    KB alias inventory, so per-page pair volume is bounded), and
+    pre-counts per partition; a (surface_a, surface_b)-keyed combiner
+    exchange folds the partials.  Mentions cross the wire once; the
+    pair-count table (<= |KB|^2 rows) is the only aggregate state."""
+    import numpy as np
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+    from .triangles import _group_bounds, _pairs_within_groups
+
+    def pair_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df[["url", "surface"]].dropna().drop_duplicates()
+        d = d.sort_values(["url", "surface"], kind="stable")
+        urls = d["url"].to_numpy()
+        surf = d["surface"].to_numpy()
+        starts, sizes = _group_bounds(urls)
+        li, ri = _pairs_within_groups(starts, sizes, len(urls))
+        out = pd.DataFrame({"surface_a": surf[li], "surface_b": surf[ri]})
+        out["n_pages"] = np.int64(1)
+        return out.groupby(["surface_a", "surface_b"], sort=False,
+                           as_index=False).agg(n_pages=("n_pages", "sum"))
+
+    pairs = hash_partitioned_apply(mentions, ["url"], pair_kernel,
+                                   num_partitions)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["surface_a", "surface_b"], sort=False,
+                          as_index=False).agg(n_pages=("n_pages", "sum"))
+
+    return hash_partitioned_agg(pairs, ["surface_a", "surface_b"], combine,
+                                num_partitions)

@@ -1026,3 +1026,34 @@ class TestMixtureProperties:
                 assert i in kept_ids, (i, s)
         # determinism
         assert _serial_mixture(ids, srcs, texts) == kept
+
+
+# ---------------------------------------------------------------------------
+# entity co-occurrence
+# ---------------------------------------------------------------------------
+
+
+def test_entity_cooccurrence_matches_brute(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kg_stages import entity_cooccurrence
+
+    rows = [
+        ("u1", "Acme"), ("u1", "Bolt"), ("u1", "Acme"),  # dup mention
+        ("u1", "Carbon"),
+        ("u2", "Acme"), ("u2", "Bolt"),
+        ("u3", "Delta"),                                  # singleton page
+        ("u4", "Bolt"), ("u4", "Acme"),
+    ]
+    tbl = pa.table(
+        {"url": [r[0] for r in rows], "surface": [r[1] for r in rows],
+         "ner_type": ["ORG"] * len(rows)}
+    )
+    out = _collect(entity_cooccurrence(rd.from_arrow(tbl).repartition(4)))
+    got = {(r.surface_a, r.surface_b): int(r.n_pages)
+           for r in out.itertuples()}
+    assert got == {
+        ("Acme", "Bolt"): 3,
+        ("Acme", "Carbon"): 1,
+        ("Bolt", "Carbon"): 1,
+    }
