@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "mm_resolution_hist",
     "rel_region_revenue",
     "kg_cooccurrence",
+    "kg_entity_pmi",
 ]
 
 

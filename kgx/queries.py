@@ -823,6 +823,18 @@ def doc_mixture(sf_dir: str):
     return mixture_sample(docs)
 
 
+def kg_entity_pmi(sf_dir: str):
+    """Top-k PMI-ranked entity associations over the page co-occurrence
+    event space — integer fixed-point exp(PMI) via the shared kernel;
+    one url-keyed exchange + one combiner, driver top-k over the
+    KB-bounded pair table."""
+    from .pipeline import broadcast_kb, mentions_ds
+    from .stages.kg_stages import entity_pmi
+
+    ds = mentions_ds(_kg_sql_pages(sf_dir), _kg_sql_cfg(), broadcast_kb())
+    return entity_pmi(ds)
+
+
 def kg_cooccurrence(sf_dir: str):
     """Page-level entity co-occurrence counts (surface_a < surface_b,
     n_pages) from the mention stream — the related-entities / link-weight
@@ -1146,6 +1158,7 @@ def registry() -> dict:
         "mm_resolution_hist": mm_resolution_hist,
         "rel_region_revenue": rel_region_revenue,
         "kg_cooccurrence": kg_cooccurrence,
+        "kg_entity_pmi": kg_entity_pmi,
     }
 
 
@@ -1708,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_adjacency": so.sql_kg_adjacency(),
         "kg_mentions": so.sql_kg_mentions(),
         "kg_cooccurrence": so.sql_kg_cooccurrence(),
+        "kg_entity_pmi": so.sql_kg_entity_pmi(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

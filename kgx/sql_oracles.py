@@ -584,3 +584,38 @@ FROM ents a JOIN ents b ON a.url = b.url AND a.surface < b.surface
 GROUP BY 1, 2
 """
     )
+
+
+def sql_kg_entity_pmi(k: int = 20, min_pair: int = 2,
+                      pmi_scale: int = 1000) -> str:
+    """Top-k integer fixed-point exp(PMI) entity associations over the
+    page co-occurrence event space; HUGEINT product mirrors the engine's
+    overflow-safe kernel, rank ties break (score desc, a, b)."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, ents AS (
+  SELECT DISTINCT url, surface FROM am
+), npages AS (
+  SELECT count(DISTINCT url) AS n FROM ents
+), scount AS (
+  SELECT surface, CAST(count(*) AS BIGINT) AS c FROM ents GROUP BY surface
+), pairs AS (
+  SELECT a.surface AS sa, b.surface AS sb, CAST(count(*) AS BIGINT) AS c12
+  FROM ents a JOIN ents b ON a.url = b.url AND a.surface < b.surface
+  GROUP BY 1, 2
+), scored AS (
+  SELECT sa, sb, c12,
+         CAST((CAST(c12 AS HUGEINT) * (SELECT n FROM npages) * {pmi_scale})
+              // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS pmi_score
+  FROM pairs
+  JOIN scount ca ON ca.surface = pairs.sa
+  JOIN scount cb ON cb.surface = pairs.sb
+  WHERE c12 >= {min_pair}
+)
+SELECT sa AS surface_a, sb AS surface_b, c12 AS n_pages, pmi_score,
+       CAST(row_number() OVER (ORDER BY pmi_score DESC, sa, sb)
+            AS BIGINT) AS "rank"
+FROM scored ORDER BY pmi_score DESC, sa, sb LIMIT {k}
+"""
+    )

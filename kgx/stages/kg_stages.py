@@ -223,8 +223,15 @@ def entity_cooccurrence(mentions, num_partitions: int | None = None):
     import numpy as np
     import pandas as pd
 
-    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+    from .exchange import _default_partitions, hash_partitioned_agg, \
+        hash_partitioned_apply
     from .triangles import _group_bounds, _pairs_within_groups
+
+    # one partition per CPU, not the 8x straggler-smoothing default: the
+    # per-page kernel is uniform (page mention count is KB-bounded), so
+    # extra partitions only buy barrier latency (P-sweep at sf0.1:
+    # 256 -> 32 partitions is 3.6x faster on the exchange)
+    P = num_partitions or _default_partitions()
 
     def pair_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
         d = df[["url", "surface"]].dropna().drop_duplicates()
@@ -238,12 +245,113 @@ def entity_cooccurrence(mentions, num_partitions: int | None = None):
         return out.groupby(["surface_a", "surface_b"], sort=False,
                            as_index=False).agg(n_pages=("n_pages", "sum"))
 
-    pairs = hash_partitioned_apply(mentions, ["url"], pair_kernel,
-                                   num_partitions)
+    pairs = hash_partitioned_apply(mentions, ["url"], pair_kernel, P)
 
     def combine(df: "pd.DataFrame") -> "pd.DataFrame":
         return df.groupby(["surface_a", "surface_b"], sort=False,
                           as_index=False).agg(n_pages=("n_pages", "sum"))
 
-    return hash_partitioned_agg(pairs, ["surface_a", "surface_b"], combine,
-                                num_partitions)
+    return hash_partitioned_agg(pairs, ["surface_a", "surface_b"],
+                                combine, P)
+
+
+ENTITY_PMI_K = 20
+ENTITY_PMI_MIN_PAIR = 2
+
+
+def entity_pmi(mentions, k: int = ENTITY_PMI_K,
+               min_pair: int = ENTITY_PMI_MIN_PAIR,
+               num_partitions: int | None = None):
+    """mentions -> the k strongest entity associations (surface_a,
+    surface_b, n_pages, pmi_score, rank): page-level PMI over the entity
+    co-occurrence event space — the relation-candidate ranking signal
+    (which entity pairs co-occur far beyond their individual page
+    frequencies).  Integer fixed-point exp(PMI) via the shared
+    ``pmi_scores_np`` kernel: score = (c12 * N * PMI_SCALE) // (cA * cB),
+    N = pages with >= 1 mention; ``min_pair`` floors spurious rare pairs.
+
+    Scale shape: ONE url-keyed exchange whose kernel emits
+    kind-discriminated partials — within-page pair counts (kind 0),
+    per-surface page counts (kind 1), and a distinct-page count (kind 2)
+    — already combiner-compressed per partition and bounded by
+    |KB aliases|^2 + |KB| + 1 rows each (the alias inventory is
+    broadcast-scale by construction — it ships to every mention actor),
+    so the merge, score and top-k run on the driver over that bounded
+    collect; mention rows cross the wire exactly once and no second
+    all-to-all barrier exists."""
+    import numpy as np
+    import pandas as pd
+
+    from .corpus import PMI_SCALE, pmi_scores_np  # noqa: F401 (PMI_SCALE in doc)
+    from .exchange import _default_partitions, collect_arrow, \
+        hash_partitioned_apply
+    from .triangles import _group_bounds, _pairs_within_groups
+
+    def partial_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df[["url", "surface"]].dropna().drop_duplicates()
+        d = d.sort_values(["url", "surface"], kind="stable")
+        urls = d["url"].to_numpy()
+        surf = d["surface"].to_numpy()
+        starts, sizes = _group_bounds(urls)
+        li, ri = _pairs_within_groups(starts, sizes, len(urls))
+        pairs = pd.DataFrame({"ka": surf[li], "kb": surf[ri]})
+        pairs["kind"] = np.int64(0)
+        pairs["cnt"] = np.int64(1)
+        pairs = pairs.groupby(["kind", "ka", "kb"], sort=False,
+                              as_index=False).agg(cnt=("cnt", "sum"))
+        singles = pd.DataFrame({"ka": surf})
+        singles["kb"] = ""
+        singles["kind"] = np.int64(1)
+        singles["cnt"] = np.int64(1)
+        singles = singles.groupby(["kind", "ka", "kb"], sort=False,
+                                  as_index=False).agg(cnt=("cnt", "sum"))
+        npages = pd.DataFrame(
+            {"kind": [np.int64(2)], "ka": [""], "kb": [""],
+             "cnt": [np.int64(len(starts))]}
+        )
+        cols = ["kind", "ka", "kb", "cnt"]
+        return pd.concat(
+            [pairs[cols], singles[cols], npages[cols]], ignore_index=True
+        )
+
+    # one partition per CPU (the entity_cooccurrence P rationale)
+    P = num_partitions or _default_partitions()
+    partials = hash_partitioned_apply(mentions, ["url"], partial_kernel, P)
+
+    # the partials are already combiner-compressed per partition and the
+    # merged state is KB-bounded, so a second all-to-all exchange would be
+    # pure barrier latency (A/B at sf0.1: 6.6 -> 3.9 s) — merge the
+    # <= P x (|KB|^2 + |KB| + 1) rows on the driver instead
+    tab = collect_arrow(
+        partials,
+        pa.schema([("kind", pa.int64()), ("ka", pa.string()),
+                   ("kb", pa.string()), ("cnt", pa.int64())]),
+    ).to_pandas()
+    tab = tab.groupby(["kind", "ka", "kb"], sort=False,
+                      as_index=False).agg(cnt=("cnt", "sum"))
+
+    n_pages = int(tab[tab["kind"] == 2]["cnt"].sum())
+    counts = dict(zip(tab[tab["kind"] == 1]["ka"],
+                      tab[tab["kind"] == 1]["cnt"].astype(int)))
+    pairs = tab[(tab["kind"] == 0)
+                & (tab["cnt"] >= min_pair)].reset_index(drop=True)
+    if not len(pairs) or n_pages == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in
+             [("surface_a", "object"), ("surface_b", "object"),
+              ("n_pages", "int64"), ("pmi_score", "int64"),
+              ("rank", "int64")]}
+        )
+    import numpy as np2  # local alias keeps the kernel import explicit
+
+    c12 = pairs["cnt"].to_numpy().astype(np2.int64)
+    ca = pairs["ka"].map(counts).to_numpy().astype(np2.int64)
+    cb = pairs["kb"].map(counts).to_numpy().astype(np2.int64)
+    score = pmi_scores_np(c12, ca, cb, n_pages)
+    out = pd.DataFrame(
+        {"surface_a": pairs["ka"], "surface_b": pairs["kb"],
+         "n_pages": c12, "pmi_score": score}
+    ).sort_values(["pmi_score", "surface_a", "surface_b"],
+                  ascending=[False, True, True], kind="stable").head(k)
+    out["rank"] = np2.arange(1, len(out) + 1, dtype=np2.int64)
+    return out.reset_index(drop=True)

@@ -1057,3 +1057,49 @@ def test_entity_cooccurrence_matches_brute(ray_session):
         ("Acme", "Carbon"): 1,
         ("Bolt", "Carbon"): 1,
     }
+
+
+def test_entity_pmi_matches_brute(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import PMI_SCALE
+    from kgx.stages.kg_stages import entity_pmi
+
+    rows = [
+        ("u1", "A"), ("u1", "B"),
+        ("u2", "A"), ("u2", "B"),
+        ("u3", "A"), ("u3", "C"),
+        ("u4", "B"), ("u4", "C"),
+        ("u5", "A"), ("u5", "B"), ("u5", "C"),
+        ("u6", "D"),
+    ]
+    tbl = pa.table(
+        {"url": [r[0] for r in rows], "surface": [r[1] for r in rows],
+         "ner_type": ["ORG"] * len(rows)}
+    )
+    out = entity_pmi(rd.from_arrow(tbl).repartition(3), k=10, min_pair=2)
+    # brute force
+    from collections import Counter, defaultdict
+
+    by_url = defaultdict(set)
+    for u, s in rows:
+        by_url[u].add(s)
+    n = len(by_url)
+    cs = Counter()
+    c12 = Counter()
+    for mem in by_url.values():
+        for s in mem:
+            cs[s] += 1
+        mem = sorted(mem)
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                c12[(mem[i], mem[j])] += 1
+    want = sorted(
+        ((a, b, c, (c * n * PMI_SCALE) // (cs[a] * cs[b]))
+         for (a, b), c in c12.items() if c >= 2),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )
+    got = [(r.surface_a, r.surface_b, int(r.n_pages), int(r.pmi_score))
+           for r in out.itertuples()]
+    assert got == want
+    assert list(out["rank"]) == list(range(1, len(want) + 1))
