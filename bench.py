@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "rel_region_revenue",
     "kg_cooccurrence",
     "kg_entity_pmi",
+    "text_hash_features",
 ]
 
 

@@ -823,6 +823,17 @@ def doc_mixture(sf_dir: str):
     return mixture_sample(docs)
 
 
+def text_hash_features(sf_dir: str):
+    """Hashing-trick featurizer: per-doc token counts folded into 64
+    hashed dimensions (no vocabulary build — streams at any scale), long
+    (doc_id, dim, cnt) output; md5 once per DISTINCT batch token."""
+    from .stages.text_analysis import hash_features_batch
+
+    return _docs_ds(sf_dir).map_batches(
+        hash_features_batch, batch_format="pandas"
+    )
+
+
 def kg_entity_pmi(sf_dir: str):
     """Top-k PMI-ranked entity associations over the page co-occurrence
     event space — integer fixed-point exp(PMI) via the shared kernel;
@@ -1159,6 +1170,7 @@ def registry() -> dict:
         "rel_region_revenue": rel_region_revenue,
         "kg_cooccurrence": kg_cooccurrence,
         "kg_entity_pmi": kg_entity_pmi,
+        "text_hash_features": text_hash_features,
     }
 
 
@@ -1618,6 +1630,12 @@ def _sql_mixture() -> str:
     return sql_mixture_sample(ts.sql_n_tokens(_TEXT))
 
 
+def _sql_hash_features() -> str:
+    from .stages.text_analysis import sql_hash_features
+
+    return sql_hash_features(_TEXT)
+
+
 def _sql_region_revenue() -> str:
     from .pipelines.relational import sql_region_revenue
 
@@ -1722,6 +1740,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": so.sql_kg_mentions(),
         "kg_cooccurrence": so.sql_kg_cooccurrence(),
         "kg_entity_pmi": so.sql_kg_entity_pmi(),
+        "text_hash_features": _sql_hash_features(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

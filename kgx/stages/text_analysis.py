@@ -198,3 +198,64 @@ def sql_ttr(col: str) -> str:
         f"CAST(len(list_distinct({toks})) AS BIGINT) AS n_types "
         "FROM documents"
     )
+
+
+HASH_FEATURE_DIMS = 64
+
+
+def hash_features_batch(df: pd.DataFrame, dims: int = HASH_FEATURE_DIMS
+                        ) -> pd.DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. '09): per-doc token
+    counts folded into ``dims`` hashed dimensions — the fixed-width
+    bag-of-words featurization that needs NO vocabulary build, so it
+    streams at any corpus size.  Long (doc_id, dim, cnt) output, rows only
+    for occupied dims.
+
+    Vectorized per batch: one findall, one factorize, the md5 hash runs
+    once per DISTINCT token (the winnowing convention — stable_hash64 ==
+    DuckDB md5_number_upper, so the oracle is bit-exact), per-(doc, dim)
+    counts via one packed-key np.unique.  Map-only: no exchange."""
+    import itertools
+
+    import numpy as np
+
+    from ..functions.text import stable_hash64
+
+    texts = df["text"].fillna("").str.lower()
+    tok_lists = texts.str.findall(ts.TOKEN_PATTERN)
+    lens = tok_lists.str.len().to_numpy(dtype=np.int64)
+    flat = list(itertools.chain.from_iterable(tok_lists))
+    if not flat:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "dim": pd.Series([], dtype="int64"),
+             "cnt": pd.Series([], dtype="int64")}
+        )
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    dim_u = np.fromiter(
+        (stable_hash64(t) % dims for t in uniq), dtype=np.int64,
+        count=len(uniq),
+    )
+    doc_of = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+    key = doc_of * dims + dim_u[codes]
+    uk, cnt = np.unique(key, return_counts=True)
+    doc_ids = df["doc_id"].astype("int64").to_numpy()
+    return pd.DataFrame(
+        {"doc_id": doc_ids[uk // dims], "dim": uk % dims,
+         "cnt": cnt.astype(np.int64)}
+    )
+
+
+def sql_hash_features(col: str, dims: int = HASH_FEATURE_DIMS) -> str:
+    toks = ts.sql_token_list(col)
+    two64 = 1 << 64
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS t FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((md5_number_upper('0:' || t) % {two64}) % {dims} AS BIGINT)
+         AS dim,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM tok GROUP BY 1, 2
+"""

@@ -1103,3 +1103,38 @@ def test_entity_pmi_matches_brute(ray_session):
            for r in out.itertuples()]
     assert got == want
     assert list(out["rank"]) == list(range(1, len(want) + 1))
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick features
+# ---------------------------------------------------------------------------
+
+
+def test_hash_features_matches_serial():
+    import re
+    from collections import Counter
+
+    from kgx.functions.text import stable_hash64
+    from kgx.functions.textstats import TOKEN_PATTERN
+    from kgx.stages.text_analysis import HASH_FEATURE_DIMS, \
+        hash_features_batch
+
+    pat = re.compile(TOKEN_PATTERN)
+    texts = ["the cat the dog", "", None, "a a a b", "unique words only"]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64) + 100,
+                       "text": texts})
+    out = hash_features_batch(df)
+    got = {(int(r.doc_id), int(r.dim)): int(r.cnt) for r in out.itertuples()}
+    want = {}
+    for i, t in enumerate(texts):
+        c = Counter(
+            stable_hash64(tok) % HASH_FEATURE_DIMS
+            for tok in pat.findall((t or "").lower())
+        )
+        for d, n in c.items():
+            want[(i + 100, d)] = n
+    assert got == want
+    # total mass: sum of counts == total tokens
+    assert out["cnt"].sum() == sum(
+        len(pat.findall((t or "").lower())) for t in texts
+    )
