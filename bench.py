@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "kg_cooccurrence",
     "kg_entity_pmi",
     "text_hash_features",
+    "rel_q1_pricing",
 ]
 
 

@@ -1939,3 +1939,83 @@ WHERE o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
   AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
 GROUP BY r.r_name
 """
+
+
+def q1_pricing_summary(sf_dir: str):
+    """The FULL TPC-H-Q1 pricing summary per (l_returnflag, l_linestatus):
+    n_rows, sum_qty, sum_base_cents, sum_disc_cents, sum_charge_cents —
+    one scan, one combiner exchange (the lineitem_agg shape widened to
+    the four Q1 measures).
+
+    Integer units are chosen for SCALE-SAFETY, not just hash-exactness:
+    disc price and charge floor back to CENTS per row
+    (cents * (100-d) // 100, cents * (100-d) * (100+t) // 10000), so a
+    per-group sum stays int64-safe past 10^10 rows — keeping the raw
+    cent-percent(-squared) units would overflow a big group's int64 sum
+    near 5 * 10^7 rows.  The DuckDB oracle mirrors the same per-row floor
+    divisions, so both sides stay bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_agg
+
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = ["n_rows", "sum_qty", "sum_base_cents", "sum_disc_cents",
+                "sum_charge_cents"]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=keys + ["l_quantity", "l_extendedprice",
+                                      "l_discount", "l_tax"])
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        dpct = np.floor(df["l_discount"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        tpct = np.floor(df["l_tax"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        qty = np.floor(df["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        disc = cents * (100 - dpct) // 100
+        charge = cents * (100 - dpct) * (100 + tpct) // 10_000
+        out = pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"].to_numpy(),
+             "l_linestatus": df["l_linestatus"].to_numpy(),
+             "n_rows": np.ones(len(df), dtype=np.int64),
+             "sum_qty": qty, "sum_base_cents": cents,
+             "sum_disc_cents": disc, "sum_charge_cents": charge}
+        )
+        return out.groupby(keys, sort=False, as_index=False).agg(
+            **{m: (m, "sum") for m in measures}
+        )
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(keys, sort=False, as_index=False).agg(
+            **{m: (m, "sum") for m in measures}
+        )
+
+    ds = _read(sf_dir, "lineitem",
+               keys + ["l_quantity", "l_extendedprice", "l_discount",
+                       "l_tax"])
+    return hash_partitioned_agg(
+        ds.map_batches(partial, batch_format="pandas"), keys, combine
+    )
+
+
+def sql_q1_pricing_summary() -> str:
+    c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    d = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    t = "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_qty,
+       CAST(sum({c}) AS BIGINT) AS sum_base_cents,
+       CAST(sum({c} * (100 - {d}) // 100) AS BIGINT) AS sum_disc_cents,
+       CAST(sum({c} * (100 - {d}) * (100 + {t}) // 10000) AS BIGINT)
+         AS sum_charge_cents
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+GROUP BY l_returnflag, l_linestatus
+"""

@@ -823,6 +823,16 @@ def doc_mixture(sf_dir: str):
     return mixture_sample(docs)
 
 
+def rel_q1_pricing(sf_dir: str):
+    """Full TPC-H-Q1 pricing summary (n/qty/base/discounted/charged per
+    flag-status) — one scan, one combiner exchange; integer units floor
+    back to cents per row so group sums stay int64-safe past 10^10
+    rows."""
+    from .pipelines.relational import q1_pricing_summary
+
+    return q1_pricing_summary(sf_dir)
+
+
 def text_hash_features(sf_dir: str):
     """Hashing-trick featurizer: per-doc token counts folded into 64
     hashed dimensions (no vocabulary build — streams at any scale), long
@@ -1171,6 +1181,7 @@ def registry() -> dict:
         "kg_cooccurrence": kg_cooccurrence,
         "kg_entity_pmi": kg_entity_pmi,
         "text_hash_features": text_hash_features,
+        "rel_q1_pricing": rel_q1_pricing,
     }
 
 
@@ -1630,6 +1641,12 @@ def _sql_mixture() -> str:
     return sql_mixture_sample(ts.sql_n_tokens(_TEXT))
 
 
+def _sql_q1_pricing() -> str:
+    from .pipelines.relational import sql_q1_pricing_summary
+
+    return sql_q1_pricing_summary()
+
+
 def _sql_hash_features() -> str:
     from .stages.text_analysis import sql_hash_features
 
@@ -1741,6 +1758,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccurrence": so.sql_kg_cooccurrence(),
         "kg_entity_pmi": so.sql_kg_entity_pmi(),
         "text_hash_features": _sql_hash_features(),
+        "rel_q1_pricing": _sql_q1_pricing(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -1138,3 +1138,54 @@ def test_hash_features_matches_serial():
     assert out["cnt"].sum() == sum(
         len(pat.findall((t or "").lower())) for t in texts
     )
+
+
+# ---------------------------------------------------------------------------
+# full Q1 pricing summary
+# ---------------------------------------------------------------------------
+
+
+def test_q1_pricing_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import q1_pricing_summary
+
+    rng = np.random.default_rng(23)
+    n = 500
+    flags = rng.choice(["A", "N", "R"], size=n)
+    status = rng.choice(["F", "O"], size=n)
+    qty = rng.integers(1, 50, size=n).astype(float)
+    price = rng.uniform(100, 90_000, size=n).round(2)
+    disc = rng.integers(0, 11, size=n) / 100.0
+    tax = rng.integers(0, 9, size=n) / 100.0
+    tbl = pa.table(
+        {"l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+         "l_returnflag": flags, "l_linestatus": status,
+         "l_quantity": qty, "l_extendedprice": price,
+         "l_discount": disc, "l_tax": tax,
+         "l_shipdate": pa.array(
+             np.full(n, np.datetime64("2024-01-01", "us")))}
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "lineitem.parquet")
+    out = _collect(q1_pricing_summary(str(sf)))
+    # serial
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for f, s, q, p, d, t in zip(flags, status, qty, price, disc, tax):
+        c = int(np.floor(p * 100 + 0.5))
+        dp = int(np.floor(d * 100 + 0.5))
+        tp = int(np.floor(t * 100 + 0.5))
+        a = agg[(f, s)]
+        a[0] += 1
+        a[1] += int(np.floor(q + 0.5))
+        a[2] += c
+        a[3] += c * (100 - dp) // 100
+        a[4] += c * (100 - dp) * (100 + tp) // 10_000
+    got = {(r.l_returnflag, r.l_linestatus):
+           (int(r.n_rows), int(r.sum_qty), int(r.sum_base_cents),
+            int(r.sum_disc_cents), int(r.sum_charge_cents))
+           for r in out.itertuples()}
+    assert got == {k: tuple(v) for k, v in agg.items()}
