@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "kg_entity_pmi",
     "text_hash_features",
     "rel_q1_pricing",
+    "rel_late_orders",
 ]
 
 

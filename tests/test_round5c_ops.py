@@ -1189,3 +1189,66 @@ def test_q1_pricing_matches_serial(ray_session, tmp_path):
             int(r.sum_disc_cents), int(r.sum_charge_cents))
            for r in out.itertuples()}
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+# ---------------------------------------------------------------------------
+# Q4-shaped late-order EXISTS semi-join
+# ---------------------------------------------------------------------------
+
+
+def _late_fixture(tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import Q4_LATE_DAYS
+
+    rng = np.random.default_rng(31)
+    n_orders, n_lines = 200, 900
+    base = np.datetime64("2020-01-01", "us")
+    odate = base + rng.integers(0, 365, size=n_orders) * np.timedelta64(
+        86_400_000_000, "us")
+    pri = rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"], size=n_orders)
+    orders = pa.table(
+        {"o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+         "o_custkey": pa.array(np.zeros(n_orders, dtype=np.int64)),
+         "o_orderdate": pa.array(odate),
+         "o_orderpriority": pri})
+    lok = rng.integers(0, n_orders, size=n_lines).astype(np.int64)
+    # ship 0..120 days after the order date so ~half the orders are late
+    ship = odate[lok] + rng.integers(0, 121, size=n_lines) * np.timedelta64(
+        86_400_000_000, "us")
+    lines = pa.table(
+        {"l_orderkey": pa.array(lok), "l_shipdate": pa.array(ship)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(orders, sf / "orders.parquet")
+    pq.write_table(lines, sf / "lineitem.parquet")
+    # serial expectation
+    lag = np.timedelta64(Q4_LATE_DAYS * 86_400_000_000, "us")
+    mx: dict[int, np.datetime64] = {}
+    for k, s in zip(lok, ship):
+        if k not in mx or s > mx[k]:
+            mx[k] = s
+    from collections import Counter
+
+    want = Counter(
+        str(pri[k]) for k, s in mx.items() if s > odate[k] + lag)
+    return sf, dict(want)
+
+
+def test_late_orders_matches_serial(ray_session, tmp_path):
+    from kgx.pipelines.relational import late_order_counts
+
+    sf, want = _late_fixture(tmp_path)
+    out = _collect(late_order_counts(str(sf)))
+    got = {r.o_orderpriority: int(r.n_late) for r in out.itertuples()}
+    assert got == want
+    assert want  # fixture produces a non-trivial late set
+
+
+def test_late_orders_both_routes_agree(ray_session, tmp_path):
+    from kgx.pipelines.relational import late_order_counts
+
+    sf, want = _late_fixture(tmp_path)
+    out = _collect(late_order_counts(str(sf), broadcast_limit=0))
+    got = {r.o_orderpriority: int(r.n_late) for r in out.itertuples()}
+    assert got == want
