@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "text_hash_features",
     "rel_q1_pricing",
     "rel_late_orders",
+    "rel_custdist",
 ]
 
 

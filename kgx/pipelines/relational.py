@@ -2201,3 +2201,150 @@ WHERE o.o_orderkey IS NOT NULL AND o.o_orderdate IS NOT NULL
       AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
 GROUP BY o_orderpriority
 """
+
+
+def customer_order_distribution(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """(n_orders, c_count): how many customers placed exactly n orders,
+    INCLUDING the zero-order bucket — the TPC-H-Q13-shaped double
+    aggregation (LEFT JOIN customer -> orders, count per customer, then a
+    histogram of the counts).
+
+    Plan: orders fold to one (custkey, n) row per custkey in a combiner
+    exchange (10:1 at sf0.1; the fan-in only grows with scale).  The
+    customer side is COST-GATED:
+
+    * fast path (customer within the broadcast budget): the sorted custkey
+      array ships once; each exchange-output block filters to existing
+      customers and folds to per-batch histogram partials; the final
+      single-block kernel adds the zero bucket as
+      ``n_cust - sum(c_count)`` — LEFT JOIN semantics without ever
+      materializing zero rows;
+    * unbounded route: custkey-keyed kind-union exchange between customer
+      key rows and the per-custkey count partials; each partition emits
+      its histogram INCLUDING its own zero-order customers, and a tiny
+      final merge sums the buckets.
+
+    Orders whose custkey has no customer row are dropped on both sides
+    (inner semantics of the LEFT JOIN's right side)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.exchange import (collect_arrow, hash_partitioned_agg_arrow,
+                                   hash_partitioned_apply)
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def count_partial(batch: "pa.Table") -> "pa.Table":
+        # combiner closed under its own output schema: the merge pass
+        # sees (ck, n), the partial pass sees (o_custkey, o_orderkey)
+        if "n" in batch.column_names:
+            ck = batch["ck"].to_numpy()
+            w = batch["n"].to_numpy()
+        else:
+            batch = batch.filter(
+                pc.and_(pc.is_valid(batch["o_custkey"]),
+                        pc.is_valid(batch["o_orderkey"])))
+            ck = batch["o_custkey"].to_numpy().astype(np.int64)
+            w = np.ones(len(ck), dtype=np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, w)
+        return pa.table({"ck": uk.astype("int64"), "n": s})
+
+    percust = hash_partitioned_agg_arrow(orders, ["ck"], count_partial,)
+
+    if cust.count() <= broadcast_limit:
+        ct = collect_arrow(
+            cust.map_batches(
+                lambda t: t.filter(pc.is_valid(t["c_custkey"])),
+                batch_format="pyarrow"),
+            pa.table({"c_custkey": pa.array([], pa.int64())}),
+        )
+        ckeys = np.sort(ct["c_custkey"].to_numpy().astype(np.int64))
+        n_cust = len(ckeys)
+        ckeys_ref = ray.put(ckeys)
+
+        def hist_partial(t: "pa.Table") -> "pa.Table":
+            ks = ray.get(ckeys_ref)
+            ck = t["ck"].to_numpy()
+            n = t["n"].to_numpy()
+            if len(ks) and len(ck):
+                pos = np.searchsorted(ks, ck).clip(max=len(ks) - 1)
+                m = ks[pos] == ck
+            else:
+                m = np.zeros(len(ck), dtype=bool)
+            un, cnt = np.unique(n[m], return_counts=True)
+            return pa.table({"n_orders": un.astype("int64"),
+                             "c_count": cnt.astype("int64")})
+
+        partials = percust.map_batches(hist_partial, batch_format="pyarrow")
+
+        def final(df: "pd.DataFrame") -> "pd.DataFrame":
+            g = df.groupby("n_orders", sort=False, as_index=False).agg(
+                c_count=("c_count", "sum"))
+            zero = n_cust - int(g["c_count"].sum())
+            if zero > 0:
+                g = pd.concat(
+                    [g, pd.DataFrame({"n_orders": [0], "c_count": [zero]})],
+                    ignore_index=True)
+            return g.astype("int64")
+
+        return partials.repartition(1).map_batches(
+            final, batch_format="pandas", batch_size=None)
+
+    # unbounded route: custkey-keyed kind-union exchange; each partition
+    # owns its customers wholly, so it can emit its own zero bucket
+    def cust_rows(t: "pa.Table") -> "pa.Table":
+        t = t.filter(pc.is_valid(t["c_custkey"]))
+        return pa.table(
+            {"ck": t["c_custkey"].to_numpy().astype("int64"),
+             "n": np.full(t.num_rows, -1, dtype=np.int64)})
+
+    u = cust.map_batches(cust_rows, batch_format="pyarrow").union(percust)
+
+    def hist_kernel(t: "pa.Table") -> "pa.Table":
+        ck = t["ck"].to_numpy()
+        n = t["n"].to_numpy()
+        is_cust = n < 0
+        custs = np.unique(ck[is_cust])
+        ok = ck[~is_cust]
+        nn = n[~is_cust]
+        if len(custs) and len(ok):
+            pos = np.searchsorted(custs, ok).clip(max=len(custs) - 1)
+            m = custs[pos] == ok
+        else:
+            m = np.zeros(len(ok), dtype=bool)
+        counts = np.zeros(len(custs), dtype=np.int64)
+        if len(custs):
+            np.add.at(counts, np.searchsorted(custs, ok[m]), nn[m])
+        un, cnt = np.unique(counts, return_counts=True)
+        return pa.table({"n_orders": un.astype("int64"),
+                         "c_count": cnt.astype("int64")})
+
+    partials = hash_partitioned_apply(u, ["ck"], hist_kernel,
+                                      int_keys=True, kernel_format="pyarrow")
+
+    def final_merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("n_orders", sort=False, as_index=False).agg(
+            c_count=("c_count", "sum")).astype("int64")
+
+    return partials.repartition(1).map_batches(
+        final_merge, batch_format="pandas", batch_size=None)
+
+
+def sql_customer_order_distribution() -> str:
+    return """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderkey IS NOT NULL
+  WHERE c.c_custkey IS NOT NULL
+  GROUP BY c.c_custkey)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS c_count
+FROM c_orders GROUP BY n_orders
+"""

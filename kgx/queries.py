@@ -844,6 +844,18 @@ def rel_late_orders(sf_dir: str):
     return late_order_counts(sf_dir)
 
 
+def rel_custdist(sf_dir: str):
+    """TPC-H-Q13-shaped double aggregation: orders-per-customer
+    distribution INCLUDING the zero-order bucket (LEFT JOIN semantics) —
+    orders fold to one count row per custkey in a combiner exchange; the
+    customer side is cost-gated (broadcast key array + arithmetic zero
+    bucket vs kind-union exchange whose partitions emit their own
+    zeros)."""
+    from .pipelines.relational import customer_order_distribution
+
+    return customer_order_distribution(sf_dir)
+
+
 def text_hash_features(sf_dir: str):
     """Hashing-trick featurizer: per-doc token counts folded into 64
     hashed dimensions (no vocabulary build — streams at any scale), long
@@ -1194,6 +1206,7 @@ def registry() -> dict:
         "text_hash_features": text_hash_features,
         "rel_q1_pricing": rel_q1_pricing,
         "rel_late_orders": rel_late_orders,
+        "rel_custdist": rel_custdist,
     }
 
 
@@ -1665,6 +1678,12 @@ def _sql_late_orders() -> str:
     return sql_late_order_counts()
 
 
+def _sql_custdist() -> str:
+    from .pipelines.relational import sql_customer_order_distribution
+
+    return sql_customer_order_distribution()
+
+
 def _sql_hash_features() -> str:
     from .stages.text_analysis import sql_hash_features
 
@@ -1778,6 +1797,7 @@ def oracle_sql() -> dict[str, str]:
         "text_hash_features": _sql_hash_features(),
         "rel_q1_pricing": _sql_q1_pricing(),
         "rel_late_orders": _sql_late_orders(),
+        "rel_custdist": _sql_custdist(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

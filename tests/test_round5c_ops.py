@@ -1252,3 +1252,52 @@ def test_late_orders_both_routes_agree(ray_session, tmp_path):
     out = _collect(late_order_counts(str(sf), broadcast_limit=0))
     got = {r.o_orderpriority: int(r.n_late) for r in out.itertuples()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Q13-shaped orders-per-customer distribution
+# ---------------------------------------------------------------------------
+
+
+def _custdist_fixture(tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(37)
+    n_cust, n_orders = 80, 400
+    ckeys = np.arange(n_cust, dtype=np.int64) * 3  # sparse keys
+    # ~1/4 of customers get no orders; one order points at a ghost custkey
+    ock = rng.choice(ckeys[: (3 * n_cust) // 4], size=n_orders).astype(
+        np.int64)
+    ock[0] = 999_999  # no matching customer: must be dropped
+    cust = pa.table({"c_custkey": pa.array(ckeys)})
+    orders = pa.table(
+        {"o_custkey": pa.array(ock),
+         "o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64))})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(cust, sf / "customer.parquet")
+    pq.write_table(orders, sf / "orders.parquet")
+    from collections import Counter
+
+    per = Counter(int(k) for k in ock if k in set(ckeys.tolist()))
+    want = Counter(per.get(int(k), 0) for k in ckeys)
+    return sf, dict(want)
+
+
+def test_custdist_matches_serial(ray_session, tmp_path):
+    from kgx.pipelines.relational import customer_order_distribution
+
+    sf, want = _custdist_fixture(tmp_path)
+    out = _collect(customer_order_distribution(str(sf)))
+    got = {int(r.n_orders): int(r.c_count) for r in out.itertuples()}
+    assert got == want
+    assert 0 in want and want[0] > 0  # zero bucket exercised
+
+
+def test_custdist_both_routes_agree(ray_session, tmp_path):
+    from kgx.pipelines.relational import customer_order_distribution
+
+    sf, want = _custdist_fixture(tmp_path)
+    out = _collect(customer_order_distribution(str(sf), broadcast_limit=0))
+    got = {int(r.n_orders): int(r.c_count) for r in out.itertuples()}
+    assert got == want
