@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "rel_q1_pricing",
     "rel_late_orders",
     "rel_custdist",
+    "doc_dup_ngrams",
 ]
 
 

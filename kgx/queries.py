@@ -844,6 +844,20 @@ def rel_late_orders(sf_dir: str):
     return late_order_counts(sf_dir)
 
 
+def doc_dup_ngrams(sf_dir: str):
+    """Gopher/RefinedWeb duplicate-n-gram quality signal: per doc, distinct
+    8-gram count and how many of those grams occur in >= 2 documents
+    corpus-wide — batch-local gram dedup (a doc lives in one batch), one
+    fp-keyed partition exchange, one doc-keyed combiner exchange."""
+    import ray.data as rd
+
+    from .stages.corpus import dup_ngram_stats
+
+    docs = rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"), columns=["doc_id", "text"])
+    return dup_ngram_stats(docs)
+
+
 def rel_custdist(sf_dir: str):
     """TPC-H-Q13-shaped double aggregation: orders-per-customer
     distribution INCLUDING the zero-order bucket (LEFT JOIN semantics) —
@@ -1207,6 +1221,7 @@ def registry() -> dict:
         "rel_q1_pricing": rel_q1_pricing,
         "rel_late_orders": rel_late_orders,
         "rel_custdist": rel_custdist,
+        "doc_dup_ngrams": doc_dup_ngrams,
     }
 
 
@@ -1684,6 +1699,12 @@ def _sql_custdist() -> str:
     return sql_customer_order_distribution()
 
 
+def _sql_dup_ngrams() -> str:
+    from .stages.corpus import sql_dup_ngram_stats
+
+    return sql_dup_ngram_stats(ts.sql_token_list(_TEXT))
+
+
 def _sql_hash_features() -> str:
     from .stages.text_analysis import sql_hash_features
 
@@ -1798,6 +1819,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q1_pricing": _sql_q1_pricing(),
         "rel_late_orders": _sql_late_orders(),
         "rel_custdist": _sql_custdist(),
+        "doc_dup_ngrams": _sql_dup_ngrams(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -1713,3 +1713,136 @@ SELECT doc_id, CAST(u AS BIGINT) AS chunk_id,
 FROM c, unnest(generate_series(0, n_chunks - 1)) AS s(u)
 WHERE n_chunks > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated n-gram stats (r5): the Gopher/RefinedWeb
+# "duplicate n-gram fraction" quality signal — for every document, how many
+# of its DISTINCT k-grams also occur in at least one OTHER document.
+# ---------------------------------------------------------------------------
+
+DUPGRAM_K = 8                   # Gopher-style duplicate 8-grams
+
+
+def dup_ngram_stats(docs_ds, k: int = DUPGRAM_K):
+    """documents -> (doc_id, n_grams, n_dup): per-doc distinct k-gram count
+    and how many of those grams appear in >= 2 distinct documents
+    corpus-wide.  ``n_dup / n_grams`` is the classic duplicate-n-gram
+    fraction filter; the compared output stays integer.
+
+    Scale shape — two exchanges, both bounded:
+
+    * the map emits per-batch DISTINCT (doc_id, fp) pairs using the
+      winnow_fingerprints gram machinery (chained ``pd.factorize`` packs,
+      md5 once per DISTINCT batch gram, fp = stable_hash64 % 2^62); a doc
+      lives wholly in one batch, so batch-local dedup IS global dedup;
+    * one fp-keyed partition exchange owns every gram wholly: its kernel
+      marks grams seen in >= 2 docs (per-fp row count == distinct-doc
+      count, pairs being distinct) and folds straight to per-(doc,
+      partition) partials — at most P rows per doc leave it;
+    * one doc-keyed combiner exchange sums the partials.
+
+    Documents with fewer than ``k`` tokens carry no grams and emit no row
+    (mirroring the SQL join)."""
+    import itertools
+
+    import pandas as pd
+
+    from ..functions.text import stable_hash64
+    from ..functions.textstats import TOKEN_PATTERN
+    from .exchange import hash_partitioned_agg_arrow, hash_partitioned_apply
+
+    _M62 = 1 << 62
+
+    def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "fp": pd.Series([], dtype="int64")})
+        texts = df["text"].fillna("").str.lower()
+        tok_lists = texts.str.findall(TOKEN_PATTERN)
+        lens = tok_lists.str.len().to_numpy(dtype=np.int64)
+        flat = list(itertools.chain.from_iterable(tok_lists))
+        L = len(flat)
+        if L < k:
+            return empty
+        codes = pd.factorize(np.asarray(flat, dtype=object))[0].astype(np.int64)
+        kk = int(codes.max()) + 1
+        Lm = L - k + 1
+        acc = codes[:Lm]
+        for j in range(1, k):
+            acc = pd.factorize(acc * kk + codes[j:j + Lm])[0].astype(np.int64)
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos_in = np.arange(L, dtype=np.int64) - np.repeat(starts, lens)
+        valid = pos_in[:Lm] + k <= lens[doc_of[:Lm]]
+        vpos = np.flatnonzero(valid)
+        if not len(vpos):
+            return empty
+        vg = acc[vpos]
+        dd = doc_of[vpos]
+        uniq_g, first_idx = np.unique(vg, return_index=True)
+        fps_u = np.fromiter(
+            (stable_hash64(" ".join(flat[p:p + k])) % _M62
+             for p in vpos[first_idx]),
+            dtype=np.int64, count=len(uniq_g))
+        lut = np.zeros(int(uniq_g.max()) + 1, dtype=np.int64)
+        lut[uniq_g] = fps_u
+        h = lut[vg]
+        order = np.lexsort((h, dd))
+        ds_, hs_ = dd[order], h[order]
+        keep = np.ones(len(order), dtype=bool)
+        keep[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+        ids = df["doc_id"].to_numpy()
+        return pd.DataFrame({"doc_id": ids[ds_[keep]].astype("int64"),
+                             "fp": hs_[keep]})
+
+    pair_ds = docs_ds.map_batches(pairs, batch_format="pandas")
+
+    def dup_kernel(t: "pa.Table") -> "pa.Table":
+        fp = t["fp"].to_numpy()
+        d = t["doc_id"].to_numpy()
+        _, inv, cnt = np.unique(fp, return_inverse=True, return_counts=True)
+        dup = (cnt[inv] > 1).astype(np.int64)
+        ud, dinv = np.unique(d, return_inverse=True)
+        ng = np.bincount(dinv).astype(np.int64)
+        nd = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(nd, dinv, dup)
+        return pa.table({"doc_id": ud.astype("int64"),
+                         "n_grams": ng, "n_dup": nd})
+
+    partials = hash_partitioned_apply(pair_ds, ["fp"], dup_kernel,
+                                      int_keys=True, kernel_format="pyarrow")
+
+    def combine(t: "pa.Table") -> "pa.Table":
+        d = t["doc_id"].to_numpy()
+        ud, dinv = np.unique(d, return_inverse=True)
+        ng = np.zeros(len(ud), dtype=np.int64)
+        nd = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(ng, dinv, t["n_grams"].to_numpy())
+        np.add.at(nd, dinv, t["n_dup"].to_numpy())
+        return pa.table({"doc_id": ud.astype("int64"),
+                         "n_grams": ng, "n_dup": nd})
+
+    return hash_partitioned_agg_arrow(partials, ["doc_id"], combine)
+
+
+def sql_dup_ngram_stats(sql_token_list: str, k: int = DUPGRAM_K) -> str:
+    """DuckDB oracle: same gram text / md5 fp identity as the winnow and
+    substring oracles; per-fp distinct-doc counts via the pair CTE."""
+    m62 = f"{1 << 62}::HUGEINT"
+    return f"""
+WITH tok AS (SELECT doc_id, {sql_token_list} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         CAST(md5_number_upper('0:' ||
+              array_to_string(list_slice(toks, i, i + {k} - 1), ' '))
+              % {m62} AS BIGINT) AS fp
+  FROM tok, unnest(generate_series(1, len(toks) - {k} + 1)) AS t(i)
+  WHERE len(toks) >= {k}),
+c AS (SELECT fp, count(*) AS nd FROM g GROUP BY fp)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM g JOIN c USING (fp)
+GROUP BY g.doc_id
+"""

@@ -1301,3 +1301,55 @@ def test_custdist_both_routes_agree(ray_session, tmp_path):
     out = _collect(customer_order_distribution(str(sf), broadcast_limit=0))
     got = {int(r.n_orders): int(r.c_count) for r in out.itertuples()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram stats
+# ---------------------------------------------------------------------------
+
+
+def test_dup_ngrams_matches_bruteforce(ray_session, tmp_path):
+    import re
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kgx.functions.textstats import TOKEN_PATTERN
+    from kgx.stages.corpus import DUPGRAM_K, dup_ngram_stats
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(60):
+        toks = rng.choice(vocab, size=rng.integers(2, 40)).tolist()
+        texts.append(" ".join(toks))
+    # plant an exact duplicate pair and a shared-run pair
+    texts[10] = texts[3]
+    texts[20] = "x y " + texts[5] + " z"
+    texts[30] = ""                       # no tokens at all
+    tbl = pa.table({"doc_id": pa.array(np.arange(60, dtype=np.int64) + 7),
+                    "text": texts})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "documents.parquet")
+
+    out = _collect(dup_ngram_stats(
+        rd.read_parquet(str(sf / "documents.parquet"))))
+    got = {int(r.doc_id): (int(r.n_grams), int(r.n_dup))
+           for r in out.itertuples()}
+
+    pat = re.compile(TOKEN_PATTERN)
+    k = DUPGRAM_K
+    grams = {}
+    for i, t in enumerate(texts):
+        toks = pat.findall(t.lower())
+        grams[i + 7] = {" ".join(toks[j:j + k])
+                        for j in range(len(toks) - k + 1)}
+    from collections import Counter
+
+    cnt = Counter(g for s in grams.values() for g in s)
+    want = {d: (len(s), sum(1 for g in s if cnt[g] > 1))
+            for d, s in grams.items() if s}
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())   # planted dups counted
+    assert (7 + 30) not in got                    # empty doc emits no row
