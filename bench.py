@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "rel_late_orders",
     "rel_custdist",
     "doc_dup_ngrams",
+    "emb_knn_graph",
 ]
 
 

@@ -844,6 +844,20 @@ def rel_late_orders(sf_dir: str):
     return late_order_counts(sf_dir)
 
 
+def emb_knn_graph(sf_dir: str):
+    """k-NN graph over the embedding column, restricted to IVF coarse-list
+    co-membership (the standard build-lists/search-within-lists scale
+    recipe for semantic dedup and cluster prep) — one centroid broadcast,
+    one assignment map, ONE list-keyed Arrow partition exchange, per-list
+    matmul kernels; never an all-pairs pass."""
+    import ray
+
+    from .stages.similarity import KNN_K, KNN_LISTS, ivf_centroids, knn_graph_ivf
+
+    cent_ref = ray.put(ivf_centroids(_emb_sample(sf_dir), n_lists=KNN_LISTS))
+    return knn_graph_ivf(_emb_ds(sf_dir), cent_ref, k=KNN_K)
+
+
 def doc_dup_ngrams(sf_dir: str):
     """Gopher/RefinedWeb duplicate-n-gram quality signal: per doc, distinct
     8-gram count and how many of those grams occur in >= 2 documents
@@ -1222,6 +1236,7 @@ def registry() -> dict:
         "rel_late_orders": rel_late_orders,
         "rel_custdist": rel_custdist,
         "doc_dup_ngrams": doc_dup_ngrams,
+        "emb_knn_graph": emb_knn_graph,
     }
 
 
@@ -1705,6 +1720,13 @@ def _sql_dup_ngrams() -> str:
     return sql_dup_ngram_stats(ts.sql_token_list(_TEXT))
 
 
+def _sql_knn_graph() -> str:
+    from . import sql_oracles as so
+    from .stages.similarity import KNN_K, KNN_LISTS
+
+    return so.sql_knn_graph_ivf(ANN_EVERY, KNN_K, KNN_LISTS)
+
+
 def _sql_hash_features() -> str:
     from .stages.text_analysis import sql_hash_features
 
@@ -1820,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_late_orders": _sql_late_orders(),
         "rel_custdist": _sql_custdist(),
         "doc_dup_ngrams": _sql_dup_ngrams(),
+        "emb_knn_graph": _sql_knn_graph(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -619,3 +619,45 @@ SELECT sa AS surface_a, sb AS surface_b, c12 AS n_pages, pmi_score,
 FROM scored ORDER BY pmi_score DESC, sa, sb LIMIT {k}
 """
     )
+
+
+def sql_knn_graph_ivf(every: int, k: int, n_lists: int) -> str:
+    """k-NN graph within IVF coarse lists — same sample coarse quantizer as
+    sql_ann_topk_ivf (centroids = evenly-strided rows of the vec_id %% every
+    stride sample in vec_id order, wrapping when the sample is smaller than
+    n_lists), assignment by (cosine DESC, centroid ASC), neighbor rank by
+    (cosine DESC, neighbor ASC) within each vector's list."""
+    return f"""
+WITH emb AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE embedding IS NOT NULL
+), qs AS (
+  SELECT vec_id, e,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS rn
+  FROM emb WHERE vec_id % {every} = 0
+), qm AS (
+  SELECT count(*) AS n, greatest(count(*) // {n_lists}, 1) AS stride FROM qs
+), cidx AS (
+  SELECT CAST(g.c AS BIGINT) AS c,
+         (CAST(g.c AS BIGINT) * qm.stride) % qm.n AS idx
+  FROM generate_series(0, {n_lists - 1}) g(c), qm
+), cent AS (
+  SELECT cidx.c, qs.e AS ce FROM cidx JOIN qs ON qs.rn = cidx.idx
+), assign AS (
+  SELECT vec_id, c FROM (
+    SELECT emb.vec_id, cent.c,
+      row_number() OVER (PARTITION BY emb.vec_id
+        ORDER BY list_cosine_similarity(emb.e, cent.ce) DESC, cent.c) AS rr
+    FROM emb, cent) WHERE rr = 1
+), scored AS (
+  SELECT a1.vec_id, a2.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY a1.vec_id ORDER BY
+      list_cosine_similarity(e1.e, e2.e) DESC, a2.vec_id) AS r
+  FROM assign a1
+  JOIN assign a2 ON a1.c = a2.c AND a1.vec_id <> a2.vec_id
+  JOIN emb e1 ON e1.vec_id = a1.vec_id
+  JOIN emb e2 ON e2.vec_id = a2.vec_id
+)
+SELECT vec_id, neighbor_id, CAST(r AS BIGINT) AS "rank"
+FROM scored WHERE r <= {k}
+"""

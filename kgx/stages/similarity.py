@@ -414,3 +414,98 @@ SELECT vec_id, sub, code FROM (
   FROM d
 ) WHERE rr = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph over the embedding column (r5): semantic-dedup / clustering /
+# curriculum prep — every vector's top-k cosine neighbors within its IVF
+# coarse list.
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_LISTS = 16
+
+
+def ivf_centroids(sample_tab: pa.Table, n_lists: int = KNN_LISTS) -> np.ndarray:
+    """Sample coarse quantizer (ivf_train iters=0 — centroids are evenly-
+    strided rows of the stride sample in vec_id order, index wrapping when
+    the sample is smaller than n_lists), exactly expressible in DuckDB."""
+    _, mat = normalized_matrix(sample_tab)
+    return ivf_train(mat, n_lists, iters=0)
+
+
+def knn_graph_ivf(emb_ds, cent_ref, k: int = KNN_K):
+    """embeddings -> (vec_id, neighbor_id, rank): the k-NN GRAPH restricted
+    to IVF coarse-list co-membership — the standard scale recipe for
+    semantic dedup and embedding-cluster prep (build lists, search within
+    lists).  Exact within each list; tie-break (cosine DESC, neighbor ASC)
+    matches the DuckDB oracle's row_number order.
+
+    Scale shape: one broadcast (the n_lists x d centroid matrix via
+    ``cent_ref``), one vectorized assignment map, ONE list-keyed partition
+    exchange (``int_keys`` tagging keeps the list<float> embedding column
+    Arrow across the shuffle), and a per-list matmul + stable argsort
+    kernel — never an all-pairs pass over the corpus.  PARTITIONING
+    ASSUMPTION: one coarse list fits one partition kernel (~n/n_lists
+    rows); at web scale raise n_lists with the corpus (the standard IVF
+    sizing rule) or sub-shard hot lists."""
+    import pyarrow.compute as pc
+
+    from .exchange import hash_partitioned_apply
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray
+
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], batch.schema.field("embedding").type),
+                             "c": pa.array([], pa.int64())})
+        cent = ray.get(cent_ref)
+        _, mat = normalized_matrix(batch)
+        # numpy argmax takes the FIRST max: lowest list id wins exact ties,
+        # matching the oracle's (sim DESC, c ASC) row_number order
+        c = (mat @ cent.T).argmax(axis=1).astype(np.int64)
+        return batch.select(["vec_id", "embedding"]).append_column(
+            "c", pa.array(c))
+
+    _OUT = pa.schema([("vec_id", pa.int64()), ("neighbor_id", pa.int64()),
+                      ("rank", pa.int64())])
+
+    def list_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        c = t["c"].to_numpy()
+        ids, mat = normalized_matrix(t)
+        out_q, out_n, out_r = [], [], []
+        for ci in np.unique(c):           # per LIST, not per row
+            sel = np.flatnonzero(c == ci)
+            order_ = np.argsort(ids[sel], kind="stable")
+            ids_c = ids[sel][order_]
+            mat_c = mat[sel][order_]
+            n = len(ids_c)
+            if n <= 1:
+                continue
+            sims = mat_c @ mat_c.T
+            kk = min(k + 1, n)
+            # rows sorted by vec_id => stable argsort breaks exact score
+            # ties by ascending neighbor id
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            qi = np.repeat(np.arange(n), kk)
+            ni = top.ravel()
+            keep = ni != qi
+            rank = keep.reshape(n, kk).cumsum(axis=1).ravel()
+            keep &= rank <= k
+            out_q.append(ids_c[qi[keep]])
+            out_n.append(ids_c[ni[keep]])
+            out_r.append(rank[keep])
+        if not out_q:
+            return _OUT.empty_table()
+        return pa.table({"vec_id": np.concatenate(out_q).astype("int64"),
+                         "neighbor_id": np.concatenate(out_n).astype("int64"),
+                         "rank": np.concatenate(out_r).astype("int64")},
+                        schema=_OUT)
+
+    assigned = emb_ds.map_batches(assign, batch_format="pyarrow")
+    return hash_partitioned_apply(assigned, ["c"], list_kernel,
+                                  int_keys=True, kernel_format="pyarrow")

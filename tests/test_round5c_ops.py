@@ -1353,3 +1353,80 @@ def test_dup_ngrams_matches_bruteforce(ray_session, tmp_path):
     assert got == want
     assert any(v[1] > 0 for v in want.values())   # planted dups counted
     assert (7 + 30) not in got                    # empty doc emits no row
+
+
+# ---------------------------------------------------------------------------
+# IVF-restricted k-NN graph
+# ---------------------------------------------------------------------------
+
+
+def _knn_serial(ids, mat, cent, k):
+    """Serial reference: assign by argmax cosine (first max wins), exact
+    top-k within each list with (cos DESC, neighbor ASC) tie-break."""
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                            1e-300)
+    assign = (norm @ cent.T).argmax(axis=1)
+    want = set()
+    for ci in np.unique(assign):
+        sel = np.flatnonzero(assign == ci)
+        for i in sel:
+            sims = [(-(norm[i] @ norm[j]), ids[j]) for j in sel if j != i]
+            for r, (_, nid) in enumerate(sorted(sims)[:k], start=1):
+                want.add((int(ids[i]), int(nid), r))
+    return want
+
+
+def test_knn_graph_matches_serial(ray_session):
+    import ray
+    import ray.data as rd
+
+    from kgx.stages.similarity import knn_graph_ivf
+
+    rng = np.random.default_rng(43)
+    n, d, k = 120, 16, 4
+    mat = rng.normal(size=(n, d))
+    mat[17] = mat[5]          # exact duplicate: tie broken by neighbor id
+    ids = np.arange(n, dtype=np.int64) * 7
+    cent = rng.normal(size=(6, d))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([list(map(float, r)) for r in mat],
+                                          pa.list_(pa.float32()))})
+    # float32 storage: serial side must see the same quantized values
+    mat32 = np.stack([np.asarray(r, dtype=np.float32).astype(np.float64)
+                      for r in mat])
+    out = _collect(knn_graph_ivf(rd.from_arrow(tbl), ray.put(cent), k=k))
+    got = {(int(r.vec_id), int(r.neighbor_id), int(r.rank))
+           for r in out.itertuples()}
+    assert got == _knn_serial(ids, mat32, cent, k)
+
+
+def test_knn_graph_recall_on_clusters(ray_session):
+    import ray
+    import ray.data as rd
+
+    from kgx.stages.similarity import ivf_centroids, knn_graph_ivf
+
+    rng = np.random.default_rng(47)
+    n_clu, per, d, k = 8, 25, 16, 5
+    centers = rng.normal(size=(n_clu, d)) * 4
+    pts = np.concatenate(
+        [centers[c] + rng.normal(size=(per, d)) * 0.2 for c in range(n_clu)])
+    ids = np.arange(n_clu * per, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([list(map(float, r)) for r in pts],
+                                          pa.list_(pa.float32()))})
+    cent = ivf_centroids(tbl, n_lists=n_clu)
+    out = _collect(knn_graph_ivf(rd.from_arrow(tbl), ray.put(cent), k=k))
+    got = {(int(r.vec_id), int(r.neighbor_id))
+           for r in out.itertuples()}
+    # brute-force true top-k
+    norm = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    np.fill_diagonal(sims, -np.inf)
+    hits = total = 0
+    for i in range(len(ids)):
+        top = np.argsort(-sims[i], kind="stable")[:k]
+        total += k
+        hits += sum((int(ids[i]), int(ids[j])) in got for j in top)
+    assert hits / total >= 0.6
