@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "rel_custdist",
     "doc_dup_ngrams",
     "emb_knn_graph",
+    "rel_returned_revenue",
 ]
 
 

@@ -2348,3 +2348,215 @@ SELECT CAST(n_orders AS BIGINT) AS n_orders,
        CAST(count(*) AS BIGINT) AS c_count
 FROM c_orders GROUP BY n_orders
 """
+
+
+Q10_K = 20
+
+
+def returned_item_revenue(sf_dir: str, k: int = Q10_K,
+                          broadcast_limit: int = 2_000_000):
+    """Top-``k`` customers by revenue on RETURNED items (l_returnflag='R')
+    with their nation name — the TPC-H-Q10-shaped composition: fact filter
+    -> per-customer rollup -> global top-k with deterministic tie-break ->
+    dimension attach.  Revenue in integer cent-percent (hash-exact).
+
+    Plan shape:
+
+    * custkey resolution is COST-GATED like region_revenue: orders within
+      the broadcast budget ship once as two sorted int64 arrays and each
+      R-filtered lineitem batch folds straight to per-custkey partials
+      (zero extra exchanges); the unbounded route is the orderkey-keyed
+      kind-union exchange;
+    * one custkey-keyed combiner exchange, whose merged partitions emit
+      their LOCAL top-k only — the single-block final merges <= P*k rows,
+      never the customer dimension;
+    * the name/nation attach happens AFTER top-k: the k winning custkeys
+      broadcast (k rows — always safe), the customer scan filters to them
+      and collects <= k rows, nation is a driver-scale dim.  Ranking
+      happens BEFORE the attach on both sides, so a winner with no
+      customer row drops identically in Ray and in the oracle's
+      rank-then-join."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.exchange import (collect_arrow, hash_partitioned_agg,
+                                   hash_partitioned_apply)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag", "l_extendedprice",
+                  "l_discount"])
+
+    def revenue_rows(batch: "pa.Table") -> "pd.DataFrame":
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch["l_orderkey"]),
+                    pc.is_valid(batch["l_extendedprice"])),
+            pc.and_(pc.is_valid(batch["l_discount"]),
+                    pc.equal(batch["l_returnflag"], "R")),
+        )
+        batch = batch.filter(ok)
+        okey = batch["l_orderkey"].to_numpy()
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        dpct = np.floor(
+            batch["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        rev = cents * (100 - dpct)
+        return okey, rev
+
+    if orders.count() <= broadcast_limit:
+        ot = collect_arrow(
+            orders.map_batches(
+                lambda t: t.filter(
+                    pc.and_(pc.is_valid(t["o_orderkey"]),
+                            pc.is_valid(t["o_custkey"]))),
+                batch_format="pyarrow"),
+            pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "o_custkey": pa.array([], pa.int64())}),
+        )
+        okeys = ot["o_orderkey"].to_numpy().astype(np.int64)
+        order_ = np.argsort(okeys, kind="stable")
+        okeys_ref = ray.put(okeys[order_])
+        ocust_ref = ray.put(
+            ot["o_custkey"].to_numpy().astype(np.int64)[order_])
+
+        def cust_partial(batch: "pa.Table") -> "pd.DataFrame":
+            okey, rev = revenue_rows(batch)
+            ks, cs = ray.get(okeys_ref), ray.get(ocust_ref)
+            if len(ks) and len(okey):
+                pos = np.searchsorted(ks, okey).clip(max=len(ks) - 1)
+                m = ks[pos] == okey
+            else:
+                pos = np.zeros(len(okey), dtype=np.int64)
+                m = np.zeros(len(okey), dtype=bool)
+            ck = cs[pos[m]]
+            uk, inv = np.unique(ck, return_inverse=True)
+            s = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(s, inv, rev[m])
+            return pd.DataFrame({"ck": uk.astype("int64"), "revenue_cp": s})
+
+        percust_in = line.map_batches(cust_partial, batch_format="pyarrow")
+    else:  # unbounded: orderkey-keyed kind-union exchange resolves custkey
+        def order_rows(t: "pa.Table") -> "pd.DataFrame":
+            t = t.filter(pc.and_(pc.is_valid(t["o_orderkey"]),
+                                 pc.is_valid(t["o_custkey"])))
+            return pd.DataFrame(
+                {"k": t["o_orderkey"].to_numpy().astype("int64"),
+                 "ck": t["o_custkey"].to_numpy().astype("int64"),
+                 "revenue_cp": np.full(t.num_rows, -1, dtype=np.int64)})
+
+        def line_rows(batch: "pa.Table") -> "pd.DataFrame":
+            okey, rev = revenue_rows(batch)
+            uk, inv = np.unique(okey, return_inverse=True)
+            s = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(s, inv, rev)
+            return pd.DataFrame(
+                {"k": uk.astype("int64"),
+                 "ck": np.full(len(uk), -1, dtype=np.int64),
+                 "revenue_cp": s})
+
+        u = orders.map_batches(order_rows, batch_format="pyarrow").union(
+            line.map_batches(line_rows, batch_format="pyarrow"))
+
+        def attach_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+            keys = d[d["revenue_cp"] < 0]
+            revs = d[d["revenue_cp"] >= 0]
+            m = revs.merge(keys[["k", "ck"]].rename(columns={"ck": "c2"}),
+                           on="k", how="inner")
+            g = m.groupby("c2", sort=False, as_index=False).agg(
+                revenue_cp=("revenue_cp", "sum"))
+            return g.rename(columns={"c2": "ck"}).astype("int64")
+
+        percust_in = hash_partitioned_apply(u, ["k"], attach_kernel,
+                                            int_keys=True)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("ck", sort=False, as_index=False).agg(
+            revenue_cp=("revenue_cp", "sum"))
+
+    # post-exchange each custkey exists exactly once globally, so a local
+    # top-k per block is a sound prune: the final single block merges
+    # <= blocks * k rows, never the customer dimension
+    percust = hash_partitioned_agg(percust_in, ["ck"], combine)
+
+    def local_topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.sort_values(["revenue_cp", "ck"],
+                           ascending=[False, True]).head(k)
+        return d.reset_index(drop=True)
+
+    top = percust.map_batches(local_topk, batch_format="pandas") \
+        .repartition(1).map_batches(local_topk, batch_format="pandas",
+                                    batch_size=None).materialize()
+    tpd = top.to_pandas()
+    tpd = tpd.sort_values(["revenue_cp", "ck"],
+                          ascending=[False, True]).head(k)
+    win_keys = tpd["ck"].to_numpy().astype(np.int64)
+    win_ref = ray.put(np.sort(win_keys))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    def winners_only(t: "pa.Table") -> "pa.Table":
+        t = t.filter(pc.is_valid(t["c_custkey"]))
+        keys = ray.get(win_ref)
+        ck = t["c_custkey"].to_numpy().astype(np.int64)
+        if len(keys):
+            pos = np.searchsorted(keys, ck).clip(max=len(keys) - 1)
+            m = keys[pos] == ck
+        else:
+            m = np.zeros(len(ck), dtype=bool)
+        return t.filter(pa.array(m))
+
+    wt = collect_arrow(
+        cust.map_batches(winners_only, batch_format="pyarrow"),
+        pa.table({"c_custkey": pa.array([], pa.int64()),
+                  "c_name": pa.array([], pa.string()),
+                  "c_nationkey": pa.array([], pa.int64())}),
+    ).to_pandas()
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+
+    out = tpd.copy()
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out = out.merge(wt, left_on="ck", right_on="c_custkey", how="inner")
+    out = out.merge(nation, left_on="c_nationkey", right_on="n_nationkey",
+                    how="inner")
+    res = pd.DataFrame(
+        {"c_custkey": out["c_custkey"].astype("int64"),
+         "c_name": out["c_name"].astype(str),
+         "n_name": out["n_name"].astype(str),
+         "revenue_cp": out["revenue_cp"].astype("int64"),
+         "rank": out["rank"].astype("int64")})
+    import ray.data as rd
+
+    return rd.from_pandas(res)
+
+
+def sql_returned_item_revenue(k: int = Q10_K) -> str:
+    return f"""
+WITH rev AS (
+  SELECT o.o_custkey AS ck,
+         sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+           AS revenue_cp
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R' AND l.l_extendedprice IS NOT NULL
+    AND l.l_discount IS NOT NULL AND o.o_custkey IS NOT NULL
+  GROUP BY o.o_custkey),
+top AS (
+  SELECT ck, revenue_cp,
+         row_number() OVER (ORDER BY revenue_cp DESC, ck) AS r
+  FROM rev)
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name, n.n_name,
+       CAST(top.revenue_cp AS BIGINT) AS revenue_cp,
+       CAST(top.r AS BIGINT) AS "rank"
+FROM top
+JOIN customer c ON c.c_custkey = top.ck
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE top.r <= {k}
+"""

@@ -844,6 +844,16 @@ def rel_late_orders(sf_dir: str):
     return late_order_counts(sf_dir)
 
 
+def rel_returned_revenue(sf_dir: str):
+    """TPC-H-Q10-shaped composition: top-20 customers by returned-item
+    revenue with nation attach — cost-gated custkey resolution, combiner
+    exchange + per-block local top-k prune, dimension attach AFTER the
+    top-k (the k winners broadcast; the customer scan filters to them)."""
+    from .pipelines.relational import returned_item_revenue
+
+    return returned_item_revenue(sf_dir)
+
+
 def emb_knn_graph(sf_dir: str):
     """k-NN graph over the embedding column, restricted to IVF coarse-list
     co-membership (the standard build-lists/search-within-lists scale
@@ -1237,6 +1247,7 @@ def registry() -> dict:
         "rel_custdist": rel_custdist,
         "doc_dup_ngrams": doc_dup_ngrams,
         "emb_knn_graph": emb_knn_graph,
+        "rel_returned_revenue": rel_returned_revenue,
     }
 
 
@@ -1720,6 +1731,12 @@ def _sql_dup_ngrams() -> str:
     return sql_dup_ngram_stats(ts.sql_token_list(_TEXT))
 
 
+def _sql_returned_revenue() -> str:
+    from .pipelines.relational import sql_returned_item_revenue
+
+    return sql_returned_item_revenue()
+
+
 def _sql_knn_graph() -> str:
     from . import sql_oracles as so
     from .stages.similarity import KNN_K, KNN_LISTS
@@ -1843,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_custdist": _sql_custdist(),
         "doc_dup_ngrams": _sql_dup_ngrams(),
         "emb_knn_graph": _sql_knn_graph(),
+        "rel_returned_revenue": _sql_returned_revenue(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

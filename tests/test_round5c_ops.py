@@ -1430,3 +1430,74 @@ def test_knn_graph_recall_on_clusters(ray_session):
         total += k
         hits += sum((int(ids[i]), int(ids[j])) in got for j in top)
     assert hits / total >= 0.6
+
+
+# ---------------------------------------------------------------------------
+# Q10-shaped returned-item revenue top-k
+# ---------------------------------------------------------------------------
+
+
+def _q10_fixture(tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(53)
+    n_cust, n_orders, n_lines, k = 30, 120, 600, 20
+    ckeys = np.arange(n_cust, dtype=np.int64) + 100
+    cust = pa.table(
+        {"c_custkey": pa.array(ckeys),
+         "c_name": [f"Customer#{k}" for k in ckeys],
+         "c_nationkey": pa.array((ckeys % 5).astype(np.int64))})
+    nation = pa.table(
+        {"n_nationkey": pa.array(np.arange(5, dtype=np.int64)),
+         "n_name": [f"NATION_{i}" for i in range(5)]})
+    ock = rng.choice(ckeys, size=n_orders).astype(np.int64)
+    orders = pa.table(
+        {"o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+         "o_custkey": pa.array(ock)})
+    lok = rng.integers(0, n_orders, size=n_lines).astype(np.int64)
+    price = rng.uniform(100, 9000, size=n_lines).round(2)
+    disc = rng.integers(0, 11, size=n_lines) / 100.0
+    flag = rng.choice(["R", "N", "A"], size=n_lines)
+    lines = pa.table(
+        {"l_orderkey": pa.array(lok),
+         "l_returnflag": flag,
+         "l_extendedprice": price, "l_discount": disc})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for name, t in [("customer", cust), ("nation", nation),
+                    ("orders", orders), ("lineitem", lines)]:
+        pq.write_table(t, sf / f"{name}.parquet")
+    # serial expectation
+    from collections import defaultdict
+
+    rev = defaultdict(int)
+    for o, f, p, d in zip(lok, flag, price, disc):
+        if f != "R":
+            continue
+        c = int(np.floor(p * 100 + 0.5))
+        dp = int(np.floor(d * 100 + 0.5))
+        rev[int(ock[o])] += c * (100 - dp)
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    want = {(ck, f"Customer#{ck}", f"NATION_{ck % 5}", rv, r)
+            for r, (ck, rv) in enumerate(ranked, start=1)}
+    return sf, want
+
+
+def test_returned_revenue_matches_serial(ray_session, tmp_path):
+    from kgx.pipelines.relational import returned_item_revenue
+
+    sf, want = _q10_fixture(tmp_path)
+    out = _collect(returned_item_revenue(str(sf)))
+    got = {(int(r.c_custkey), r.c_name, r.n_name, int(r.revenue_cp),
+            int(r.rank)) for r in out.itertuples()}
+    assert got == want and len(want) == 20
+
+
+def test_returned_revenue_both_routes_agree(ray_session, tmp_path):
+    from kgx.pipelines.relational import returned_item_revenue
+
+    sf, want = _q10_fixture(tmp_path)
+    out = _collect(returned_item_revenue(str(sf), broadcast_limit=0))
+    got = {(int(r.c_custkey), r.c_name, r.n_name, int(r.revenue_cp),
+            int(r.rank)) for r in out.itertuples()}
+    assert got == want
