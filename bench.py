@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "doc_dup_ngrams",
     "emb_knn_graph",
     "rel_returned_revenue",
+    "rel_dau",
 ]
 
 

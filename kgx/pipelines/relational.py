@@ -2560,3 +2560,74 @@ JOIN customer c ON c.c_custkey = top.ck
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 WHERE top.r <= {k}
 """
+
+
+def daily_active_users(sf_dir: str):
+    """(day, n_users, n_events): daily active users + event volume — the
+    COUNT(DISTINCT) rollup every usage pipeline needs.  day is integer
+    epoch-days (ts floor-divided as int64 microseconds, matching DuckDB's
+    epoch(date_trunc('day', ts)) // 86400 bit-for-bit).
+
+    Scale shape: per-batch (day, user) dedup WITH counts cuts the shuffle
+    to one row per (batch, day, user); ONE day-keyed partition exchange
+    then finishes distinctness per day in a single lexsort kernel — the
+    partition key grows with calendar time, so width is bounded by
+    per-day volume, and no (day,user)-keyed global exchange is needed."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import hash_partitioned_apply
+
+    US_DAY = np.int64(86_400_000_000)
+
+    def pair_partial(batch: "pa.Table") -> "pa.Table":
+        batch = batch.filter(pc.and_(pc.is_valid(batch["ts"]),
+                                     pc.is_valid(batch["user_id"])))
+        day = batch["ts"].cast(pa.int64()).to_numpy() // US_DAY
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((u, day))
+        d_, u_ = day[order], u[order]
+        new = np.ones(len(order), dtype=bool)
+        new[1:] = (d_[1:] != d_[:-1]) | (u_[1:] != u_[:-1])
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(order))).astype(np.int64)
+        return pa.table({"day": d_[starts], "u": u_[starts], "n": n})
+
+    events = _read(sf_dir, "events", ["ts", "user_id"])
+    pairs = events.map_batches(pair_partial, batch_format="pyarrow")
+
+    def day_kernel(t: "pa.Table") -> "pa.Table":
+        day = t["day"].to_numpy()
+        u = t["u"].to_numpy()
+        n = t["n"].to_numpy()
+        order = np.lexsort((u, day))
+        d_, u_, n_ = day[order], u[order], n[order]
+        new_pair = np.ones(len(order), dtype=bool)
+        new_pair[1:] = (d_[1:] != d_[:-1]) | (u_[1:] != u_[:-1])
+        pd_starts = np.flatnonzero(new_pair)
+        pair_day = d_[pd_starts]
+        pair_n = np.add.reduceat(n_, pd_starts) if len(pd_starts) else \
+            np.array([], dtype=np.int64)
+        new_day = np.ones(len(pair_day), dtype=bool)
+        new_day[1:] = pair_day[1:] != pair_day[:-1]
+        d_starts = np.flatnonzero(new_day)
+        days = pair_day[d_starts]
+        n_users = np.diff(np.append(d_starts, len(pair_day))).astype(np.int64)
+        n_events = np.add.reduceat(pair_n, d_starts) if len(d_starts) else \
+            np.array([], dtype=np.int64)
+        return pa.table({"day": days.astype("int64"), "n_users": n_users,
+                         "n_events": n_events.astype("int64")})
+
+    return hash_partitioned_apply(pairs, ["day"], day_kernel,
+                                  int_keys=True, kernel_format="pyarrow")
+
+
+def sql_daily_active_users() -> str:
+    return """
+SELECT CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1
+"""

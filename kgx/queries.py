@@ -844,6 +844,15 @@ def rel_late_orders(sf_dir: str):
     return late_order_counts(sf_dir)
 
 
+def rel_dau(sf_dir: str):
+    """Daily active users + event volume (COUNT DISTINCT rollup): per-batch
+    (day, user) dedup partials, ONE day-keyed partition exchange with a
+    single lexsort kernel; day = integer epoch-days."""
+    from .pipelines.relational import daily_active_users
+
+    return daily_active_users(sf_dir)
+
+
 def rel_returned_revenue(sf_dir: str):
     """TPC-H-Q10-shaped composition: top-20 customers by returned-item
     revenue with nation attach — cost-gated custkey resolution, combiner
@@ -1248,6 +1257,7 @@ def registry() -> dict:
         "doc_dup_ngrams": doc_dup_ngrams,
         "emb_knn_graph": emb_knn_graph,
         "rel_returned_revenue": rel_returned_revenue,
+        "rel_dau": rel_dau,
     }
 
 
@@ -1731,6 +1741,12 @@ def _sql_dup_ngrams() -> str:
     return sql_dup_ngram_stats(ts.sql_token_list(_TEXT))
 
 
+def _sql_dau() -> str:
+    from .pipelines.relational import sql_daily_active_users
+
+    return sql_daily_active_users()
+
+
 def _sql_returned_revenue() -> str:
     from .pipelines.relational import sql_returned_item_revenue
 
@@ -1861,6 +1877,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_ngrams": _sql_dup_ngrams(),
         "emb_knn_graph": _sql_knn_graph(),
         "rel_returned_revenue": _sql_returned_revenue(),
+        "rel_dau": _sql_dau(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

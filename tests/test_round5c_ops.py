@@ -1501,3 +1501,38 @@ def test_returned_revenue_both_routes_agree(ray_session, tmp_path):
     got = {(int(r.c_custkey), r.c_name, r.n_name, int(r.revenue_cp),
             int(r.rank)) for r in out.itertuples()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# daily active users
+# ---------------------------------------------------------------------------
+
+
+def test_dau_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import daily_active_users
+
+    rng = np.random.default_rng(59)
+    n = 800
+    base = np.datetime64("2024-03-01", "us")
+    ts = base + rng.integers(0, 10 * 86_400_000_000, size=n).astype(
+        "timedelta64[us]")
+    uid = rng.integers(0, 25, size=n).astype(np.int64)
+    tbl = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "ts": pa.array(ts), "user_id": pa.array(uid)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet")
+    out = _collect(daily_active_users(str(sf)))
+    got = {int(r.day): (int(r.n_users), int(r.n_events))
+           for r in out.itertuples()}
+    days = ts.astype("datetime64[D]").astype(np.int64)
+    from collections import defaultdict
+
+    users, events = defaultdict(set), defaultdict(int)
+    for d, u in zip(days, uid):
+        users[int(d)].add(int(u))
+        events[int(d)] += 1
+    want = {d: (len(users[d]), events[d]) for d in users}
+    assert got == want
