@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "emb_knn_graph",
     "rel_returned_revenue",
     "rel_dau",
+    "rel_promo_revenue",
 ]
 
 

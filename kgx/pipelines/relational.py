@@ -2631,3 +2631,192 @@ FROM events
 WHERE ts IS NOT NULL AND user_id IS NOT NULL
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Promo revenue share (TPC-H Q14 shape; reference J7 broadcast lookup +
+# G7 counters composed — src/extractor.py:302-353's gated-scoring idiom
+# generalized to a dimension-flag rollup)
+# ---------------------------------------------------------------------------
+
+Q14_START = "1997-01-01"
+Q14_END = "1998-01-01"
+
+
+def promo_revenue(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """One row (promo_cents, total_cents, promo_permyriad): discounted
+    revenue of lineitems shipped inside the ``[Q14_START, Q14_END)`` window
+    that joined a part row, split by whether that part is a 'PROMO' part —
+    the TPC-H-Q14 promo-revenue share.
+
+    COST-GATED on the part side (the customers_with_orders idiom):
+
+    * Fast path (part within the broadcast budget): the cleaned
+      (p_partkey sorted, is_promo flag) pair ships ONCE as two arrays;
+      every lineitem batch resolves join membership AND the promo flag in
+      one vectorized searchsorted and folds to a SINGLE (promo, total)
+      row — zero partition exchanges, the final sum is one single-block
+      pass over <= n_batches rows.
+    * Unbounded route: lineitem folds to per-(batch, partkey) cent sums,
+      one partkey-keyed kind-discriminated exchange joins those partials
+      against the part flags, each partition emits one (promo, total)
+      row, and the same single-block final sums them.
+
+    Revenue is integer CENTS with the per-row floor division
+    ``cents * (100 - d) // 100`` (int64-safe past 10^10 rows, mirrored
+    bit-for-bit by the DuckDB oracle); the share is an integer permyriad
+    (basis points) so no float crosses the comparison boundary."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.exchange import collect_arrow, hash_partitioned_apply
+
+    t0 = int(np.datetime64(Q14_START, "us").astype(np.int64))
+    t1 = int(np.datetime64(Q14_END, "us").astype(np.int64))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def li_arrays(batch: "pa.Table"):
+        """(partkey, disc_cents) for in-window, null-free rows."""
+        ship = batch["l_shipdate"].cast(pa.int64())
+        mask = pc.and_(
+            pc.and_(pc.is_valid(batch["l_partkey"]),
+                    pc.is_valid(batch["l_extendedprice"])),
+            pc.and_(pc.is_valid(batch["l_discount"]),
+                    pc.and_(pc.greater_equal(ship, t0),
+                            pc.less(ship, t1))),
+        )
+        batch = batch.filter(pc.fill_null(mask, False))
+        k = batch["l_partkey"].to_numpy().astype(np.int64)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        dpct = np.floor(
+            batch["l_discount"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return k, cents * (100 - dpct) // 100
+
+    def part_clean(batch: "pa.Table") -> "pa.Table":
+        batch = batch.filter(pc.is_valid(batch["p_partkey"]))
+        return pa.table({
+            "p_partkey": batch["p_partkey"].cast(pa.int64()),
+            "is_promo": pc.fill_null(
+                pc.equal(batch["p_type"], "PROMO"), False),
+        })
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        p = int(df["promo_cents"].sum()) if len(df) else 0
+        t = int(df["total_cents"].sum()) if len(df) else 0
+        return pd.DataFrame(
+            {"promo_cents": pd.Series([p], dtype="int64"),
+             "total_cents": pd.Series([t], dtype="int64"),
+             "promo_permyriad": pd.Series(
+                 [p * 10_000 // t if t else 0], dtype="int64")})
+
+    if part.count() <= broadcast_limit:
+        pt = collect_arrow(
+            part.map_batches(part_clean, batch_format="pyarrow"),
+            pa.table({"p_partkey": pa.array([], pa.int64()),
+                      "is_promo": pa.array([], pa.bool_())}),
+        )
+        pk = pt["p_partkey"].to_numpy().astype(np.int64)
+        order_ = np.argsort(pk, kind="stable")
+        pk = pk[order_]
+        promo = pt["is_promo"].to_numpy(zero_copy_only=False)[order_]
+        pk_ref, promo_ref = ray.put(pk), ray.put(promo)
+
+        def li_partial(batch: "pa.Table") -> "pa.Table":
+            k, cents = li_arrays(batch)
+            ks, fl = ray.get(pk_ref), ray.get(promo_ref)
+            if len(ks) and len(k):
+                pos = np.searchsorted(ks, k).clip(max=len(ks) - 1)
+                hit = ks[pos] == k
+                total = int(cents[hit].sum())
+                pr = int(cents[hit & fl[pos]].sum())
+            else:
+                total = pr = 0
+            return pa.table({"promo_cents": np.array([pr], dtype=np.int64),
+                             "total_cents": np.array([total],
+                                                     dtype=np.int64)})
+
+        partials = line.map_batches(li_partial, batch_format="pyarrow")
+        return partials.repartition(1).map_batches(
+            final, batch_format="pandas", batch_size=None)
+
+    # unbounded route: per-(batch, partkey) cent sums + part flags meet in
+    # one partkey-keyed kind-discriminated exchange (is_promo: -1 = line
+    # partial, 0/1 = part flag row)
+    def li_rows(batch: "pa.Table") -> "pa.Table":
+        k, cents = li_arrays(batch)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"k": uk.astype("int64"), "cents": s,
+                         "is_promo": np.full(len(uk), -1, dtype=np.int64)})
+
+    def part_rows(batch: "pa.Table") -> "pa.Table":
+        t = part_clean(batch)
+        return pa.table({
+            "k": t["p_partkey"],
+            "cents": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "is_promo": t["is_promo"].cast(pa.int64()),
+        })
+
+    u = line.map_batches(li_rows, batch_format="pyarrow").union(
+        part.map_batches(part_rows, batch_format="pyarrow"))
+
+    def join_kernel(t: "pa.Table") -> "pa.Table":
+        kind = t["is_promo"].to_numpy()
+        k = t["k"].to_numpy().astype(np.int64)
+        cents = t["cents"].to_numpy().astype(np.int64)
+        pmask = kind >= 0
+        pk_ = k[pmask]
+        fl_ = kind[pmask] == 1
+        order_ = np.argsort(pk_, kind="stable")
+        pk_, fl_ = pk_[order_], fl_[order_]
+        lk, lc = k[~pmask], cents[~pmask]
+        if len(pk_) and len(lk):
+            pos = np.searchsorted(pk_, lk).clip(max=len(pk_) - 1)
+            hit = pk_[pos] == lk
+            total = int(lc[hit].sum())
+            pr = int(lc[hit & fl_[pos]].sum())
+        else:
+            total = pr = 0
+        return pa.table({"promo_cents": np.array([pr], dtype=np.int64),
+                         "total_cents": np.array([total], dtype=np.int64)})
+
+    partials = hash_partitioned_apply(u, ["k"], join_kernel,
+                                      int_keys=True,
+                                      kernel_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+def sql_promo_revenue() -> str:
+    c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    d = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH li AS (
+  SELECT l_partkey, {c} * (100 - {d}) // 100 AS cents
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_shipdate IS NOT NULL
+    AND l_shipdate >= TIMESTAMP '{Q14_START}'
+    AND l_shipdate < TIMESTAMP '{Q14_END}'
+), j AS (
+  SELECT li.cents,
+         CASE WHEN p.p_type = 'PROMO' THEN li.cents ELSE 0 END AS pcents
+  FROM li JOIN part p ON p.p_partkey = li.l_partkey
+)
+SELECT CAST(coalesce(sum(pcents), 0) AS BIGINT) AS promo_cents,
+       CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents,
+       CAST(CASE WHEN coalesce(sum(cents), 0) = 0 THEN 0
+            ELSE coalesce(sum(pcents), 0) * 10000 // sum(cents)
+            END AS BIGINT) AS promo_permyriad
+FROM j
+"""

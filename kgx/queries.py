@@ -863,6 +863,16 @@ def rel_returned_revenue(sf_dir: str):
     return returned_item_revenue(sf_dir)
 
 
+def rel_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shaped promo revenue share: windowed lineitem revenue
+    split by a broadcast part flag — cost-gated part side (sorted-key +
+    flag arrays ship once vs a partkey-keyed kind-union exchange), each
+    batch folds to ONE (promo, total) row, integer cents + permyriad."""
+    from .pipelines.relational import promo_revenue
+
+    return promo_revenue(sf_dir)
+
+
 def emb_knn_graph(sf_dir: str):
     """k-NN graph over the embedding column, restricted to IVF coarse-list
     co-membership (the standard build-lists/search-within-lists scale
@@ -1258,6 +1268,7 @@ def registry() -> dict:
         "emb_knn_graph": emb_knn_graph,
         "rel_returned_revenue": rel_returned_revenue,
         "rel_dau": rel_dau,
+        "rel_promo_revenue": rel_promo_revenue,
     }
 
 
@@ -1753,6 +1764,12 @@ def _sql_returned_revenue() -> str:
     return sql_returned_item_revenue()
 
 
+def _sql_promo_revenue() -> str:
+    from .pipelines.relational import sql_promo_revenue
+
+    return sql_promo_revenue()
+
+
 def _sql_knn_graph() -> str:
     from . import sql_oracles as so
     from .stages.similarity import KNN_K, KNN_LISTS
@@ -1878,6 +1895,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_graph": _sql_knn_graph(),
         "rel_returned_revenue": _sql_returned_revenue(),
         "rel_dau": _sql_dau(),
+        "rel_promo_revenue": _sql_promo_revenue(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

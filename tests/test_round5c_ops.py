@@ -1536,3 +1536,92 @@ def test_dau_matches_serial(ray_session, tmp_path):
         events[int(d)] += 1
     want = {d: (len(users[d]), events[d]) for d in users}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Q14-shaped promo revenue share
+# ---------------------------------------------------------------------------
+
+
+def _promo_fixture(tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(61)
+    n_parts, n_lines = 60, 700
+    ptype = rng.choice(["PROMO", "STANDARD", "LARGE"], size=n_parts)
+    parts = pa.table(
+        {"p_partkey": pa.array(np.arange(n_parts, dtype=np.int64)),
+         "p_type": ptype})
+    # partkeys 0..n_parts+9: the last 10 dangle (inner-join drops them)
+    lpk = rng.integers(0, n_parts + 10, size=n_lines).astype(np.int64)
+    ep = np.round(rng.uniform(1.0, 900.0, size=n_lines), 2)
+    disc = np.round(rng.uniform(0.0, 0.1, size=n_lines), 2)
+    base = np.datetime64("1996-06-01", "us")
+    ship = base + rng.integers(0, 900, size=n_lines) * np.timedelta64(
+        86_400_000_000, "us")
+    lines = pa.table(
+        {"l_partkey": pa.array(lpk), "l_extendedprice": pa.array(ep),
+         "l_discount": pa.array(disc), "l_shipdate": pa.array(ship)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(parts, sf / "part.parquet")
+    pq.write_table(lines, sf / "lineitem.parquet")
+    t0 = np.datetime64("1997-01-01", "us")
+    t1 = np.datetime64("1998-01-01", "us")
+    pr = tot = 0
+    for k, e, d, s in zip(lpk, ep, disc, ship):
+        if not (t0 <= s < t1) or k >= n_parts:
+            continue
+        c = int(np.floor(e * 100 + 0.5))
+        dp = int(np.floor(d * 100 + 0.5))
+        cents = c * (100 - dp) // 100
+        tot += cents
+        if ptype[k] == "PROMO":
+            pr += cents
+    return sf, (pr, tot, pr * 10_000 // tot if tot else 0)
+
+
+def test_promo_revenue_matches_serial(ray_session, tmp_path):
+    from kgx.pipelines.relational import promo_revenue
+
+    sf, want = _promo_fixture(tmp_path)
+    out = _collect(promo_revenue(str(sf)))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.promo_cents), int(r.total_cents),
+            int(r.promo_permyriad)) == want
+    assert want[1] > 0 and 0 < want[0] < want[1]
+
+
+def test_promo_revenue_both_routes_agree(ray_session, tmp_path):
+    from kgx.pipelines.relational import promo_revenue
+
+    sf, want = _promo_fixture(tmp_path)
+    out = _collect(promo_revenue(str(sf), broadcast_limit=0))
+    r = out.iloc[0]
+    assert (int(r.promo_cents), int(r.total_cents),
+            int(r.promo_permyriad)) == want
+
+
+def test_promo_revenue_empty_window(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import promo_revenue
+
+    parts = pa.table({"p_partkey": pa.array([0, 1], pa.int64()),
+                      "p_type": pa.array(["PROMO", "LARGE"])})
+    lines = pa.table(
+        {"l_partkey": pa.array([0, 1], pa.int64()),
+         "l_extendedprice": pa.array([10.0, 20.0]),
+         "l_discount": pa.array([0.0, 0.0]),
+         "l_shipdate": pa.array(
+             [np.datetime64("1990-01-01", "us")] * 2)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(parts, sf / "part.parquet")
+    pq.write_table(lines, sf / "lineitem.parquet")
+    out = _collect(promo_revenue(str(sf)))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.promo_cents), int(r.total_cents),
+            int(r.promo_permyriad)) == (0, 0, 0)
