@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "rel_returned_revenue",
     "rel_dau",
     "rel_promo_revenue",
+    "rel_big_orders",
 ]
 
 

@@ -2820,3 +2820,165 @@ SELECT CAST(coalesce(sum(pcents), 0) AS BIGINT) AS promo_cents,
             END AS BIGINT) AS promo_permyriad
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# Large-volume orders (TPC-H Q18 shape; reference O4 argmax/top-1 +
+# J7 broadcast lookup composed — the HAVING-threshold rollup then
+# dimension attach)
+# ---------------------------------------------------------------------------
+
+Q18_QTY = 250
+Q18_K = 100
+
+
+def big_volume_orders(sf_dir: str, qty_threshold: int = Q18_QTY,
+                      k: int = Q18_K):
+    """Top-``k`` orders whose total line quantity exceeds
+    ``qty_threshold``, with custkey / customer name / order day attached —
+    the TPC-H-Q18-shaped composition: per-key rollup -> HAVING filter ->
+    global top-k with deterministic tie-break -> post-top-k dimension
+    attach.
+
+    Plan shape (every stage bounded):
+
+    * one orderkey-keyed Arrow combiner exchange folds lineitem to
+      per-order quantity sums (per-batch ``np.add.at`` partials, so the
+      shuffle moves one row per (batch, orderkey));
+    * the HAVING filter + LOCAL top-k run per merged partition — each
+      orderkey lives in exactly one partition post-exchange, so the
+      single-block final merges <= P*k rows, never the order fact;
+    * ranking happens BEFORE the attach (rank-then-join, the Q10
+      convention), then the k winning orderkeys broadcast and the orders /
+      customer scans filter to them — <= k rows collect, the dimensions
+      never shuffle.
+
+    Quantities floor to int64 units per row; the order date lands as
+    integer epoch DAYS so no timestamp crosses the comparison boundary."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.exchange import collect_arrow, hash_partitioned_agg_arrow
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: "pa.Table") -> "pa.Table":
+        # combiner must accept its own output schema (merge pass)
+        if "total_qty" in batch.column_names:
+            ok = batch["okey"].to_numpy().astype(np.int64)
+            q = batch["total_qty"].to_numpy().astype(np.int64)
+        else:
+            batch = batch.filter(pc.and_(
+                pc.is_valid(batch["l_orderkey"]),
+                pc.is_valid(batch["l_quantity"])))
+            ok = batch["l_orderkey"].to_numpy().astype(np.int64)
+            q = np.floor(batch["l_quantity"].to_numpy() + 0.5) \
+                .astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, q)
+        return pa.table({"okey": uk.astype("int64"), "total_qty": s})
+
+    sums = hash_partitioned_agg_arrow(line, ["okey"], qty_partial)
+
+    def local_top(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df[df["total_qty"] > qty_threshold]
+        d = d.sort_values(["total_qty", "okey"],
+                          ascending=[False, True]).head(k)
+        return d.reset_index(drop=True)
+
+    top = sums.map_batches(local_top, batch_format="pandas") \
+        .repartition(1).map_batches(local_top, batch_format="pandas",
+                                    batch_size=None).materialize()
+    tpd = top.to_pandas().sort_values(
+        ["total_qty", "okey"], ascending=[False, True]).head(k)
+    tpd["rank"] = np.arange(1, len(tpd) + 1, dtype=np.int64)
+
+    win_ref = ray.put(np.sort(tpd["okey"].to_numpy().astype(np.int64)))
+
+    def _member_filter(t: "pa.Table", col: str, ref) -> "pa.Table":
+        t = t.filter(pc.is_valid(t[col]))
+        keys = ray.get(ref)
+        v = t[col].to_numpy().astype(np.int64)
+        if len(keys):
+            pos = np.searchsorted(keys, v).clip(max=len(keys) - 1)
+            m = keys[pos] == v
+        else:
+            m = np.zeros(len(v), dtype=bool)
+        return t.filter(pa.array(m))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def winner_orders(t: "pa.Table") -> "pa.Table":
+        t = t.filter(pc.and_(pc.is_valid(t["o_custkey"]),
+                             pc.is_valid(t["o_orderdate"])))
+        return _member_filter(t, "o_orderkey", win_ref)
+
+    ot = collect_arrow(
+        orders.map_batches(winner_orders, batch_format="pyarrow"),
+        pa.table({"o_orderkey": pa.array([], pa.int64()),
+                  "o_custkey": pa.array([], pa.int64()),
+                  "o_orderdate": pa.array([], pa.timestamp("us"))}),
+    )
+    opd = pd.DataFrame(
+        {"o_orderkey": ot["o_orderkey"].to_numpy().astype(np.int64),
+         "o_custkey": ot["o_custkey"].to_numpy().astype(np.int64),
+         "o_orderdate_day":
+             ot["o_orderdate"].cast(pa.int64()).to_numpy()
+             // 86_400_000_000})
+
+    ck_ref = ray.put(np.sort(np.unique(opd["o_custkey"].to_numpy())))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    wt = collect_arrow(
+        cust.map_batches(lambda t: _member_filter(t, "c_custkey", ck_ref),
+                         batch_format="pyarrow"),
+        pa.table({"c_custkey": pa.array([], pa.int64()),
+                  "c_name": pa.array([], pa.string())}),
+    ).to_pandas()
+
+    out = tpd.merge(opd, left_on="okey", right_on="o_orderkey",
+                    how="inner")
+    out = out.merge(wt, left_on="o_custkey", right_on="c_custkey",
+                    how="inner")
+    res = pd.DataFrame(
+        {"o_orderkey": out["okey"].astype("int64"),
+         "total_qty": out["total_qty"].astype("int64"),
+         "o_custkey": out["o_custkey"].astype("int64"),
+         "c_name": out["c_name"].astype(str),
+         "o_orderdate_day": out["o_orderdate_day"].astype("int64"),
+         "rank": out["rank"].astype("int64")})
+    import ray.data as rd
+
+    return rd.from_pandas(res)
+
+
+def sql_big_volume_orders(qty_threshold: int = Q18_QTY,
+                          k: int = Q18_K) -> str:
+    return f"""
+WITH q AS (
+  SELECT l_orderkey AS okey,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS total_qty
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1
+  HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > {qty_threshold}
+), top AS (
+  SELECT okey, total_qty,
+         row_number() OVER (ORDER BY total_qty DESC, okey) AS r
+  FROM q
+)
+SELECT CAST(t.okey AS BIGINT) AS o_orderkey,
+       CAST(t.total_qty AS BIGINT) AS total_qty,
+       CAST(o.o_custkey AS BIGINT) AS o_custkey,
+       c.c_name,
+       CAST(epoch(o.o_orderdate) // 86400 AS BIGINT) AS o_orderdate_day,
+       CAST(t.r AS BIGINT) AS "rank"
+FROM top t
+JOIN orders o ON o.o_orderkey = t.okey
+  AND o.o_custkey IS NOT NULL AND o.o_orderdate IS NOT NULL
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE t.r <= {k}
+"""

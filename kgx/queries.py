@@ -873,6 +873,16 @@ def rel_promo_revenue(sf_dir: str):
     return promo_revenue(sf_dir)
 
 
+def rel_big_orders(sf_dir: str):
+    """TPC-H-Q18-shaped composition: top-k large-volume orders (HAVING
+    sum(qty) > threshold) with custkey/name/day attach — one orderkey-keyed
+    Arrow combiner exchange, per-partition HAVING + local top-k prune,
+    rank-then-join dimension attach via a k-key broadcast filter."""
+    from .pipelines.relational import big_volume_orders
+
+    return big_volume_orders(sf_dir)
+
+
 def emb_knn_graph(sf_dir: str):
     """k-NN graph over the embedding column, restricted to IVF coarse-list
     co-membership (the standard build-lists/search-within-lists scale
@@ -1269,6 +1279,7 @@ def registry() -> dict:
         "rel_returned_revenue": rel_returned_revenue,
         "rel_dau": rel_dau,
         "rel_promo_revenue": rel_promo_revenue,
+        "rel_big_orders": rel_big_orders,
     }
 
 
@@ -1770,6 +1781,12 @@ def _sql_promo_revenue() -> str:
     return sql_promo_revenue()
 
 
+def _sql_big_orders() -> str:
+    from .pipelines.relational import sql_big_volume_orders
+
+    return sql_big_volume_orders()
+
+
 def _sql_knn_graph() -> str:
     from . import sql_oracles as so
     from .stages.similarity import KNN_K, KNN_LISTS
@@ -1896,6 +1913,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_returned_revenue": _sql_returned_revenue(),
         "rel_dau": _sql_dau(),
         "rel_promo_revenue": _sql_promo_revenue(),
+        "rel_big_orders": _sql_big_orders(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

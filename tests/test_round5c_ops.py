@@ -1625,3 +1625,57 @@ def test_promo_revenue_empty_window(ray_session, tmp_path):
     r = out.iloc[0]
     assert (int(r.promo_cents), int(r.total_cents),
             int(r.promo_permyriad)) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Q18-shaped large-volume orders
+# ---------------------------------------------------------------------------
+
+
+def test_big_volume_orders_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import big_volume_orders
+
+    rng = np.random.default_rng(67)
+    n_orders, n_lines = 120, 1500
+    odate = np.datetime64("1998-05-01", "us") + rng.integers(
+        0, 200, size=n_orders) * np.timedelta64(86_400_000_000, "us")
+    ocust = rng.integers(0, 30, size=n_orders).astype(np.int64)
+    orders = pa.table(
+        {"o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+         "o_custkey": pa.array(ocust), "o_orderdate": pa.array(odate)})
+    cust = pa.table(
+        {"c_custkey": pa.array(np.arange(30, dtype=np.int64)),
+         "c_name": pa.array([f"Customer#{i:09d}" for i in range(30)])})
+    # orderkey n_orders..n_orders+4 dangle (rank-then-join drops them)
+    lok = rng.integers(0, n_orders + 5, size=n_lines).astype(np.int64)
+    qty = rng.integers(1, 51, size=n_lines).astype(np.float64)
+    lines = pa.table({"l_orderkey": pa.array(lok),
+                      "l_quantity": pa.array(qty)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(orders, sf / "orders.parquet")
+    pq.write_table(cust, sf / "customer.parquet")
+    pq.write_table(lines, sf / "lineitem.parquet")
+
+    thr, k = 150, 10
+    sums: dict[int, int] = {}
+    for o, q in zip(lok, qty):
+        sums[int(o)] = sums.get(int(o), 0) + int(np.floor(q + 0.5))
+    qual = sorted(((s, o) for o, s in sums.items() if s > thr),
+                  key=lambda t: (-t[0], t[1]))[:k]
+    want = {}
+    for r, (s, o) in enumerate(qual, start=1):
+        if o >= n_orders:
+            continue  # dangling orderkey drops at the attach
+        day = int(odate[o].astype("datetime64[D]").astype(np.int64))
+        want[o] = (s, int(ocust[o]), f"Customer#{int(ocust[o]):09d}",
+                   day, r)
+    out = _collect(big_volume_orders(str(sf), qty_threshold=thr, k=k))
+    got = {int(r.o_orderkey): (int(r.total_qty), int(r.o_custkey),
+                               str(r.c_name), int(r.o_orderdate_day),
+                               int(r.rank))
+           for r in out.itertuples()}
+    assert got == want
+    assert len(qual) == k  # threshold actually selective in the fixture
