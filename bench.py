@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "rel_dau",
     "rel_promo_revenue",
     "rel_big_orders",
+    "rel_dormant_rich",
 ]
 
 

@@ -2982,3 +2982,195 @@ JOIN orders o ON o.o_orderkey = t.okey
 JOIN customer c ON c.c_custkey = o.o_custkey
 WHERE t.r <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Above-average dormant customers (TPC-H Q22 shape; reference D4 set-diff +
+# G7 counters composed — the global-scalar-subquery then anti-join rollup)
+# ---------------------------------------------------------------------------
+
+
+Q22_CUTOFF = "2001-01-01"
+
+
+def dormant_rich_customers(sf_dir: str, broadcast_limit: int = 2_000_000,
+                           cutoff: str = Q22_CUTOFF):
+    """(c_mktsegment, n_cust, sum_bal_cents): customers whose account
+    balance exceeds the GLOBAL average positive balance and who placed NO
+    order on/after ``cutoff`` (dormant) — the TPC-H-Q22-shaped
+    composition: global scalar subquery -> threshold filter -> anti-join
+    -> rollup.
+
+    Exactness without floats: the average never materializes — the
+    predicate is the cross-multiplied rational ``bal_cents * n > sum_cents``
+    (int64-safe: cents < 2^40 x n < 2^23 at a 10^7-customer scale still
+    fits; past that the partials themselves stay exact and only this
+    compare needs the object-int fallback).  The DuckDB oracle mirrors the
+    same cross-multiply so no float average crosses the boundary.
+
+    Plan shape:
+
+    * pass 1: one single-block fold of per-batch (sum, n) partials over
+      positive balances — a 2-int scalar, broadcast by closure;
+    * pass 2 fast path (orders within the broadcast budget): the distinct
+      order-custkey array is computed DISTRIBUTED (per-batch unique +
+      collect of the compressed keys), broadcast once; each customer batch
+      resolves threshold + anti-membership vectorized and folds to
+      per-segment partials; one segment-keyed combiner exchange finishes.
+    * unbounded route: custkey-keyed kind-union exchange (candidate rows
+      vs order-key rows), per-partition anti-join kernel, same segment
+      combiner."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.exchange import (collect_arrow, hash_partitioned_agg,
+                                   hash_partitioned_apply)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    cut_us = int(np.datetime64(cutoff, "us").astype(np.int64))
+
+    def recent_keys(t: "pa.Table") -> "pa.Table":
+        m = pc.and_(pc.is_valid(t["o_custkey"]),
+                    pc.greater_equal(t["o_orderdate"].cast(pa.int64()),
+                                     cut_us))
+        return pa.table({"o_custkey": pc.unique(pc.cast(
+            t.filter(pc.fill_null(m, False))["o_custkey"], pa.int64()))})
+
+    def bal_cents(batch: "pa.Table"):
+        batch = batch.filter(pc.and_(
+            pc.and_(pc.is_valid(batch["c_custkey"]),
+                    pc.is_valid(batch["c_mktsegment"])),
+            pc.is_valid(batch["c_acctbal"])))
+        b = np.floor(
+            batch["c_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return batch, b
+
+    # pass 1: global (sum, n) over positive balances — a 2-int scalar
+    def stat_partial(batch: "pa.Table") -> "pa.Table":
+        _, b = bal_cents(batch)
+        pos = b[b > 0]
+        return pa.table({"s": np.array([pos.sum()], dtype=np.int64),
+                         "n": np.array([len(pos)], dtype=np.int64)})
+
+    st = collect_arrow(
+        cust.map_batches(stat_partial, batch_format="pyarrow"),
+        pa.table({"s": pa.array([], pa.int64()),
+                  "n": pa.array([], pa.int64())}),
+    )
+    tot_s = int(pc.sum(st["s"]).as_py() or 0)
+    tot_n = int(pc.sum(st["n"]).as_py() or 0)
+
+    def candidates(batch: "pa.Table"):
+        """(custkey, bal, segment) rows passing the rational threshold."""
+        batch, b = bal_cents(batch)
+        m = b * tot_n > tot_s if tot_n else np.zeros(len(b), dtype=bool)
+        batch = batch.filter(pa.array(m))
+        return batch, b[m]
+
+    def seg_fold(seg: np.ndarray, b: np.ndarray) -> "pd.DataFrame":
+        df = pd.DataFrame({"c_mktsegment": seg, "b": b})
+        return df.groupby("c_mktsegment", sort=False, as_index=False).agg(
+            n_cust=("b", "size"), sum_bal_cents=("b", "sum"))
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("c_mktsegment", sort=False, as_index=False).agg(
+            n_cust=("n_cust", "sum"),
+            sum_bal_cents=("sum_bal_cents", "sum"))
+
+    empty_out = pa.table({"c_mktsegment": pa.array([], pa.string()),
+                          "n_cust": pa.array([], pa.int64()),
+                          "sum_bal_cents": pa.array([], pa.int64())})
+
+    def finalize(ds) -> "pd.DataFrame":
+        """Driver collect of the <= |segments| folded rows with a TYPED
+        empty fallback (an all-empty exchange otherwise yields a
+        schema-less dataset — the r5 empty-block trap)."""
+        t = collect_arrow(ds, empty_out).to_pandas()
+        return pd.DataFrame(
+            {"c_mktsegment": t["c_mktsegment"].astype(str),
+             "n_cust": t["n_cust"].astype("int64"),
+             "sum_bal_cents": t["sum_bal_cents"].astype("int64")}) \
+            if len(t) else pd.DataFrame(
+                {"c_mktsegment": pd.Series([], dtype=str),
+                 "n_cust": pd.Series([], dtype="int64"),
+                 "sum_bal_cents": pd.Series([], dtype="int64")})
+
+    if orders.count() <= broadcast_limit:
+        ok = collect_arrow(
+            orders.map_batches(recent_keys, batch_format="pyarrow"),
+            pa.table({"o_custkey": pa.array([], pa.int64())}),
+        )
+        keys_ref = ray.put(
+            np.unique(ok["o_custkey"].to_numpy().astype(np.int64)))
+
+        def cand_partial(batch: "pa.Table") -> "pd.DataFrame":
+            batch, b = candidates(batch)
+            ck = batch["c_custkey"].to_numpy().astype(np.int64)
+            keys = ray.get(keys_ref)
+            if len(keys) and len(ck):
+                pos = np.searchsorted(keys, ck).clip(max=len(keys) - 1)
+                anti = keys[pos] != ck
+            else:
+                anti = np.ones(len(ck), dtype=bool)
+            seg = np.asarray(batch["c_mktsegment"].to_pylist(),
+                             dtype=object)[anti]
+            return seg_fold(seg, b[anti])
+
+        partials = cust.map_batches(cand_partial, batch_format="pyarrow")
+        return finalize(
+            hash_partitioned_agg(partials, ["c_mktsegment"], combine))
+
+    # unbounded route: custkey-keyed kind-union exchange
+    def cand_rows(batch: "pa.Table") -> "pd.DataFrame":
+        batch, b = candidates(batch)
+        return pd.DataFrame(
+            {"k": batch["c_custkey"].to_numpy().astype("int64"),
+             "b": b,
+             "c_mktsegment": batch["c_mktsegment"].to_pylist()})
+
+    def order_rows(t: "pa.Table") -> "pd.DataFrame":
+        k = recent_keys(t)["o_custkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"k": k, "b": np.full(len(k), -1, dtype=np.int64),
+             "c_mktsegment": np.full(len(k), "", dtype=object)})
+
+    u = cust.map_batches(cand_rows, batch_format="pyarrow").union(
+        orders.map_batches(order_rows, batch_format="pyarrow"))
+
+    def anti_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        have = set(d.loc[d["b"] < 0, "k"].to_numpy())
+        c = d[d["b"] >= 0]
+        m = ~c["k"].isin(have)
+        return seg_fold(c.loc[m, "c_mktsegment"].to_numpy(),
+                        c.loc[m, "b"].to_numpy())
+
+    partials = hash_partitioned_apply(u, ["k"], anti_kernel, int_keys=True)
+    return finalize(
+        hash_partitioned_agg(partials, ["c_mktsegment"], combine))
+
+
+def sql_dormant_rich_customers(cutoff: str = Q22_CUTOFF) -> str:
+    b = "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH tot AS (
+  SELECT CAST(sum({b}) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM customer
+  WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
+    AND c_mktsegment IS NOT NULL AND {b} > 0
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum({b}) AS BIGINT) AS sum_bal_cents
+FROM customer c, tot
+WHERE c.c_acctbal IS NOT NULL AND c.c_custkey IS NOT NULL
+  AND c.c_mktsegment IS NOT NULL
+  AND {b} * tot.n > tot.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{cutoff}')
+GROUP BY c.c_mktsegment
+"""

@@ -883,6 +883,16 @@ def rel_big_orders(sf_dir: str):
     return big_volume_orders(sf_dir)
 
 
+def rel_dormant_rich(sf_dir: str):
+    """TPC-H-Q22-shaped composition: global scalar subquery (average
+    positive balance as an exact cross-multiplied rational) -> threshold
+    filter -> anti-join against order custkeys (cost-gated broadcast vs
+    custkey-keyed kind-union exchange) -> per-segment rollup."""
+    from .pipelines.relational import dormant_rich_customers
+
+    return dormant_rich_customers(sf_dir)
+
+
 def emb_knn_graph(sf_dir: str):
     """k-NN graph over the embedding column, restricted to IVF coarse-list
     co-membership (the standard build-lists/search-within-lists scale
@@ -1280,6 +1290,7 @@ def registry() -> dict:
         "rel_dau": rel_dau,
         "rel_promo_revenue": rel_promo_revenue,
         "rel_big_orders": rel_big_orders,
+        "rel_dormant_rich": rel_dormant_rich,
     }
 
 
@@ -1787,6 +1798,12 @@ def _sql_big_orders() -> str:
     return sql_big_volume_orders()
 
 
+def _sql_dormant_rich() -> str:
+    from .pipelines.relational import sql_dormant_rich_customers
+
+    return sql_dormant_rich_customers()
+
+
 def _sql_knn_graph() -> str:
     from . import sql_oracles as so
     from .stages.similarity import KNN_K, KNN_LISTS
@@ -1914,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_dau": _sql_dau(),
         "rel_promo_revenue": _sql_promo_revenue(),
         "rel_big_orders": _sql_big_orders(),
+        "rel_dormant_rich": _sql_dormant_rich(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

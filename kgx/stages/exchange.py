@@ -216,5 +216,8 @@ def collect_arrow(ds, schema: "pa.Table | None" = None):
     if tabs:
         return pa.concat_tables(tabs).combine_chunks()
     if schema is not None:
+        # accept either a pa.Schema or a typed empty pa.Table exemplar
+        if isinstance(schema, pa.Table):
+            return schema.schema.empty_table()
         return schema.empty_table()
     return pa.table({})

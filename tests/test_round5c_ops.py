@@ -1679,3 +1679,85 @@ def test_big_volume_orders_matches_serial(ray_session, tmp_path):
            for r in out.itertuples()}
     assert got == want
     assert len(qual) == k  # threshold actually selective in the fixture
+
+
+# ---------------------------------------------------------------------------
+# Q22-shaped dormant above-average customers
+# ---------------------------------------------------------------------------
+
+
+def _dormant_fixture(tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(71)
+    n_cust, n_orders = 150, 600
+    bal = np.round(rng.uniform(-500.0, 5000.0, size=n_cust), 2)
+    seg = rng.choice(["AUTO", "HOUSE", "MACH"], size=n_cust)
+    cust = pa.table(
+        {"c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+         "c_mktsegment": seg, "c_acctbal": pa.array(bal)})
+    ock = rng.integers(0, n_cust, size=n_orders).astype(np.int64)
+    odate = np.datetime64("2000-01-01", "us") + rng.integers(
+        0, 700, size=n_orders) * np.timedelta64(86_400_000_000, "us")
+    orders = pa.table(
+        {"o_custkey": pa.array(ock), "o_orderdate": pa.array(odate)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(cust, sf / "customer.parquet")
+    pq.write_table(orders, sf / "orders.parquet")
+
+    cut = np.datetime64("2001-01-01", "us")
+    b = np.floor(bal * 100 + 0.5).astype(np.int64)
+    pos = b[b > 0]
+    s, n = int(pos.sum()), len(pos)
+    recent = {int(k) for k, d in zip(ock, odate) if d >= cut}
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for i in range(n_cust):
+        if int(b[i]) * n > s and i not in recent:
+            agg[str(seg[i])][0] += 1
+            agg[str(seg[i])][1] += int(b[i])
+    return sf, {k: tuple(v) for k, v in agg.items()}
+
+
+def test_dormant_rich_matches_serial(ray_session, tmp_path):
+    from kgx.pipelines.relational import dormant_rich_customers
+
+    sf, want = _dormant_fixture(tmp_path)
+    out = dormant_rich_customers(str(sf))
+    got = {r.c_mktsegment: (int(r.n_cust), int(r.sum_bal_cents))
+           for r in out.itertuples()}
+    assert got == want and want
+
+
+def test_dormant_rich_both_routes_agree(ray_session, tmp_path):
+    from kgx.pipelines.relational import dormant_rich_customers
+
+    sf, want = _dormant_fixture(tmp_path)
+    out = dormant_rich_customers(str(sf), broadcast_limit=0)
+    got = {r.c_mktsegment: (int(r.n_cust), int(r.sum_bal_cents))
+           for r in out.itertuples()}
+    assert got == want
+
+
+def test_dormant_rich_empty_result_keeps_schema(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import dormant_rich_customers
+
+    # every customer ordered recently -> empty result, typed columns
+    cust = pa.table({"c_custkey": pa.array([0, 1], pa.int64()),
+                     "c_mktsegment": pa.array(["A", "B"]),
+                     "c_acctbal": pa.array([10.0, 20.0])})
+    orders = pa.table(
+        {"o_custkey": pa.array([0, 1], pa.int64()),
+         "o_orderdate": pa.array(
+             [np.datetime64("2001-06-01", "us")] * 2)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(cust, sf / "customer.parquet")
+    pq.write_table(orders, sf / "orders.parquet")
+    out = dormant_rich_customers(str(sf))
+    assert list(out.columns) == ["c_mktsegment", "n_cust", "sum_bal_cents"]
+    assert len(out) == 0
