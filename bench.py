@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "rel_promo_revenue",
     "rel_big_orders",
     "rel_dormant_rich",
+    "kg_2hop",
 ]
 
 

@@ -883,6 +883,17 @@ def rel_big_orders(sf_dir: str):
     return big_volume_orders(sf_dir)
 
 
+def kg_2hop(sf_dir: str):
+    """Two-hop path counts over the extracted KG: one mid-keyed
+    kind-discriminated exchange (each edge ships twice), vectorized ragged
+    A x B cross-join per intermediate, (subj, obj2)-keyed count combiner.
+    The related-entity expansion query over the triple store."""
+    from .stages.kg_stages import two_hop_paths
+
+    return two_hop_paths(
+        _kg_sql_outputs(sf_dir)["triples"].select_columns(["subj", "obj"]))
+
+
 def rel_dormant_rich(sf_dir: str):
     """TPC-H-Q22-shaped composition: global scalar subquery (average
     positive balance as an exact cross-multiplied rational) -> threshold
@@ -1291,6 +1302,7 @@ def registry() -> dict:
         "rel_promo_revenue": rel_promo_revenue,
         "rel_big_orders": rel_big_orders,
         "rel_dormant_rich": rel_dormant_rich,
+        "kg_2hop": kg_2hop,
     }
 
 
@@ -1920,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_adjacency": so.sql_kg_adjacency(),
         "kg_mentions": so.sql_kg_mentions(),
         "kg_cooccurrence": so.sql_kg_cooccurrence(),
+        "kg_2hop": so.sql_kg_two_hop(),
         "kg_entity_pmi": so.sql_kg_entity_pmi(),
         "text_hash_features": _sql_hash_features(),
         "rel_q1_pricing": _sql_q1_pricing(),

@@ -661,3 +661,28 @@ WITH emb AS (
 SELECT vec_id, neighbor_id, CAST(r AS BIGINT) AS "rank"
 FROM scored WHERE r <= {k}
 """
+
+
+def sql_kg_two_hop() -> str:
+    """2-hop path counts over the distinct (subj, obj) projection of the
+    deduped triples (mirrors kgx.stages.kg_stages.two_hop_paths)."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ns, pred, no
+                               ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), final_t AS (
+  SELECT subj, pred, obj FROM ranked WHERE rr = 1
+), e AS (
+  SELECT DISTINCT subj, obj FROM final_t
+)
+SELECT a.subj AS subj, b.obj AS obj2, CAST(count(*) AS BIGINT) AS n_paths
+FROM e a JOIN e b ON a.obj = b.subj
+GROUP BY a.subj, b.obj
+"""
+    )

@@ -355,3 +355,101 @@ def entity_pmi(mentions, k: int = ENTITY_PMI_K,
                   ascending=[False, True, True], kind="stable").head(k)
     out["rank"] = np2.arange(1, len(out) + 1, dtype=np2.int64)
     return out.reset_index(drop=True)
+
+
+def two_hop_paths(triples, num_partitions: int | None = None):
+    """triples (subj, obj, ...) -> (subj, obj2, n_paths): the number of
+    distinct intermediate entities m with edges subj->m and m->obj2 in the
+    DISTINCT (subj, obj) edge projection of the final triple table — the
+    KG "2-hop neighborhood" query behind related-entity expansion and
+    link prediction features (reference consumes its adjacency the same
+    way when expanding entity context, post_processor semantics).
+
+    Scale shape: ONE mid-keyed kind-discriminated partition exchange —
+    every edge ships twice (once keyed by its head as an IN row, once by
+    its tail as an OUT row), so all paths through an intermediate m meet
+    in exactly one partition; the kernel dedups each side (global dedup
+    is free: all copies of an edge share its key) and emits the ragged
+    A x B cross-join fully vectorized (no per-mid Python); a
+    (subj, obj2)-keyed combiner exchange folds path counts across mids.
+
+    Partitioning assumption: per-mid pair volume is in-degree(m) x
+    out-degree(m) — quadratic on hub entities.  Here the entity
+    vocabulary is KB-bounded; at open-web scale a hub cap (drop or
+    sample mids past a degree bound, as in triangle counting) bounds the
+    worst case."""
+    import numpy as np
+    import pandas as pd
+
+    from .exchange import _default_partitions, hash_partitioned_agg, \
+        hash_partitioned_apply
+
+    P = num_partitions or _default_partitions()
+
+    def in_rows(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.and_(pc.is_valid(t["subj"]),
+                             pc.is_valid(t["obj"])))
+        return pa.table({"mid": t["obj"], "other": t["subj"],
+                         "kind": pa.array(
+                             np.zeros(t.num_rows, dtype=np.int64))})
+
+    def out_rows(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.and_(pc.is_valid(t["subj"]),
+                             pc.is_valid(t["obj"])))
+        return pa.table({"mid": t["subj"], "other": t["obj"],
+                         "kind": pa.array(
+                             np.ones(t.num_rows, dtype=np.int64))})
+
+    edges = triples.map_batches(in_rows, batch_format="pyarrow").union(
+        triples.map_batches(out_rows, batch_format="pyarrow"))
+
+    def path_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.drop_duplicates(["mid", "other", "kind"])
+        a = d[d["kind"] == 0].sort_values("mid", kind="stable")
+        b = d[d["kind"] == 1].sort_values("mid", kind="stable")
+        if not len(a) or not len(b):
+            return pd.DataFrame({"subj": pd.Series([], dtype=object),
+                                 "obj2": pd.Series([], dtype=object),
+                                 "n_paths": pd.Series([], dtype="int64")})
+        amid = a["mid"].to_numpy()
+        asubj = a["other"].to_numpy()
+        bmid = b["mid"].to_numpy()
+        bobj = b["other"].to_numpy()
+        # group bounds of the sorted B side
+        bstart = np.flatnonzero(
+            np.r_[True, bmid[1:] != bmid[:-1]]).astype(np.int64)
+        bmids = bmid[bstart]
+        bcount = np.diff(np.append(bstart, len(bmid))).astype(np.int64)
+        # per-A-row B group (0 pairs when the mid has no outgoing edges)
+        pos = np.searchsorted(bmids, amid).clip(max=max(len(bmids) - 1, 0))
+        hit = (bmids[pos] == amid) if len(bmids) else \
+            np.zeros(len(amid), dtype=bool)
+        nb = np.where(hit, bcount[pos], 0)
+        total = int(nb.sum())
+        if not total:
+            return pd.DataFrame({"subj": pd.Series([], dtype=object),
+                                 "obj2": pd.Series([], dtype=object),
+                                 "n_paths": pd.Series([], dtype="int64")})
+        li = np.repeat(np.arange(len(amid)), nb)
+        cum0 = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        ri = (np.arange(total) - np.repeat(cum0, nb)
+              + np.repeat(bstart[pos], nb))
+        out = pd.DataFrame({"subj": asubj[li], "obj2": bobj[ri]})
+        out["n_paths"] = np.int64(1)
+        return out.groupby(["subj", "obj2"], sort=False,
+                           as_index=False).agg(n_paths=("n_paths", "sum"))
+
+    pairs = hash_partitioned_apply(edges, ["mid"], path_kernel, P,
+                                   arrow_tag=True)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["subj", "obj2"], sort=False,
+                          as_index=False).agg(n_paths=("n_paths", "sum"))
+
+    return hash_partitioned_agg(pairs, ["subj", "obj2"], combine, P)

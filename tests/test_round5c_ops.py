@@ -1761,3 +1761,35 @@ def test_dormant_rich_empty_result_keeps_schema(ray_session, tmp_path):
     out = dormant_rich_customers(str(sf))
     assert list(out.columns) == ["c_mktsegment", "n_cust", "sum_bal_cents"]
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# KG two-hop path counts
+# ---------------------------------------------------------------------------
+
+
+def test_two_hop_paths_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kg_stages import two_hop_paths
+
+    rng = np.random.default_rng(73)
+    nodes = [f"e{i}" for i in range(12)]
+    n_edges = 120
+    subj = rng.choice(nodes, size=n_edges)
+    obj = rng.choice(nodes, size=n_edges)
+    tbl = pa.table({"subj": pa.array(subj), "obj": pa.array(obj)})
+    out = _collect(two_hop_paths(rd.from_arrow(tbl)))
+    got = {(r.subj, r.obj2): int(r.n_paths) for r in out.itertuples()}
+
+    edges = sorted({(s, o) for s, o in zip(subj, obj)})
+    from collections import Counter, defaultdict
+
+    outs = defaultdict(list)
+    for s, o in edges:
+        outs[s].append(o)
+    want = Counter()
+    for s, m in edges:
+        for o2 in outs[m]:
+            want[(s, o2)] += 1
+    assert got == dict(want) and len(want) > 50
