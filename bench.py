@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "rel_big_orders",
     "rel_dormant_rich",
     "kg_2hop",
+    "doc_length_filter",
 ]
 
 

@@ -894,6 +894,16 @@ def kg_2hop(sf_dir: str):
         _kg_sql_outputs(sf_dir)["triples"].select_columns(["subj", "obj"]))
 
 
+def doc_length_filter(sf_dir: str):
+    """Exact global-percentile length cut (keep the top decile by
+    n_chars): a value-keyed count-histogram exchange yields the exact
+    ceil-rank cutoff, the scalar broadcasts, and the pruned scan filters
+    vectorized — the corpus-dependent quality-cut primitive."""
+    from .stages.corpus import length_percentile_filter
+
+    return length_percentile_filter(sf_dir)
+
+
 def rel_dormant_rich(sf_dir: str):
     """TPC-H-Q22-shaped composition: global scalar subquery (average
     positive balance as an exact cross-multiplied rational) -> threshold
@@ -1303,6 +1313,7 @@ def registry() -> dict:
         "rel_big_orders": rel_big_orders,
         "rel_dormant_rich": rel_dormant_rich,
         "kg_2hop": kg_2hop,
+        "doc_length_filter": doc_length_filter,
     }
 
 
@@ -1816,6 +1827,12 @@ def _sql_dormant_rich() -> str:
     return sql_dormant_rich_customers()
 
 
+def _sql_doc_length_filter() -> str:
+    from .stages.corpus import sql_length_percentile_filter
+
+    return sql_length_percentile_filter()
+
+
 def _sql_knn_graph() -> str:
     from . import sql_oracles as so
     from .stages.similarity import KNN_K, KNN_LISTS
@@ -1945,6 +1962,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_promo_revenue": _sql_promo_revenue(),
         "rel_big_orders": _sql_big_orders(),
         "rel_dormant_rich": _sql_dormant_rich(),
+        "doc_length_filter": _sql_doc_length_filter(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -1846,3 +1846,94 @@ SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
 FROM g JOIN c USING (fp)
 GROUP BY g.doc_id
 """
+
+
+LENGTH_FILTER_P = 90
+
+
+def length_percentile_filter(sf_dir: str, p: int = LENGTH_FILTER_P):
+    """documents -> (doc_id, n_chars) rows at or above the EXACT global
+    p-th percentile of document length — the corpus-level quality-cut
+    primitive ("keep the longest decile") that a fixed per-doc threshold
+    cannot express because the cutoff depends on the whole corpus.
+
+    Two bounded passes, no global sort:
+
+    * pass 1: a value-keyed count histogram exchange over ``n_chars``
+      (exchange volume = distinct lengths per batch — document lengths
+      cluster, and a coarser ``bin_w`` swaps in unchanged if the distinct
+      inventory ever grows); the single-block cumulative scan yields the
+      exact ceil-rank cutoff value (= the ascending order statistic at
+      rank ceil(N*p/100), reproduced verbatim by the oracle's
+      row_number);
+    * pass 2: the scalar cutoff broadcasts by closure and the pruned
+      (doc_id, n_chars) scan filters vectorized.
+    """
+    from pathlib import Path
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .exchange import collect_arrow, hash_partitioned_agg
+
+    path = str(Path(sf_dir) / "documents.parquet")
+    stats = rd.read_parquet(path, columns=["n_chars"])
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        v = batch["n_chars"].drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vals, cnt = np.unique(v, return_counts=True)
+        return pd.DataFrame({"v": vals, "cnt": cnt.astype(np.int64)})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("v", sort=False, as_index=False).agg(
+            cnt=("cnt", "sum"))
+
+    hist = collect_arrow(
+        hash_partitioned_agg(
+            stats.map_batches(partial, batch_format="pyarrow"),
+            ["v"], combine),
+        pa.table({"v": pa.array([], pa.int64()),
+                  "cnt": pa.array([], pa.int64())}),
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+
+    docs = rd.read_parquet(path, columns=["doc_id", "n_chars"])
+    if not len(hist):
+        return docs.map_batches(
+            lambda t: pa.table({"doc_id": pa.array([], pa.int64()),
+                                "n_chars": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    cum = hist["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+    target = (n * p + 99) // 100  # ceil(N*p/100)
+    cutoff = int(hist["v"].iloc[
+        int(np.searchsorted(cum, target, side="left"))])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["n_chars"]),
+                    pc.greater_equal(t["n_chars"], cutoff))
+        t = t.filter(pc.fill_null(m, False))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "n_chars": t["n_chars"].cast(pa.int64())})
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def sql_length_percentile_filter(p: int = LENGTH_FILTER_P) -> str:
+    return f"""
+WITH v AS (
+  SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL
+), r AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars) AS rn,
+         count(*) OVER () AS n
+  FROM v
+), cut AS (
+  SELECT n_chars AS c FROM r WHERE rn = (n * {p} + 99) // 100
+)
+SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+       CAST(v.n_chars AS BIGINT) AS n_chars
+FROM v, cut
+WHERE v.n_chars >= cut.c
+"""

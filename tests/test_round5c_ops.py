@@ -1793,3 +1793,33 @@ def test_two_hop_paths_bruteforce(ray_session):
         for o2 in outs[m]:
             want[(s, o2)] += 1
     assert got == dict(want) and len(want) > 50
+
+
+# ---------------------------------------------------------------------------
+# Exact global-percentile length filter
+# ---------------------------------------------------------------------------
+
+
+def test_length_percentile_filter_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.stages.corpus import length_percentile_filter
+
+    rng = np.random.default_rng(79)
+    n = 400
+    # heavy ties around the cutoff region
+    lens = rng.integers(10, 60, size=n).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "n_chars": pa.array(lens)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "documents.parquet")
+
+    p = 90
+    s = np.sort(lens)
+    cutoff = int(s[(n * p + 99) // 100 - 1])  # ascending ceil-rank value
+    want = {(int(i), int(l)) for i, l in enumerate(lens) if l >= cutoff}
+    out = _collect(length_percentile_filter(str(sf), p=p))
+    got = {(int(r.doc_id), int(r.n_chars)) for r in out.itertuples()}
+    assert got == want
+    assert n // 20 < len(want) < n // 5  # ties make it > exactly 10%
