@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "rel_dormant_rich",
     "kg_2hop",
     "doc_length_filter",
+    "text_search",
 ]
 
 

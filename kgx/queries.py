@@ -894,6 +894,21 @@ def kg_2hop(sf_dir: str):
         _kg_sql_outputs(sf_dir)["triples"].select_columns(["subj", "obj"]))
 
 
+def text_search(sf_dir: str):
+    """Keyword retrieval (the query-side dual of the inverted index):
+    top-10 docs by additive integer tf-idf for a fixed term set — one
+    term-keyed df exchange (<= |terms| rows collected), broadcast idf
+    vector, per-block local top-k prune, single-block rank."""
+    import pyarrow.parquet as pq
+
+    from .stages.corpus import keyword_search
+
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")
+    ).metadata.num_rows
+    return keyword_search(_docs_ds(sf_dir), n_docs)
+
+
 def doc_length_filter(sf_dir: str):
     """Exact global-percentile length cut (keep the top decile by
     n_chars): a value-keyed count-histogram exchange yields the exact
@@ -1314,6 +1329,7 @@ def registry() -> dict:
         "rel_dormant_rich": rel_dormant_rich,
         "kg_2hop": kg_2hop,
         "doc_length_filter": doc_length_filter,
+        "text_search": text_search,
     }
 
 
@@ -1833,6 +1849,12 @@ def _sql_doc_length_filter() -> str:
     return sql_length_percentile_filter()
 
 
+def _sql_text_search() -> str:
+    from .stages.corpus import sql_keyword_search
+
+    return sql_keyword_search(ts.sql_token_list(_TEXT))
+
+
 def _sql_knn_graph() -> str:
     from . import sql_oracles as so
     from .stages.similarity import KNN_K, KNN_LISTS
@@ -1963,6 +1985,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_big_orders": _sql_big_orders(),
         "rel_dormant_rich": _sql_dormant_rich(),
         "doc_length_filter": _sql_doc_length_filter(),
+        "text_search": _sql_text_search(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -1937,3 +1937,120 @@ SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
 FROM v, cut
 WHERE v.n_chars >= cut.c
 """
+
+
+SEARCH_TERMS = ("hash", "join", "filter", "scan")
+SEARCH_K = 10
+
+
+def keyword_search(docs_ds, n_docs: int,
+                   terms: tuple[str, ...] = SEARCH_TERMS,
+                   k: int = SEARCH_K):
+    """documents -> the ``k`` best (doc_id, score, rank) for a fixed query
+    term set under additive tf-idf — the retrieval-side dual of the
+    inverted-index build: score(d) = sum over query terms t of
+    tf(d,t) * ((n_docs * IDF_SCALE) // df(t)), integer fixed-point
+    throughout (the tfidf_topk convention) so the oracle is bit-exact.
+
+    Scale shape (the query side never builds a vocabulary):
+
+    * pass 1 (df): per-batch DISTINCT (doc, term) hits for the |terms|
+      query terms only — a doc lives in one batch, so per-batch distinct
+      is global — folded by one term-keyed combiner exchange to <= |terms|
+      rows, collected as the broadcast idf table;
+    * pass 2 (score): one tokenization scan emits per-doc query-term
+      counts, scores them against the closure-broadcast idf vector, and
+      keeps only score > 0 rows; because each doc_id is globally unique,
+      a per-block local top-k under (score DESC, doc_id) is a sound prune
+      and the single-block final ranks <= blocks * k rows."""
+    import pandas as pd
+
+    from ..functions.text import tokenize
+    from .exchange import collect_arrow, hash_partitioned_agg
+
+    qset = {t: i for i, t in enumerate(terms)}
+
+    def term_counts(batch: pa.Table):
+        """(doc_id row-aligned, |rows| x |terms| count matrix)."""
+        dids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        cnt = np.zeros((len(dids), len(terms)), dtype=np.int64)
+        for r, text in enumerate(texts):
+            for t in tokenize(text or ""):
+                j = qset.get(t)
+                if j is not None:
+                    cnt[r, j] += 1
+        return np.asarray(dids, dtype=np.int64), cnt
+
+    def df_partial(batch: pa.Table) -> "pd.DataFrame":
+        _, cnt = term_counts(batch)
+        return pd.DataFrame({"term": list(terms),
+                             "df": (cnt > 0).sum(axis=0).astype(np.int64)})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("term", sort=False, as_index=False).agg(
+            df=("df", "sum"))
+
+    df_tab = collect_arrow(
+        hash_partitioned_agg(
+            docs_ds.map_batches(df_partial, batch_format="pyarrow"),
+            ["term"], combine),
+        pa.table({"term": pa.array([], pa.string()),
+                  "df": pa.array([], pa.int64())}),
+    ).to_pandas()
+    dfv = dict(zip(df_tab["term"], df_tab["df"]))
+    idf = np.array(
+        [(n_docs * IDF_SCALE) // dfv[t] if dfv.get(t) else 0
+         for t in terms], dtype=np.int64)
+
+    def score_rows(batch: pa.Table) -> "pd.DataFrame":
+        dids, cnt = term_counts(batch)
+        score = cnt @ idf
+        m = score > 0
+        d = pd.DataFrame({"doc_id": dids[m], "score": score[m]})
+        return d.sort_values(["score", "doc_id"],
+                             ascending=[False, True]).head(k)
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.sort_values(["score", "doc_id"],
+                           ascending=[False, True]).head(k)
+        d = d.reset_index(drop=True)
+        d["rank"] = np.arange(1, len(d) + 1, dtype=np.int64)
+        return d.astype({"doc_id": "int64", "score": "int64"})
+
+    return docs_ds.map_batches(score_rows, batch_format="pyarrow") \
+        .repartition(1).map_batches(final, batch_format="pandas",
+                                    batch_size=None)
+
+
+def sql_keyword_search(sql_token_list: str,
+                       terms: tuple[str, ...] = SEARCH_TERMS,
+                       k: int = SEARCH_K) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH q(term) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, unnest({sql_token_list}) AS token FROM documents
+), hit AS (
+  SELECT tok.doc_id, tok.token FROM tok JOIN q ON tok.token = q.term
+), df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM hit GROUP BY 1
+), n AS (SELECT count(*) AS n FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM hit GROUP BY 1, 2
+), s AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf * ((n.n * {IDF_SCALE}) // df.df)) AS BIGINT)
+           AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+  GROUP BY tf.doc_id
+), r AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM s WHERE score > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
+       CAST(rnk AS BIGINT) AS "rank"
+FROM r WHERE rnk <= {k}
+"""

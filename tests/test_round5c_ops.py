@@ -1823,3 +1823,52 @@ def test_length_percentile_filter_matches_serial(ray_session, tmp_path):
     got = {(int(r.doc_id), int(r.n_chars)) for r in out.itertuples()}
     assert got == want
     assert n // 20 < len(want) < n // 5  # ties make it > exactly 10%
+
+
+# ---------------------------------------------------------------------------
+# keyword search (query-side tf-idf)
+# ---------------------------------------------------------------------------
+
+
+def test_keyword_search_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.functions.text import tokenize
+    from kgx.stages.corpus import IDF_SCALE, keyword_search
+
+    rng = np.random.default_rng(83)
+    vocab = ["hash", "join", "filter", "scan", "table", "row", "col"]
+    n = 120
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 40)))
+             for _ in range(n)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "documents.parquet")
+
+    terms, k = ("hash", "join"), 7
+    from collections import Counter
+
+    dfv = Counter()
+    tfs = []
+    for t in texts:
+        c = Counter(tok for tok in tokenize(t) if tok in terms)
+        tfs.append(c)
+        for term in set(c):
+            dfv[term] += 1
+    idf = {t: (n * IDF_SCALE) // dfv[t] if dfv[t] else 0 for t in terms}
+    scores = [(i, sum(c[t] * idf[t] for t in terms))
+              for i, c in enumerate(tfs)]
+    ranked = sorted([s for s in scores if s[1] > 0],
+                    key=lambda x: (-x[1], x[0]))[:k]
+    want = [(i, s, r) for r, (i, s) in enumerate(ranked, start=1)]
+
+    import ray.data as rd
+
+    out = _collect(keyword_search(
+        rd.read_parquet(str(sf / "documents.parquet")), n,
+        terms=terms, k=k))
+    got = [(int(r.doc_id), int(r.score), int(r.rank))
+           for r in out.sort_values("rank").itertuples()]
+    assert got == want and len(want) == k
