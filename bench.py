@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "kg_2hop",
     "doc_length_filter",
     "text_search",
+    "rel_value_share",
 ]
 
 

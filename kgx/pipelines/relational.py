@@ -3174,3 +3174,175 @@ WHERE c.c_acctbal IS NOT NULL AND c.c_custkey IS NOT NULL
                     AND o.o_orderdate >= TIMESTAMP '{cutoff}')
 GROUP BY c.c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Part-type value share (TPC-H Q11 shape; reference G3 keyword-argmax's
+# share-threshold cousin — groupby with a HAVING against the GLOBAL total)
+# ---------------------------------------------------------------------------
+
+Q11_NUM = 1
+Q11_DEN = 6
+
+
+def part_value_share(sf_dir: str, broadcast_limit: int = 2_000_000,
+                     num: int = Q11_NUM, den: int = Q11_DEN):
+    """(p_type, value_cents, share_permyriad): lineitem extended-price
+    value rolled up per part type, keeping only types whose share of the
+    GLOBAL total exceeds ``num/den`` — the TPC-H-Q11-shaped rollup whose
+    HAVING references a scalar over ALL groups.
+
+    The share test is the exact cross-multiplied rational
+    ``value * den > total * num`` (no float division anywhere; the
+    reported share is integer permyriad, both SQL-mirrored).
+
+    COST-GATED on the part side (the promo_revenue idiom):
+
+    * fast path: (sorted partkey, type-code) arrays broadcast once; each
+      lineitem batch resolves type membership in one searchsorted +
+      bincount and folds to <= |types| rows; one code-keyed combiner
+      exchange, then a driver-scale finalize (<= |types| rows) applies
+      the global-total HAVING;
+    * unbounded route: partkey-keyed kind-union exchange joins per-batch
+      partials against part rows, per-partition per-type sums, same
+      type-keyed combiner + finalize."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.exchange import (collect_arrow, hash_partitioned_agg,
+                                   hash_partitioned_apply)
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def li_arrays(batch: "pa.Table"):
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch["l_partkey"]),
+            pc.is_valid(batch["l_extendedprice"])))
+        k = batch["l_partkey"].to_numpy().astype(np.int64)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return k, cents
+
+    def part_clean(batch: "pa.Table") -> "pa.Table":
+        batch = batch.filter(pc.and_(pc.is_valid(batch["p_partkey"]),
+                                     pc.is_valid(batch["p_type"])))
+        return batch.select(["p_partkey", "p_type"])
+
+    def finalize(rows: "pd.DataFrame") -> "pd.DataFrame":
+        g = rows.groupby("p_type", sort=False, as_index=False).agg(
+            value_cents=("value_cents", "sum"))
+        tot = int(g["value_cents"].sum())
+        if tot:
+            g = g[g["value_cents"] * den > tot * num]
+            share = g["value_cents"].to_numpy() * 10_000 // tot
+        else:
+            g = g.iloc[:0]
+            share = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {"p_type": g["p_type"].astype(str),
+             "value_cents": g["value_cents"].astype("int64"),
+             "share_permyriad": share.astype("int64")}) \
+            .reset_index(drop=True)
+
+    empty_rows = pa.table({"p_type": pa.array([], pa.string()),
+                           "value_cents": pa.array([], pa.int64())})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("p_type", sort=False, as_index=False).agg(
+            value_cents=("value_cents", "sum"))
+
+    if part.count() <= broadcast_limit:
+        pt = collect_arrow(
+            part.map_batches(part_clean, batch_format="pyarrow"),
+            pa.table({"p_partkey": pa.array([], pa.int64()),
+                      "p_type": pa.array([], pa.string())}),
+        )
+        pk = pt["p_partkey"].to_numpy().astype(np.int64)
+        order_ = np.argsort(pk, kind="stable")
+        pk = pk[order_]
+        codes, type_uniq = pd.factorize(
+            pd.Series(pt["p_type"].to_pandas()).to_numpy()[order_])
+        ntypes = len(type_uniq)
+        pk_ref = ray.put(pk)
+        code_ref = ray.put(codes.astype(np.int64))
+
+        def li_partial(batch: "pa.Table") -> "pd.DataFrame":
+            k, cents = li_arrays(batch)
+            ks, cs = ray.get(pk_ref), ray.get(code_ref)
+            if len(ks) and len(k):
+                pos = np.searchsorted(ks, k).clip(max=len(ks) - 1)
+                hit = ks[pos] == k
+                sums = np.zeros(ntypes, dtype=np.int64)
+                np.add.at(sums, cs[pos[hit]], cents[hit])
+            else:
+                sums = np.zeros(ntypes, dtype=np.int64)
+            nz = np.flatnonzero(sums)
+            return pd.DataFrame(
+                {"p_type": [str(type_uniq[c]) for c in nz],
+                 "value_cents": sums[nz].astype(np.int64)})
+
+        rows = collect_arrow(
+            hash_partitioned_agg(
+                line.map_batches(li_partial, batch_format="pyarrow"),
+                ["p_type"], combine),
+            empty_rows,
+        ).to_pandas()
+        return finalize(rows)
+
+    # unbounded route: partkey-keyed kind-union exchange
+    def li_rows(batch: "pa.Table") -> "pd.DataFrame":
+        k, cents = li_arrays(batch)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pd.DataFrame(
+            {"k": uk.astype("int64"), "cents": s,
+             "p_type": np.full(len(uk), None, dtype=object)})
+
+    def part_rows(batch: "pa.Table") -> "pd.DataFrame":
+        t = part_clean(batch)
+        return pd.DataFrame(
+            {"k": t["p_partkey"].to_numpy().astype("int64"),
+             "cents": np.full(t.num_rows, -1, dtype=np.int64),
+             "p_type": t["p_type"].to_pylist()})
+
+    u = line.map_batches(li_rows, batch_format="pyarrow").union(
+        part.map_batches(part_rows, batch_format="pyarrow"))
+
+    def join_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        dims = d[d["cents"] < 0]
+        facts = d[d["cents"] >= 0]
+        m = facts.merge(dims[["k", "p_type"]].rename(
+            columns={"p_type": "t2"}), on="k", how="inner")
+        g = m.groupby("t2", sort=False, as_index=False).agg(
+            value_cents=("cents", "sum"))
+        return g.rename(columns={"t2": "p_type"})
+
+    partials = hash_partitioned_apply(u, ["k"], join_kernel, int_keys=True)
+    rows = collect_arrow(
+        hash_partitioned_agg(partials, ["p_type"], combine),
+        empty_rows,
+    ).to_pandas()
+    return finalize(rows)
+
+
+def sql_part_value_share(num: int = Q11_NUM, den: int = Q11_DEN) -> str:
+    c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH j AS (
+  SELECT p.p_type, {c} AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_partkey IS NOT NULL AND l.l_extendedprice IS NOT NULL
+    AND p.p_type IS NOT NULL
+), g AS (
+  SELECT p_type, CAST(sum(cents) AS BIGINT) AS value_cents FROM j GROUP BY 1
+), t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tot FROM g)
+SELECT g.p_type, g.value_cents,
+       CAST(g.value_cents * 10000 // t.tot AS BIGINT) AS share_permyriad
+FROM g, t
+WHERE g.value_cents * {den} > t.tot * {num}
+"""

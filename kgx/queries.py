@@ -894,6 +894,16 @@ def kg_2hop(sf_dir: str):
         _kg_sql_outputs(sf_dir)["triples"].select_columns(["subj", "obj"]))
 
 
+def rel_value_share(sf_dir: str):
+    """TPC-H-Q11-shaped rollup whose HAVING references the global total:
+    per-type lineitem value with an exact cross-multiplied share test —
+    cost-gated part side, per-batch bincount partials, one type-keyed
+    combiner exchange, driver-scale finalize (<= |types| rows)."""
+    from .pipelines.relational import part_value_share
+
+    return part_value_share(sf_dir)
+
+
 def text_search(sf_dir: str):
     """Keyword retrieval (the query-side dual of the inverted index):
     top-10 docs by additive integer tf-idf for a fixed term set — one
@@ -1330,6 +1340,7 @@ def registry() -> dict:
         "kg_2hop": kg_2hop,
         "doc_length_filter": doc_length_filter,
         "text_search": text_search,
+        "rel_value_share": rel_value_share,
     }
 
 
@@ -1855,6 +1866,12 @@ def _sql_text_search() -> str:
     return sql_keyword_search(ts.sql_token_list(_TEXT))
 
 
+def _sql_value_share() -> str:
+    from .pipelines.relational import sql_part_value_share
+
+    return sql_part_value_share()
+
+
 def _sql_knn_graph() -> str:
     from . import sql_oracles as so
     from .stages.similarity import KNN_K, KNN_LISTS
@@ -1986,6 +2003,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_dormant_rich": _sql_dormant_rich(),
         "doc_length_filter": _sql_doc_length_filter(),
         "text_search": _sql_text_search(),
+        "rel_value_share": _sql_value_share(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -1872,3 +1872,61 @@ def test_keyword_search_matches_serial(ray_session, tmp_path):
     got = [(int(r.doc_id), int(r.score), int(r.rank))
            for r in out.sort_values("rank").itertuples()]
     assert got == want and len(want) == k
+
+
+# ---------------------------------------------------------------------------
+# Q11-shaped part-type value share
+# ---------------------------------------------------------------------------
+
+
+def _value_share_fixture(tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(89)
+    n_parts, n_lines = 40, 900
+    ptype = rng.choice(["A", "B", "C", "D"], size=n_parts,
+                       p=[0.55, 0.25, 0.15, 0.05])
+    parts = pa.table(
+        {"p_partkey": pa.array(np.arange(n_parts, dtype=np.int64)),
+         "p_type": ptype})
+    lpk = rng.integers(0, n_parts + 5, size=n_lines).astype(np.int64)
+    ep = np.round(rng.uniform(1.0, 400.0, size=n_lines), 2)
+    lines = pa.table({"l_partkey": pa.array(lpk),
+                      "l_extendedprice": pa.array(ep)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(parts, sf / "part.parquet")
+    pq.write_table(lines, sf / "lineitem.parquet")
+
+    from collections import defaultdict
+
+    sums = defaultdict(int)
+    for k, e in zip(lpk, ep):
+        if k < n_parts:
+            sums[str(ptype[k])] += int(np.floor(e * 100 + 0.5))
+    tot = sum(sums.values())
+    num, den = 1, 5
+    want = {t: (v, v * 10_000 // tot) for t, v in sums.items()
+            if v * den > tot * num}
+    return sf, want, (num, den)
+
+
+def test_value_share_matches_serial(ray_session, tmp_path):
+    from kgx.pipelines.relational import part_value_share
+
+    sf, want, (num, den) = _value_share_fixture(tmp_path)
+    out = part_value_share(str(sf), num=num, den=den)
+    got = {r.p_type: (int(r.value_cents), int(r.share_permyriad))
+           for r in out.itertuples()}
+    assert got == want
+    assert 0 < len(want) < 4  # the HAVING actually filters
+
+
+def test_value_share_both_routes_agree(ray_session, tmp_path):
+    from kgx.pipelines.relational import part_value_share
+
+    sf, want, (num, den) = _value_share_fixture(tmp_path)
+    out = part_value_share(str(sf), broadcast_limit=0, num=num, den=den)
+    got = {r.p_type: (int(r.value_cents), int(r.share_permyriad))
+           for r in out.itertuples()}
+    assert got == want
