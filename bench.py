@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "doc_length_filter",
     "text_search",
     "rel_value_share",
+    "emb_cluster_purity",
 ]
 
 

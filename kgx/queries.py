@@ -894,6 +894,21 @@ def kg_2hop(sf_dir: str):
         _kg_sql_outputs(sf_dir)["triples"].select_columns(["subj", "obj"]))
 
 
+def emb_cluster_purity(sf_dir: str):
+    """Cluster x ground-truth-label contingency table over the shared
+    deterministic Lloyd fit — the external clustering-evaluation input;
+    one extra streaming pass (packed-key np.unique per batch), pair-keyed
+    combiner exchange."""
+    import ray.data as rd
+
+    from .stages.kmeans import kmeans_purity
+
+    ds = rd.read_parquet(
+        str(Path(sf_dir) / "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"])
+    return kmeans_purity(ds)
+
+
 def rel_value_share(sf_dir: str):
     """TPC-H-Q11-shaped rollup whose HAVING references the global total:
     per-type lineitem value with an exact cross-multiplied share test —
@@ -1341,6 +1356,7 @@ def registry() -> dict:
         "doc_length_filter": doc_length_filter,
         "text_search": text_search,
         "rel_value_share": rel_value_share,
+        "emb_cluster_purity": emb_cluster_purity,
     }
 
 
@@ -1872,6 +1888,12 @@ def _sql_value_share() -> str:
     return sql_part_value_share()
 
 
+def _sql_cluster_purity() -> str:
+    from .stages.kmeans import sql_kmeans_purity
+
+    return sql_kmeans_purity()
+
+
 def _sql_knn_graph() -> str:
     from . import sql_oracles as so
     from .stages.similarity import KNN_K, KNN_LISTS
@@ -2004,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_filter": _sql_doc_length_filter(),
         "text_search": _sql_text_search(),
         "rel_value_share": _sql_value_share(),
+        "emb_cluster_purity": _sql_cluster_purity(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

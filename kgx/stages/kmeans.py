@@ -610,3 +610,70 @@ def pca_project(emb_ds, k: int = PCA_COMPONENTS):
         return pa.table(cols, schema=out_schema)
 
     return emb_ds.map_batches(project, batch_format="pyarrow")
+
+
+def kmeans_purity(emb_ds, k: int = KM_K, iters: int = KM_ITERS):
+    """embeddings (vec_id, embedding, label) -> (cluster, label, n_vecs):
+    the cluster x ground-truth-label contingency table over the SAME
+    deterministic Lloyd fit as kmeans_labels — the standard external
+    clustering-evaluation input (purity / NMI / homogeneity are
+    driver-side scalars over its <= k x |labels| rows).
+
+    One extra streaming pass after the fit: per batch, argmin assignment
+    + one np.unique over packed (cluster, label) keys, so the exchange
+    moves <= k x |labels| rows per batch; a pair-keyed combiner folds.
+    Null labels drop at ingest (mirrored in the oracle's WHERE)."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg
+
+    emb_ds, cents = _fit(emb_ds, k, iters)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # both validity filters up front so lab stays row-aligned with the
+        # ids/q that quantized_matrix would otherwise re-filter internally
+        batch = batch.filter(pc.and_(pc.is_valid(batch["label"]),
+                                     pc.is_valid(batch["embedding"])))
+        ids, q = quantized_matrix(batch)
+        if not len(ids):
+            return pa.table(
+                {"cluster": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int64()),
+                 "n_vecs": pa.array([], pa.int64())})
+        lab = batch["label"].to_numpy().astype(np.int64)
+        best = _argmin_cluster(q, cents).astype(np.int64)
+        # pack (cluster, label) into one int64 key for a single np.unique
+        lab_u, lab_inv = np.unique(lab, return_inverse=True)
+        packed = best * len(lab_u) + lab_inv
+        keys, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {"cluster": pa.array(keys // len(lab_u) + 1),
+             "label": pa.array(lab_u[keys % len(lab_u)]),
+             "n_vecs": pa.array(cnt.astype(np.int64))})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["cluster", "label"], sort=False,
+                          as_index=False).agg(n_vecs=("n_vecs", "sum"))
+
+    return hash_partitioned_agg(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["cluster", "label"], combine,
+    )
+
+
+def sql_kmeans_purity(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    parts, prev = _sql_lloyd_prefix(k, iters)
+    final = (
+        "SELECT CAST(cluster AS BIGINT) AS cluster, "
+        "CAST(label AS BIGINT) AS label, "
+        "CAST(count(*) AS BIGINT) AS n_vecs FROM ("
+        f"SELECT q.vec_id, {prev}.cluster, row_number() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {_SQL_DIST.format(c=prev)} ASC, "
+        f"{prev}.cluster ASC) AS rn FROM q CROSS JOIN {prev}) a "
+        "JOIN embeddings e ON e.vec_id = a.vec_id "
+        "WHERE a.rn = 1 AND e.label IS NOT NULL "
+        "GROUP BY cluster, label"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final

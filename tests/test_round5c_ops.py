@@ -1930,3 +1930,44 @@ def test_value_share_both_routes_agree(ray_session, tmp_path):
     got = {r.p_type: (int(r.value_cents), int(r.share_permyriad))
            for r in out.itertuples()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# cluster x label contingency (purity input)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_purity_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kgx.stages.kmeans import (KM_ITERS, KM_K, _argmin_cluster, _fit,
+                                   kmeans_purity, quantized_matrix)
+
+    rng = np.random.default_rng(97)
+    n, d = 300, 8
+    emb = rng.normal(0, 1, size=(n, d)).astype(np.float32)
+    lab = rng.integers(0, 4, size=n).astype(np.int32)
+    tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array(list(emb),
+                                          pa.list_(pa.float32())),
+                    "label": pa.array(lab)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "embeddings.parquet")
+
+    ds = rd.read_parquet(str(sf / "embeddings.parquet"))
+    out = _collect(kmeans_purity(ds))
+    got = {(int(r.cluster), int(r.label)): int(r.n_vecs)
+           for r in out.itertuples()}
+
+    # serial replica over the same fit
+    ds2 = rd.read_parquet(str(sf / "embeddings.parquet"))
+    pinned, cents = _fit(ds2, KM_K, KM_ITERS)
+    ids, q = quantized_matrix(tbl)
+    best = _argmin_cluster(q, cents) + 1
+    from collections import Counter
+
+    want = Counter((int(c), int(l)) for c, l in zip(best, lab))
+    assert got == dict(want)
+    assert sum(got.values()) == n and len(got) > KM_K
