@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "text_search",
     "rel_value_share",
     "emb_cluster_purity",
+    "mm_frame_sample",
 ]
 
 

@@ -894,6 +894,16 @@ def kg_2hop(sf_dir: str):
         _kg_sql_outputs(sf_dir)["triples"].select_columns(["subj", "obj"]))
 
 
+def mm_frame_sample(sf_dir: str):
+    """Every-Nth-frame extraction (the video-sampling 1 -> N explode):
+    actor-pool stage splits each payload body into 64-byte frames and
+    emits every 4th as its own row — one repeat-gather + bincount per
+    batch, small batch_size for the explode."""
+    from .stages.multimodal import frame_samples
+
+    return frame_samples(_docs_ds(sf_dir))
+
+
 def emb_cluster_purity(sf_dir: str):
     """Cluster x ground-truth-label contingency table over the shared
     deterministic Lloyd fit — the external clustering-evaluation input;
@@ -1357,6 +1367,7 @@ def registry() -> dict:
         "text_search": text_search,
         "rel_value_share": rel_value_share,
         "emb_cluster_purity": emb_cluster_purity,
+        "mm_frame_sample": mm_frame_sample,
     }
 
 
@@ -1894,6 +1905,12 @@ def _sql_cluster_purity() -> str:
     return sql_kmeans_purity()
 
 
+def _sql_frame_sample() -> str:
+    from .stages.multimodal import sql_frame_samples
+
+    return sql_frame_samples(_TEXT)
+
+
 def _sql_knn_graph() -> str:
     from . import sql_oracles as so
     from .stages.similarity import KNN_K, KNN_LISTS
@@ -2027,6 +2044,7 @@ def oracle_sql() -> dict[str, str]:
         "text_search": _sql_text_search(),
         "rel_value_share": _sql_value_share(),
         "emb_cluster_purity": _sql_cluster_purity(),
+        "mm_frame_sample": _sql_frame_sample(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -341,3 +341,105 @@ def sql_resolution_histogram(sql_text: str) -> str:
         f"CAST(sum(octet_length(encode({sql_text}))) AS BIGINT) AS sum_bytes "
         "FROM documents GROUP BY 1, 2"
     )
+
+
+FRAME_BYTES = 64
+FRAME_EVERY = 4
+
+
+class FrameSampleStage:
+    """Actor-pool every-Nth-frame extraction over binary payloads — the
+    video-style 1 -> N EXPLODE: each payload's body splits into
+    ``frame_bytes`` frames and every ``every``-th frame becomes its own
+    output row (doc_id, frame_idx, frame_len, frame_sum), ready for a
+    downstream per-frame stage (embedding, OCR, dedup).
+
+    The checksum stands in for the decoded frame tensor exactly like
+    ThumbnailStage's sample_sum; the real codec swap-in point remains
+    ``decode_image_real``.  Fully vectorized: one repeat-gather builds the
+    (frame, byte) index space for the whole batch, ``np.bincount`` folds
+    per-frame sums — no per-row or per-frame Python.
+
+    Output volume is body_bytes / (frame_bytes * every) rows per payload —
+    an explode, so batch_size stays small (wide rows in, many rows out)."""
+
+    def __init__(self, frame_bytes: int = FRAME_BYTES,
+                 every: int = FRAME_EVERY):
+        self.frame_bytes = frame_bytes
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        F, E = self.frame_bytes, self.every
+        valid, width, height, body_len, offsets, data = _parse_headers(
+            batch["payload"]
+        )
+        ids = batch["doc_id"].to_numpy()[valid]
+        blen = body_len[valid]
+        starts = (offsets[:-1] + HEADER.size)[valid]
+        n_frames = (blen + F - 1) // F
+        n_samp = (n_frames + E - 1) // E  # frames 0, E, 2E, ...
+        total_f = int(n_samp.sum())
+        if not total_f:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "frame_idx": pa.array([], pa.int64()),
+                 "frame_len": pa.array([], pa.int64()),
+                 "frame_sum": pa.array([], pa.int64())})
+        row = np.repeat(np.arange(len(ids)), n_samp)
+        cum0 = np.concatenate(([0], np.cumsum(n_samp)[:-1]))
+        fidx = (np.arange(total_f) - np.repeat(cum0, n_samp)) * E
+        flen = np.minimum(F, blen[row] - fidx * F)
+        fstart = starts[row] + fidx * F
+        total_b = int(flen.sum())
+        rowb = np.repeat(np.arange(total_f), flen)
+        cumb = np.concatenate(([0], np.cumsum(flen)[:-1]))
+        within = np.arange(total_b) - np.repeat(cumb, flen)
+        vals = data[np.repeat(fstart, flen) + within]
+        sums = np.bincount(rowb, weights=vals,
+                           minlength=total_f).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids[row], type=pa.int64()),
+             "frame_idx": pa.array(fidx.astype(np.int64)),
+             "frame_len": pa.array(flen.astype(np.int64)),
+             "frame_sum": pa.array(sums)})
+
+
+def frame_samples(docs_ds):
+    """documents -> sampled per-frame rows via the actor-pool explode."""
+    payloads = docs_ds.map_batches(attach_payload_batch,
+                                   batch_format="pyarrow")
+    return payloads.map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, _pool_size()),
+    )
+
+
+def sql_frame_samples(sql_text: str, frame_bytes: int = FRAME_BYTES,
+                      every: int = FRAME_EVERY) -> str:
+    """ASCII corpus: byte k of the body == char k+1 of the text (the
+    mm_thumbnail oracle convention)."""
+    return f"""
+WITH d AS (SELECT doc_id, {sql_text} AS t FROM documents),
+f AS (
+  SELECT doc_id, t,
+         unnest(generate_series(
+           0, CAST((length(t) + {frame_bytes - 1}) // {frame_bytes}
+                   AS BIGINT) - 1, {every})) AS fi
+  FROM d WHERE length(t) > 0
+), b AS (
+  SELECT doc_id, fi,
+         substr(t, CAST(fi * {frame_bytes} + 1 AS INT), {frame_bytes})
+           AS chunk
+  FROM f
+), c AS (
+  SELECT doc_id, fi, chunk,
+         unnest(generate_series(1, length(chunk))) AS p
+  FROM b
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(fi AS BIGINT) AS frame_idx,
+       CAST(length(any_value(chunk)) AS BIGINT) AS frame_len,
+       CAST(sum(ord(substr(chunk, CAST(p AS INT), 1))) AS BIGINT)
+         AS frame_sum
+FROM c GROUP BY doc_id, fi
+"""

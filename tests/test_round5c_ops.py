@@ -1971,3 +1971,35 @@ def test_kmeans_purity_matches_serial(ray_session, tmp_path):
     want = Counter((int(c), int(l)) for c, l in zip(best, lab))
     assert got == dict(want)
     assert sum(got.values()) == n and len(got) > KM_K
+
+
+# ---------------------------------------------------------------------------
+# every-Nth-frame explode
+# ---------------------------------------------------------------------------
+
+
+def test_frame_sample_matches_scalar(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.multimodal import (FRAME_BYTES, FRAME_EVERY,
+                                       FrameSampleStage,
+                                       attach_payload_batch)
+
+    rng = np.random.default_rng(101)
+    texts = ["".join(chr(rng.integers(32, 127)) for _ in
+                     range(rng.integers(0, 300))) for _ in range(40)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    out = FrameSampleStage()(attach_payload_batch(tbl)).to_pandas()
+    got = {(int(r.doc_id), int(r.frame_idx)):
+           (int(r.frame_len), int(r.frame_sum))
+           for r in out.itertuples()}
+
+    want = {}
+    for i, t in enumerate(texts):
+        body = t.encode()
+        n_frames = (len(body) + FRAME_BYTES - 1) // FRAME_BYTES
+        for fi in range(0, n_frames, FRAME_EVERY):
+            chunk = body[fi * FRAME_BYTES:(fi + 1) * FRAME_BYTES]
+            want[(i, fi)] = (len(chunk), sum(chunk))
+    assert got == want and len(want) > 40
