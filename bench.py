@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "rel_value_share",
     "emb_cluster_purity",
     "mm_frame_sample",
+    "rel_supplier_types",
 ]
 
 

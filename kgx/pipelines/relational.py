@@ -3346,3 +3346,173 @@ SELECT g.p_type, g.value_cents,
 FROM g, t
 WHERE g.value_cents * {den} > t.tot * {num}
 """
+
+
+# ---------------------------------------------------------------------------
+# Distinct suppliers per part type (TPC-H Q16 shape; reference G4/D3
+# exact-distinct composed THROUGH a join — count(DISTINCT) over a
+# resolved dimension attribute)
+# ---------------------------------------------------------------------------
+
+
+def supplier_type_counts(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """(p_type, n_suppliers): how many DISTINCT suppliers ship parts of
+    each type, via the lineitem bridge — the TPC-H-Q16-shaped
+    count(DISTINCT) through a join.
+
+    Distinctness is resolved WITHOUT a global sort: per-batch local
+    (type, suppkey) dedup (a lexsort over two int arrays), then ONE
+    suppkey-keyed partition exchange — every copy of a (type, suppkey)
+    pair shares its suppkey, so per-partition dedup IS global dedup —
+    whose kernel folds straight to <= |types| count rows per partition;
+    a type-keyed combiner finishes.  Exchange volume is distinct pairs
+    per batch, never lineitem rows.
+
+    Part resolution is COST-GATED as in part_value_share: broadcast
+    (sorted partkey, type-code) arrays vs the partkey-keyed kind-union
+    exchange feeding the same distinct machinery."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.exchange import (collect_arrow, hash_partitioned_agg,
+                                   hash_partitioned_apply)
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def part_clean(batch: "pa.Table") -> "pa.Table":
+        batch = batch.filter(pc.and_(pc.is_valid(batch["p_partkey"]),
+                                     pc.is_valid(batch["p_type"])))
+        return batch.select(["p_partkey", "p_type"])
+
+    def dedup_pairs(code: np.ndarray, supp: np.ndarray):
+        if not len(code):
+            return code, supp
+        order = np.lexsort((supp, code))
+        c, s = code[order], supp[order]
+        keep = np.r_[True, (c[1:] != c[:-1]) | (s[1:] != s[:-1])]
+        return c[keep], s[keep]
+
+    def count_kernel_factory(type_of_code):
+        """per-partition: global dedup + fold to (p_type, n) rows."""
+
+        def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+            c, s = dedup_pairs(df["code"].to_numpy(np.int64),
+                               df["supp"].to_numpy(np.int64))
+            if not len(c):
+                return pd.DataFrame(
+                    {"p_type": pd.Series([], dtype=object),
+                     "n_suppliers": pd.Series([], dtype="int64")})
+            uc, cnt = np.unique(c, return_counts=True)
+            return pd.DataFrame(
+                {"p_type": [type_of_code(x) for x in uc],
+                 "n_suppliers": cnt.astype(np.int64)})
+
+        return kernel
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("p_type", sort=False, as_index=False).agg(
+            n_suppliers=("n_suppliers", "sum"))
+
+    empty_rows = pa.table({"p_type": pa.array([], pa.string()),
+                           "n_suppliers": pa.array([], pa.int64())})
+
+    def finalize(ds) -> "pd.DataFrame":
+        t = collect_arrow(ds, empty_rows).to_pandas()
+        return pd.DataFrame(
+            {"p_type": t["p_type"].astype(str),
+             "n_suppliers": t["n_suppliers"].astype("int64")}) \
+            .reset_index(drop=True)
+
+    if part.count() <= broadcast_limit:
+        pt = collect_arrow(
+            part.map_batches(part_clean, batch_format="pyarrow"),
+            pa.table({"p_partkey": pa.array([], pa.int64()),
+                      "p_type": pa.array([], pa.string())}),
+        )
+        pk = pt["p_partkey"].to_numpy().astype(np.int64)
+        order_ = np.argsort(pk, kind="stable")
+        pk = pk[order_]
+        codes, type_uniq = pd.factorize(
+            pd.Series(pt["p_type"].to_pandas()).to_numpy()[order_])
+        pk_ref = ray.put(pk)
+        code_ref = ray.put(codes.astype(np.int64))
+
+        def li_pairs(batch: "pa.Table") -> "pa.Table":
+            batch = batch.filter(pc.and_(
+                pc.is_valid(batch["l_partkey"]),
+                pc.is_valid(batch["l_suppkey"])))
+            k = batch["l_partkey"].to_numpy().astype(np.int64)
+            s = batch["l_suppkey"].to_numpy().astype(np.int64)
+            ks, cs = ray.get(pk_ref), ray.get(code_ref)
+            if len(ks) and len(k):
+                pos = np.searchsorted(ks, k).clip(max=len(ks) - 1)
+                hit = ks[pos] == k
+                c, s2 = dedup_pairs(cs[pos[hit]], s[hit])
+            else:
+                c = s2 = np.array([], dtype=np.int64)
+            return pa.table({"code": c, "supp": s2})
+
+        partials = hash_partitioned_apply(
+            line.map_batches(li_pairs, batch_format="pyarrow"),
+            ["supp"],
+            count_kernel_factory(lambda x: str(type_uniq[x])),
+            int_keys=True,
+        )
+        return finalize(
+            hash_partitioned_agg(partials, ["p_type"], combine))
+
+    # unbounded route: resolve p_type via a partkey-keyed kind-union
+    # exchange, then the same suppkey-keyed distinct machinery
+    def li_rows(batch: "pa.Table") -> "pd.DataFrame":
+        batch = batch.filter(pc.and_(pc.is_valid(batch["l_partkey"]),
+                                     pc.is_valid(batch["l_suppkey"])))
+        d = pd.DataFrame(
+            {"k": batch["l_partkey"].to_numpy().astype("int64"),
+             "supp": batch["l_suppkey"].to_numpy().astype("int64")}) \
+            .drop_duplicates()
+        d["p_type"] = None
+        return d
+
+    def part_rows(batch: "pa.Table") -> "pd.DataFrame":
+        t = part_clean(batch)
+        return pd.DataFrame(
+            {"k": t["p_partkey"].to_numpy().astype("int64"),
+             "supp": np.full(t.num_rows, -1, dtype=np.int64),
+             "p_type": t["p_type"].to_pylist()})
+
+    u = line.map_batches(li_rows, batch_format="pyarrow").union(
+        part.map_batches(part_rows, batch_format="pyarrow"))
+
+    def attach_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        dims = d[d["supp"] < 0]
+        facts = d[d["supp"] >= 0].drop_duplicates(["k", "supp"])
+        m = facts.merge(dims[["k", "p_type"]].rename(
+            columns={"p_type": "t2"}), on="k", how="inner")
+        return m[["t2", "supp"]].rename(columns={"t2": "p_type"}) \
+            .drop_duplicates()
+
+    typed = hash_partitioned_apply(u, ["k"], attach_kernel, int_keys=True)
+
+    def distinct_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        d = d.drop_duplicates(["p_type", "supp"])
+        g = d.groupby("p_type", sort=False, as_index=False).agg(
+            n_suppliers=("supp", "size"))
+        return g.astype({"n_suppliers": "int64"})
+
+    partials = hash_partitioned_apply(typed, ["supp"], distinct_kernel,
+                                      int_keys=True)
+    return finalize(hash_partitioned_agg(partials, ["p_type"], combine))
+
+
+def sql_supplier_type_counts() -> str:
+    return """
+SELECT p.p_type,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_partkey IS NOT NULL AND l.l_suppkey IS NOT NULL
+  AND p.p_type IS NOT NULL
+GROUP BY p.p_type
+"""

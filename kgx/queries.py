@@ -894,6 +894,16 @@ def kg_2hop(sf_dir: str):
         _kg_sql_outputs(sf_dir)["triples"].select_columns(["subj", "obj"]))
 
 
+def rel_supplier_types(sf_dir: str):
+    """TPC-H-Q16-shaped count(DISTINCT) through a join: distinct suppliers
+    per part type via the lineitem bridge — cost-gated part resolution,
+    per-batch lexsort pair dedup, one suppkey-keyed exchange where
+    per-partition dedup IS global dedup, type-keyed combiner."""
+    from .pipelines.relational import supplier_type_counts
+
+    return supplier_type_counts(sf_dir)
+
+
 def mm_frame_sample(sf_dir: str):
     """Every-Nth-frame extraction (the video-sampling 1 -> N explode):
     actor-pool stage splits each payload body into 64-byte frames and
@@ -1368,6 +1378,7 @@ def registry() -> dict:
         "rel_value_share": rel_value_share,
         "emb_cluster_purity": emb_cluster_purity,
         "mm_frame_sample": mm_frame_sample,
+        "rel_supplier_types": rel_supplier_types,
     }
 
 
@@ -1911,6 +1922,12 @@ def _sql_frame_sample() -> str:
     return sql_frame_samples(_TEXT)
 
 
+def _sql_supplier_types() -> str:
+    from .pipelines.relational import sql_supplier_type_counts
+
+    return sql_supplier_type_counts()
+
+
 def _sql_knn_graph() -> str:
     from . import sql_oracles as so
     from .stages.similarity import KNN_K, KNN_LISTS
@@ -2045,6 +2062,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_value_share": _sql_value_share(),
         "emb_cluster_purity": _sql_cluster_purity(),
         "mm_frame_sample": _sql_frame_sample(),
+        "rel_supplier_types": _sql_supplier_types(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

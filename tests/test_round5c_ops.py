@@ -2003,3 +2003,52 @@ def test_frame_sample_matches_scalar(ray_session):
             chunk = body[fi * FRAME_BYTES:(fi + 1) * FRAME_BYTES]
             want[(i, fi)] = (len(chunk), sum(chunk))
     assert got == want and len(want) > 40
+
+
+# ---------------------------------------------------------------------------
+# Q16-shaped distinct suppliers per part type
+# ---------------------------------------------------------------------------
+
+
+def _supplier_types_fixture(tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(103)
+    n_parts, n_lines = 30, 800
+    ptype = rng.choice(["A", "B", "C"], size=n_parts)
+    parts = pa.table(
+        {"p_partkey": pa.array(np.arange(n_parts, dtype=np.int64)),
+         "p_type": ptype})
+    lpk = rng.integers(0, n_parts + 4, size=n_lines).astype(np.int64)
+    sup = rng.integers(0, 25, size=n_lines).astype(np.int64)
+    lines = pa.table({"l_partkey": pa.array(lpk),
+                      "l_suppkey": pa.array(sup)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(parts, sf / "part.parquet")
+    pq.write_table(lines, sf / "lineitem.parquet")
+    from collections import defaultdict
+
+    pairs = defaultdict(set)
+    for k, s in zip(lpk, sup):
+        if k < n_parts:
+            pairs[str(ptype[k])].add(int(s))
+    return sf, {t: len(v) for t, v in pairs.items()}
+
+
+def test_supplier_types_matches_serial(ray_session, tmp_path):
+    from kgx.pipelines.relational import supplier_type_counts
+
+    sf, want = _supplier_types_fixture(tmp_path)
+    out = supplier_type_counts(str(sf))
+    got = {r.p_type: int(r.n_suppliers) for r in out.itertuples()}
+    assert got == want and want
+
+
+def test_supplier_types_both_routes_agree(ray_session, tmp_path):
+    from kgx.pipelines.relational import supplier_type_counts
+
+    sf, want = _supplier_types_fixture(tmp_path)
+    out = supplier_type_counts(str(sf), broadcast_limit=0)
+    got = {r.p_type: int(r.n_suppliers) for r in out.itertuples()}
+    assert got == want
