@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "emb_cluster_purity",
     "mm_frame_sample",
     "rel_supplier_types",
+    "rel_cohorts",
 ]
 
 

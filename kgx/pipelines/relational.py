@@ -3516,3 +3516,99 @@ WHERE l.l_partkey IS NOT NULL AND l.l_suppkey IS NOT NULL
   AND p.p_type IS NOT NULL
 GROUP BY p.p_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (reference G1 run-length grouping + G7 counters
+# composed — the week-0-anchored activity triangle every growth dashboard
+# computes)
+# ---------------------------------------------------------------------------
+
+
+def cohort_matrix(sf_dir: str):
+    """(cohort_week, weeks_since, n_users): for every signup cohort (a
+    user's first active epoch-week), how many of its users were active
+    again ``weeks_since`` weeks later — the classic cohort retention
+    triangle (weeks_since = 0 row is the cohort size).
+
+    ONE user-keyed partition exchange does all the holistic work: the
+    per-batch partial dedups (user, week) pairs (so exchange volume is
+    active user-weeks, not events), and the partition kernel — a single
+    lexsort + group-bounds pass, no per-user Python — finds each user's
+    min week (the cohort anchor is EXACT because every row of a user
+    co-locates) and emits one (cohort, delta) row per distinct active
+    week; a (cohort, delta)-keyed count combiner folds users.  Weeks are
+    integer ``epoch_days // 7``, mirrored bit-for-bit in the oracle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import hash_partitioned_agg, \
+        hash_partitioned_apply
+
+    events = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(batch: "pa.Table") -> "pa.Table":
+        batch = batch.filter(pc.and_(pc.is_valid(batch["user_id"]),
+                                     pc.is_valid(batch["ts"])))
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        wk = (batch["ts"].cast(pa.int64()).to_numpy()
+              // 86_400_000_000) // 7
+        order = np.lexsort((wk, u))
+        u, wk = u[order], wk[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (wk[1:] != wk[:-1])]
+        return pa.table({"user_id": u[keep], "wk": wk[keep]})
+
+    def cohort_kernel(t: "pa.Table") -> "pa.Table":
+        u = t["user_id"].to_numpy().astype(np.int64)
+        wk = t["wk"].to_numpy().astype(np.int64)
+        order = np.lexsort((wk, u))
+        u, wk = u[order], wk[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (wk[1:] != wk[:-1])]
+        u, wk = u[keep], wk[keep]
+        if not len(u):
+            return pa.table({"cohort_week": pa.array([], pa.int64()),
+                             "weeks_since": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.append(starts, len(u)))
+        cohort = np.repeat(wk[starts], sizes)  # sorted: first wk = min
+        delta = wk - cohort
+        order2 = np.lexsort((delta, cohort))
+        c2, d2 = cohort[order2], delta[order2]
+        grp = np.flatnonzero(np.r_[True, (c2[1:] != c2[:-1])
+                                   | (d2[1:] != d2[:-1])])
+        cnt = np.diff(np.append(grp, len(c2))).astype(np.int64)
+        return pa.table({"cohort_week": c2[grp], "weeks_since": d2[grp],
+                         "n_users": cnt})
+
+    partials = hash_partitioned_apply(
+        events.map_batches(pairs, batch_format="pyarrow"),
+        ["user_id"], cohort_kernel, int_keys=True,
+        kernel_format="pyarrow")
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["cohort_week", "weeks_since"], sort=False,
+                          as_index=False).agg(n_users=("n_users", "sum"))
+
+    return hash_partitioned_agg(partials, ["cohort_week", "weeks_since"],
+                                combine)
+
+
+def sql_cohort_matrix() -> str:
+    # epoch() is DOUBLE and double-// is TRUE division in DuckDB (the
+    # subsequent CAST would round-half-up) — days must go integer FIRST
+    wk = "(CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) // 7)"
+    return f"""
+WITH a AS (
+  SELECT DISTINCT user_id, {wk} AS wk FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), c AS (
+  SELECT user_id, min(wk) AS cohort FROM a GROUP BY 1
+)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+       CAST(a.wk - c.cohort AS BIGINT) AS weeks_since,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+"""

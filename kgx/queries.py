@@ -894,6 +894,16 @@ def kg_2hop(sf_dir: str):
         _kg_sql_outputs(sf_dir)["triples"].select_columns(["subj", "obj"]))
 
 
+def rel_cohorts(sf_dir: str):
+    """Cohort retention matrix (cohort_week, weeks_since, n_users): one
+    user-keyed exchange — per-batch (user, week) dedup partials, a single
+    lexsort kernel anchors each user's min week and emits (cohort, delta)
+    rows, pair-keyed count combiner."""
+    from .pipelines.relational import cohort_matrix
+
+    return cohort_matrix(sf_dir)
+
+
 def rel_supplier_types(sf_dir: str):
     """TPC-H-Q16-shaped count(DISTINCT) through a join: distinct suppliers
     per part type via the lineitem bridge — cost-gated part resolution,
@@ -1379,6 +1389,7 @@ def registry() -> dict:
         "emb_cluster_purity": emb_cluster_purity,
         "mm_frame_sample": mm_frame_sample,
         "rel_supplier_types": rel_supplier_types,
+        "rel_cohorts": rel_cohorts,
     }
 
 
@@ -1928,6 +1939,12 @@ def _sql_supplier_types() -> str:
     return sql_supplier_type_counts()
 
 
+def _sql_cohorts() -> str:
+    from .pipelines.relational import sql_cohort_matrix
+
+    return sql_cohort_matrix()
+
+
 def _sql_knn_graph() -> str:
     from . import sql_oracles as so
     from .stages.similarity import KNN_K, KNN_LISTS
@@ -2063,6 +2080,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cluster_purity": _sql_cluster_purity(),
         "mm_frame_sample": _sql_frame_sample(),
         "rel_supplier_types": _sql_supplier_types(),
+        "rel_cohorts": _sql_cohorts(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -2052,3 +2052,43 @@ def test_supplier_types_both_routes_agree(ray_session, tmp_path):
     out = supplier_type_counts(str(sf), broadcast_limit=0)
     got = {r.p_type: int(r.n_suppliers) for r in out.itertuples()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_matrix_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import cohort_matrix
+
+    rng = np.random.default_rng(107)
+    n = 1200
+    base = np.datetime64("2023-01-02", "us")
+    ts = base + rng.integers(0, 90 * 86_400_000_000, size=n).astype(
+        "timedelta64[us]")
+    uid = rng.integers(0, 60, size=n).astype(np.int64)
+    tbl = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "ts": pa.array(ts), "user_id": pa.array(uid)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet")
+
+    wk = (ts.astype("datetime64[D]").astype(np.int64)) // 7
+    from collections import defaultdict
+
+    weeks = defaultdict(set)
+    for u, w in zip(uid, wk):
+        weeks[int(u)].add(int(w))
+    want = defaultdict(int)
+    for u, ws in weeks.items():
+        c = min(ws)
+        for w in ws:
+            want[(c, w - c)] += 1
+    out = _collect(cohort_matrix(str(sf)))
+    got = {(int(r.cohort_week), int(r.weeks_since)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == dict(want)
+    assert len(want) > 20  # a real triangle, not a degenerate strip
