@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "mm_frame_sample",
     "rel_supplier_types",
     "rel_cohorts",
+    "graph_cc_sizes",
 ]
 
 

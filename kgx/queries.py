@@ -894,6 +894,15 @@ def kg_2hop(sf_dir: str):
         _kg_sql_outputs(sf_dir)["triples"].select_columns(["subj", "obj"]))
 
 
+def graph_cc_sizes(sf_dir: str):
+    """Component-size histogram over the round-exact CC labels (the
+    near-dup-cluster health diagnostic): Pregel labels -> label-keyed
+    member-count combiner -> size-keyed histogram fold."""
+    from .stages.graph import cc_size_histogram, supplier_part_edges
+
+    return cc_size_histogram(supplier_part_edges(sf_dir))
+
+
 def rel_cohorts(sf_dir: str):
     """Cohort retention matrix (cohort_week, weeks_since, n_users): one
     user-keyed exchange — per-batch (user, week) dedup partials, a single
@@ -1390,6 +1399,7 @@ def registry() -> dict:
         "mm_frame_sample": mm_frame_sample,
         "rel_supplier_types": rel_supplier_types,
         "rel_cohorts": rel_cohorts,
+        "graph_cc_sizes": graph_cc_sizes,
     }
 
 
@@ -1945,6 +1955,12 @@ def _sql_cohorts() -> str:
     return sql_cohort_matrix()
 
 
+def _sql_cc_sizes() -> str:
+    from .stages.graph import sql_cc_size_histogram
+
+    return sql_cc_size_histogram()
+
+
 def _sql_knn_graph() -> str:
     from . import sql_oracles as so
     from .stages.similarity import KNN_K, KNN_LISTS
@@ -2081,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": _sql_frame_sample(),
         "rel_supplier_types": _sql_supplier_types(),
         "rel_cohorts": _sql_cohorts(),
+        "graph_cc_sizes": _sql_cc_sizes(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

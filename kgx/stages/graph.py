@@ -1000,3 +1000,58 @@ SELECT CAST(src AS BIGINT) AS node, CAST(dst AS BIGINT) AS neighbor,
        CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank < {k}
 """
+
+
+def cc_size_histogram(edges_ds, rounds: int = CC_ROUNDS):
+    """(size, n_components): the component-size distribution over the
+    round-exact CC labels — the standard near-dup-cluster / graph-health
+    diagnostic (how many singleton-ish islands vs giant components).
+
+    Composes cc_rounds_ds (shared partitioned-edge Pregel) with two
+    bounded combiner exchanges: label-keyed member counts (one row per
+    (batch, label)), then a size-keyed histogram fold (cardinality =
+    distinct sizes).  Node rows move once; sizes are tiny."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg
+
+    labels = cc_rounds_ds(edges_ds, rounds=rounds)
+
+    def label_partial(t: pa.Table) -> "pd.DataFrame":
+        lab = t["label"].to_numpy()
+        ul, cnt = np.unique(lab, return_counts=True)
+        return pd.DataFrame({"label": ul.astype(np.int64),
+                             "n": cnt.astype(np.int64)})
+
+    def label_combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("label", sort=False, as_index=False).agg(
+            n=("n", "sum"))
+
+    sizes = hash_partitioned_agg(
+        labels.map_batches(label_partial, batch_format="pyarrow"),
+        ["label"], label_combine)
+
+    def size_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        us, cnt = np.unique(df["n"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"size": us.astype(np.int64),
+                             "n_components": cnt.astype(np.int64)})
+
+    def size_combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("size", sort=False, as_index=False).agg(
+            n_components=("n_components", "sum"))
+
+    # size_partial folds a merged label partition to distinct sizes; the
+    # second exchange then sums across partitions
+    tagged = sizes.map_batches(size_partial, batch_format="pandas")
+    return hash_partitioned_agg(tagged, ["size"], size_combine)
+
+
+def sql_cc_size_histogram(rounds: int = CC_ROUNDS) -> str:
+    base = sql_supplier_part_cc(rounds)
+    return f"""
+WITH cc AS ({base}),
+s AS (SELECT label, CAST(count(*) AS BIGINT) AS size FROM cc GROUP BY 1)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM s GROUP BY 1
+"""

@@ -2092,3 +2092,25 @@ def test_cohort_matrix_matches_serial(ray_session, tmp_path):
            for r in out.itertuples()}
     assert got == dict(want)
     assert len(want) > 20  # a real triangle, not a degenerate strip
+
+
+# ---------------------------------------------------------------------------
+# component-size histogram
+# ---------------------------------------------------------------------------
+
+
+def test_cc_size_histogram_islands(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.graph import cc_size_histogram
+
+    # three islands: a path of 4, a triangle of 3, an edge of 2 (undirected
+    # input convention: both directions present, like supplier_part_edges)
+    und = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)]
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    edges = rd.from_arrow(pa.table(
+        {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}))
+    out = _collect(cc_size_histogram(edges, rounds=6))
+    got = {int(r.size): int(r.n_components) for r in out.itertuples()}
+    assert got == {4: 1, 3: 1, 2: 1}
