@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "rel_supplier_types",
     "rel_cohorts",
     "graph_cc_sizes",
+    "emb_norm_hist",
 ]
 
 

@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def emb_norm_hist(sf_dir: str):
+    """Quantized squared-L2 norm histogram over the embedding column —
+    the normalization-drift / zero-vector diagnostic a build runs before
+    cosine dedup or ANN; per-batch reshape + np.unique partials, one
+    bucket-keyed combiner exchange, vectors never shuffle."""
+    from .stages.kmeans import norm_histogram
+
+    return norm_histogram(_emb_ds(sf_dir))
+
+
 def rel_value_share(sf_dir: str):
     """TPC-H-Q11-shaped rollup whose HAVING references the global total:
     per-type lineitem value with an exact cross-multiplied share test —
@@ -1400,6 +1410,7 @@ def registry() -> dict:
         "rel_supplier_types": rel_supplier_types,
         "rel_cohorts": rel_cohorts,
         "graph_cc_sizes": graph_cc_sizes,
+        "emb_norm_hist": emb_norm_hist,
     }
 
 
@@ -2028,6 +2039,12 @@ def _sql_gram() -> str:
     return sql_gram_matrix()
 
 
+def _sql_norm_hist() -> str:
+    from .stages.kmeans import sql_norm_histogram
+
+    return sql_norm_histogram()
+
+
 def _sql_cross_source() -> str:
     from .stages.corpus import sql_cross_source_pairs
 
@@ -2098,6 +2115,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_supplier_types": _sql_supplier_types(),
         "rel_cohorts": _sql_cohorts(),
         "graph_cc_sizes": _sql_cc_sizes(),
+        "emb_norm_hist": _sql_norm_hist(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

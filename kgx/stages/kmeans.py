@@ -677,3 +677,78 @@ def sql_kmeans_purity(k: int = KM_K, iters: int = KM_ITERS) -> str:
         "GROUP BY cluster, label"
     )
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+# ---------------------------------------------------------------------------
+# Norm histogram (r5 batch-7): quantized squared-L2 norm distribution —
+# the normalization-drift / zero-vector diagnostic a training-data build
+# runs before cosine dedup or ANN (un-normalized embedders and garbage
+# all-zero vectors show up as histogram mass far from the unit bucket).
+# ---------------------------------------------------------------------------
+
+NORM_BUCKET = 1_000_000  # quantized squared-L2 units per histogram bucket
+
+
+def norm_histogram(emb_ds, bucket: int = NORM_BUCKET):
+    """embeddings -> (bucket, n_vecs): histogram of quantized squared-L2
+    norms.
+
+    Same centered ``floor(x * KM_SCALE + 0.5)`` quantization as
+    gram/label_centroids (no offset — squares are non-negative anyway), so
+    the DuckDB oracle reproduces the buckets bit-exactly under any batch
+    order.  Per batch: one flat-buffer reshape, one row-wise sum of
+    squares, one ``np.unique`` fold to a handful of (bucket, count) rows;
+    a bucket-keyed combiner exchange sums the partials.  The vectors never
+    shuffle and the exchange is O(batches x buckets) rows.  Null
+    embeddings drop at ingest (r4 hostile-null convention).  norm2 is
+    bounded by d * (KM_SCALE * |x|_max)^2 — ~6.4e7 at d=64 for unit-scale
+    inputs — far inside int64."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_partitioned_agg
+
+    _EMPTY = pd.DataFrame(
+        {"bucket": pd.Series([], dtype="int64"),
+         "n_vecs": pd.Series([], dtype="int64")})
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat.reshape(n, -1) * KM_SCALE + 0.5).astype(np.int64)
+        norm2 = (q * q).sum(axis=1)
+        b, cnt = np.unique(norm2 // bucket, return_counts=True)
+        return pd.DataFrame({"bucket": b.astype(np.int64),
+                             "n_vecs": cnt.astype(np.int64)})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("bucket", sort=False, as_index=False).agg(
+            n_vecs=("n_vecs", "sum"))
+
+    return hash_partitioned_agg(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], combine,
+    )
+
+
+def sql_norm_histogram(bucket: int = NORM_BUCKET) -> str:
+    """DuckDB oracle: same quantization as sql_label_centroids, list_sum
+    of squares per vector, CAST to BIGINT BEFORE ``//`` (double-// is true
+    division in DuckDB — the rel_cohorts lesson)."""
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+), n AS (
+  SELECT CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS norm2
+  FROM q
+)
+SELECT CAST(norm2 // {bucket} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM n GROUP BY 1
+"""
