@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "rel_cohorts",
     "graph_cc_sizes",
     "emb_norm_hist",
+    "rel_small_qty",
 ]
 
 

@@ -3612,3 +3612,197 @@ SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
 FROM a JOIN c USING (user_id)
 GROUP BY 1, 2
 """
+
+
+def small_qty_revenue(sf_dir: str, brand: str = "Brand#23",
+                      broadcast_limit: int = 2_000_000):
+    """(total_cents, n_small, avg_yearly_cents): TPC-H-Q17-shaped
+    correlated per-part average — revenue from lineitems whose quantity
+    is below 0.2x their own part's average quantity, restricted to one
+    brand (the small-quantity-order revenue probe).
+
+    The correlated average never divides: ``qty < sum_qty / (5 n)`` is
+    evaluated as the exact integer cross-multiplication
+    ``5 * n * qty < sum_qty`` (qty units / cents per the q1_pricing
+    convention), so the DuckDB mirror is bit-exact and no float ever
+    crosses the comparison boundary.
+
+    Fast path (part table <= broadcast_limit rows): the brand's partkeys
+    broadcast once as a sorted array; pass A folds lineitem to per-batch
+    (partkey, n, sum_qty) partials through ONE partkey-keyed combiner
+    exchange whose result is <= |brand parts| rows, collected and
+    broadcast back; pass B re-scans lineitem and each batch emits ONE
+    (total_cents, n_small) row — zero row-level shuffles, two pruned
+    scans.  Unbounded route: one partkey-keyed kind-union partition
+    exchange (part rows flag the brand, lineitem rows carry qty/cents);
+    the kernel resolves membership, computes per-part n/sum with a
+    single np.unique scan and folds to one row per partition.  Both
+    paths agreement-tested (test_round5d_ops)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..stages.exchange import (collect_arrow, hash_partitioned_agg,
+                                   hash_partitioned_apply)
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def finalize(total: int, n: int) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"total_cents": pd.Series([int(total)], dtype="int64"),
+             "n_small": pd.Series([int(n)], dtype="int64"),
+             "avg_yearly_cents": pd.Series([int(total) // 7],
+                                           dtype="int64")})
+
+    def _units(batch: "pa.Table"):
+        """valid rows -> (partkey, qty_units, cents) int64 arrays."""
+        ok = pc.and_(pc.and_(pc.is_valid(batch["l_partkey"]),
+                             pc.is_valid(batch["l_quantity"])),
+                     pc.is_valid(batch["l_extendedprice"]))
+        batch = batch.filter(ok)
+        k = batch["l_partkey"].to_numpy().astype(np.int64)
+        qty = np.floor(batch["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return k, qty, cents
+
+    _ONE_EMPTY = pa.table({"total_cents": pa.array([], pa.int64()),
+                           "n_small": pa.array([], pa.int64())})
+
+    def fold_rows(ds) -> "pd.DataFrame":
+        t = collect_arrow(ds, _ONE_EMPTY)
+        tc = t["total_cents"].to_numpy(zero_copy_only=False)
+        ns = t["n_small"].to_numpy(zero_copy_only=False)
+        return finalize(int(tc.sum()), int(ns.sum()))
+
+    if part.count() <= broadcast_limit:
+        bp = collect_arrow(
+            part.map_batches(
+                lambda t: t.filter(
+                    pc.and_(pc.is_valid(t["p_partkey"]),
+                            pc.equal(t["p_brand"], brand))
+                ).select(["p_partkey"]),
+                batch_format="pyarrow"),
+            pa.table({"p_partkey": pa.array([], pa.int64())}))
+        brand_keys = np.sort(bp["p_partkey"].to_numpy().astype(np.int64))
+        bk_ref = ray.put(brand_keys)
+
+        def li_stats(batch: "pa.Table") -> "pd.DataFrame":
+            k, qty, _ = _units(batch)
+            ks = ray.get(bk_ref)
+            if len(ks) and len(k):
+                pos = np.searchsorted(ks, k).clip(max=len(ks) - 1)
+                hit = ks[pos] == k
+                k, qty = k[hit], qty[hit]
+            else:
+                k = qty = np.array([], dtype=np.int64)
+            u, inv = np.unique(k, return_inverse=True)
+            n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+            sq = np.zeros(len(u), dtype=np.int64)
+            np.add.at(sq, inv, qty)
+            return pd.DataFrame({"partkey": u, "n": n, "sum_qty": sq})
+
+        def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+            return df.groupby("partkey", sort=False, as_index=False).agg(
+                n=("n", "sum"), sum_qty=("sum_qty", "sum"))
+
+        st = collect_arrow(
+            hash_partitioned_agg(
+                line.map_batches(li_stats, batch_format="pyarrow"),
+                ["partkey"], combine),
+            pa.table({"partkey": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "sum_qty": pa.array([], pa.int64())}))
+        spk = st["partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(spk, kind="stable")
+        stats_ref = ray.put((
+            spk[order],
+            st["n"].to_numpy(zero_copy_only=False).astype(np.int64)[order],
+            st["sum_qty"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)[order]))
+
+        def li_small(batch: "pa.Table") -> "pa.Table":
+            k, qty, cents = _units(batch)
+            spk_, sn_, ssq_ = ray.get(stats_ref)
+            if len(spk_) and len(k):
+                pos = np.searchsorted(spk_, k).clip(max=len(spk_) - 1)
+                hit = spk_[pos] == k
+                idx = pos[hit]
+                mask = 5 * sn_[idx] * qty[hit] < ssq_[idx]
+                total = int(cents[hit][mask].sum())
+                n = int(mask.sum())
+            else:
+                total = n = 0
+            return pa.table({"total_cents": pa.array([total], pa.int64()),
+                             "n_small": pa.array([n], pa.int64())})
+
+        return fold_rows(line.map_batches(li_small, batch_format="pyarrow"))
+
+    # unbounded route: part and lineitem rows meet in ONE partkey-keyed
+    # kind-union partition exchange; membership + the correlated average
+    # resolve inside the kernel (all copies of a partkey co-reside)
+    def part_rows(batch: "pa.Table") -> "pa.Table":
+        batch = batch.filter(pc.and_(pc.is_valid(batch["p_partkey"]),
+                                     pc.equal(batch["p_brand"], brand)))
+        k = batch["p_partkey"].to_numpy().astype(np.int64)
+        z = np.zeros(len(k), dtype=np.int64)
+        return pa.table({"k": k, "kind": z, "qty": z, "cents": z})
+
+    def li_rows(batch: "pa.Table") -> "pa.Table":
+        k, qty, cents = _units(batch)
+        return pa.table({"k": k,
+                         "kind": np.ones(len(k), dtype=np.int64),
+                         "qty": qty, "cents": cents})
+
+    union = part.map_batches(part_rows, batch_format="pyarrow").union(
+        line.map_batches(li_rows, batch_format="pyarrow"))
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        bk = np.unique(df.loc[df["kind"] == 0, "k"].to_numpy(np.int64))
+        li = df[df["kind"] == 1]
+        k = li["k"].to_numpy(np.int64)
+        if len(bk) and len(k):
+            pos = np.searchsorted(bk, k).clip(max=len(bk) - 1)
+            hit = bk[pos] == k
+        else:
+            hit = np.zeros(len(k), dtype=bool)
+        k = k[hit]
+        qty = li["qty"].to_numpy(np.int64)[hit]
+        cents = li["cents"].to_numpy(np.int64)[hit]
+        u, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        sq = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sq, inv, qty)
+        mask = 5 * n[inv] * qty < sq[inv]
+        return pd.DataFrame(
+            {"total_cents": pd.Series([int(cents[mask].sum())],
+                                      dtype="int64"),
+             "n_small": pd.Series([int(mask.sum())], dtype="int64")})
+
+    return fold_rows(
+        hash_partitioned_apply(union, ["k"], kernel, int_keys=True))
+
+
+def sql_small_qty_revenue(brand: str = "Brand#23") -> str:
+    return f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{brand}' AND l_partkey IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), st AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qty) AS BIGINT) AS sumq
+  FROM li GROUP BY 1
+)
+SELECT CAST(COALESCE(sum(cents), 0) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(COALESCE(sum(cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
+FROM li JOIN st ON li.l_partkey = st.l_partkey
+WHERE 5 * st.n * li.qty < st.sumq
+"""

@@ -948,6 +948,17 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def rel_small_qty(sf_dir: str):
+    """TPC-H-Q17-shaped correlated per-part average: revenue from
+    below-0.2x-average-quantity lineitems of one brand — exact integer
+    cross-multiplied threshold (5*n*qty < sum_qty), cost-gated between a
+    two-pass broadcast plan (zero row shuffles) and a partkey-keyed
+    kind-union exchange."""
+    from .pipelines.relational import small_qty_revenue
+
+    return small_qty_revenue(sf_dir)
+
+
 def emb_norm_hist(sf_dir: str):
     """Quantized squared-L2 norm histogram over the embedding column —
     the normalization-drift / zero-vector diagnostic a build runs before
@@ -1411,6 +1422,7 @@ def registry() -> dict:
         "rel_cohorts": rel_cohorts,
         "graph_cc_sizes": graph_cc_sizes,
         "emb_norm_hist": emb_norm_hist,
+        "rel_small_qty": rel_small_qty,
     }
 
 
@@ -2045,6 +2057,12 @@ def _sql_norm_hist() -> str:
     return sql_norm_histogram()
 
 
+def _sql_small_qty() -> str:
+    from .pipelines.relational import sql_small_qty_revenue
+
+    return sql_small_qty_revenue()
+
+
 def _sql_cross_source() -> str:
     from .stages.corpus import sql_cross_source_pairs
 
@@ -2116,6 +2134,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_cohorts": _sql_cohorts(),
         "graph_cc_sizes": _sql_cc_sizes(),
         "emb_norm_hist": _sql_norm_hist(),
+        "rel_small_qty": _sql_small_qty(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -57,3 +57,79 @@ def test_norm_hist_null_and_zero_vectors(ray_session):
     got = dict(zip(out["bucket"], out["n_vecs"]))
     # zero vector -> bucket 0; unit vectors 1e6 -> bucket 1; null drops
     assert got == {0: 1, 1: 2}
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q17-shaped small-quantity revenue
+# ---------------------------------------------------------------------------
+
+
+def _q17_sf(tmp_path, n_parts=6, n_rows=400):
+    """Planted lineitem/part tables: parts alternate brands; quantities
+    deterministic so some rows fall under 0.2x the part average."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    pk = np.arange(1, n_parts + 1, dtype=np.int64)
+    brand = ["Brand#23" if i % 2 == 0 else "Brand#7" for i in range(n_parts)]
+    part = pa.table({"p_partkey": pk, "p_brand": pa.array(brand)})
+    lk = rng.integers(1, n_parts + 1, n_rows).astype(np.int64)
+    qty = rng.integers(1, 51, n_rows).astype(np.float64)
+    # a few extreme rows so the 0.2x-avg mask is non-empty
+    qty[: n_rows // 10] = 1.0
+    price = np.round(rng.uniform(10.0, 900.0, n_rows), 2)
+    line = pa.table({"l_orderkey": np.arange(n_rows, dtype=np.int64),
+                     "l_partkey": lk, "l_quantity": qty,
+                     "l_extendedprice": price})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(part, sf / "part.parquet")
+    pq.write_table(line, sf / "lineitem.parquet")
+    return str(sf), part, line
+
+
+def _q17_serial(part, line, brand="Brand#23"):
+    pdf = part.to_pandas()
+    ldf = line.to_pandas()
+    keys = set(pdf.loc[pdf["p_brand"] == brand, "p_partkey"])
+    ldf = ldf[ldf["l_partkey"].isin(keys)].copy()
+    ldf["qty"] = np.floor(ldf["l_quantity"] + 0.5).astype(np.int64)
+    ldf["cents"] = np.floor(
+        ldf["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+    st = ldf.groupby("l_partkey").agg(n=("qty", "size"), sumq=("qty", "sum"))
+    j = ldf.join(st, on="l_partkey")
+    m = 5 * j["n"] * j["qty"] < j["sumq"]
+    total = int(j.loc[m, "cents"].sum())
+    return total, int(m.sum())
+
+
+def test_small_qty_matches_serial(ray_session, tmp_path):
+    from kgx.pipelines.relational import small_qty_revenue
+
+    sf, part, line = _q17_sf(tmp_path)
+    total, n = _q17_serial(part, line)
+    out = _collect(small_qty_revenue(sf))
+    assert out.iloc[0]["total_cents"] == total
+    assert out.iloc[0]["n_small"] == n
+    assert out.iloc[0]["avg_yearly_cents"] == total // 7
+    assert n > 0  # the planted extremes made the mask non-trivial
+
+
+def test_small_qty_both_paths_agree(ray_session, tmp_path):
+    from kgx.pipelines.relational import small_qty_revenue
+
+    sf, part, line = _q17_sf(tmp_path, n_parts=9, n_rows=300)
+    fast = _collect(small_qty_revenue(sf))
+    slow = _collect(small_qty_revenue(sf, broadcast_limit=0))
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_small_qty_empty_brand(ray_session, tmp_path):
+    from kgx.pipelines.relational import small_qty_revenue
+
+    sf, part, line = _q17_sf(tmp_path, n_parts=4, n_rows=50)
+    out = _collect(small_qty_revenue(sf, brand="Brand#99"))
+    assert list(out.iloc[0]) == [0, 0, 0]
+    out2 = _collect(small_qty_revenue(sf, brand="Brand#99",
+                                      broadcast_limit=0))
+    assert list(out2.iloc[0]) == [0, 0, 0]
