@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "graph_cc_sizes",
     "emb_norm_hist",
     "rel_small_qty",
+    "kg_alias_stats",
 ]
 
 

@@ -948,6 +948,19 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def kg_alias_stats(sf_dir: str):
+    """Alias-dictionary usage/coverage table (surface, entity_key,
+    n_mentions, n_pages) over both mention sides of the linked triples —
+    per-batch C-level dedup partials, ONE pair-keyed partition exchange
+    whose kernel's nunique IS the global distinct-page count."""
+    from .pipeline import broadcast_kb, linked_triples_ds
+    from .stages.kg_stages import alias_stats
+
+    return alias_stats(
+        linked_triples_ds(_kg_sql_pages(sf_dir), _kg_sql_cfg(),
+                          broadcast_kb()))
+
+
 def rel_small_qty(sf_dir: str):
     """TPC-H-Q17-shaped correlated per-part average: revenue from
     below-0.2x-average-quantity lineitems of one brand — exact integer
@@ -1423,6 +1436,7 @@ def registry() -> dict:
         "graph_cc_sizes": graph_cc_sizes,
         "emb_norm_hist": emb_norm_hist,
         "rel_small_qty": rel_small_qty,
+        "kg_alias_stats": kg_alias_stats,
     }
 
 
@@ -2135,6 +2149,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_cc_sizes": _sql_cc_sizes(),
         "emb_norm_hist": _sql_norm_hist(),
         "rel_small_qty": _sql_small_qty(),
+        "kg_alias_stats": so.sql_kg_alias_stats(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

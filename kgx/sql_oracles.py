@@ -686,3 +686,23 @@ FROM e a JOIN e b ON a.obj = b.subj
 GROUP BY a.subj, b.obj
 """
     )
+
+
+def sql_kg_alias_stats() -> str:
+    """(surface, entity_key, n_mentions, n_pages): alias-dictionary usage
+    over both mention sides of the linked triples — the coverage table the
+    linker's alias config is tuned against."""
+    return (
+        _kg_common_ctes()
+        + """
+, sm AS (
+  SELECT subj_surface AS surface, subj_key AS entity_key, url FROM linked
+  UNION ALL
+  SELECT obj_surface, obj_key, url FROM linked
+)
+SELECT surface, entity_key,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_pages
+FROM sm GROUP BY 1, 2
+"""
+    )

@@ -453,3 +453,59 @@ def two_hop_paths(triples, num_partitions: int | None = None):
                           as_index=False).agg(n_paths=("n_paths", "sum"))
 
     return hash_partitioned_agg(pairs, ["subj", "obj2"], combine, P)
+
+
+def alias_stats(linked_ds):
+    """linked triples -> (surface, entity_key, n_mentions, n_pages): the
+    alias-dictionary usage/coverage table — which alias surface forms
+    actually fire in the corpus, which canonical entity each resolves to,
+    how often, and across how many distinct pages.  The reverse direction
+    of kg_entities' per-entity n_aliases (reference analog: the alias
+    report the linker config is tuned against, config/rules/aliases).
+
+    Per batch: both mention sides explode into (surface, key, url, cnt)
+    rows deduped by a single C-level groupby (volume bounded by distinct
+    triples per batch, never mention rows); ONE (surface, entity_key)-keyed
+    partition exchange — every copy of a pair co-resides, so the kernel's
+    groupby IS the global n_mentions sum and its url nunique IS the global
+    distinct-page count."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_apply
+
+    _EMPTY = pd.DataFrame(
+        {"surface": pd.Series([], dtype=object),
+         "entity_key": pd.Series([], dtype=object),
+         "n_mentions": pd.Series([], dtype="int64"),
+         "n_pages": pd.Series([], dtype="int64")})
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"surface": pd.Series([], dtype=object),
+                 "entity_key": pd.Series([], dtype=object),
+                 "url": pd.Series([], dtype=object),
+                 "cnt": pd.Series([], dtype="int64")})
+        sm = pd.concat([
+            df[["subj_surface", "subj_key", "url"]].set_axis(
+                ["surface", "entity_key", "url"], axis=1),
+            df[["obj_surface", "obj_key", "url"]].set_axis(
+                ["surface", "entity_key", "url"], axis=1),
+        ])
+        return sm.groupby(["surface", "entity_key", "url"], sort=False,
+                          as_index=False).agg(cnt=("url", "size"))
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return _EMPTY
+        g = df.groupby(["surface", "entity_key"], sort=False,
+                       as_index=False).agg(n_mentions=("cnt", "sum"),
+                                           n_pages=("url", "nunique"))
+        g["n_mentions"] = g["n_mentions"].astype("int64")
+        g["n_pages"] = g["n_pages"].astype("int64")
+        return g
+
+    return hash_partitioned_apply(
+        linked_ds.map_batches(partial, batch_format="pandas"),
+        ["surface", "entity_key"], kernel,
+    )

@@ -133,3 +133,38 @@ def test_small_qty_empty_brand(ray_session, tmp_path):
     out2 = _collect(small_qty_revenue(sf, brand="Brand#99",
                                       broadcast_limit=0))
     assert list(out2.iloc[0]) == [0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# alias-dictionary usage table
+# ---------------------------------------------------------------------------
+
+
+def test_alias_stats_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kg_stages import alias_stats
+
+    rows = pd.DataFrame({
+        "url": ["u1", "u1", "u2", "u2", "u3"],
+        "subj_surface": ["Acme", "Acme", "Acme Corp", "Globex", "Acme"],
+        "subj_key": ["acme", "acme", "acme", "globex", "acme"],
+        "obj_surface": ["Globex", "Initech", "Globex", "Initech", "Globex"],
+        "obj_key": ["globex", "initech", "globex", "initech", "globex"],
+    })
+    out = _collect(alias_stats(rd.from_pandas(rows).repartition(3)))
+    got = {(r.surface, r.entity_key): (r.n_mentions, r.n_pages)
+           for r in out.itertuples()}
+    # serial reference
+    sm = pd.concat([
+        rows[["subj_surface", "subj_key", "url"]].set_axis(
+            ["surface", "entity_key", "url"], axis=1),
+        rows[["obj_surface", "obj_key", "url"]].set_axis(
+            ["surface", "entity_key", "url"], axis=1)])
+    ref = sm.groupby(["surface", "entity_key"]).agg(
+        n_mentions=("url", "size"), n_pages=("url", "nunique"))
+    assert got == {(s, k): (int(r.n_mentions), int(r.n_pages))
+                   for (s, k), r in ref.iterrows()}
+    # the same surface twice on one page counts 2 mentions / 1 page
+    assert got[("Acme", "acme")] == (3, 2)
+    assert got[("Globex", "globex")] == (4, 3)
