@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "emb_norm_hist",
     "rel_small_qty",
     "kg_alias_stats",
+    "rel_shipmode",
 ]
 
 

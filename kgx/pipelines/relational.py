@@ -3806,3 +3806,143 @@ SELECT CAST(COALESCE(sum(cents), 0) AS BIGINT) AS total_cents,
 FROM li JOIN st ON li.l_partkey = st.l_partkey
 WHERE 5 * st.n * li.qty < st.sumq
 """
+
+
+Q12_LO_US = 820_454_400 * 1_000_000       # 1996-01-01 UTC in microseconds
+Q12_HI_US = 883_612_800 * 1_000_000       # 1998-01-01 UTC in microseconds
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def shipmode_priority_counts(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """(l_linestatus, high_count, low_count): TPC-H-Q12-shaped conditional
+    split counts through a join — per line status (the schema's shipmode
+    stand-in), how many lineitems shipped inside a two-year window belong
+    to critical-priority orders vs everything else.
+
+    Fast path (orders within the broadcast budget): the cleaned
+    (orderkey, is_high) map ships ONCE as two sorted arrays; each
+    lineitem batch applies the date window as an int64-microsecond range
+    test, resolves the priority flag per row in one vectorized
+    searchsorted, and folds to <= |statuses| partial rows — the lineitem
+    scan never shuffles row-level data.  Unbounded route: one
+    orderkey-keyed kind-union partition exchange (order rows carry the
+    flag, lineitem rows the status), kernel resolves membership+flag via
+    searchsorted and folds; a status-keyed combiner finishes both paths.
+    Timestamps compare as exact int64 microseconds (the late_orders
+    convention), so the TIMESTAMP-literal DuckDB mirror is bit-exact."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..stages.exchange import (collect_arrow, hash_partitioned_agg,
+                                   hash_partitioned_apply)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_shipdate", "l_linestatus"])
+
+    def order_clean(batch: "pa.Table") -> "pa.Table":
+        return batch.filter(pc.and_(pc.is_valid(batch["o_orderkey"]),
+                                    pc.is_valid(batch["o_orderpriority"])))
+
+    def li_clean(batch: "pa.Table"):
+        """window-filtered (orderkey, status) arrays."""
+        ok = pc.and_(pc.and_(pc.is_valid(batch["l_orderkey"]),
+                             pc.is_valid(batch["l_shipdate"])),
+                     pc.is_valid(batch["l_linestatus"]))
+        batch = batch.filter(ok)
+        s = batch["l_shipdate"].cast(pa.int64()).to_numpy()
+        win = (s >= Q12_LO_US) & (s < Q12_HI_US)
+        k = batch["l_orderkey"].to_numpy().astype(np.int64)[win]
+        st = pd.Series(batch["l_linestatus"].to_pandas()).to_numpy()[win]
+        return k, st
+
+    def fold(st, high) -> "pd.DataFrame":
+        """(status, is_high bool) row arrays -> per-status partial."""
+        d = pd.DataFrame({"l_linestatus": st,
+                          "high_count": high.astype(np.int64),
+                          "low_count": (~high).astype(np.int64)})
+        return d.groupby("l_linestatus", sort=False, as_index=False).agg(
+            high_count=("high_count", "sum"), low_count=("low_count", "sum"))
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("l_linestatus", sort=False, as_index=False).agg(
+            high_count=("high_count", "sum"), low_count=("low_count", "sum"))
+
+    if orders.count() <= broadcast_limit:
+        ot = collect_arrow(
+            orders.map_batches(order_clean, batch_format="pyarrow"),
+            pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "o_orderpriority": pa.array([], pa.string())}))
+        ok_arr = ot["o_orderkey"].to_numpy().astype(np.int64)
+        order_ = np.argsort(ok_arr, kind="stable")
+        ok_arr = ok_arr[order_]
+        hi = pd.Series(ot["o_orderpriority"].to_pandas()) \
+            .isin(Q12_HIGH).to_numpy()[order_]
+        keys_ref = ray.put(ok_arr)
+        hi_ref = ray.put(hi)
+
+        def partial(batch: "pa.Table") -> "pd.DataFrame":
+            k, st = li_clean(batch)
+            ks, hs = ray.get(keys_ref), ray.get(hi_ref)
+            if len(ks) and len(k):
+                pos = np.searchsorted(ks, k).clip(max=len(ks) - 1)
+                hit = ks[pos] == k
+                return fold(st[hit], hs[pos[hit]])
+            return fold(np.array([], dtype=object),
+                        np.array([], dtype=bool))
+
+        return hash_partitioned_agg(
+            line.map_batches(partial, batch_format="pyarrow"),
+            ["l_linestatus"], combine)
+
+    # unbounded route: orderkey-keyed kind-union partition exchange
+    def order_rows(batch: "pa.Table") -> "pd.DataFrame":
+        batch = order_clean(batch)
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        hi = pd.Series(batch["o_orderpriority"].to_pandas()) \
+            .isin(Q12_HIGH).to_numpy()
+        return pd.DataFrame({"k": k, "kind": np.zeros(len(k), np.int64),
+                             "high": hi, "st": ""})
+
+    def li_rows(batch: "pa.Table") -> "pd.DataFrame":
+        k, st = li_clean(batch)
+        return pd.DataFrame({"k": k, "kind": np.ones(len(k), np.int64),
+                             "high": np.zeros(len(k), dtype=bool),
+                             "st": st})
+
+    union = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        line.map_batches(li_rows, batch_format="pyarrow"))
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        om = df[df["kind"] == 0]
+        ks = om["k"].to_numpy(np.int64)
+        order_ = np.argsort(ks, kind="stable")
+        ks = ks[order_]
+        hs = om["high"].to_numpy()[order_]
+        li = df[df["kind"] == 1]
+        k = li["k"].to_numpy(np.int64)
+        if len(ks) and len(k):
+            pos = np.searchsorted(ks, k).clip(max=len(ks) - 1)
+            hit = ks[pos] == k
+            return fold(li["st"].to_numpy()[hit], hs[pos[hit]])
+        return fold(np.array([], dtype=object), np.array([], dtype=bool))
+
+    partials = hash_partitioned_apply(union, ["k"], kernel, int_keys=True)
+    return hash_partitioned_agg(partials, ["l_linestatus"], combine)
+
+
+def sql_shipmode_priority_counts() -> str:
+    hi = ", ".join(f"'{p}'" for p in Q12_HIGH)
+    return f"""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ({hi}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ({hi}) THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_linestatus IS NOT NULL AND o_orderpriority IS NOT NULL
+GROUP BY 1
+"""

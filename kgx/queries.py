@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def rel_shipmode(sf_dir: str):
+    """TPC-H-Q12-shaped conditional split counts through a join: per line
+    status, lineitems in a two-year ship window belonging to
+    critical-priority orders vs the rest — cost-gated (orderkey, flag)
+    broadcast vs kind-union exchange, int64-microsecond window test."""
+    from .pipelines.relational import shipmode_priority_counts
+
+    return shipmode_priority_counts(sf_dir)
+
+
 def kg_alias_stats(sf_dir: str):
     """Alias-dictionary usage/coverage table (surface, entity_key,
     n_mentions, n_pages) over both mention sides of the linked triples —
@@ -1437,6 +1447,7 @@ def registry() -> dict:
         "emb_norm_hist": emb_norm_hist,
         "rel_small_qty": rel_small_qty,
         "kg_alias_stats": kg_alias_stats,
+        "rel_shipmode": rel_shipmode,
     }
 
 
@@ -2077,6 +2088,12 @@ def _sql_small_qty() -> str:
     return sql_small_qty_revenue()
 
 
+def _sql_shipmode() -> str:
+    from .pipelines.relational import sql_shipmode_priority_counts
+
+    return sql_shipmode_priority_counts()
+
+
 def _sql_cross_source() -> str:
     from .stages.corpus import sql_cross_source_pairs
 
@@ -2150,6 +2167,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_norm_hist": _sql_norm_hist(),
         "rel_small_qty": _sql_small_qty(),
         "kg_alias_stats": so.sql_kg_alias_stats(),
+        "rel_shipmode": _sql_shipmode(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -168,3 +168,68 @@ def test_alias_stats_matches_serial(ray_session):
     # the same surface twice on one page counts 2 mentions / 1 page
     assert got[("Acme", "acme")] == (3, 2)
     assert got[("Globex", "globex")] == (4, 3)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q12-shaped priority split counts
+# ---------------------------------------------------------------------------
+
+
+def _q12_sf(tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(12)
+    n_orders, n_rows = 40, 300
+    ok = np.arange(1, n_orders + 1, dtype=np.int64)
+    pris = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"])
+    opri = pris[rng.integers(0, 4, n_orders)]
+    orders = pa.table({"o_orderkey": ok, "o_orderpriority": pa.array(opri)})
+    lk = rng.integers(1, n_orders + 3, n_rows).astype(np.int64)  # danglers
+    # ship dates straddling the [1996, 1998) window incl. exact boundaries
+    base = np.datetime64("1995-06-01", "us")
+    ship = base + rng.integers(0, 1400, n_rows) * np.timedelta64(1, "D")
+    ship[0] = np.datetime64("1996-01-01T00:00:00", "us")   # in
+    ship[1] = np.datetime64("1998-01-01T00:00:00", "us")   # out
+    st = np.array(["O", "F"])[rng.integers(0, 2, n_rows)]
+    line = pa.table({"l_orderkey": lk,
+                     "l_shipdate": pa.array(ship, pa.timestamp("us")),
+                     "l_linestatus": pa.array(st)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(orders, sf / "orders.parquet")
+    pq.write_table(line, sf / "lineitem.parquet")
+    return str(sf), orders.to_pandas(), line.to_pandas()
+
+
+def _q12_serial(odf, ldf):
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    j = ldf.merge(odf, left_on="l_orderkey", right_on="o_orderkey")
+    j = j[(j["l_shipdate"] >= lo) & (j["l_shipdate"] < hi)]
+    j["high"] = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    g = j.groupby("l_linestatus").agg(
+        high_count=("high", "sum"), low_count=("high", lambda s: (~s).sum()))
+    return {s: (int(r.high_count), int(r.low_count))
+            for s, r in g.iterrows()}
+
+
+def test_shipmode_matches_serial(ray_session, tmp_path):
+    from kgx.pipelines.relational import shipmode_priority_counts
+
+    sf, odf, ldf = _q12_sf(tmp_path)
+    ref = _q12_serial(odf, ldf)
+    out = _collect(shipmode_priority_counts(sf))
+    got = {r.l_linestatus: (int(r.high_count), int(r.low_count))
+           for r in out.itertuples()}
+    assert got == ref and sum(v[0] + v[1] for v in got.values()) > 0
+
+
+def test_shipmode_both_paths_agree(ray_session, tmp_path):
+    from kgx.pipelines.relational import shipmode_priority_counts
+
+    sf, _, _ = _q12_sf(tmp_path)
+    fast = _collect(shipmode_priority_counts(sf)) \
+        .sort_values("l_linestatus").reset_index(drop=True)
+    slow = _collect(shipmode_priority_counts(sf, broadcast_limit=0)) \
+        .sort_values("l_linestatus").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
