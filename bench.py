@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "rel_small_qty",
     "kg_alias_stats",
     "rel_shipmode",
+    "graph_jaccard",
 ]
 
 
@@ -160,6 +161,8 @@ BENCH_SF_OVERRIDES = {
     "graph_triangles": "sf0.01",
     # same wedge pipeline, same output-bound K1000 worst case at sf0.1
     "graph_common_neighbors": "sf0.01",
+    # same wedge pipeline + a degree attach; same K1000 worst case
+    "graph_jaccard": "sf0.01",
 }
 
 

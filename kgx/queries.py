@@ -948,6 +948,20 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def graph_jaccard(sf_dir: str):
+    """Per-edge neighbor-set Jaccard similarity of the co-supplier graph
+    (the normalized link-prediction score): the common-neighbors pipeline
+    in jaccard mode — exact integer permyriad 10000*n // (da+db-n), degree
+    attach riding the same cost gate as the orientation."""
+    from .pipelines.relational import _read
+    from .stages.triangles import cosupplier_triangles
+
+    return cosupplier_triangles(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]),
+        per_edge=True, jaccard=True,
+    )
+
+
 def rel_shipmode(sf_dir: str):
     """TPC-H-Q12-shaped conditional split counts through a join: per line
     status, lineitems in a two-year ship window belonging to
@@ -1448,6 +1462,7 @@ def registry() -> dict:
         "rel_small_qty": rel_small_qty,
         "kg_alias_stats": kg_alias_stats,
         "rel_shipmode": rel_shipmode,
+        "graph_jaccard": graph_jaccard,
     }
 
 
@@ -2094,6 +2109,12 @@ def _sql_shipmode() -> str:
     return sql_shipmode_priority_counts()
 
 
+def _sql_jaccard() -> str:
+    from .stages.triangles import sql_cosupplier_jaccard
+
+    return sql_cosupplier_jaccard()
+
+
 def _sql_cross_source() -> str:
     from .stages.corpus import sql_cross_source_pairs
 
@@ -2168,6 +2189,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_small_qty": _sql_small_qty(),
         "kg_alias_stats": so.sql_kg_alias_stats(),
         "rel_shipmode": _sql_shipmode(),
+        "graph_jaccard": _sql_jaccard(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -60,7 +60,7 @@ def _group_bounds(keys: np.ndarray):
 
 def cosupplier_triangles(lineitem_ds, num_partitions: int | None = None,
                          broadcast_deg_limit: int = 2_000_000,
-                         per_edge: bool = False):
+                         per_edge: bool = False, jaccard: bool = False):
     """lineitem -> one row (n_triangles,): exact triangle count of the
     co-supplier graph (edge iff two suppliers share an order).
 
@@ -181,6 +181,7 @@ def cosupplier_triangles(lineitem_ds, num_partitions: int | None = None,
     # table is node-sized — when it fits the broadcast budget, ship it once
     # via ray.put and orient in ONE map over the edges, skipping both
     # attach exchanges; the exchange path remains the unbounded-node route
+    deg_bcast_ref = None
     if deg.count() <= broadcast_deg_limit:
         import pandas as pd_b
         import ray
@@ -189,6 +190,7 @@ def cosupplier_triangles(lineitem_ds, num_partitions: int | None = None,
         deg_ref = ray.put(
             pd_b.Series(deg_pd["cnt"].values, index=deg_pd["node"].values)
         )
+        deg_bcast_ref = deg_ref
 
         def orient_bcast(df: "pd.DataFrame") -> "pd.DataFrame":
             import ray as _ray
@@ -280,9 +282,48 @@ def cosupplier_triangles(lineitem_ds, num_partitions: int | None = None,
                 n_common=("n_common", "sum")
             )
 
-        return hash_partitioned_agg(
+        cn = hash_partitioned_agg(
             tri_edges, ["a", "b"], cn_combine, num_partitions
         )
+        if not jaccard:
+            return cn
+
+        # -- Jaccard mode: attach deg(a), deg(b) and emit the exact
+        # integer permyriad score 10000 * |N(a) n N(b)| // |N(a) u N(b)|
+        # (union = da + db - n_common; b in N(a) and a in N(b), so the
+        # union counts both endpoints — the standard link-prediction
+        # convention).  Degree attach rides the SAME cost gate as the
+        # orientation: broadcast Series when node count fits, else the
+        # two kind-discriminated node-keyed attach exchanges.
+        def _jacc_cols(df: "pd.DataFrame", da, db) -> "pd.DataFrame":
+            import pandas as pd2
+
+            n = df["n_common"].to_numpy().astype(np.int64)
+            return pd2.DataFrame(
+                {"a": df["a"].to_numpy().astype(np.int64),
+                 "b": df["b"].to_numpy().astype(np.int64),
+                 "n_common": n,
+                 "jacc_pm": 10_000 * n // (da + db - n)})
+
+        if deg_bcast_ref is not None:
+            import ray
+
+            def jacc_bcast(df: "pd.DataFrame") -> "pd.DataFrame":
+                s = ray.get(deg_bcast_ref)
+                da = s.reindex(df["a"]).to_numpy().astype(np.int64)
+                db = s.reindex(df["b"]).to_numpy().astype(np.int64)
+                return _jacc_cols(df, da, db)
+
+            return cn.map_batches(jacc_bcast, batch_format="pandas")
+
+        j_da = _attach(cn, ["a", "b", "n_common"], "a", "da")
+        j_db = _attach(j_da, ["a", "b", "n_common", "da"], "b", "db")
+
+        def jacc_final(df: "pd.DataFrame") -> "pd.DataFrame":
+            return _jacc_cols(df, df["da"].to_numpy().astype(np.int64),
+                              df["db"].to_numpy().astype(np.int64))
+
+        return j_db.map_batches(jacc_final, batch_format="pandas")
 
     def close_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd2
@@ -357,4 +398,34 @@ FROM e
 JOIN und n1 ON n1.node = e.a
 JOIN und n2 ON n2.node = e.b AND n2.other = n1.other
 GROUP BY e.a, e.b
+"""
+
+
+def sql_cosupplier_jaccard() -> str:
+    """DuckDB oracle for jaccard mode: the common-neighbor oracle joined
+    to the degree CTE; integer permyriad floor division mirrors the Ray
+    side's 10000 * n // (da + db - n)."""
+    return """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem
+), e AS (
+  SELECT DISTINCT x.s AS a, y.s AS b
+  FROM ls x JOIN ls y ON x.o = y.o AND x.s < y.s
+), und AS (
+  SELECT a AS node, b AS other FROM e
+  UNION ALL SELECT b AS node, a AS other FROM e
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY node
+), cn AS (
+  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS n_common
+  FROM e
+  JOIN und n1 ON n1.node = e.a
+  JOIN und n2 ON n2.node = e.b AND n2.other = n1.other
+  GROUP BY e.a, e.b
+)
+SELECT cn.a, cn.b, cn.n_common,
+       CAST(10000 * cn.n_common // (da.d + db.d - cn.n_common) AS BIGINT)
+         AS jacc_pm
+FROM cn JOIN deg da ON da.node = cn.a JOIN deg db ON db.node = cn.b
 """

@@ -233,3 +233,67 @@ def test_shipmode_both_paths_agree(ray_session, tmp_path):
     slow = _collect(shipmode_priority_counts(sf, broadcast_limit=0)) \
         .sort_values("l_linestatus").reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+# ---------------------------------------------------------------------------
+# per-edge neighbor-set Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _jacc_li():
+    # co-supplier graph from shared orders: triangle {10,11,12} plus
+    # pendant edges 12-13 and 10-14
+    orders = [1, 1, 1, 2, 2, 3, 3, 4, 4]
+    supps = [10, 11, 12, 12, 13, 10, 14, 11, 12]
+    return pa.table({"l_orderkey": pa.array(orders, pa.int64()),
+                     "l_suppkey": pa.array(supps, pa.int64())})
+
+
+def _jacc_serial(li):
+    df = li.to_pandas().drop_duplicates()
+    edges = set()
+    for _, g in df.groupby("l_orderkey"):
+        s = sorted(g["l_suppkey"].unique())
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                edges.add((s[i], s[j]))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {}
+    for a, b in edges:
+        n = len(adj[a] & adj[b])
+        if n >= 1:
+            ref[(a, b)] = (n, 10_000 * n // (len(adj[a]) + len(adj[b]) - n))
+    return ref
+
+
+def test_jaccard_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.triangles import cosupplier_triangles
+
+    li = _jacc_li()
+    out = _collect(cosupplier_triangles(rd.from_arrow(li), per_edge=True,
+                                        jaccard=True))
+    got = {(r.a, r.b): (int(r.n_common), int(r.jacc_pm))
+           for r in out.itertuples()}
+    ref = _jacc_serial(li)
+    assert got == ref and len(ref) >= 3
+
+
+def test_jaccard_both_degree_paths_agree(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.triangles import cosupplier_triangles
+
+    li = _jacc_li()
+    fast = _collect(cosupplier_triangles(
+        rd.from_arrow(li), per_edge=True, jaccard=True)) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    slow = _collect(cosupplier_triangles(
+        rd.from_arrow(li), per_edge=True, jaccard=True,
+        broadcast_deg_limit=0)) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
