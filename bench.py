@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "kg_alias_stats",
     "rel_shipmode",
     "graph_jaccard",
+    "rel_blame_suppliers",
 ]
 
 

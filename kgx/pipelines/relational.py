@@ -3946,3 +3946,112 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_linestatus IS NOT NULL AND o_orderpriority IS NOT NULL
 GROUP BY 1
 """
+
+
+def blame_supplier_counts(sf_dir: str, k: int = 20):
+    """(s_suppkey, numwait, rnk): TPC-H-Q21-shaped "who held up the
+    order" counts — for every multi-supplier order, the supplier is
+    blamed iff it is the UNIQUE holder of the order's latest ship date
+    and at least one other supplier shipped strictly earlier; top-k
+    suppliers by blame count.
+
+    Shape: per-batch (orderkey, suppkey) -> max-shipdate combiner
+    partials (associative, so the scan folds before any shuffle), ONE
+    orderkey-keyed partition exchange whose kernel resolves the
+    per-order max / uniqueness / multi-supplier tests with three
+    C-level transforms and folds to per-partition (suppkey, numwait)
+    partials, a suppkey-keyed count combiner, then the standard sound
+    local top-k prune (each suppkey lives in exactly one partition
+    after the combiner) + single-block rank under
+    (numwait DESC, suppkey ASC).  Ship dates compare as exact int64
+    microseconds."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def partial(batch: "pa.Table") -> "pd.DataFrame":
+        ok = pc.and_(pc.and_(pc.is_valid(batch["l_orderkey"]),
+                             pc.is_valid(batch["l_suppkey"])),
+                     pc.is_valid(batch["l_shipdate"]))
+        batch = batch.filter(ok)
+        d = pd.DataFrame(
+            {"k": batch["l_orderkey"].to_numpy().astype(np.int64),
+             "s": batch["l_suppkey"].to_numpy().astype(np.int64),
+             "smax": batch["l_shipdate"].cast(pa.int64()).to_numpy()})
+        return d.groupby(["k", "s"], sort=False, as_index=False).agg(
+            smax=("smax", "max"))
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["k", "s"], sort=False, as_index=False).agg(
+            smax=("smax", "max"))
+        if not len(g):
+            return pd.DataFrame(
+                {"s_suppkey": pd.Series([], dtype="int64"),
+                 "numwait": pd.Series([], dtype="int64")})
+        byk = g.groupby("k")["smax"]
+        omax = byk.transform("max")
+        n_supp = g.groupby("k")["s"].transform("size")  # rows are distinct
+        at_max = g["smax"].to_numpy() == omax.to_numpy()
+        n_at_max = pd.Series(at_max).groupby(g["k"].to_numpy()) \
+            .transform("sum").to_numpy()
+        blame = at_max & (n_at_max == 1) & (n_supp.to_numpy() >= 2)
+        u, cnt = np.unique(g.loc[blame, "s"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"s_suppkey": u.astype(np.int64),
+                             "numwait": cnt.astype(np.int64)})
+
+    partials = hash_partitioned_apply(
+        line.map_batches(partial, batch_format="pyarrow"), ["k"], kernel,
+        int_keys=True)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("s_suppkey", sort=False, as_index=False).agg(
+            numwait=("numwait", "sum"))
+
+    nw = hash_partitioned_agg(partials, ["s_suppkey"], combine)
+
+    def local_top(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.sort_values(["numwait", "s_suppkey"],
+                              ascending=[False, True]).head(k) \
+            .reset_index(drop=True)
+
+    def final_rank(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.sort_values(["numwait", "s_suppkey"],
+                           ascending=[False, True]).head(k) \
+            .reset_index(drop=True)
+        d["rnk"] = np.arange(1, len(d) + 1, dtype=np.int64)
+        return d
+
+    return nw.map_batches(local_top, batch_format="pandas") \
+        .repartition(1).map_batches(final_rank, batch_format="pandas",
+                                    batch_size=None)
+
+
+def sql_blame_supplier_counts(k: int = 20) -> str:
+    return f"""
+WITH sm AS (
+  SELECT l_orderkey AS o, CAST(l_suppkey AS BIGINT) AS s,
+         max(l_shipdate) AS smax
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+    AND l_shipdate IS NOT NULL
+  GROUP BY 1, 2
+), om AS (
+  SELECT o, max(smax) AS omax, count(*) AS n_supp FROM sm GROUP BY 1
+), atmax AS (
+  SELECT sm.o, count(*) AS n_at_max
+  FROM sm JOIN om USING (o) WHERE sm.smax = om.omax GROUP BY 1
+), nw AS (
+  SELECT sm.s AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+  FROM sm JOIN om USING (o) JOIN atmax USING (o)
+  WHERE sm.smax = om.omax AND atmax.n_at_max = 1 AND om.n_supp >= 2
+  GROUP BY 1
+)
+SELECT s_suppkey, numwait,
+       CAST(row_number() OVER (ORDER BY numwait DESC, s_suppkey)
+            AS BIGINT) AS rnk
+FROM nw QUALIFY rnk <= {k}
+"""

@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def rel_blame_suppliers(sf_dir: str):
+    """TPC-H-Q21-shaped 'who held up the order' counts: per-batch
+    (order, supplier) max-shipdate combiner partials, one orderkey-keyed
+    partition exchange resolving unique-latest + multi-supplier tests,
+    suppkey count combiner, sound local top-k prune + single-block rank."""
+    from .pipelines.relational import blame_supplier_counts
+
+    return blame_supplier_counts(sf_dir)
+
+
 def graph_jaccard(sf_dir: str):
     """Per-edge neighbor-set Jaccard similarity of the co-supplier graph
     (the normalized link-prediction score): the common-neighbors pipeline
@@ -1463,6 +1473,7 @@ def registry() -> dict:
         "kg_alias_stats": kg_alias_stats,
         "rel_shipmode": rel_shipmode,
         "graph_jaccard": graph_jaccard,
+        "rel_blame_suppliers": rel_blame_suppliers,
     }
 
 
@@ -2115,6 +2126,12 @@ def _sql_jaccard() -> str:
     return sql_cosupplier_jaccard()
 
 
+def _sql_blame() -> str:
+    from .pipelines.relational import sql_blame_supplier_counts
+
+    return sql_blame_supplier_counts()
+
+
 def _sql_cross_source() -> str:
     from .stages.corpus import sql_cross_source_pairs
 
@@ -2190,6 +2207,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_alias_stats": so.sql_kg_alias_stats(),
         "rel_shipmode": _sql_shipmode(),
         "graph_jaccard": _sql_jaccard(),
+        "rel_blame_suppliers": _sql_blame(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -297,3 +297,74 @@ def test_jaccard_both_degree_paths_agree(ray_session):
         broadcast_deg_limit=0)) \
         .sort_values(["a", "b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q21-shaped blame counts
+# ---------------------------------------------------------------------------
+
+
+def _q21_sf(tmp_path, n_orders=60, n_rows=400):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(21)
+    lk = rng.integers(1, n_orders + 1, n_rows).astype(np.int64)
+    sk = rng.integers(1, 15, n_rows).astype(np.int64)
+    base = np.datetime64("1996-01-01", "us")
+    ship = base + rng.integers(0, 700, n_rows) * np.timedelta64(1, "D")
+    line = pa.table({"l_orderkey": lk, "l_suppkey": sk,
+                     "l_shipdate": pa.array(ship, pa.timestamp("us"))})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(line, sf / "lineitem.parquet")
+    return str(sf), line.to_pandas()
+
+
+def _q21_serial(ldf, k=20):
+    sm = ldf.groupby(["l_orderkey", "l_suppkey"])["l_shipdate"].max() \
+        .reset_index()
+    blame: dict[int, int] = {}
+    for o, g in sm.groupby("l_orderkey"):
+        if len(g) < 2:
+            continue
+        omax = g["l_shipdate"].max()
+        at_max = g[g["l_shipdate"] == omax]
+        if len(at_max) == 1:
+            s = int(at_max["l_suppkey"].iloc[0])
+            blame[s] = blame.get(s, 0) + 1
+    rows = sorted(blame.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return {s: (n, i + 1) for i, (s, n) in enumerate(rows)}
+
+
+def test_blame_suppliers_matches_serial(ray_session, tmp_path):
+    from kgx.pipelines.relational import blame_supplier_counts
+
+    sf, ldf = _q21_sf(tmp_path)
+    ref = _q21_serial(ldf)
+    out = _collect(blame_supplier_counts(sf))
+    got = {int(r.s_suppkey): (int(r.numwait), int(r.rnk))
+           for r in out.itertuples()}
+    assert got == ref and len(ref) > 3
+
+
+def test_blame_suppliers_tie_at_max_not_blamed(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import blame_supplier_counts
+
+    d = np.datetime64("1996-06-01", "us")
+    line = pa.table({
+        # order 1: suppliers 7 and 8 tie at the max -> nobody blamed
+        # order 2: supplier 9 unique at max with 7 earlier -> blamed
+        # order 3: single supplier -> nobody blamed
+        "l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([7, 8, 9, 7, 7], pa.int64()),
+        "l_shipdate": pa.array([d, d, d + np.timedelta64(5, "D"), d, d],
+                               pa.timestamp("us"))})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(line, sf / "lineitem.parquet")
+    out = _collect(blame_supplier_counts(str(sf)))
+    assert len(out) == 1
+    assert (int(out.iloc[0]["s_suppkey"]), int(out.iloc[0]["numwait"]),
+            int(out.iloc[0]["rnk"])) == (9, 1, 1)
