@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "rel_shipmode",
     "graph_jaccard",
     "rel_blame_suppliers",
+    "mm_media_stats",
 ]
 
 

@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def mm_media_stats(sf_dir: str):
+    """Per-asset streaming-media summary (n_frames, total_bytes,
+    checksum, exact mean frame length) over the shared actor-pool frame
+    explode — the decode -> explode -> per-asset aggregate composition;
+    per-batch scatter partials, one doc-keyed combiner exchange."""
+    from .stages.multimodal import media_stats
+
+    return media_stats(_docs_ds(sf_dir))
+
+
 def rel_blame_suppliers(sf_dir: str):
     """TPC-H-Q21-shaped 'who held up the order' counts: per-batch
     (order, supplier) max-shipdate combiner partials, one orderkey-keyed
@@ -1474,6 +1484,7 @@ def registry() -> dict:
         "rel_shipmode": rel_shipmode,
         "graph_jaccard": graph_jaccard,
         "rel_blame_suppliers": rel_blame_suppliers,
+        "mm_media_stats": mm_media_stats,
     }
 
 
@@ -2017,6 +2028,12 @@ def _sql_frame_sample() -> str:
     return sql_frame_samples(_TEXT)
 
 
+def _sql_media_stats() -> str:
+    from .stages.multimodal import sql_media_stats
+
+    return sql_media_stats(_TEXT)
+
+
 def _sql_supplier_types() -> str:
     from .pipelines.relational import sql_supplier_type_counts
 
@@ -2208,6 +2225,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_shipmode": _sql_shipmode(),
         "graph_jaccard": _sql_jaccard(),
         "rel_blame_suppliers": _sql_blame(),
+        "mm_media_stats": _sql_media_stats(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

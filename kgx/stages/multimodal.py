@@ -443,3 +443,69 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          AS frame_sum
 FROM c GROUP BY doc_id, fi
 """
+
+
+def media_stats(docs_ds):
+    """frame explode -> (doc_id, n_frames, total_bytes, body_checksum,
+    mean_frame_len): the per-asset streaming-media summary a video/audio
+    curation pass keeps after frame sampling (how much was sampled per
+    asset, with a content checksum) — the decode -> per-frame explode ->
+    per-asset aggregate composition.
+
+    Rides the shared actor-pool frame explode (frame_samples); each
+    exploded batch then folds to per-doc partials with one np.unique +
+    two np.add.at scatters (<= |docs in batch| rows), and a doc-keyed
+    combiner exchange sums them.  mean_frame_len is an exact integer
+    floor division computed AFTER the merge (sums ride the wire, never
+    means)."""
+    import numpy as np
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg
+
+    frames = frame_samples(docs_ds)
+
+    def partial(batch: "pa.Table") -> "pd.DataFrame":
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fl = batch["frame_len"].to_numpy(zero_copy_only=False)
+        fs = batch["frame_sum"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(ids, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        tb = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tb, inv, fl)
+        ck = np.zeros(len(u), dtype=np.int64)
+        np.add.at(ck, inv, fs)
+        return pd.DataFrame({"doc_id": u, "n_frames": n,
+                             "total_bytes": tb, "body_checksum": ck})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("doc_id", sort=False, as_index=False).agg(
+            n_frames=("n_frames", "sum"), total_bytes=("total_bytes", "sum"),
+            body_checksum=("body_checksum", "sum"))
+
+    agg = hash_partitioned_agg(
+        frames.map_batches(partial, batch_format="pyarrow"),
+        ["doc_id"], combine)
+
+    def finalize(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["mean_frame_len"] = (
+            df["total_bytes"].to_numpy(np.int64)
+            // df["n_frames"].to_numpy(np.int64))
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def sql_media_stats(sql_text: str) -> str:
+    """Per-doc rollup over the frame-sample oracle (shared CTE chain)."""
+    inner = sql_frame_samples(sql_text).strip()
+    return f"""
+WITH fr AS ({inner})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(frame_len) AS BIGINT) AS total_bytes,
+       CAST(sum(frame_sum) AS BIGINT) AS body_checksum,
+       CAST(sum(frame_len) // count(*) AS BIGINT) AS mean_frame_len
+FROM fr GROUP BY doc_id
+"""

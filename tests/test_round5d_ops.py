@@ -368,3 +368,27 @@ def test_blame_suppliers_tie_at_max_not_blamed(ray_session, tmp_path):
     assert len(out) == 1
     assert (int(out.iloc[0]["s_suppkey"]), int(out.iloc[0]["numwait"]),
             int(out.iloc[0]["rnk"])) == (9, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# per-asset media stats (decode -> explode -> aggregate composition)
+# ---------------------------------------------------------------------------
+
+
+def test_media_stats_consistent_with_frame_explode(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.multimodal import frame_samples, media_stats
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).limit(80)
+    fr = _collect(frame_samples(docs))
+    ref = fr.groupby("doc_id").agg(
+        n_frames=("frame_idx", "size"), total_bytes=("frame_len", "sum"),
+        body_checksum=("frame_sum", "sum"))
+    out = _collect(media_stats(docs)).set_index("doc_id").sort_index()
+    assert (out["n_frames"] == ref["n_frames"].sort_index()).all()
+    assert (out["total_bytes"] == ref["total_bytes"].sort_index()).all()
+    assert (out["body_checksum"] == ref["body_checksum"].sort_index()).all()
+    assert (out["mean_frame_len"]
+            == out["total_bytes"] // out["n_frames"]).all()
