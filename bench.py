@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "graph_jaccard",
     "rel_blame_suppliers",
     "mm_media_stats",
+    "rel_nation_trade",
 ]
 
 

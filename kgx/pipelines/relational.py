@@ -4055,3 +4055,235 @@ SELECT s_suppkey, numwait,
             AS BIGINT) AS rnk
 FROM nw QUALIFY rnk <= {k}
 """
+
+
+def nation_trade_matrix(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """(supp_nation, cust_nation, revenue_cents): TPC-H-Q7-shaped trade
+    volume between every (supplier nation, customer nation) pair — the
+    5-table snowflake (lineitem -> supplier -> nation, lineitem -> orders
+    -> customer -> nation) as a <= |nations|^2-row matrix.
+
+    Revenue is the integer disc-cents convention (cents * (100-d) // 100
+    per row), so the DuckDB mirror is bit-exact.  nation is a
+    DRIVER-SCALE dim (names attach to the tiny final matrix).
+
+    Fast path (supplier + orders + customer all within the broadcast
+    budget): three sorted-array maps ship once; each lineitem batch
+    resolves supp-nation and cust-nation in three vectorized
+    searchsorteds and folds to <= |nations|^2 packed-key partial rows —
+    ZERO row-level shuffles, one pair-keyed combiner exchange.
+    Unbounded route: three chained kind-union partition exchanges
+    (suppkey, then orderkey, then custkey), each kernel attaching one
+    hop and folding to combiner-compressed partials before the next —
+    honest all-tables-stream structure with no unbounded broadcast."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nname = {int(k): str(v) for k, v in zip(
+        nation["n_nationkey"].to_numpy(), nation["n_name"].to_pylist())}
+    PACK = max(nname) + 1 if nname else 1
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def _li_arrays(batch: "pa.Table"):
+        ok = pc.and_(pc.and_(pc.is_valid(batch["l_suppkey"]),
+                             pc.is_valid(batch["l_orderkey"])),
+                     pc.and_(pc.is_valid(batch["l_extendedprice"]),
+                             pc.is_valid(batch["l_discount"])))
+        batch = batch.filter(ok)
+        sk = batch["l_suppkey"].to_numpy().astype(np.int64)
+        okey = batch["l_orderkey"].to_numpy().astype(np.int64)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        dpct = np.floor(
+            batch["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return sk, okey, cents * (100 - dpct) // 100
+
+    def _sorted_map(ds, kcol, vcol, clean_null=True):
+        from ..stages.exchange import collect_arrow
+
+        def cleaner(t: "pa.Table") -> "pa.Table":
+            return t.filter(pc.and_(pc.is_valid(t[kcol]),
+                                    pc.is_valid(t[vcol])))
+
+        t = collect_arrow(
+            ds.map_batches(cleaner, batch_format="pyarrow"),
+            pa.table({kcol: pa.array([], pa.int64()),
+                      vcol: pa.array([], pa.int64())}))
+        k = t[kcol].to_numpy().astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        return k[order], t[vcol].to_numpy().astype(np.int64)[order]
+
+    def _lookup(keys, vals, probe):
+        """probe -> (hit mask, value) via one searchsorted."""
+        if not (len(keys) and len(probe)):
+            return np.zeros(len(probe), dtype=bool), np.zeros(
+                len(probe), dtype=np.int64)
+        pos = np.searchsorted(keys, probe).clip(max=len(keys) - 1)
+        hit = keys[pos] == probe
+        return hit, vals[pos]
+
+    _PAIR_EMPTY = pd.DataFrame(
+        {"sn": pd.Series([], dtype="int64"),
+         "cn": pd.Series([], dtype="int64"),
+         "revenue_cents": pd.Series([], dtype="int64")})
+
+    def _pair_fold(sn, cn, cents) -> "pd.DataFrame":
+        if not len(sn):
+            return _PAIR_EMPTY
+        packed = sn * PACK + cn
+        u, inv = np.unique(packed, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pd.DataFrame({"sn": (u // PACK).astype(np.int64),
+                             "cn": (u % PACK).astype(np.int64),
+                             "revenue_cents": s})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["sn", "cn"], sort=False, as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+
+    def finalize(ds):
+        def name_map(df: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame(
+                {"supp_nation": df["sn"].map(nname).astype(str),
+                 "cust_nation": df["cn"].map(nname).astype(str),
+                 "revenue_cents":
+                     df["revenue_cents"].to_numpy().astype(np.int64)})
+
+        return ds.map_batches(name_map, batch_format="pandas")
+
+    total_dim_rows = supplier.count() + orders.count() + customer.count()
+    if total_dim_rows <= broadcast_limit:
+        sk_keys, sk_nat = _sorted_map(supplier, "s_suppkey", "s_nationkey")
+        ok_keys, ok_cust = _sorted_map(orders, "o_orderkey", "o_custkey")
+        ck_keys, ck_nat = _sorted_map(customer, "c_custkey", "c_nationkey")
+        maps_ref = ray.put((sk_keys, sk_nat, ok_keys, ok_cust,
+                            ck_keys, ck_nat))
+
+        def partial(batch: "pa.Table") -> "pd.DataFrame":
+            sk, okey, cents = _li_arrays(batch)
+            sk_k, sk_v, ok_k, ok_v, ck_k, ck_v = ray.get(maps_ref)
+            h1, sn = _lookup(sk_k, sk_v, sk)
+            h2, cust = _lookup(ok_k, ok_v, okey)
+            m = h1 & h2
+            h3, cn = _lookup(ck_k, ck_v, cust)
+            m &= h3
+            return _pair_fold(sn[m], cn[m], cents[m])
+
+        return finalize(hash_partitioned_agg(
+            line.map_batches(partial, batch_format="pyarrow"),
+            ["sn", "cn"], combine))
+
+    # ---- unbounded route: three chained kind-union exchanges ----------
+    def _ku(dim_ds, dim_cols, fact_ds, fact_cols, out_builder):
+        """kind-union exchange on column 'k': kind 0 = dim rows carrying
+        'val', kind 1 = fact rows; kernel maps val onto facts and folds."""
+        all_cols = ["k", "kind", "val"] + fact_cols
+
+        def dim_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = df.dropna(subset=dim_cols)
+            out = pd.DataFrame(
+                {"k": df[dim_cols[0]].to_numpy().astype(np.int64),
+                 "kind": np.zeros(len(df), dtype=np.int64),
+                 "val": df[dim_cols[1]].to_numpy().astype(np.int64)})
+            for c in fact_cols:
+                out[c] = np.int64(0)
+            return out[all_cols]
+
+        u = dim_ds.map_batches(dim_rows, batch_format="pandas").union(fact_ds)
+
+        def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+            dd = d[d["kind"] == 0]
+            ks = dd["k"].to_numpy(np.int64)
+            order = np.argsort(ks, kind="stable")
+            ks, vs = ks[order], dd["val"].to_numpy(np.int64)[order]
+            ff = d[d["kind"] == 1]
+            hit, val = _lookup(ks, vs, ff["k"].to_numpy(np.int64))
+            return out_builder(ff[hit.astype(bool)] if len(ff) else ff,
+                               val[hit] if len(ff) else val)
+
+        return hash_partitioned_apply(u, ["k"], kernel, int_keys=True)
+
+    # step 1: lineitem rows keyed by suppkey pick up the supplier nation
+    def li_rows(batch: "pa.Table") -> "pd.DataFrame":
+        sk, okey, cents = _li_arrays(batch)
+        return pd.DataFrame(
+            {"k": sk, "kind": np.ones(len(sk), dtype=np.int64),
+             "val": np.zeros(len(sk), dtype=np.int64),
+             "okey": okey, "cents": cents})
+
+    def fold_okey_sn(ff: "pd.DataFrame", sn) -> "pd.DataFrame":
+        g = pd.DataFrame({"okey": ff["okey"].to_numpy(np.int64),
+                          "sn": sn.astype(np.int64),
+                          "cents": ff["cents"].to_numpy(np.int64)})
+        g = g.groupby(["okey", "sn"], sort=False, as_index=False).agg(
+            cents=("cents", "sum"))
+        # re-key for the next exchange (orderkey hop)
+        return pd.DataFrame(
+            {"k": g["okey"], "kind": np.ones(len(g), dtype=np.int64),
+             "val": np.zeros(len(g), dtype=np.int64),
+             "sn": g["sn"], "cents": g["cents"]})
+
+    s1 = _ku(supplier, ["s_suppkey", "s_nationkey"],
+             line.map_batches(li_rows, batch_format="pyarrow"),
+             ["okey", "cents"], fold_okey_sn)
+
+    # step 2: (okey, sn, cents) partials pick up the order's custkey
+    def fold_cust_sn(ff: "pd.DataFrame", cust) -> "pd.DataFrame":
+        g = pd.DataFrame({"cust": cust.astype(np.int64),
+                          "sn": ff["sn"].to_numpy(np.int64),
+                          "cents": ff["cents"].to_numpy(np.int64)})
+        g = g.groupby(["cust", "sn"], sort=False, as_index=False).agg(
+            cents=("cents", "sum"))
+        return pd.DataFrame(
+            {"k": g["cust"], "kind": np.ones(len(g), dtype=np.int64),
+             "val": np.zeros(len(g), dtype=np.int64),
+             "sn": g["sn"], "cents": g["cents"]})
+
+    s2 = _ku(orders, ["o_orderkey", "o_custkey"], s1, ["sn", "cents"],
+             fold_cust_sn)
+
+    # step 3: (cust, sn, cents) partials pick up the customer nation and
+    # fold straight to <= |nations|^2 rows per partition
+    def fold_pairs(ff: "pd.DataFrame", cn) -> "pd.DataFrame":
+        return _pair_fold(ff["sn"].to_numpy(np.int64), cn.astype(np.int64),
+                          ff["cents"].to_numpy(np.int64))
+
+    s3 = _ku(customer, ["c_custkey", "c_nationkey"], s2, ["sn", "cents"],
+             fold_pairs)
+
+    return finalize(hash_partitioned_agg(s3, ["sn", "cn"], combine))
+
+
+def sql_nation_trade_matrix() -> str:
+    c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    d = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH li AS (
+  SELECT l_suppkey, l_orderkey, {c} * (100 - {d}) // 100 AS cents
+  FROM lineitem
+  WHERE l_suppkey IS NOT NULL AND l_orderkey IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+)
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(sum(li.cents) AS BIGINT) AS revenue_cents
+FROM li
+JOIN supplier ON li.l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON li.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+GROUP BY 1, 2
+"""

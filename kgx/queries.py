@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def rel_nation_trade(sf_dir: str):
+    """TPC-H-Q7-shaped nation-pair trade matrix through the 5-table
+    snowflake: cost-gated triple broadcast (each lineitem batch folds to
+    <= |nations|^2 packed-key rows, zero row shuffles) vs three chained
+    kind-union exchanges with combiner-compressed partials between hops."""
+    from .pipelines.relational import nation_trade_matrix
+
+    return nation_trade_matrix(sf_dir)
+
+
 def mm_media_stats(sf_dir: str):
     """Per-asset streaming-media summary (n_frames, total_bytes,
     checksum, exact mean frame length) over the shared actor-pool frame
@@ -1485,6 +1495,7 @@ def registry() -> dict:
         "graph_jaccard": graph_jaccard,
         "rel_blame_suppliers": rel_blame_suppliers,
         "mm_media_stats": mm_media_stats,
+        "rel_nation_trade": rel_nation_trade,
     }
 
 
@@ -2149,6 +2160,12 @@ def _sql_blame() -> str:
     return sql_blame_supplier_counts()
 
 
+def _sql_nation_trade() -> str:
+    from .pipelines.relational import sql_nation_trade_matrix
+
+    return sql_nation_trade_matrix()
+
+
 def _sql_cross_source() -> str:
     from .stages.corpus import sql_cross_source_pairs
 
@@ -2226,6 +2243,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_jaccard": _sql_jaccard(),
         "rel_blame_suppliers": _sql_blame(),
         "mm_media_stats": _sql_media_stats(),
+        "rel_nation_trade": _sql_nation_trade(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

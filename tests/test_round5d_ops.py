@@ -392,3 +392,77 @@ def test_media_stats_consistent_with_frame_explode(ray_session):
     assert (out["body_checksum"] == ref["body_checksum"].sort_index()).all()
     assert (out["mean_frame_len"]
             == out["total_bytes"] // out["n_frames"]).all()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q7-shaped nation trade matrix
+# ---------------------------------------------------------------------------
+
+
+def test_nation_trade_both_paths_agree(ray_session):
+    from kgx.pipelines.relational import nation_trade_matrix
+
+    sf = "/root/testdata/sf0.001"
+    fast = _collect(nation_trade_matrix(sf)) \
+        .sort_values(["supp_nation", "cust_nation"]).reset_index(drop=True)
+    slow = _collect(nation_trade_matrix(sf, broadcast_limit=0)) \
+        .sort_values(["supp_nation", "cust_nation"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 20 and (fast["revenue_cents"] > 0).all()
+
+
+def test_nation_trade_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import nation_trade_matrix
+
+    rng = np.random.default_rng(7)
+    n = 200
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array([0, 1, 2], pa.int32()),
+         "n_name": pa.array(["AAA", "BBB", "CCC"])}),
+        sf / "nation.parquet")
+    pq.write_table(pa.table(
+        {"s_suppkey": np.arange(1, 9, dtype=np.int64),
+         "s_nationkey": pa.array(rng.integers(0, 3, 8), pa.int32())}),
+        sf / "supplier.parquet")
+    pq.write_table(pa.table(
+        {"c_custkey": np.arange(1, 13, dtype=np.int64),
+         "c_nationkey": pa.array(rng.integers(0, 3, 12), pa.int32())}),
+        sf / "customer.parquet")
+    pq.write_table(pa.table(
+        {"o_orderkey": np.arange(1, 31, dtype=np.int64),
+         "o_custkey": rng.integers(1, 13, 30).astype(np.int64)}),
+        sf / "orders.parquet")
+    li = pa.table(
+        {"l_suppkey": rng.integers(1, 10, n).astype(np.int64),  # 9 dangles
+         "l_orderkey": rng.integers(1, 32, n).astype(np.int64),  # 31 dangles
+         "l_extendedprice": np.round(rng.uniform(1, 500, n), 2),
+         "l_discount": np.round(rng.integers(0, 11, n) / 100.0, 2)})
+    pq.write_table(li, sf / "lineitem.parquet")
+
+    # serial reference
+    ldf = li.to_pandas()
+    sup = pq.read_table(sf / "supplier.parquet").to_pandas()
+    orders = pq.read_table(sf / "orders.parquet").to_pandas()
+    cust = pq.read_table(sf / "customer.parquet").to_pandas()
+    names = {0: "AAA", 1: "BBB", 2: "CCC"}
+    ldf["cents"] = (np.floor(ldf["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+                    * (100 - np.floor(ldf["l_discount"] * 100 + 0.5)
+                       .astype(np.int64)) // 100)
+    j = ldf.merge(sup, left_on="l_suppkey", right_on="s_suppkey") \
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey") \
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+    ref = j.groupby(["s_nationkey", "c_nationkey"])["cents"].sum()
+    ref = {(names[a], names[b]): int(v) for (a, b), v in ref.items()}
+
+    out = _collect(nation_trade_matrix(str(sf)))
+    got = {(r.supp_nation, r.cust_nation): int(r.revenue_cents)
+           for r in out.itertuples()}
+    assert got == ref
+    out2 = _collect(nation_trade_matrix(str(sf), broadcast_limit=0))
+    got2 = {(r.supp_nation, r.cust_nation): int(r.revenue_cents)
+            for r in out2.itertuples()}
+    assert got2 == ref
