@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "rel_blame_suppliers",
     "mm_media_stats",
     "rel_nation_trade",
+    "emb_sq8",
 ]
 
 

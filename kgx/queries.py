@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def emb_sq8(sf_dir: str):
+    """Two-pass int8 scalar quantization over the embedding column: one
+    dim-keyed min/max combiner exchange calibrates, the d-row parameter
+    table broadcasts by closure, one streaming map emits exact integer
+    affine codes as per-vector checksums — vectors never shuffle."""
+    from .stages.kmeans import sq8_codes
+
+    return sq8_codes(_emb_ds(sf_dir))
+
+
 def rel_nation_trade(sf_dir: str):
     """TPC-H-Q7-shaped nation-pair trade matrix through the 5-table
     snowflake: cost-gated triple broadcast (each lineitem batch folds to
@@ -1496,6 +1506,7 @@ def registry() -> dict:
         "rel_blame_suppliers": rel_blame_suppliers,
         "mm_media_stats": mm_media_stats,
         "rel_nation_trade": rel_nation_trade,
+        "emb_sq8": emb_sq8,
     }
 
 
@@ -2136,6 +2147,12 @@ def _sql_norm_hist() -> str:
     return sql_norm_histogram()
 
 
+def _sql_sq8() -> str:
+    from .stages.kmeans import sql_sq8_codes
+
+    return sql_sq8_codes()
+
+
 def _sql_small_qty() -> str:
     from .pipelines.relational import sql_small_qty_revenue
 
@@ -2244,6 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_blame_suppliers": _sql_blame(),
         "mm_media_stats": _sql_media_stats(),
         "rel_nation_trade": _sql_nation_trade(),
+        "emb_sq8": _sql_sq8(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

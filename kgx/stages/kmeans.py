@@ -752,3 +752,115 @@ SELECT CAST(norm2 // {bucket} AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_vecs
 FROM n GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (r5 batch-7): per-dimension affine int8 codes — the
+# storage-compression pass an embedding store runs before ANN serving.
+# ---------------------------------------------------------------------------
+
+
+def sq8_codes(emb_ds):
+    """embeddings -> (vec_id, code_sum, code_sq_sum): two-pass scalar
+    quantization to 8-bit codes with per-dimension affine calibration.
+
+    Pass A (calibration): per-batch per-dim min/max partials (<= d rows
+    each) merge in ONE dim-keyed combiner exchange; the d-row parameter
+    table collects driver-side and broadcasts by closure.  Pass B: one
+    streaming map computes code_j = (q_j - min_j) * 255 // (max_j -
+    min_j) per vector (exact integer affine, constant-dimension guard ->
+    code 0) and emits the per-vector code checksum pair — raw vectors
+    never shuffle, and the only exchange is O(batches x d) rows.  Same
+    centered KM_SCALE quantization as gram/norm_hist, so the DuckDB
+    mirror reproduces every code bit-exactly."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import collect_arrow, hash_partitioned_agg
+
+    def _qmat(batch: pa.Table):
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        n = batch.num_rows
+        if n == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros((0, 1), np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat.reshape(n, -1) * KM_SCALE + 0.5).astype(np.int64)
+        return ids, q
+
+    def mm_partial(batch: pa.Table) -> "pd.DataFrame":
+        ids, q = _qmat(batch)
+        if not len(ids):
+            return pd.DataFrame(
+                {"dim": pd.Series([], dtype="int64"),
+                 "minq": pd.Series([], dtype="int64"),
+                 "maxq": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"dim": np.arange(q.shape[1], dtype=np.int64),
+             "minq": q.min(axis=0), "maxq": q.max(axis=0)})
+
+    def mm_combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("dim", sort=False, as_index=False).agg(
+            minq=("minq", "min"), maxq=("maxq", "max"))
+
+    params = collect_arrow(
+        hash_partitioned_agg(
+            emb_ds.map_batches(mm_partial, batch_format="pyarrow"),
+            ["dim"], mm_combine),
+        pa.table({"dim": pa.array([], pa.int64()),
+                  "minq": pa.array([], pa.int64()),
+                  "maxq": pa.array([], pa.int64())}))
+    dims = params["dim"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(dims, kind="stable")
+    minq = params["minq"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[order]
+    maxq = params["maxq"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[order]
+    span = np.maximum(maxq - minq, 1)   # constant dims -> code 0
+
+    out_schema = pa.schema([("vec_id", pa.int64()),
+                            ("code_sum", pa.int64()),
+                            ("code_sq_sum", pa.int64())])
+
+    def code_map(batch: pa.Table) -> pa.Table:
+        ids, q = _qmat(batch)
+        if not len(ids):
+            return out_schema.empty_table()
+        codes = (q - minq[None, :]) * 255 // span[None, :]
+        return pa.table({"vec_id": ids,
+                         "code_sum": codes.sum(axis=1),
+                         "code_sq_sum": (codes * codes).sum(axis=1)},
+                        schema=out_schema)
+
+    return emb_ds.map_batches(code_map, batch_format="pyarrow")
+
+
+def sql_sq8_codes() -> str:
+    """DuckDB oracle: per-dim min/max over the same quantization, exact
+    integer affine code, per-vector checksum rollup."""
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+), u AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(qv))) AS i,
+         unnest(qv) AS v
+  FROM q
+), mm AS (
+  SELECT i, min(v) AS minq,
+         CASE WHEN max(v) - min(v) < 1 THEN 1
+              ELSE max(v) - min(v) END AS span
+  FROM u GROUP BY i
+), c AS (
+  SELECT u.vec_id, (u.v - mm.minq) * 255 // mm.span AS code
+  FROM u JOIN mm USING (i)
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(code * code) AS BIGINT) AS code_sq_sum
+FROM c GROUP BY vec_id
+"""

@@ -466,3 +466,44 @@ def test_nation_trade_matches_serial(ray_session, tmp_path):
     got2 = {(r.supp_nation, r.cust_nation): int(r.revenue_cents)
             for r in out2.itertuples()}
     assert got2 == ref
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kmeans import KM_SCALE, sq8_codes
+
+    rng = np.random.default_rng(8)
+    vecs = (rng.standard_normal((50, 5)) * 0.3).astype(np.float32)
+    vecs[:, 3] = 0.25  # constant dimension -> span guard, code 0
+    tbl = pa.table(
+        {"vec_id": np.arange(50, dtype=np.int64),
+         "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    out = _collect(sq8_codes(rd.from_arrow(tbl).repartition(6))) \
+        .set_index("vec_id").sort_index()
+    q = np.floor(vecs.astype(np.float64) * KM_SCALE + 0.5).astype(np.int64)
+    minq = q.min(axis=0)
+    span = np.maximum(q.max(axis=0) - minq, 1)
+    codes = (q - minq[None, :]) * 255 // span[None, :]
+    assert (codes >= 0).all() and (codes <= 255).all()
+    assert (codes[:, 3] == 0).all()
+    assert (out["code_sum"].to_numpy() == codes.sum(axis=1)).all()
+    assert (out["code_sq_sum"].to_numpy() == (codes * codes).sum(axis=1)).all()
+
+
+def test_sq8_null_vectors_drop(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kmeans import sq8_codes
+
+    tbl = pa.table(
+        {"vec_id": pa.array([0, 1, 2], pa.int64()),
+         "embedding": pa.array([[0.1, 0.9], None, [0.5, 0.4]],
+                               pa.list_(pa.float32()))})
+    out = _collect(sq8_codes(rd.from_arrow(tbl)))
+    assert sorted(out["vec_id"]) == [0, 2]
