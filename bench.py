@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "mm_media_stats",
     "rel_nation_trade",
     "emb_sq8",
+    "kg_pred_stats",
 ]
 
 

@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def kg_pred_stats(sf_dir: str):
+    """Per-predicate schema-health table over the deduped triples:
+    (pred, n_triples, n_subj, n_obj) — pred-keyed count combiner plus an
+    entity-keyed partition exchange where per-partition dedup IS global
+    dedup; both results driver-scale, merged in one frame."""
+    from .stages.kg_stages import predicate_stats
+
+    return predicate_stats(_kg_sql_outputs(sf_dir)["triples"])
+
+
 def emb_sq8(sf_dir: str):
     """Two-pass int8 scalar quantization over the embedding column: one
     dim-keyed min/max combiner exchange calibrates, the d-row parameter
@@ -1507,6 +1517,7 @@ def registry() -> dict:
         "mm_media_stats": mm_media_stats,
         "rel_nation_trade": rel_nation_trade,
         "emb_sq8": emb_sq8,
+        "kg_pred_stats": kg_pred_stats,
     }
 
 
@@ -2262,6 +2273,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_media_stats": _sql_media_stats(),
         "rel_nation_trade": _sql_nation_trade(),
         "emb_sq8": _sql_sq8(),
+        "kg_pred_stats": so.sql_kg_pred_stats(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

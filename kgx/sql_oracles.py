@@ -706,3 +706,27 @@ SELECT surface, entity_key,
 FROM sm GROUP BY 1, 2
 """
     )
+
+
+def sql_kg_pred_stats() -> str:
+    """Per-predicate triple count + distinct head/tail entity counts over
+    the deduped triples (same ranked/final_t chain as sql_kg_two_hop)."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ns, pred, no
+                               ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), final_t AS (
+  SELECT subj, pred, obj FROM ranked WHERE rr = 1
+)
+SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+FROM final_t GROUP BY 1
+"""
+    )

@@ -509,3 +509,74 @@ def alias_stats(linked_ds):
         linked_ds.map_batches(partial, batch_format="pandas"),
         ["surface", "entity_key"], kernel,
     )
+
+
+def predicate_stats(triples_ds):
+    """deduped triples -> (pred, n_triples, n_subj, n_obj): the
+    per-predicate schema-health table (which relations dominate the graph
+    and how many distinct head/tail entities each touches — the KG
+    equivalent of a column-cardinality profile).
+
+    Two bounded exchanges over one pinned narrow projection: a pred-keyed
+    count combiner (<= |preds| rows per batch) for n_triples, and an
+    entity-keyed partition exchange of per-batch-deduped (pred, side,
+    entity) rows — every copy of a (pred, side, entity) triple shares its
+    entity, so per-partition dedup IS global dedup — folding to
+    <= 2|preds| distinct-count rows per partition.  Both results are
+    driver-scale and merge in a final pandas frame."""
+    import pandas as pd
+
+    from .exchange import collect_arrow, hash_partitioned_agg, \
+        hash_partitioned_apply
+
+    tri = triples_ds.select_columns(["subj", "pred", "obj"]).materialize()
+
+    def count_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("pred", sort=False, as_index=False).agg(
+            n_triples=("pred", "size"))
+        g["n_triples"] = g["n_triples"].astype("int64")
+        return g
+
+    counts = hash_partitioned_agg(
+        tri.map_batches(count_partial, batch_format="pandas"),
+        ["pred"], lambda df: df.groupby("pred", sort=False,
+                                        as_index=False).agg(
+            n_triples=("n_triples", "sum")))
+
+    def side_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        sm = pd.concat([
+            pd.DataFrame({"pred": df["pred"], "side": 0,
+                          "entity": df["subj"]}),
+            pd.DataFrame({"pred": df["pred"], "side": 1,
+                          "entity": df["obj"]})])
+        return sm.drop_duplicates()
+
+    def distinct_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.drop_duplicates()
+        g = d.groupby(["pred", "side"], sort=False, as_index=False).agg(
+            n=("entity", "size"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    sides = hash_partitioned_agg(
+        hash_partitioned_apply(
+            tri.map_batches(side_rows, batch_format="pandas"),
+            ["entity"], distinct_kernel),
+        ["pred", "side"],
+        lambda df: df.groupby(["pred", "side"], sort=False,
+                              as_index=False).agg(n=("n", "sum")))
+
+    ct = collect_arrow(
+        counts, pa.table({"pred": pa.array([], pa.string()),
+                          "n_triples": pa.array([], pa.int64())})).to_pandas()
+    sd = collect_arrow(
+        sides, pa.table({"pred": pa.array([], pa.string()),
+                         "side": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})).to_pandas()
+    ns = sd[sd["side"] == 0].rename(columns={"n": "n_subj"})[
+        ["pred", "n_subj"]]
+    no = sd[sd["side"] == 1].rename(columns={"n": "n_obj"})[["pred", "n_obj"]]
+    out = ct.merge(ns, on="pred", how="left").merge(no, on="pred", how="left")
+    out["n_subj"] = out["n_subj"].fillna(0).astype("int64")
+    out["n_obj"] = out["n_obj"].fillna(0).astype("int64")
+    return out.reset_index(drop=True)

@@ -507,3 +507,26 @@ def test_sq8_null_vectors_drop(ray_session):
                                pa.list_(pa.float32()))})
     out = _collect(sq8_codes(rd.from_arrow(tbl)))
     assert sorted(out["vec_id"]) == [0, 2]
+
+
+# ---------------------------------------------------------------------------
+# per-predicate KG stats
+# ---------------------------------------------------------------------------
+
+
+def test_pred_stats_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kg_stages import predicate_stats
+
+    tri = pd.DataFrame({
+        "subj": ["A", "A", "B", "C", "A", "B"],
+        "pred": ["acquired", "acquired", "acquired", "hired", "hired",
+                 "sued"],
+        "obj": ["X", "Y", "X", "P", "P", "A"],
+    })
+    out = predicate_stats(rd.from_pandas(tri).repartition(3))
+    got = {r.pred: (int(r.n_triples), int(r.n_subj), int(r.n_obj))
+           for r in out.itertuples()}
+    assert got == {"acquired": (3, 2, 2), "hired": (2, 2, 1),
+                   "sued": (1, 1, 1)}
