@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "rel_nation_trade",
     "emb_sq8",
     "kg_pred_stats",
+    "rel_disjunctive",
 ]
 
 

@@ -4287,3 +4287,173 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
 GROUP BY 1, 2
 """
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) OR-clauses — the Q19 shape
+Q19_CLAUSES = (("Brand#12", 1, 5, 1, 11),
+               ("Brand#23", 1, 10, 10, 20),
+               ("Brand#3", 1, 15, 20, 30))
+
+
+def disjunctive_revenue(sf_dir: str, clauses=Q19_CLAUSES,
+                        broadcast_limit: int = 2_000_000):
+    """(revenue_cents, n_rows): TPC-H-Q19-shaped OR-of-ANDs predicate
+    crossing both tables — each clause constrains the part's brand AND
+    size range AND the lineitem's quantity range; revenue in integer
+    disc-cents over the union of the clauses.
+
+    Fast path (part within the broadcast budget): (sorted partkey,
+    brand-code, size) ship once; each lineitem batch resolves its part
+    attrs in one searchsorted and evaluates the whole disjunction as a
+    stack of vectorized boolean ANDs, folding to ONE row — zero row
+    shuffles.  Unbounded route: a partkey-keyed kind-union partition
+    exchange (part rows carry brand-code + size) with the same clause
+    kernel per partition."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..stages.exchange import collect_arrow, hash_partitioned_apply
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice",
+                  "l_discount"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    brand_names = [c[0] for c in clauses]
+
+    def _li_arrays(batch: "pa.Table"):
+        ok = pc.and_(pc.and_(pc.is_valid(batch["l_partkey"]),
+                             pc.is_valid(batch["l_quantity"])),
+                     pc.and_(pc.is_valid(batch["l_extendedprice"]),
+                             pc.is_valid(batch["l_discount"])))
+        batch = batch.filter(ok)
+        k = batch["l_partkey"].to_numpy().astype(np.int64)
+        qty = np.floor(batch["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        dpct = np.floor(
+            batch["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return k, qty, cents * (100 - dpct) // 100
+
+    def _clause_mask(bcode, size, qty):
+        """bcode: clause index of the part's brand (-1 = no clause brand)."""
+        m = np.zeros(len(bcode), dtype=bool)
+        for ci, (_, slo, shi, qlo, qhi) in enumerate(clauses):
+            m |= ((bcode == ci) & (size >= slo) & (size <= shi)
+                  & (qty >= qlo) & (qty <= qhi))
+        return m
+
+    def _one_row(cents_masked) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"revenue_cents": pd.Series([int(cents_masked.sum())],
+                                        dtype="int64"),
+             "n_rows": pd.Series([len(cents_masked)], dtype="int64")})
+
+    _ONE_EMPTY = pa.table({"revenue_cents": pa.array([], pa.int64()),
+                           "n_rows": pa.array([], pa.int64())})
+
+    def fold_rows(ds) -> "pd.DataFrame":
+        t = collect_arrow(ds, _ONE_EMPTY)
+        return pd.DataFrame(
+            {"revenue_cents": pd.Series(
+                [int(t["revenue_cents"].to_numpy(
+                    zero_copy_only=False).sum())], dtype="int64"),
+             "n_rows": pd.Series(
+                 [int(t["n_rows"].to_numpy(zero_copy_only=False).sum())],
+                 dtype="int64")})
+
+    def part_clean(batch: "pa.Table") -> "pa.Table":
+        return batch.filter(pc.and_(
+            pc.and_(pc.is_valid(batch["p_partkey"]),
+                    pc.is_valid(batch["p_brand"])),
+            pc.is_valid(batch["p_size"])))
+
+    def _brand_codes(brands) -> np.ndarray:
+        idx = {b: i for i, b in enumerate(brand_names)}
+        return np.array([idx.get(b, -1) for b in brands], dtype=np.int64)
+
+    if part.count() <= broadcast_limit:
+        pt = collect_arrow(
+            part.map_batches(part_clean, batch_format="pyarrow"),
+            pa.table({"p_partkey": pa.array([], pa.int64()),
+                      "p_brand": pa.array([], pa.string()),
+                      "p_size": pa.array([], pa.int32())}))
+        pk = pt["p_partkey"].to_numpy().astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk = pk[order]
+        bcode = _brand_codes(pt["p_brand"].to_pylist())[order]
+        size = pt["p_size"].to_numpy().astype(np.int64)[order]
+        ref = ray.put((pk, bcode, size))
+
+        def partial(batch: "pa.Table") -> "pd.DataFrame":
+            k, qty, cents = _li_arrays(batch)
+            ks, bc, sz = ray.get(ref)
+            if len(ks) and len(k):
+                pos = np.searchsorted(ks, k).clip(max=len(ks) - 1)
+                hit = ks[pos] == k
+                m = _clause_mask(bc[pos[hit]], sz[pos[hit]], qty[hit])
+                return _one_row(cents[hit][m])
+            return _one_row(np.zeros(0, dtype=np.int64))
+
+        return fold_rows(line.map_batches(partial, batch_format="pyarrow"))
+
+    # unbounded route: partkey-keyed kind-union exchange
+    def part_rows(batch: "pa.Table") -> "pd.DataFrame":
+        batch = part_clean(batch)
+        k = batch["p_partkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"k": k, "kind": np.zeros(len(k), dtype=np.int64),
+             "bcode": _brand_codes(batch["p_brand"].to_pylist()),
+             "size": batch["p_size"].to_numpy().astype(np.int64),
+             "qty": np.zeros(len(k), dtype=np.int64),
+             "cents": np.zeros(len(k), dtype=np.int64)})
+
+    def li_rows(batch: "pa.Table") -> "pd.DataFrame":
+        k, qty, cents = _li_arrays(batch)
+        z = np.zeros(len(k), dtype=np.int64)
+        return pd.DataFrame({"k": k, "kind": np.ones(len(k), np.int64),
+                             "bcode": z, "size": z, "qty": qty,
+                             "cents": cents})
+
+    union = part.map_batches(part_rows, batch_format="pyarrow").union(
+        line.map_batches(li_rows, batch_format="pyarrow"))
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        dd = df[df["kind"] == 0]
+        ks = dd["k"].to_numpy(np.int64)
+        order = np.argsort(ks, kind="stable")
+        ks = ks[order]
+        bc = dd["bcode"].to_numpy(np.int64)[order]
+        sz = dd["size"].to_numpy(np.int64)[order]
+        li = df[df["kind"] == 1]
+        k = li["k"].to_numpy(np.int64)
+        if len(ks) and len(k):
+            pos = np.searchsorted(ks, k).clip(max=len(ks) - 1)
+            hit = ks[pos] == k
+            m = _clause_mask(bc[pos[hit]], sz[pos[hit]],
+                             li["qty"].to_numpy(np.int64)[hit])
+            return _one_row(li["cents"].to_numpy(np.int64)[hit][m])
+        return _one_row(np.zeros(0, dtype=np.int64))
+
+    return fold_rows(
+        hash_partitioned_apply(union, ["k"], kernel, int_keys=True))
+
+
+def sql_disjunctive_revenue(clauses=Q19_CLAUSES) -> str:
+    c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    d = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    q = "CAST(floor(l_quantity + 0.5) AS BIGINT)"
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND {q} BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in clauses)
+    return f"""
+SELECT CAST(COALESCE(sum({c} * (100 - {d}) // 100), 0) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  AND l_discount IS NOT NULL AND p_brand IS NOT NULL
+  AND p_size IS NOT NULL AND ({ors})
+"""

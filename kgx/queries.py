@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def rel_disjunctive(sf_dir: str):
+    """TPC-H-Q19-shaped OR-of-ANDs predicate across two tables (brand +
+    size range + quantity range per clause): cost-gated part-attr
+    broadcast with per-batch single-row folds vs a partkey-keyed
+    kind-union exchange; integer disc-cents revenue."""
+    from .pipelines.relational import disjunctive_revenue
+
+    return disjunctive_revenue(sf_dir)
+
+
 def kg_pred_stats(sf_dir: str):
     """Per-predicate schema-health table over the deduped triples:
     (pred, n_triples, n_subj, n_obj) — pred-keyed count combiner plus an
@@ -1518,6 +1528,7 @@ def registry() -> dict:
         "rel_nation_trade": rel_nation_trade,
         "emb_sq8": emb_sq8,
         "kg_pred_stats": kg_pred_stats,
+        "rel_disjunctive": rel_disjunctive,
     }
 
 
@@ -2194,6 +2205,12 @@ def _sql_nation_trade() -> str:
     return sql_nation_trade_matrix()
 
 
+def _sql_disjunctive() -> str:
+    from .pipelines.relational import sql_disjunctive_revenue
+
+    return sql_disjunctive_revenue()
+
+
 def _sql_cross_source() -> str:
     from .stages.corpus import sql_cross_source_pairs
 
@@ -2274,6 +2291,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_nation_trade": _sql_nation_trade(),
         "emb_sq8": _sql_sq8(),
         "kg_pred_stats": so.sql_kg_pred_stats(),
+        "rel_disjunctive": _sql_disjunctive(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -530,3 +530,52 @@ def test_pred_stats_matches_serial(ray_session):
            for r in out.itertuples()}
     assert got == {"acquired": (3, 2, 2), "hired": (2, 2, 1),
                    "sued": (1, 1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q19-shaped disjunctive predicate
+# ---------------------------------------------------------------------------
+
+
+def test_disjunctive_matches_serial_and_both_paths(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import (Q19_CLAUSES, disjunctive_revenue)
+
+    rng = np.random.default_rng(19)
+    n_parts, n = 40, 500
+    brands = np.array(["Brand#12", "Brand#23", "Brand#3", "Brand#9"])
+    pb = brands[rng.integers(0, 4, n_parts)]
+    ps = rng.integers(1, 51, n_parts).astype(np.int32)
+    part = pa.table({"p_partkey": np.arange(1, n_parts + 1, dtype=np.int64),
+                     "p_brand": pa.array(pb), "p_size": pa.array(ps)})
+    lk = rng.integers(1, n_parts + 2, n).astype(np.int64)
+    qty = rng.integers(1, 35, n).astype(np.float64)
+    price = np.round(rng.uniform(10, 500, n), 2)
+    disc = np.round(rng.integers(0, 11, n) / 100.0, 2)
+    line = pa.table({"l_partkey": lk, "l_quantity": qty,
+                     "l_extendedprice": price, "l_discount": disc})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(part, sf / "part.parquet")
+    pq.write_table(line, sf / "lineitem.parquet")
+
+    # serial reference
+    ldf = line.to_pandas().merge(part.to_pandas(), left_on="l_partkey",
+                                 right_on="p_partkey")
+    cents = (np.floor(ldf["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+             * (100 - np.floor(ldf["l_discount"] * 100 + 0.5)
+                .astype(np.int64)) // 100)
+    q = np.floor(ldf["l_quantity"] + 0.5).astype(np.int64)
+    m = np.zeros(len(ldf), dtype=bool)
+    for b, slo, shi, qlo, qhi in Q19_CLAUSES:
+        m |= ((ldf["p_brand"] == b) & ldf["p_size"].between(slo, shi)
+              & (q >= qlo) & (q <= qhi)).to_numpy()
+    ref = (int(cents[m].sum()), int(m.sum()))
+    assert ref[1] > 0
+
+    fast = _collect(disjunctive_revenue(str(sf)))
+    assert (int(fast.iloc[0]["revenue_cents"]),
+            int(fast.iloc[0]["n_rows"])) == ref
+    slow = _collect(disjunctive_revenue(str(sf), broadcast_limit=0))
+    pd.testing.assert_frame_equal(fast, slow)
