@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "emb_sq8",
     "kg_pred_stats",
     "rel_disjunctive",
+    "kg_mention_timeline",
 ]
 
 

@@ -948,6 +948,38 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def kg_mention_timeline(sf_dir: str):
+    """Crawl-freshness mention timeline (ner_type, day, n_mentions): the
+    page's warc_ts re-attaches to the derived mention stream by LINEAGE —
+    a url-keyed kind-union exchange joins the cheap (url, ts) projection
+    against per-batch mention folds; pair-keyed combiner finishes."""
+    import numpy as np
+    import ray.data as rd
+
+    from .pipeline import broadcast_kb
+    from .stages.kg_stages import mention_timeline
+    from .synth import EPOCH_US
+
+    def ts_map(batch):
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = pd.Series(batch["source"].to_pandas()).astype(str)
+        url = ("https://synth.example/" + src + "/"
+               + pd.Series(ids).astype(str)).to_numpy()
+        import pyarrow as pa
+
+        return pa.table({"url": pa.array(url, pa.string()),
+                         "warc_ts": pa.array(ids * 37_000_000 + EPOCH_US)})
+
+    ts_ds = rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["doc_id", "source"]).map_batches(
+        ts_map, batch_format="pyarrow")
+    return mention_timeline(_kg_sql_pages(sf_dir), _kg_sql_cfg(),
+                            broadcast_kb(), ts_ds=ts_ds)
+
+
 def rel_disjunctive(sf_dir: str):
     """TPC-H-Q19-shaped OR-of-ANDs predicate across two tables (brand +
     size range + quantity range per clause): cost-gated part-attr
@@ -1529,6 +1561,7 @@ def registry() -> dict:
         "emb_sq8": emb_sq8,
         "kg_pred_stats": kg_pred_stats,
         "rel_disjunctive": rel_disjunctive,
+        "kg_mention_timeline": kg_mention_timeline,
     }
 
 
@@ -2292,6 +2325,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_sq8": _sql_sq8(),
         "kg_pred_stats": so.sql_kg_pred_stats(),
         "rel_disjunctive": _sql_disjunctive(),
+        "kg_mention_timeline": so.sql_kg_mention_timeline(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

@@ -730,3 +730,23 @@ SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
 FROM final_t GROUP BY 1
 """
     )
+
+
+def sql_kg_mention_timeline() -> str:
+    """(ner_type, day, n_mentions): the am mention stream joined back to
+    the page crawl date by lineage; warc_ts reconstructs from doc_id via
+    the synth formula (EPOCH_US + doc_id * 37_000_000, rep = 0)."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, dts AS (
+  SELECT {DOC_URL_SQL} AS url,
+         (1700000000000000 + doc_id * 37000000) // 86400000000 AS day
+  FROM documents
+)
+SELECT am.ner_type, CAST(dts.day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM am JOIN dts USING (url)
+GROUP BY 1, 2
+"""
+    )

@@ -579,3 +579,31 @@ def test_disjunctive_matches_serial_and_both_paths(ray_session, tmp_path):
             int(fast.iloc[0]["n_rows"])) == ref
     slow = _collect(disjunctive_revenue(str(sf), broadcast_limit=0))
     pd.testing.assert_frame_equal(fast, slow)
+
+
+# ---------------------------------------------------------------------------
+# crawl-freshness mention timeline (lineage attach)
+# ---------------------------------------------------------------------------
+
+
+def test_mention_timeline_attaches_page_dates(ray_session):
+    import ray.data as rd
+
+    from kgx import config_loader, synth
+    from kgx.pipeline import broadcast_kb, mentions_ds
+    from kgx.stages.kg_stages import DAY_US, mention_timeline
+
+    pages = synth.gen_pages(120, seed=42)
+    cfg = config_loader.resolve_settings()
+    refs = broadcast_kb()
+    out = _collect(mention_timeline(rd.from_arrow(pages), cfg, refs))
+    # serial reference: mention stream joined to page ts in pandas
+    m = _collect(mentions_ds(rd.from_arrow(pages), cfg, refs))
+    pts = pages.to_pandas()[["url", "warc_ts"]]
+    pts["day"] = (pts["warc_ts"].astype("int64") // DAY_US).astype("int64")
+    j = m.merge(pts[["url", "day"]], on="url")
+    ref = j.groupby(["ner_type", "day"]).size()
+    got = {(r.ner_type, int(r.day)): int(r.n_mentions)
+           for r in out.itertuples()}
+    assert got == {(t, int(d)): int(v) for (t, d), v in ref.items()}
+    assert len(got) > 1
