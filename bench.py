@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "kg_pred_stats",
     "rel_disjunctive",
     "kg_mention_timeline",
+    "rel_top_supplier",
 ]
 
 

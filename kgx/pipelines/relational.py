@@ -4457,3 +4457,88 @@ WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
   AND l_discount IS NOT NULL AND p_brand IS NOT NULL
   AND p_size IS NOT NULL AND ({ors})
 """
+
+
+Q15_LO_US = 820_454_400 * 1_000_000       # 1996-01-01 UTC (shares Q12 window)
+Q15_HI_US = 828_316_800 * 1_000_000       # 1996-04-01 UTC
+
+
+def top_supplier_revenue(sf_dir: str):
+    """(s_suppkey, revenue_cents): TPC-H-Q15-shaped max-with-TIES — every
+    supplier whose windowed disc-cents revenue equals the global maximum
+    (the create-view + correlated max shape; ties are the point, unlike
+    top-k's rank cut).
+
+    One suppkey-keyed combiner exchange folds the windowed scan to one
+    revenue row per supplier (each suppkey lives in exactly one partition
+    afterwards); each partition then emits only ITS max-revenue rows
+    (sound prune: the global max is the max of partition maxima), the
+    <= P survivor rows coalesce into a single block, and one final scan
+    keeps the global argmax set.  Revenue is exact integer disc-cents, so
+    ties are bit-exact against the DuckDB mirror."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_agg
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_shipdate", "l_extendedprice",
+                  "l_discount"])
+
+    def partial(batch: "pa.Table") -> "pd.DataFrame":
+        ok = pc.and_(pc.and_(pc.is_valid(batch["l_suppkey"]),
+                             pc.is_valid(batch["l_shipdate"])),
+                     pc.and_(pc.is_valid(batch["l_extendedprice"]),
+                             pc.is_valid(batch["l_discount"])))
+        batch = batch.filter(ok)
+        s = batch["l_shipdate"].cast(pa.int64()).to_numpy()
+        win = (s >= Q15_LO_US) & (s < Q15_HI_US)
+        k = batch["l_suppkey"].to_numpy().astype(np.int64)[win]
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)[win]
+        dpct = np.floor(
+            batch["l_discount"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)[win]
+        disc = cents * (100 - dpct) // 100
+        u, inv = np.unique(k, return_inverse=True)
+        rv = np.zeros(len(u), dtype=np.int64)
+        np.add.at(rv, inv, disc)
+        return pd.DataFrame({"s_suppkey": u, "revenue_cents": rv})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("s_suppkey", sort=False, as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+
+    rev = hash_partitioned_agg(
+        line.map_batches(partial, batch_format="pyarrow"),
+        ["s_suppkey"], combine)
+
+    def local_max(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return df
+        return df[df["revenue_cents"] == df["revenue_cents"].max()] \
+            .reset_index(drop=True)
+
+    return rev.map_batches(local_max, batch_format="pandas") \
+        .repartition(1).map_batches(local_max, batch_format="pandas",
+                                    batch_size=None)
+
+
+def sql_top_supplier_revenue() -> str:
+    c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    d = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH rev AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+         CAST(sum({c} * (100 - {d}) // 100) AS BIGINT) AS revenue_cents
+  FROM lineitem
+  WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, revenue_cents FROM rev
+WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+"""

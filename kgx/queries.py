@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def rel_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shaped max-with-TIES: every supplier at the global
+    windowed-revenue maximum — suppkey combiner exchange, per-partition
+    sound max prune, single-block argmax-set scan; exact integer
+    disc-cents so ties are bit-exact."""
+    from .pipelines.relational import top_supplier_revenue
+
+    return top_supplier_revenue(sf_dir)
+
+
 def kg_mention_timeline(sf_dir: str):
     """Crawl-freshness mention timeline (ner_type, day, n_mentions): the
     page's warc_ts re-attaches to the derived mention stream by LINEAGE —
@@ -1562,6 +1572,7 @@ def registry() -> dict:
         "kg_pred_stats": kg_pred_stats,
         "rel_disjunctive": rel_disjunctive,
         "kg_mention_timeline": kg_mention_timeline,
+        "rel_top_supplier": rel_top_supplier,
     }
 
 
@@ -2244,6 +2255,12 @@ def _sql_disjunctive() -> str:
     return sql_disjunctive_revenue()
 
 
+def _sql_top_supplier() -> str:
+    from .pipelines.relational import sql_top_supplier_revenue
+
+    return sql_top_supplier_revenue()
+
+
 def _sql_cross_source() -> str:
     from .stages.corpus import sql_cross_source_pairs
 
@@ -2326,6 +2343,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_stats": so.sql_kg_pred_stats(),
         "rel_disjunctive": _sql_disjunctive(),
         "kg_mention_timeline": so.sql_kg_mention_timeline(),
+        "rel_top_supplier": _sql_top_supplier(),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

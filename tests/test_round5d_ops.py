@@ -607,3 +607,30 @@ def test_mention_timeline_attaches_page_dates(ray_session):
            for r in out.itertuples()}
     assert got == {(t, int(d)): int(v) for (t, d), v in ref.items()}
     assert len(got) > 1
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q15-shaped max-with-ties
+# ---------------------------------------------------------------------------
+
+
+def test_top_supplier_keeps_all_ties(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import top_supplier_revenue
+
+    d = np.datetime64("1996-02-01", "us")
+    out_win = np.datetime64("1995-02-01", "us")
+    # suppliers 1 and 2 tie at 200.00 inside the window; 3 is lower;
+    # 4 would win but ships outside the window
+    line = pa.table({
+        "l_suppkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "l_shipdate": pa.array([d, d, d, d, out_win], pa.timestamp("us")),
+        "l_extendedprice": pa.array([120.0, 80.0, 200.0, 50.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0])})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(line, sf / "lineitem.parquet")
+    out = _collect(top_supplier_revenue(str(sf)))
+    got = {int(r.s_suppkey): int(r.revenue_cents) for r in out.itertuples()}
+    assert got == {1: 20000, 2: 20000}
