@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "rel_disjunctive",
     "kg_mention_timeline",
     "rel_top_supplier",
+    "kg_confidence_hist",
 ]
 
 

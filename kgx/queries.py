@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def kg_confidence_hist(sf_dir: str):
+    """Extraction-confidence histogram over the deduped triples (the
+    calibration curve for predicate rules / linker weights): same
+    half-away conf rounding as the kg_triples projection, np.unique
+    fold per batch, pct-keyed combiner exchange."""
+    from .stages.kg_stages import confidence_histogram
+
+    return confidence_histogram(_kg_sql_outputs(sf_dir)["triples"])
+
+
 def rel_top_supplier(sf_dir: str):
     """TPC-H-Q15-shaped max-with-TIES: every supplier at the global
     windowed-revenue maximum — suppkey combiner exchange, per-partition
@@ -1573,6 +1583,7 @@ def registry() -> dict:
         "rel_disjunctive": rel_disjunctive,
         "kg_mention_timeline": kg_mention_timeline,
         "rel_top_supplier": rel_top_supplier,
+        "kg_confidence_hist": kg_confidence_hist,
     }
 
 
@@ -2344,6 +2355,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_disjunctive": _sql_disjunctive(),
         "kg_mention_timeline": so.sql_kg_mention_timeline(),
         "rel_top_supplier": _sql_top_supplier(),
+        "kg_confidence_hist": (
+            "SELECT conf_pct, CAST(count(*) AS BIGINT) AS n FROM ("
+            + so.sql_kg_triples() + ") t GROUP BY 1"),
         "dedup_simhash": so.sql_dedup_simhash(d["simhash_max_hamming"]),
         "dedup_minhash_lsh": so.sql_dedup_minhash_lsh(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],

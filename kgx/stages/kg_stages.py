@@ -667,3 +667,36 @@ def mention_timeline(pages_ds, cfg: dict, refs: dict, ts_ds=None):
         lambda df: df.groupby(["ner_type", "day"], sort=False,
                               as_index=False).agg(
             n_mentions=("n_mentions", "sum")))
+
+
+def confidence_histogram(triples_ds):
+    """deduped triples -> (conf_pct, n): extraction-confidence histogram —
+    the calibration/QA curve a KG build watches when tuning predicate
+    rules and linker weights.  Same explicit half-away float64 rounding
+    as the kg_triples projection (floor(conf*100 + 0.5) — the r2 ADVICE
+    convention), one np.unique fold per batch, pct-keyed combiner
+    exchange (<= ~100 distinct rows ever cross the wire)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_partitioned_agg
+
+    _EMPTY = pd.DataFrame({"conf_pct": pd.Series([], dtype="int64"),
+                           "n": pd.Series([], dtype="int64")})
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        batch = batch.filter(pc.is_valid(batch["conf"]))
+        if not batch.num_rows:
+            return _EMPTY
+        pct = np.floor(
+            batch["conf"].to_numpy(zero_copy_only=False)
+            .astype(np.float64) * 100.0 + 0.5).astype(np.int64)
+        u, cnt = np.unique(pct, return_counts=True)
+        return pd.DataFrame({"conf_pct": u, "n": cnt.astype(np.int64)})
+
+    return hash_partitioned_agg(
+        triples_ds.map_batches(partial, batch_format="pyarrow"),
+        ["conf_pct"],
+        lambda df: df.groupby("conf_pct", sort=False, as_index=False).agg(
+            n=("n", "sum")))

@@ -634,3 +634,21 @@ def test_top_supplier_keeps_all_ties(ray_session, tmp_path):
     out = _collect(top_supplier_revenue(str(sf)))
     got = {int(r.s_suppkey): int(r.revenue_cents) for r in out.itertuples()}
     assert got == {1: 20000, 2: 20000}
+
+
+# ---------------------------------------------------------------------------
+# extraction-confidence histogram
+# ---------------------------------------------------------------------------
+
+
+def test_confidence_hist_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kg_stages import confidence_histogram
+
+    tri = pa.table({"conf": pa.array([0.9, 0.9, 0.85, None, 0.955, 0.95],
+                                     pa.float32())})
+    out = _collect(confidence_histogram(rd.from_arrow(tri).repartition(3)))
+    got = dict(zip(out["conf_pct"], out["n"]))
+    # float32 0.955 widens to ~0.954999... -> floor(95.49..+0.5) = 95
+    assert got == {90: 2, 85: 1, 95: 2}
