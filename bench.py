@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "kg_mention_timeline",
     "rel_top_supplier",
     "kg_confidence_hist",
+    "rel_q6",
 ]
 
 

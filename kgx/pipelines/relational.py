@@ -4542,3 +4542,68 @@ WITH rev AS (
 SELECT s_suppkey, revenue_cents FROM rev
 WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
 """
+
+
+def forecast_revenue(sf_dir: str):
+    """(revenue_cents, n_rows): TPC-H-Q6 — the canonical ZERO-SHUFFLE
+    plan: one pruned scan, a three-way vectorized predicate (one-year
+    int64-microsecond ship window, discount band, quantity cap), each
+    batch folds to ONE row, and the driver sums <= |batches| rows.  No
+    exchange of any kind; at 100 TB this is embarrassingly parallel.
+    Revenue is the Q6 definition sum(extendedprice * discount) in exact
+    integer cent-percent // 100 per row."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import collect_arrow
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_shipdate", "l_discount", "l_quantity",
+                  "l_extendedprice"])
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        ok = pc.and_(pc.and_(pc.is_valid(batch["l_shipdate"]),
+                             pc.is_valid(batch["l_discount"])),
+                     pc.and_(pc.is_valid(batch["l_quantity"]),
+                             pc.is_valid(batch["l_extendedprice"])))
+        batch = batch.filter(ok)
+        s = batch["l_shipdate"].cast(pa.int64()).to_numpy()
+        dpct = np.floor(
+            batch["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        qty = np.floor(batch["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        m = ((s >= Q12_LO_US) & (s < Q12_LO_US + 366 * 86_400_000_000)
+             & (dpct >= 5) & (dpct <= 7) & (qty < 24))
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)[m]
+        rev = int((cents * dpct[m] // 100).sum())
+        return pa.table({"revenue_cents": pa.array([rev], pa.int64()),
+                         "n_rows": pa.array([int(m.sum())], pa.int64())})
+
+    t = collect_arrow(
+        line.map_batches(partial, batch_format="pyarrow"),
+        pa.table({"revenue_cents": pa.array([], pa.int64()),
+                  "n_rows": pa.array([], pa.int64())}))
+    return pd.DataFrame(
+        {"revenue_cents": pd.Series(
+            [int(t["revenue_cents"].to_numpy(zero_copy_only=False).sum())],
+            dtype="int64"),
+         "n_rows": pd.Series(
+             [int(t["n_rows"].to_numpy(zero_copy_only=False).sum())],
+             dtype="int64")})
+
+
+def sql_forecast_revenue() -> str:
+    c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    d = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    q = "CAST(floor(l_quantity + 0.5) AS BIGINT)"
+    return f"""
+SELECT CAST(COALESCE(sum({c} * {d} // 100), 0) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate IS NOT NULL AND l_discount IS NOT NULL
+  AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND {d} BETWEEN 5 AND 7 AND {q} < 24
+"""

@@ -948,6 +948,15 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def rel_q6(sf_dir: str):
+    """TPC-H-Q6 forecast revenue: the canonical ZERO-SHUFFLE plan — one
+    pruned scan, vectorized three-way predicate, one row per batch,
+    driver fold; embarrassingly parallel at any scale."""
+    from .pipelines.relational import forecast_revenue
+
+    return forecast_revenue(sf_dir)
+
+
 def kg_confidence_hist(sf_dir: str):
     """Extraction-confidence histogram over the deduped triples (the
     calibration curve for predicate rules / linker weights): same
@@ -1584,6 +1593,7 @@ def registry() -> dict:
         "kg_mention_timeline": kg_mention_timeline,
         "rel_top_supplier": rel_top_supplier,
         "kg_confidence_hist": kg_confidence_hist,
+        "rel_q6": rel_q6,
     }
 
 
@@ -2272,6 +2282,12 @@ def _sql_top_supplier() -> str:
     return sql_top_supplier_revenue()
 
 
+def _sql_q6() -> str:
+    from .pipelines.relational import sql_forecast_revenue
+
+    return sql_forecast_revenue()
+
+
 def _sql_cross_source() -> str:
     from .stages.corpus import sql_cross_source_pairs
 
@@ -2355,6 +2371,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_disjunctive": _sql_disjunctive(),
         "kg_mention_timeline": so.sql_kg_mention_timeline(),
         "rel_top_supplier": _sql_top_supplier(),
+        "rel_q6": _sql_q6(),
         "kg_confidence_hist": (
             "SELECT conf_pct, CAST(count(*) AS BIGINT) AS n FROM ("
             + so.sql_kg_triples() + ") t GROUP BY 1"),

@@ -652,3 +652,42 @@ def test_confidence_hist_matches_serial(ray_session):
     got = dict(zip(out["conf_pct"], out["n"]))
     # float32 0.955 widens to ~0.954999... -> floor(95.49..+0.5) = 95
     assert got == {90: 2, 85: 1, 95: 2}
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q6 zero-shuffle scan
+# ---------------------------------------------------------------------------
+
+
+def test_q6_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import forecast_revenue
+
+    rng = np.random.default_rng(6)
+    n = 300
+    base = np.datetime64("1995-06-01", "us")
+    ship = base + rng.integers(0, 900, n) * np.timedelta64(1, "D")
+    disc = np.round(rng.integers(0, 11, n) / 100.0, 2)
+    qty = rng.integers(1, 50, n).astype(np.float64)
+    price = np.round(rng.uniform(10, 900, n), 2)
+    line = pa.table({"l_shipdate": pa.array(ship, pa.timestamp("us")),
+                     "l_discount": disc, "l_quantity": qty,
+                     "l_extendedprice": price})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(line, sf / "lineitem.parquet")
+
+    df = line.to_pandas()
+    dpct = np.floor(df["l_discount"] * 100 + 0.5).astype(np.int64)
+    q = np.floor(df["l_quantity"] + 0.5).astype(np.int64)
+    cents = np.floor(df["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+    m = ((df["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+         & (df["l_shipdate"] < pd.Timestamp("1997-01-01"))
+         & (dpct >= 5) & (dpct <= 7) & (q < 24)).to_numpy()
+    ref = (int((cents[m] * dpct[m] // 100).sum()), int(m.sum()))
+    assert ref[1] > 0
+
+    out = forecast_revenue(str(sf))
+    assert (int(out.iloc[0]["revenue_cents"]),
+            int(out.iloc[0]["n_rows"])) == ref
