@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "rel_top_supplier",
     "kg_confidence_hist",
     "rel_q6",
+    "kg_entity_freshness",
 ]
 
 

@@ -948,6 +948,20 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def kg_entity_freshness(sf_dir: str):
+    """Per-entity crawl-freshness span (entity_key, first_day, last_day,
+    n_mentions) — the per-entity dual of kg_mention_timeline and the
+    prune signal for incremental KG refresh; lineage-attach exchange +
+    entity-keyed min/max/sum combiner."""
+    from .pipeline import broadcast_kb, linked_triples_ds
+    from .stages.kg_stages import entity_freshness
+
+    return entity_freshness(
+        linked_triples_ds(_kg_sql_pages(sf_dir), _kg_sql_cfg(),
+                          broadcast_kb()),
+        _pages_ts_ds(sf_dir))
+
+
 def rel_q6(sf_dir: str):
     """TPC-H-Q6 forecast revenue: the canonical ZERO-SHUFFLE plan — one
     pruned scan, vectorized three-way predicate, one row per batch,
@@ -977,36 +991,43 @@ def rel_top_supplier(sf_dir: str):
     return top_supplier_revenue(sf_dir)
 
 
-def kg_mention_timeline(sf_dir: str):
-    """Crawl-freshness mention timeline (ner_type, day, n_mentions): the
-    page's warc_ts re-attaches to the derived mention stream by LINEAGE —
-    a url-keyed kind-union exchange joins the cheap (url, ts) projection
-    against per-batch mention folds; pair-keyed combiner finishes."""
+def _pages_ts_ds(sf_dir: str):
+    """Vectorized (url, warc_ts) projection derived straight from
+    documents.parquet under the synth formula — the two-column pruned
+    read a real pages table would give for free (avoids re-running the
+    per-row page generator just for lineage timestamps)."""
     import numpy as np
     import ray.data as rd
 
-    from .pipeline import broadcast_kb
-    from .stages.kg_stages import mention_timeline
     from .synth import EPOCH_US
 
     def ts_map(batch):
         import pandas as pd
+        import pyarrow as pa
 
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         src = pd.Series(batch["source"].to_pandas()).astype(str)
         url = ("https://synth.example/" + src + "/"
                + pd.Series(ids).astype(str)).to_numpy()
-        import pyarrow as pa
-
         return pa.table({"url": pa.array(url, pa.string()),
                          "warc_ts": pa.array(ids * 37_000_000 + EPOCH_US)})
 
-    ts_ds = rd.read_parquet(
+    return rd.read_parquet(
         str(Path(sf_dir) / "documents.parquet"),
         columns=["doc_id", "source"]).map_batches(
         ts_map, batch_format="pyarrow")
+
+
+def kg_mention_timeline(sf_dir: str):
+    """Crawl-freshness mention timeline (ner_type, day, n_mentions): the
+    page's warc_ts re-attaches to the derived mention stream by LINEAGE —
+    a url-keyed kind-union exchange joins the cheap (url, ts) projection
+    against per-batch mention folds; pair-keyed combiner finishes."""
+    from .pipeline import broadcast_kb
+    from .stages.kg_stages import mention_timeline
+
     return mention_timeline(_kg_sql_pages(sf_dir), _kg_sql_cfg(),
-                            broadcast_kb(), ts_ds=ts_ds)
+                            broadcast_kb(), ts_ds=_pages_ts_ds(sf_dir))
 
 
 def rel_disjunctive(sf_dir: str):
@@ -1594,6 +1615,7 @@ def registry() -> dict:
         "rel_top_supplier": rel_top_supplier,
         "kg_confidence_hist": kg_confidence_hist,
         "rel_q6": rel_q6,
+        "kg_entity_freshness": kg_entity_freshness,
     }
 
 
@@ -2372,6 +2394,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_timeline": so.sql_kg_mention_timeline(),
         "rel_top_supplier": _sql_top_supplier(),
         "rel_q6": _sql_q6(),
+        "kg_entity_freshness": so.sql_kg_entity_freshness(),
         "kg_confidence_hist": (
             "SELECT conf_pct, CAST(count(*) AS BIGINT) AS n FROM ("
             + so.sql_kg_triples() + ") t GROUP BY 1"),

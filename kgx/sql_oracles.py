@@ -750,3 +750,27 @@ FROM am JOIN dts USING (url)
 GROUP BY 1, 2
 """
     )
+
+
+def sql_kg_entity_freshness() -> str:
+    """(entity_key, first_day, last_day, n_mentions): per-entity crawl
+    span over both mention sides, warc_ts reconstructed from doc_id."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, sm AS (
+  SELECT subj_key AS entity_key, url FROM linked
+  UNION ALL
+  SELECT obj_key, url FROM linked
+), dts AS (
+  SELECT {DOC_URL_SQL} AS url,
+         (1700000000000000 + doc_id * 37000000) // 86400000000 AS day
+  FROM documents
+)
+SELECT entity_key, CAST(min(day) AS BIGINT) AS first_day,
+       CAST(max(day) AS BIGINT) AS last_day,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM sm JOIN dts USING (url)
+GROUP BY 1
+"""
+    )

@@ -700,3 +700,76 @@ def confidence_histogram(triples_ds):
         ["conf_pct"],
         lambda df: df.groupby("conf_pct", sort=False, as_index=False).agg(
             n=("n", "sum")))
+
+
+def entity_freshness(linked_ds, ts_ds):
+    """linked triples + (url, warc_ts) -> (entity_key, first_day,
+    last_day, n_mentions): per-entity crawl-freshness span — which
+    entities are stale vs actively re-mentioned, the per-entity dual of
+    mention_timeline and a prune signal for incremental KG refresh.
+
+    Same lineage-attach shape: per-batch (url, entity_key) count partials
+    from BOTH mention sides meet the timestamp projection in a url-keyed
+    kind-union partition exchange (one partition per CPU — uniform
+    kernel); the kernel floors ts to epoch days and pre-folds each
+    entity to (first, last, n); an entity-keyed min/max/sum combiner
+    finishes."""
+    import numpy as np
+    import pandas as pd
+
+    from .exchange import (_default_partitions, hash_partitioned_agg,
+                           hash_partitioned_apply)
+
+    def ts_rows(batch: pa.Table) -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.and_(pc.is_valid(batch["url"]),
+                                     pc.is_valid(batch["warc_ts"])))
+        return pd.DataFrame(
+            {"url": batch["url"].to_pandas().to_numpy(),
+             "kind": np.zeros(batch.num_rows, dtype=np.int64),
+             "entity_key": "",
+             "cnt": np.zeros(batch.num_rows, dtype=np.int64),
+             "ts": batch["warc_ts"].cast(pa.int64()).to_numpy()})
+
+    def mention_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        sm = pd.concat([
+            pd.DataFrame({"url": df["url"], "entity_key": df["subj_key"]}),
+            pd.DataFrame({"url": df["url"], "entity_key": df["obj_key"]})])
+        g = sm.groupby(["url", "entity_key"], sort=False,
+                       as_index=False).agg(cnt=("entity_key", "size"))
+        g["kind"] = np.int64(1)
+        g["ts"] = np.int64(0)
+        g["cnt"] = g["cnt"].astype("int64")
+        return g[["url", "kind", "entity_key", "cnt", "ts"]]
+
+    union = ts_ds.map_batches(ts_rows, batch_format="pyarrow").union(
+        linked_ds.map_batches(mention_rows, batch_format="pandas"))
+
+    _EMPTY = pd.DataFrame(
+        {"entity_key": pd.Series([], dtype=object),
+         "first_day": pd.Series([], dtype="int64"),
+         "last_day": pd.Series([], dtype="int64"),
+         "n_mentions": pd.Series([], dtype="int64")})
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        pages = df[df["kind"] == 0].drop_duplicates(subset=["url"])
+        m = df[df["kind"] == 1]
+        if not (len(pages) and len(m)):
+            return _EMPTY
+        j = m.merge(pages[["url", "ts"]].rename(columns={"ts": "pts"}),
+                    on="url", how="inner")
+        j["day"] = (j["pts"].to_numpy(np.int64) // DAY_US).astype(np.int64)
+        g = j.groupby("entity_key", sort=False, as_index=False).agg(
+            first_day=("day", "min"), last_day=("day", "max"),
+            n_mentions=("cnt", "sum"))
+        g["n_mentions"] = g["n_mentions"].astype("int64")
+        return g[["entity_key", "first_day", "last_day", "n_mentions"]]
+
+    partials = hash_partitioned_apply(union, ["url"], kernel,
+                                      _default_partitions())
+    return hash_partitioned_agg(
+        partials, ["entity_key"],
+        lambda df: df.groupby("entity_key", sort=False, as_index=False).agg(
+            first_day=("first_day", "min"), last_day=("last_day", "max"),
+            n_mentions=("n_mentions", "sum")))

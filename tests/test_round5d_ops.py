@@ -691,3 +691,29 @@ def test_q6_matches_serial(ray_session, tmp_path):
     out = forecast_revenue(str(sf))
     assert (int(out.iloc[0]["revenue_cents"]),
             int(out.iloc[0]["n_rows"])) == ref
+
+
+# ---------------------------------------------------------------------------
+# per-entity freshness span
+# ---------------------------------------------------------------------------
+
+
+def test_entity_freshness_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kg_stages import DAY_US, entity_freshness
+
+    linked = pd.DataFrame({
+        "url": ["u1", "u2", "u3", "u3"],
+        "subj_key": ["acme", "acme", "globex", "acme"],
+        "obj_key": ["globex", "initech", "initech", "initech"],
+    })
+    ts = pa.table({"url": pa.array(["u1", "u2", "u3"]),
+                   "warc_ts": pa.array(
+                       [0 * DAY_US, 5 * DAY_US, 9 * DAY_US], pa.int64())})
+    out = _collect(entity_freshness(
+        rd.from_pandas(linked).repartition(2), rd.from_arrow(ts)))
+    got = {r.entity_key: (int(r.first_day), int(r.last_day),
+                          int(r.n_mentions)) for r in out.itertuples()}
+    assert got == {"acme": (0, 9, 3), "globex": (0, 9, 2),
+                   "initech": (5, 9, 3)}
