@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "kg_confidence_hist",
     "rel_q6",
     "kg_entity_freshness",
+    "text_langid_eval",
 ]
 
 

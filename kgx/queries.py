@@ -948,6 +948,20 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def text_langid_eval(sf_dir: str):
+    """Language-ID confusion matrix (lang, pred_lang, n_docs) against the
+    ground-truth lang column — reuses the vectorized marker scan
+    verbatim, per-batch C-level pair folds, pair-keyed combiner;
+    O(batches x langs^2) exchange rows."""
+    import ray.data as rd
+
+    from .stages.text_analysis import langid_confusion
+
+    return langid_confusion(rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["doc_id", "text", "lang"]))
+
+
 def kg_entity_freshness(sf_dir: str):
     """Per-entity crawl-freshness span (entity_key, first_day, last_day,
     n_mentions) — the per-entity dual of kg_mention_timeline and the
@@ -1616,6 +1630,7 @@ def registry() -> dict:
         "kg_confidence_hist": kg_confidence_hist,
         "rel_q6": rel_q6,
         "kg_entity_freshness": kg_entity_freshness,
+        "text_langid_eval": text_langid_eval,
     }
 
 
@@ -2395,6 +2410,10 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_supplier": _sql_top_supplier(),
         "rel_q6": _sql_q6(),
         "kg_entity_freshness": so.sql_kg_entity_freshness(),
+        "text_langid_eval": (
+            "SELECT d.lang, l.pred_lang, CAST(count(*) AS BIGINT) AS n_docs "
+            f"FROM ({_sql_langid()}) l JOIN documents d USING (doc_id) "
+            "WHERE d.lang IS NOT NULL GROUP BY 1, 2"),
         "kg_confidence_hist": (
             "SELECT conf_pct, CAST(count(*) AS BIGINT) AS n FROM ("
             + so.sql_kg_triples() + ") t GROUP BY 1"),

@@ -259,3 +259,39 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(count(*) AS BIGINT) AS cnt
 FROM tok GROUP BY 1, 2
 """
+
+
+def langid_confusion(docs_ds):
+    """documents -> (lang, pred_lang, n_docs): language-ID confusion
+    matrix against the corpus's ground-truth lang column — the
+    classifier-evaluation table a curation pipeline keeps when tuning
+    the langid heuristic (precision/recall per language are driver-side
+    scalars over its <= |langs|^2 rows).
+
+    Reuses langid_batch's vectorized marker scan verbatim (same ties,
+    same unknown rule), folds each batch to pair counts with one
+    C-level groupby, and merges through a pair-keyed combiner exchange —
+    O(batches x langs^2) rows ever cross the wire.  Null ground-truth
+    lang drops at ingest (mirrored in the oracle)."""
+    import numpy as np
+
+    from .exchange import hash_partitioned_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["lang"])
+        if not len(df):
+            return pd.DataFrame(
+                {"lang": pd.Series([], dtype=object),
+                 "pred_lang": pd.Series([], dtype=object),
+                 "n_docs": pd.Series([], dtype="int64")})
+        pred = langid_batch(df)["pred_lang"].to_numpy()
+        g = pd.DataFrame({"lang": df["lang"].to_numpy(), "pred_lang": pred,
+                          "n_docs": np.ones(len(df), dtype=np.int64)})
+        return g.groupby(["lang", "pred_lang"], sort=False,
+                         as_index=False).agg(n_docs=("n_docs", "sum"))
+
+    return hash_partitioned_agg(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        ["lang", "pred_lang"],
+        lambda df: df.groupby(["lang", "pred_lang"], sort=False,
+                              as_index=False).agg(n_docs=("n_docs", "sum")))

@@ -717,3 +717,30 @@ def test_entity_freshness_matches_serial(ray_session):
                           int(r.n_mentions)) for r in out.itertuples()}
     assert got == {"acme": (0, 9, 3), "globex": (0, 9, 2),
                    "initech": (5, 9, 3)}
+
+
+# ---------------------------------------------------------------------------
+# langid confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def test_langid_eval_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.text_analysis import langid_batch, langid_confusion
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["the quick fox and the dog", "der hund und die katze",
+                 "le chat et le chien", "xyzzy qqq", None,
+                 "the cat und the dog"],
+        "lang": ["en", "de", "fr", "en", "de", None],
+    })
+    out = _collect(langid_confusion(rd.from_pandas(docs).repartition(3)))
+    got = {(r.lang, r.pred_lang): int(r.n_docs) for r in out.itertuples()}
+    keep = docs.dropna(subset=["lang"])
+    pred = langid_batch(keep)["pred_lang"].to_numpy()
+    ref = pd.DataFrame({"lang": keep["lang"].to_numpy(),
+                        "pred": pred}).groupby(["lang", "pred"]).size()
+    assert got == {(a, b): int(v) for (a, b), v in ref.items()}
+    assert sum(got.values()) == 5  # null ground truth dropped
