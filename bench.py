@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "rel_q6",
     "kg_entity_freshness",
     "text_langid_eval",
+    "emb_recall_eval",
 ]
 
 

@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def emb_recall_eval(sf_dir: str):
+    """ANN recall@k harness: per-query overlap between the LSH top-k and
+    the exact brute-force ground truth — one query_id-keyed kind-union
+    exchange, C-level set intersection per query, zero rows kept for
+    fully-missed queries; exact integer permyriad recall."""
+    from .stages.similarity import recall_eval
+
+    return recall_eval(ann_topk(sf_dir), ann_topk_lsh(sf_dir), k=ANN_K)
+
+
 def text_langid_eval(sf_dir: str):
     """Language-ID confusion matrix (lang, pred_lang, n_docs) against the
     ground-truth lang column — reuses the vectorized marker scan
@@ -1631,6 +1641,7 @@ def registry() -> dict:
         "rel_q6": rel_q6,
         "kg_entity_freshness": kg_entity_freshness,
         "text_langid_eval": text_langid_eval,
+        "emb_recall_eval": emb_recall_eval,
     }
 
 
@@ -2325,6 +2336,19 @@ def _sql_q6() -> str:
     return sql_forecast_revenue()
 
 
+def _sql_ann_exact() -> str:
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+        f"FROM embeddings WHERE vec_id % {ANN_EVERY} = 0), "
+        "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        "row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        'list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS "rank" '
+        "FROM q, embeddings e WHERE e.vec_id <> q.query_id) "
+        f'SELECT query_id, neighbor_id, CAST("rank" AS BIGINT) AS "rank" '
+        f'FROM scored WHERE "rank" <= {ANN_K}'
+    )
+
+
 def _sql_cross_source() -> str:
     from .stages.corpus import sql_cross_source_pairs
 
@@ -2477,14 +2501,17 @@ def oracle_sql() -> dict[str, str]:
             "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             f"CAST(b.embedding AS DOUBLE[])) >= {EMBED_COS_T}"
         ),
-        "ann_topk": (
-            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
-            f"FROM embeddings WHERE vec_id % {ANN_EVERY} = 0), "
-            "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
-            "row_number() OVER (PARTITION BY q.query_id ORDER BY "
-            'list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS "rank" '
-            "FROM q, embeddings e WHERE e.vec_id <> q.query_id) "
-            f'SELECT query_id, neighbor_id, CAST("rank" AS BIGINT) AS "rank" FROM scored WHERE "rank" <= {ANN_K}'
+        "ann_topk": _sql_ann_exact(),
+        "emb_recall_eval": (
+            f"SELECT ex.query_id, "
+            "CAST(count(ap.neighbor_id) AS BIGINT) AS n_common, "
+            f"CAST(count(ap.neighbor_id) * 10000 // {ANN_K} AS BIGINT) "
+            "AS recall_pm "
+            f"FROM ({_sql_ann_exact()}) ex "
+            f"LEFT JOIN ({so.sql_ann_topk_lsh(ANN_EVERY, ANN_K, nbits=8, tables=4)}) ap "
+            "ON ap.query_id = ex.query_id "
+            "AND ap.neighbor_id = ex.neighbor_id "
+            "GROUP BY 1"
         ),
         "mm_payload_stats": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "

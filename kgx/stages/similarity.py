@@ -509,3 +509,62 @@ def knn_graph_ivf(emb_ds, cent_ref, k: int = KNN_K):
     assigned = emb_ds.map_batches(assign, batch_format="pyarrow")
     return hash_partitioned_apply(assigned, ["c"], list_kernel,
                                   int_keys=True, kernel_format="pyarrow")
+
+
+def recall_eval(exact_ds, approx_ds, k: int):
+    """(query_id, n_common, recall_pm): ANN quality evaluation — per-query
+    overlap between an approximate top-k result and the exact brute-force
+    ground truth (the recall@k harness every ANN deployment runs before
+    trusting an index).
+
+    Both inputs are (query_id, neighbor_id, rank) datasets; they meet in
+    ONE query_id-keyed kind-union partition exchange whose kernel
+    intersects the two id sets per query with a single C-level merge —
+    queries the approximate side missed entirely still emit a zero row
+    (the exact side always carries every query).  recall_pm is the exact
+    integer permyriad n_common * 10000 // k."""
+    import numpy as np
+    import pandas as pd
+
+    from .exchange import hash_partitioned_apply
+
+    def tag(kind: int):
+        def m(t: "pa.Table") -> "pa.Table":
+            import pyarrow as pa2
+
+            return pa2.table(
+                {"query_id": t["query_id"],
+                 "neighbor_id": t["neighbor_id"],
+                 "kind": pa2.array(
+                     np.full(t.num_rows, kind, dtype=np.int64))})
+
+        return m
+
+    union = exact_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        approx_ds.map_batches(tag(1), batch_format="pyarrow"))
+
+    _EMPTY = pd.DataFrame(
+        {"query_id": pd.Series([], dtype="int64"),
+         "n_common": pd.Series([], dtype="int64"),
+         "recall_pm": pd.Series([], dtype="int64")})
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        ex = df[df["kind"] == 0]
+        if not len(ex):
+            return _EMPTY
+        ap = df[df["kind"] == 1][["query_id", "neighbor_id"]]
+        hit = ex[["query_id", "neighbor_id"]].merge(
+            ap.drop_duplicates(), on=["query_id", "neighbor_id"],
+            how="inner")
+        qs = np.unique(ex["query_id"].to_numpy(np.int64))
+        cnt = pd.Series(0, index=qs, dtype="int64")
+        if len(hit):
+            got = hit.groupby("query_id").size()
+            cnt.loc[got.index] = got.astype("int64")
+        return pd.DataFrame(
+            {"query_id": qs,
+             "n_common": cnt.to_numpy(np.int64),
+             "recall_pm": cnt.to_numpy(np.int64) * 10_000 // k})
+
+    return hash_partitioned_apply(union, ["query_id"], kernel,
+                                  int_keys=True)

@@ -744,3 +744,28 @@ def test_langid_eval_matches_serial(ray_session):
                         "pred": pred}).groupby(["lang", "pred"]).size()
     assert got == {(a, b): int(v) for (a, b), v in ref.items()}
     assert sum(got.values()) == 5  # null ground truth dropped
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation harness
+# ---------------------------------------------------------------------------
+
+
+def test_recall_eval_counts_overlap_and_zero_rows(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.similarity import recall_eval
+
+    exact = pa.table({"query_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+                      "neighbor_id": pa.array([10, 11, 12, 20, 21, 22],
+                                              pa.int64()),
+                      "rank": pa.array([1, 2, 3, 1, 2, 3], pa.int64())})
+    # query 1: 2 of 3 recovered; query 2: nothing recovered
+    approx = pa.table({"query_id": pa.array([1, 1, 1], pa.int64()),
+                       "neighbor_id": pa.array([11, 12, 99], pa.int64()),
+                       "rank": pa.array([1, 2, 3], pa.int64())})
+    out = _collect(recall_eval(rd.from_arrow(exact).repartition(2),
+                               rd.from_arrow(approx), k=3))
+    got = {int(r.query_id): (int(r.n_common), int(r.recall_pm))
+           for r in out.itertuples()}
+    assert got == {1: (2, 6666), 2: (0, 0)}
