@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "kg_entity_freshness",
     "text_langid_eval",
     "emb_recall_eval",
+    "kg_type_matrix",
 ]
 
 

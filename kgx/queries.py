@@ -948,6 +948,20 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def kg_type_matrix(sf_dir: str):
+    """Predicate type-signature matrix (pred, subj_type, obj_type, n) —
+    the schema-validation artifact diffed against the rule file's
+    declared signatures; KB-sized type lookup rides the closure,
+    per-batch C-level folds, triple-keyed combiner."""
+    from .pipeline import broadcast_kb, linked_triples_ds
+    from .stages.kg_stages import type_matrix
+
+    refs = broadcast_kb()
+    return type_matrix(
+        linked_triples_ds(_kg_sql_pages(sf_dir), _kg_sql_cfg(), refs),
+        refs["kb"])
+
+
 def emb_recall_eval(sf_dir: str):
     """ANN recall@k harness: per-query overlap between the LSH top-k and
     the exact brute-force ground truth — one query_id-keyed kind-union
@@ -1642,6 +1656,7 @@ def registry() -> dict:
         "kg_entity_freshness": kg_entity_freshness,
         "text_langid_eval": text_langid_eval,
         "emb_recall_eval": emb_recall_eval,
+        "kg_type_matrix": kg_type_matrix,
     }
 
 
@@ -2434,6 +2449,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_supplier": _sql_top_supplier(),
         "rel_q6": _sql_q6(),
         "kg_entity_freshness": so.sql_kg_entity_freshness(),
+        "kg_type_matrix": so.sql_kg_type_matrix(),
         "text_langid_eval": (
             "SELECT d.lang, l.pred_lang, CAST(count(*) AS BIGINT) AS n_docs "
             f"FROM ({_sql_langid()}) l JOIN documents d USING (doc_id) "

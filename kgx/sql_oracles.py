@@ -774,3 +774,20 @@ FROM sm JOIN dts USING (url)
 GROUP BY 1
 """
     )
+
+
+def sql_kg_type_matrix() -> str:
+    """(pred, subj_type, obj_type, n): predicate type-signature matrix
+    over the linked triples, types resolved from the alias inventory."""
+    return (
+        _kg_common_ctes()
+        + """
+, et AS (SELECT DISTINCT entity_id, ner_type FROM aliases)
+SELECT linked.pred, s.ner_type AS subj_type, o.ner_type AS obj_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM linked
+JOIN et s ON s.entity_id = linked.subj_id
+JOIN et o ON o.entity_id = linked.obj_id
+GROUP BY 1, 2, 3
+"""
+    )

@@ -773,3 +773,39 @@ def entity_freshness(linked_ds, ts_ds):
         lambda df: df.groupby("entity_key", sort=False, as_index=False).agg(
             first_day=("first_day", "min"), last_day=("last_day", "max"),
             n_mentions=("n_mentions", "sum")))
+
+
+def type_matrix(linked_ds, kb: dict):
+    """linked triples -> (pred, subj_type, obj_type, n): the predicate
+    TYPE-SIGNATURE matrix — which NER type pairs each relation actually
+    connects in the corpus.  The schema-validation artifact a KG build
+    diffs against the rule file's declared signatures (an ORG-typed
+    'founded_by' object is an extraction bug).
+
+    The entity_id -> ner_type lookup is KB-sized (driver-scale by
+    definition — it ships in the linker broadcast already), so it rides
+    the task closure; each batch folds to <= |preds| x |types|^2 count
+    rows via one C-level groupby and a triple-keyed combiner exchange
+    merges.  Unknown ids (NIL fallback) map to 'UNK'."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg
+
+    lut = {int(r["entity_id"]): str(r["ner_type"])
+           for r in kb["alias_table"].to_pylist()}
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {"pred": df["pred"],
+             "subj_type": df["subj_id"].map(lut).fillna("UNK"),
+             "obj_type": df["obj_id"].map(lut).fillna("UNK")})
+        g = g.groupby(["pred", "subj_type", "obj_type"], sort=False,
+                      as_index=False).agg(n=("pred", "size"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return hash_partitioned_agg(
+        linked_ds.map_batches(partial, batch_format="pandas"),
+        ["pred", "subj_type", "obj_type"],
+        lambda df: df.groupby(["pred", "subj_type", "obj_type"], sort=False,
+                              as_index=False).agg(n=("n", "sum")))

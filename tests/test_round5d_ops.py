@@ -769,3 +769,32 @@ def test_recall_eval_counts_overlap_and_zero_rows(ray_session):
     got = {int(r.query_id): (int(r.n_common), int(r.recall_pm))
            for r in out.itertuples()}
     assert got == {1: (2, 6666), 2: (0, 0)}
+
+
+# ---------------------------------------------------------------------------
+# predicate type-signature matrix
+# ---------------------------------------------------------------------------
+
+
+def test_type_matrix_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kg_stages import type_matrix
+
+    kb = {"alias_table": pa.table(
+        {"alias": pa.array(["A", "B", "P"]),
+         "entity_id": pa.array([0, 1, 2], pa.int64()),
+         "canonical_name": pa.array(["A", "B", "P"]),
+         "ner_type": pa.array(["ORG", "ORG", "PER"]),
+         "prior": pa.array([1.0, 1.0, 1.0])})}
+    linked = pd.DataFrame({
+        "pred": ["acquired", "acquired", "founded_by", "hired"],
+        "subj_id": [0, 1, 0, 0],
+        "obj_id": [1, 0, 2, 99],   # 99 -> UNK
+    })
+    out = _collect(type_matrix(rd.from_pandas(linked).repartition(2), kb))
+    got = {(r.pred, r.subj_type, r.obj_type): int(r.n)
+           for r in out.itertuples()}
+    assert got == {("acquired", "ORG", "ORG"): 2,
+                   ("founded_by", "ORG", "PER"): 1,
+                   ("hired", "ORG", "UNK"): 1}
