@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "text_langid_eval",
     "emb_recall_eval",
     "kg_type_matrix",
+    "rel_event_cooccurrence",
 ]
 
 

@@ -4607,3 +4607,67 @@ WHERE l_shipdate IS NOT NULL AND l_discount IS NOT NULL
   AND l_shipdate < TIMESTAMP '1997-01-01'
   AND {d} BETWEEN 5 AND 7 AND {q} < 24
 """
+
+
+def event_type_cooccurrence(sf_dir: str):
+    """(type_a, type_b, n_users): event-type co-engagement matrix — how
+    many distinct users perform BOTH event types (a < b lexically), the
+    feature-adoption overlap table product analytics keeps.
+
+    Per-batch (user, type) dedup partials, ONE user-keyed partition
+    exchange whose kernel re-dedups (global: all copies of a (user,
+    type) pair share the user), generates each user's within-partition
+    type pairs with the shared vectorized pair generator (per-user pair
+    volume bounded by |types|^2), and pre-folds to pair counts; a
+    pair-keyed combiner finishes.  Exchange volume is distinct (user,
+    type) rows per batch — never event rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+    from ..stages.triangles import _group_bounds, _pairs_within_groups
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["user_id", "event_type"])
+        return df.drop_duplicates()
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.drop_duplicates().sort_values(["user_id", "event_type"])
+        if not len(d):
+            return pd.DataFrame(
+                {"type_a": pd.Series([], dtype=object),
+                 "type_b": pd.Series([], dtype=object),
+                 "n_users": pd.Series([], dtype="int64")})
+        u = d["user_id"].to_numpy()
+        t = d["event_type"].to_numpy()
+        starts, sizes = _group_bounds(u)
+        li, ri = _pairs_within_groups(starts, sizes, len(u))
+        g = pd.DataFrame({"type_a": t[li], "type_b": t[ri],
+                          "n_users": np.ones(len(li), dtype=np.int64)})
+        return g.groupby(["type_a", "type_b"], sort=False,
+                         as_index=False).agg(n_users=("n_users", "sum"))
+
+    partials = hash_partitioned_apply(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id"], kernel, int_keys=True)
+    return hash_partitioned_agg(
+        partials, ["type_a", "type_b"],
+        lambda df: df.groupby(["type_a", "type_b"], sort=False,
+                              as_index=False).agg(
+            n_users=("n_users", "sum")))
+
+
+def sql_event_type_cooccurrence() -> str:
+    return """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""

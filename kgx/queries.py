@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def rel_event_cooccurrence(sf_dir: str):
+    """Event-type co-engagement matrix (type_a, type_b, n_users): distinct
+    users performing both types — per-batch (user, type) dedup partials,
+    one user-keyed exchange with the shared vectorized pair generator,
+    pair-keyed combiner."""
+    from .pipelines.relational import event_type_cooccurrence
+
+    return event_type_cooccurrence(sf_dir)
+
+
 def kg_type_matrix(sf_dir: str):
     """Predicate type-signature matrix (pred, subj_type, obj_type, n) —
     the schema-validation artifact diffed against the rule file's
@@ -1657,6 +1667,7 @@ def registry() -> dict:
         "text_langid_eval": text_langid_eval,
         "emb_recall_eval": emb_recall_eval,
         "kg_type_matrix": kg_type_matrix,
+        "rel_event_cooccurrence": rel_event_cooccurrence,
     }
 
 
@@ -2351,6 +2362,12 @@ def _sql_q6() -> str:
     return sql_forecast_revenue()
 
 
+def _sql_event_cooc() -> str:
+    from .pipelines.relational import sql_event_type_cooccurrence
+
+    return sql_event_type_cooccurrence()
+
+
 def _sql_ann_exact() -> str:
     return (
         "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
@@ -2450,6 +2467,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q6": _sql_q6(),
         "kg_entity_freshness": so.sql_kg_entity_freshness(),
         "kg_type_matrix": so.sql_kg_type_matrix(),
+        "rel_event_cooccurrence": _sql_event_cooc(),
         "text_langid_eval": (
             "SELECT d.lang, l.pred_lang, CAST(count(*) AS BIGINT) AS n_docs "
             f"FROM ({_sql_langid()}) l JOIN documents d USING (doc_id) "

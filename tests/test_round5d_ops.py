@@ -798,3 +798,35 @@ def test_type_matrix_matches_serial(ray_session):
     assert got == {("acquired", "ORG", "ORG"): 2,
                    ("founded_by", "ORG", "PER"): 1,
                    ("hired", "ORG", "UNK"): 1}
+
+
+# ---------------------------------------------------------------------------
+# event-type co-engagement matrix
+# ---------------------------------------------------------------------------
+
+
+def test_event_cooccurrence_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import event_type_cooccurrence
+
+    rng = np.random.default_rng(33)
+    n = 400
+    users = rng.integers(1, 30, n).astype(np.int64)
+    types = np.array(["view", "click", "buy", "share"])[
+        rng.integers(0, 4, n)]
+    ev = pa.table({"user_id": users, "event_type": pa.array(types)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(ev, sf / "events.parquet")
+
+    df = ev.to_pandas().drop_duplicates()
+    ref: dict[tuple, int] = {}
+    for _, g in df.groupby("user_id"):
+        ts = sorted(g["event_type"].unique())
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                ref[(ts[i], ts[j])] = ref.get((ts[i], ts[j]), 0) + 1
+    out = _collect(event_type_cooccurrence(str(sf)))
+    got = {(r.type_a, r.type_b): int(r.n_users) for r in out.itertuples()}
+    assert got == ref and len(ref) >= 5
