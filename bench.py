@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "emb_recall_eval",
     "kg_type_matrix",
     "rel_event_cooccurrence",
+    "doc_source_stats",
 ]
 
 

@@ -948,6 +948,19 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def doc_source_stats(sf_dir: str):
+    """Per-source corpus inventory (n_docs, total_chars, max_chars,
+    n_langs): one (source, lang)-keyed combiner exchange, driver-scale
+    pair rollup where count(pairs) IS the distinct-language count."""
+    import ray.data as rd
+
+    from .stages.corpus import source_stats
+
+    return source_stats(rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["text", "lang", "source"]))
+
+
 def rel_event_cooccurrence(sf_dir: str):
     """Event-type co-engagement matrix (type_a, type_b, n_users): distinct
     users performing both types — per-batch (user, type) dedup partials,
@@ -1668,6 +1681,7 @@ def registry() -> dict:
         "emb_recall_eval": emb_recall_eval,
         "kg_type_matrix": kg_type_matrix,
         "rel_event_cooccurrence": rel_event_cooccurrence,
+        "doc_source_stats": doc_source_stats,
     }
 
 
@@ -2368,6 +2382,12 @@ def _sql_event_cooc() -> str:
     return sql_event_type_cooccurrence()
 
 
+def _sql_source_stats() -> str:
+    from .stages.corpus import sql_source_stats
+
+    return sql_source_stats()
+
+
 def _sql_ann_exact() -> str:
     return (
         "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
@@ -2468,6 +2488,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_freshness": so.sql_kg_entity_freshness(),
         "kg_type_matrix": so.sql_kg_type_matrix(),
         "rel_event_cooccurrence": _sql_event_cooc(),
+        "doc_source_stats": _sql_source_stats(),
         "text_langid_eval": (
             "SELECT d.lang, l.pred_lang, CAST(count(*) AS BIGINT) AS n_docs "
             f"FROM ({_sql_langid()}) l JOIN documents d USING (doc_id) "

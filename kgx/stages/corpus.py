@@ -2054,3 +2054,71 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
        CAST(rnk AS BIGINT) AS "rank"
 FROM r WHERE rnk <= {k}
 """
+
+
+def source_stats(docs_ds):
+    """documents -> (source, n_docs, total_chars, max_chars, n_langs):
+    the per-source corpus inventory (who contributes what volume, with
+    what language spread) — the first table a crawl-curation review
+    reads.
+
+    One (source, lang)-keyed combiner exchange: each batch folds to
+    <= |sources| x |langs| partial rows (count / char-sum / char-max per
+    pair), the merge is sum/sum/max, and the globally-unique pair rows —
+    driver-scale by construction — collect for a final pandas rollup
+    where count(pairs) IS the distinct-language count.  Null source
+    drops at ingest; null lang folds as the '' bucket (still one
+    language for the spread count, mirrored in the oracle)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import collect_arrow, hash_partitioned_agg
+
+    def partial(batch: "pa.Table") -> "pd.DataFrame":
+        batch = batch.filter(pc.is_valid(batch["source"]))
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pandas(),
+             "lang": batch["lang"].to_pandas().fillna(""),
+             "n_chars": pc.utf8_length(
+                 pc.fill_null(batch["text"], "")).to_numpy()})
+        g = df.groupby(["source", "lang"], sort=False, as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"),
+            max_chars=("n_chars", "max"))
+        for c in ("n_docs", "total_chars", "max_chars"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["source", "lang"], sort=False,
+                          as_index=False).agg(
+            n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"),
+            max_chars=("max_chars", "max"))
+
+    pairs = collect_arrow(
+        hash_partitioned_agg(
+            docs_ds.map_batches(partial, batch_format="pyarrow"),
+            ["source", "lang"], combine),
+        pa.table({"source": pa.array([], pa.string()),
+                  "lang": pa.array([], pa.string()),
+                  "n_docs": pa.array([], pa.int64()),
+                  "total_chars": pa.array([], pa.int64()),
+                  "max_chars": pa.array([], pa.int64())})).to_pandas()
+    out = pairs.groupby("source", sort=False, as_index=False).agg(
+        n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"),
+        max_chars=("max_chars", "max"), n_langs=("lang", "size"))
+    for c in ("n_docs", "total_chars", "max_chars", "n_langs"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def sql_source_stats(sql_n_chars: str = "length(coalesce(text, ''))") -> str:
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({sql_n_chars}) AS BIGINT) AS total_chars,
+       CAST(max({sql_n_chars}) AS BIGINT) AS max_chars,
+       CAST(count(DISTINCT coalesce(lang, '')) AS BIGINT) AS n_langs
+FROM documents WHERE source IS NOT NULL
+GROUP BY 1
+"""

@@ -830,3 +830,25 @@ def test_event_cooccurrence_matches_serial(ray_session, tmp_path):
     out = _collect(event_type_cooccurrence(str(sf)))
     got = {(r.type_a, r.type_b): int(r.n_users) for r in out.itertuples()}
     assert got == ref and len(ref) >= 5
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus inventory
+# ---------------------------------------------------------------------------
+
+
+def test_source_stats_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import source_stats
+
+    docs = pd.DataFrame({
+        "text": ["aaa", "bbbbb", "cc", None, "dddd", "e"],
+        "lang": ["en", "de", "en", "en", None, "en"],
+        "source": ["web", "web", "web", "news", "news", None],
+    })
+    out = source_stats(rd.from_pandas(docs).repartition(3))
+    got = {r.source: (int(r.n_docs), int(r.total_chars), int(r.max_chars),
+                      int(r.n_langs)) for r in out.itertuples()}
+    # null source drops; null text counts 0 chars; null lang = '' bucket
+    assert got == {"web": (3, 10, 5, 2), "news": (2, 4, 4, 2)}
