@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "kg_type_matrix",
     "rel_event_cooccurrence",
     "doc_source_stats",
+    "kg_degree_dist",
 ]
 
 

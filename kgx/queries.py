@@ -948,6 +948,31 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def kg_degree_dist(sf_dir: str):
+    """Out-degree distribution of the constructed KG (out_degree,
+    n_entities): the graph-health curve over the adjacency
+    materialization — per-batch np.unique folds over the already-computed
+    out_degree column, degree-keyed combiner exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from .stages.exchange import hash_partitioned_agg
+
+    adj = _kg_sql_outputs(sf_dir)["adjacency"]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        u, cnt = np.unique(df["out_degree"].to_numpy(np.int64),
+                           return_counts=True)
+        return pd.DataFrame({"out_degree": u,
+                             "n_entities": cnt.astype(np.int64)})
+
+    return hash_partitioned_agg(
+        adj.map_batches(partial, batch_format="pandas"),
+        ["out_degree"],
+        lambda df: df.groupby("out_degree", sort=False, as_index=False).agg(
+            n_entities=("n_entities", "sum")))
+
+
 def doc_source_stats(sf_dir: str):
     """Per-source corpus inventory (n_docs, total_chars, max_chars,
     n_langs): one (source, lang)-keyed combiner exchange, driver-scale
@@ -1682,6 +1707,7 @@ def registry() -> dict:
         "kg_type_matrix": kg_type_matrix,
         "rel_event_cooccurrence": rel_event_cooccurrence,
         "doc_source_stats": doc_source_stats,
+        "kg_degree_dist": kg_degree_dist,
     }
 
 
@@ -2489,6 +2515,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_type_matrix": so.sql_kg_type_matrix(),
         "rel_event_cooccurrence": _sql_event_cooc(),
         "doc_source_stats": _sql_source_stats(),
+        "kg_degree_dist": (
+            "SELECT out_degree, CAST(count(*) AS BIGINT) AS n_entities "
+            "FROM (" + so.sql_kg_adjacency() + ") a GROUP BY 1"),
         "text_langid_eval": (
             "SELECT d.lang, l.pred_lang, CAST(count(*) AS BIGINT) AS n_docs "
             f"FROM ({_sql_langid()}) l JOIN documents d USING (doc_id) "

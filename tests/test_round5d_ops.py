@@ -852,3 +852,19 @@ def test_source_stats_matches_serial(ray_session):
                       int(r.n_langs)) for r in out.itertuples()}
     # null source drops; null text counts 0 chars; null lang = '' bucket
     assert got == {"web": (3, 10, 5, 2), "news": (2, 4, 4, 2)}
+
+
+# ---------------------------------------------------------------------------
+# KG out-degree distribution
+# ---------------------------------------------------------------------------
+
+
+def test_kg_degree_dist_total_mass(ray_session):
+    import kgx.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_degree_dist(sf))
+    # total entity mass equals adjacency row count; degrees positive
+    n_adj = _collect(Q._kg_sql_outputs(sf)["adjacency"]).shape[0]
+    assert int(out["n_entities"].sum()) == n_adj
+    assert (out["out_degree"] >= 1).all()
