@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "rel_event_cooccurrence",
     "doc_source_stats",
     "kg_degree_dist",
+    "text_char_classes",
 ]
 
 

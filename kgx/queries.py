@@ -948,6 +948,46 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def text_char_classes(sf_dir: str):
+    """Corpus character-class profile (n_alpha, n_digit, n_space,
+    n_other, n_chars): the encoding/noise health scalar row a web-crawl
+    curation pass checks before tokenizer decisions — four C-level regex
+    counts per batch folding to ONE row, driver sum; zero exchanges
+    (the rel_q6 shape over text)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .stages.exchange import collect_arrow
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                         columns=["text"])
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        t = df["text"].fillna("")
+        alpha = int(t.str.count(r"[A-Za-z]").sum())
+        digit = int(t.str.count(r"[0-9]").sum())
+        space = int(t.str.count(r" ").sum())
+        total = int(t.str.len().sum())
+        return pd.DataFrame(
+            {"n_alpha": pd.Series([alpha], dtype="int64"),
+             "n_digit": pd.Series([digit], dtype="int64"),
+             "n_space": pd.Series([space], dtype="int64"),
+             "n_other": pd.Series([total - alpha - digit - space],
+                                  dtype="int64"),
+             "n_chars": pd.Series([total], dtype="int64")})
+
+    t = collect_arrow(
+        ds.map_batches(partial, batch_format="pandas"),
+        pa.table({c: pa.array([], pa.int64())
+                  for c in ("n_alpha", "n_digit", "n_space", "n_other",
+                            "n_chars")}))
+    return pd.DataFrame(
+        {c: pd.Series([int(t[c].to_numpy(zero_copy_only=False).sum())],
+                      dtype="int64")
+         for c in ("n_alpha", "n_digit", "n_space", "n_other", "n_chars")})
+
+
 def kg_degree_dist(sf_dir: str):
     """Out-degree distribution of the constructed KG (out_degree,
     n_entities): the graph-health curve over the adjacency
@@ -1708,6 +1748,7 @@ def registry() -> dict:
         "rel_event_cooccurrence": rel_event_cooccurrence,
         "doc_source_stats": doc_source_stats,
         "kg_degree_dist": kg_degree_dist,
+        "text_char_classes": text_char_classes,
     }
 
 
@@ -2518,6 +2559,19 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_dist": (
             "SELECT out_degree, CAST(count(*) AS BIGINT) AS n_entities "
             "FROM (" + so.sql_kg_adjacency() + ") a GROUP BY 1"),
+        "text_char_classes": (
+            "WITH t AS (SELECT coalesce(text, '') AS x FROM documents), "
+            "c AS (SELECT "
+            "CAST(sum(length(regexp_replace(x, '[^A-Za-z]', '', 'g'))) "
+            "AS BIGINT) AS n_alpha, "
+            "CAST(sum(length(regexp_replace(x, '[^0-9]', '', 'g'))) "
+            "AS BIGINT) AS n_digit, "
+            "CAST(sum(length(x) - length(replace(x, ' ', ''))) AS BIGINT) "
+            "AS n_space, "
+            "CAST(sum(length(x)) AS BIGINT) AS n_chars FROM t) "
+            "SELECT n_alpha, n_digit, n_space, "
+            "CAST(n_chars - n_alpha - n_digit - n_space AS BIGINT) "
+            "AS n_other, n_chars FROM c"),
         "text_langid_eval": (
             "SELECT d.lang, l.pred_lang, CAST(count(*) AS BIGINT) AS n_docs "
             f"FROM ({_sql_langid()}) l JOIN documents d USING (doc_id) "

@@ -868,3 +868,26 @@ def test_kg_degree_dist_total_mass(ray_session):
     n_adj = _collect(Q._kg_sql_outputs(sf)["adjacency"]).shape[0]
     assert int(out["n_entities"].sum()) == n_adj
     assert (out["out_degree"] >= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# character-class profile
+# ---------------------------------------------------------------------------
+
+
+def test_char_classes_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    import kgx.queries as Q
+
+    docs = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                     "text": pa.array(["abc 12 x!", None, "Z9 ?"])})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+    out = Q.text_char_classes(str(sf))
+    row = out.iloc[0]
+    # "abc 12 x!" -> 4 alpha, 2 digit, 2 space, 1 other (9 chars)
+    # "Z9 ?"      -> 1 alpha, 1 digit, 1 space, 1 other (4 chars)
+    assert (int(row["n_alpha"]), int(row["n_digit"]), int(row["n_space"]),
+            int(row["n_other"]), int(row["n_chars"])) == (5, 3, 3, 2, 13)
