@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "doc_source_stats",
     "kg_degree_dist",
     "text_char_classes",
+    "dedup_agreement",
 ]
 
 

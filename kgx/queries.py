@@ -948,6 +948,54 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def dedup_agreement(sf_dir: str):
+    """Cross-method dedup agreement matrix (mask, n_pairs): for the
+    union of candidate pairs from n-gram Jaccard (bit 1), MinHash-LSH
+    (bit 2) and SimHash (bit 4), how many pairs each method combination
+    flags — the method-selection QA artifact for the dedup suite (pairs
+    only one method sees are its unique recall; three-way agreement is
+    the high-confidence core).
+
+    The three pair pipelines union with method-bit tags; ONE
+    (id_a, id_b)-keyed partition exchange ORs the bits per pair (distinct
+    (pair, bit) rows make sum == OR, fully vectorized) and folds to
+    <= 7 mask-count rows per partition; a mask-keyed combiner finishes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    def tag(bit: int):
+        def m(t: "pa.Table") -> "pa.Table":
+            return pa.table(
+                {"id_a": t["id_a"], "id_b": t["id_b"],
+                 "bit": pa.array(np.full(t.num_rows, bit, dtype=np.int64))})
+
+        return m
+
+    union = dedup_ngram_jaccard(sf_dir) \
+        .map_batches(tag(1), batch_format="pyarrow").union(
+        dedup_minhash_lsh(sf_dir).map_batches(
+            tag(2), batch_format="pyarrow"),
+        dedup_simhash(sf_dir).map_batches(tag(4), batch_format="pyarrow"))
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.drop_duplicates()
+        g = d.groupby(["id_a", "id_b"], sort=False, as_index=False).agg(
+            mask=("bit", "sum"))  # distinct (pair, bit) rows -> sum == OR
+        u, cnt = np.unique(g["mask"].to_numpy(np.int64),
+                           return_counts=True)
+        return pd.DataFrame({"mask": u, "n_pairs": cnt.astype(np.int64)})
+
+    partials = hash_partitioned_apply(union, ["id_a", "id_b"], kernel,
+                                      int_keys=True)
+    return hash_partitioned_agg(
+        partials, ["mask"],
+        lambda df: df.groupby("mask", sort=False, as_index=False).agg(
+            n_pairs=("n_pairs", "sum")))
+
+
 def text_char_classes(sf_dir: str):
     """Corpus character-class profile (n_alpha, n_digit, n_space,
     n_other, n_chars): the encoding/noise health scalar row a web-crawl
@@ -1749,6 +1797,7 @@ def registry() -> dict:
         "doc_source_stats": doc_source_stats,
         "kg_degree_dist": kg_degree_dist,
         "text_char_classes": text_char_classes,
+        "dedup_agreement": dedup_agreement,
     }
 
 
@@ -2584,6 +2633,21 @@ def oracle_sql() -> dict[str, str]:
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],
             d["shingle_k"],
         ),
+        "dedup_agreement": (
+            "WITH u AS ("
+            f"SELECT id_a, id_b, 1 AS bit FROM ({_sql_ngram_pairs()}) "
+            "UNION ALL "
+            "SELECT id_a, id_b, 2 FROM ("
+            + so.sql_dedup_minhash_lsh(
+                d["minhash_num_perm"], d["minhash_bands"],
+                d["minhash_jaccard"], d["shingle_k"]) + ") "
+            "UNION ALL "
+            "SELECT id_a, id_b, 4 FROM ("
+            + so.sql_dedup_simhash(d["simhash_max_hamming"]) + ")"
+            "), m AS (SELECT id_a, id_b, CAST(sum(bit) AS BIGINT) AS mask "
+            "FROM u GROUP BY 1, 2) "
+            "SELECT mask, CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM m GROUP BY 1"),
         "ann_topk_lsh": so.sql_ann_topk_lsh(ANN_EVERY, ANN_K, nbits=8, tables=4),
         "ann_topk_ivf": so.sql_ann_topk_ivf(ANN_EVERY, ANN_K, n_lists=16, nprobe=4),
         "dedup_clusters": _sql_clusters(),

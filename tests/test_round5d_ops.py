@@ -891,3 +891,33 @@ def test_char_classes_matches_serial(ray_session, tmp_path):
     # "Z9 ?"      -> 1 alpha, 1 digit, 1 space, 1 other (4 chars)
     assert (int(row["n_alpha"]), int(row["n_digit"]), int(row["n_space"]),
             int(row["n_other"]), int(row["n_chars"])) == (5, 3, 3, 2, 13)
+
+
+# ---------------------------------------------------------------------------
+# cross-method dedup agreement
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_agreement_masks(ray_session):
+    import duckdb
+
+    import kgx.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.dedup_agreement(sf))
+    got = {int(r.mask): int(r.n_pairs) for r in out.itertuples()}
+    # serial reference from the three oracle pair sets
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    sqls = Q.oracle_sql()
+    sets = {}
+    for name, bit in [("dedup_ngram_jaccard", 1), ("dedup_minhash_lsh", 2),
+                      ("dedup_simhash", 4)]:
+        df = con.execute(sqls[name]).df()
+        sets[bit] = set(zip(df["id_a"], df["id_b"]))
+    ref: dict[int, int] = {}
+    for pair in set().union(*sets.values()):
+        mask = sum(bit for bit, s in sets.items() if pair in s)
+        ref[mask] = ref.get(mask, 0) + 1
+    assert got == ref and sum(got.values()) > 0
