@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "kg_degree_dist",
     "text_char_classes",
     "dedup_agreement",
+    "kg_pagerank",
 ]
 
 

@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def kg_pagerank(sf_dir: str):
+    """Entity importance over the constructed KG: the shared
+    partitioned-edge Pregel pagerank (sixth consumer) over hashed-entity
+    symmetric edges — md5 once per DISTINCT batch name under the
+    stable_hash64 == md5_number_upper identity."""
+    from .stages.kg_stages import kg_entity_pagerank
+
+    return kg_entity_pagerank(_kg_sql_outputs(sf_dir)["triples"])
+
+
 def dedup_agreement(sf_dir: str):
     """Cross-method dedup agreement matrix (mask, n_pairs): for the
     union of candidate pairs from n-gram Jaccard (bit 1), MinHash-LSH
@@ -1798,6 +1808,7 @@ def registry() -> dict:
         "kg_degree_dist": kg_degree_dist,
         "text_char_classes": text_char_classes,
         "dedup_agreement": dedup_agreement,
+        "kg_pagerank": kg_pagerank,
     }
 
 
@@ -2603,6 +2614,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q6": _sql_q6(),
         "kg_entity_freshness": so.sql_kg_entity_freshness(),
         "kg_type_matrix": so.sql_kg_type_matrix(),
+        "kg_pagerank": so.sql_kg_pagerank(),
         "rel_event_cooccurrence": _sql_event_cooc(),
         "doc_source_stats": _sql_source_stats(),
         "kg_degree_dist": (

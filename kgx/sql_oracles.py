@@ -791,3 +791,50 @@ JOIN et o ON o.entity_id = linked.obj_id
 GROUP BY 1, 2, 3
 """
     )
+
+
+def sql_kg_pagerank(iterations: int = 3) -> str:
+    """Integer fixed-point pagerank over the hashed-entity KG edge set —
+    the supplier-part unrolled-CTE oracle re-based on the kg chain; node
+    ids via the stable_hash64 == md5_number_upper identity % 2^62."""
+    from .stages.graph import BASE, DAMP_DEN, DAMP_NUM, R0
+
+    def h(col: str) -> str:
+        return (f"CAST(md5_number_upper('0:' || {col}) "
+                f"% {1 << 62}::HUGEINT AS BIGINT)")
+
+    prev = "r0"
+    parts = [
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ns, pred, no
+                               ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), final_t AS (
+  SELECT subj, pred, obj FROM ranked WHERE rr = 1
+), e0 AS (
+  SELECT DISTINCT {h('subj')} AS a, {h('obj')} AS b FROM final_t
+), edges AS (
+  SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+), nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST({R0} AS BIGINT) AS pr FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f", r{i} AS (SELECT e.dst AS node, "
+            f"CAST({BASE} + sum((p.pr * {DAMP_NUM}) // "
+            f"({DAMP_DEN} * d.outdeg)) AS BIGINT) AS pr "
+            f"FROM edges e JOIN {prev} p ON p.node = e.src "
+            "JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+        prev = f"r{i}"
+    parts.append(
+        f" SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS pr "
+        f"FROM {prev}")
+    return "".join(parts)

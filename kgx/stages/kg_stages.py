@@ -809,3 +809,39 @@ def type_matrix(linked_ds, kb: dict):
         ["pred", "subj_type", "obj_type"],
         lambda df: df.groupby(["pred", "subj_type", "obj_type"], sort=False,
                               as_index=False).agg(n=("n", "sum")))
+
+
+def kg_entity_pagerank(triples_ds, iterations: int = 3):
+    """deduped triples -> (node, pr): entity importance over the
+    constructed KG — the classic entity-ranking signal — via the SHARED
+    partitioned-edge Pregel pagerank (sixth consumer).
+
+    Entity names hash to stable 62-bit ids with the repo's
+    stable_hash64 == md5_number_upper identity (md5 once per DISTINCT
+    batch name — entities are KB-bounded, so this is a few hundred
+    digests per batch, never per row); edges symmetrize both directions
+    and pagerank_ds's src-keyed combiner dedups globally (subj->obj AND
+    obj->subj triples collapse to one undirected edge, matching the
+    SQL mirror's UNION)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.text import stable_hash64
+    from .graph import pagerank_ds
+
+    M62 = (1 << 62) - 0
+
+    def to_edges(df: "pd.DataFrame") -> "pd.DataFrame":
+        s = df["subj"].to_numpy()
+        o = df["obj"].to_numpy()
+        u, inv = np.unique(np.concatenate([s, o]), return_inverse=True)
+        hs = np.fromiter((stable_hash64(x) % M62 for x in u),
+                         dtype=np.int64, count=len(u))
+        n = len(df)
+        a, b = hs[inv[:n]], hs[inv[n:]]
+        return pd.DataFrame({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
+
+    edges = triples_ds.select_columns(["subj", "obj"]).map_batches(
+        to_edges, batch_format="pandas")
+    return pagerank_ds(edges, iterations=iterations)

@@ -921,3 +921,44 @@ def test_dedup_agreement_masks(ray_session):
         mask = sum(bit for bit, s in sets.items() if pair in s)
         ref[mask] = ref.get(mask, 0) + 1
     assert got == ref and sum(got.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# KG entity pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_kg_pagerank_matches_serial_power_iteration(ray_session):
+    import ray.data as rd
+
+    from kgx.functions.text import stable_hash64
+    from kgx.stages.graph import BASE, DAMP_DEN, DAMP_NUM, R0
+    from kgx.stages.kg_stages import kg_entity_pagerank
+
+    tri = pd.DataFrame({
+        "subj": ["A", "A", "B", "C", "B"],
+        "pred": ["p"] * 5,
+        "obj": ["B", "C", "C", "A", "A"],  # B->A and A->B both present
+    })
+    out = _collect(kg_entity_pagerank(rd.from_pandas(tri).repartition(2),
+                                      iterations=3))
+    got = {int(r.node): int(r.pr) for r in out.itertuples()}
+
+    # serial reference over the hashed symmetric distinct edge set
+    M62 = 1 << 62
+    h = {n: stable_hash64(n) % M62 for n in ["A", "B", "C"]}
+    e0 = {(h[a], h[b]) for a, b in
+          [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("B", "A")]}
+    edges = set()
+    for a, b in e0:
+        edges.add((a, b))
+        edges.add((b, a))
+    nodes = {a for a, _ in edges}
+    outdeg = {n: sum(1 for a, _ in edges if a == n) for n in nodes}
+    pr = {n: R0 for n in nodes}
+    for _ in range(3):
+        nxt = {n: 0 for n in nodes}
+        for a, b in edges:
+            nxt[b] += (pr[a] * DAMP_NUM) // (DAMP_DEN * outdeg[a])
+        pr = {n: BASE + v for n, v in nxt.items()}
+    assert got == pr
