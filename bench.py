@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "text_char_classes",
     "dedup_agreement",
     "kg_pagerank",
+    "kg_entity_clusters",
 ]
 
 

@@ -948,6 +948,15 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def kg_entity_clusters(sf_dir: str):
+    """Round-exact connected-component labels over the hashed-entity KG —
+    entity community ids for related-entity grouping; the shared Pregel's
+    seventh consumer, same hashed symmetric edges as kg_pagerank."""
+    from .stages.kg_stages import kg_entity_clusters as _cc
+
+    return _cc(_kg_sql_outputs(sf_dir)["triples"])
+
+
 def kg_pagerank(sf_dir: str):
     """Entity importance over the constructed KG: the shared
     partitioned-edge Pregel pagerank (sixth consumer) over hashed-entity
@@ -1809,6 +1818,7 @@ def registry() -> dict:
         "text_char_classes": text_char_classes,
         "dedup_agreement": dedup_agreement,
         "kg_pagerank": kg_pagerank,
+        "kg_entity_clusters": kg_entity_clusters,
     }
 
 
@@ -2615,6 +2625,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_freshness": so.sql_kg_entity_freshness(),
         "kg_type_matrix": so.sql_kg_type_matrix(),
         "kg_pagerank": so.sql_kg_pagerank(),
+        "kg_entity_clusters": so.sql_kg_cc(),
         "rel_event_cooccurrence": _sql_event_cooc(),
         "doc_source_stats": _sql_source_stats(),
         "kg_degree_dist": (

@@ -816,9 +816,9 @@ def sql_kg_pagerank(iterations: int = 3) -> str:
   FROM keyed
 ), final_t AS (
   SELECT subj, pred, obj FROM ranked WHERE rr = 1
-), e0 AS (
+), e0 AS MATERIALIZED (
   SELECT DISTINCT {h('subj')} AS a, {h('obj')} AS b FROM final_t
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0
 ), deg AS (
   SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
@@ -836,5 +836,49 @@ r0 AS (SELECT node, CAST({R0} AS BIGINT) AS pr FROM nodes)"""
         prev = f"r{i}"
     parts.append(
         f" SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS pr "
+        f"FROM {prev}")
+    return "".join(parts)
+
+
+def sql_kg_cc(rounds: int | None = None) -> str:
+    """Unrolled min-propagation CC over the hashed-entity KG edges (the
+    supplier-part CC oracle re-based on the kg chain); UNION (distinct)
+    because subj<->obj double triples collapse to one undirected edge."""
+    from .stages.graph import CC_ROUNDS
+
+    rounds = rounds or CC_ROUNDS
+
+    def h(col: str) -> str:
+        return (f"CAST(md5_number_upper('0:' || {col}) "
+                f"% {1 << 62}::HUGEINT AS BIGINT)")
+
+    parts = [
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ns, pred, no
+                               ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), final_t AS (
+  SELECT subj, pred, obj FROM ranked WHERE rr = 1
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT {h('subj')} AS a, {h('obj')} AS b FROM final_t
+), edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0
+), l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)"""
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", l{i} AS (SELECT l.node, least(l.lab, min(p.lab)) AS lab "
+            f"FROM {prev} l JOIN edges e ON e.src = l.node "
+            f"JOIN {prev} p ON p.node = e.dst GROUP BY l.node, l.lab)"
+        )
+        prev = f"l{i}"
+    parts.append(
+        f" SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS label "
         f"FROM {prev}")
     return "".join(parts)

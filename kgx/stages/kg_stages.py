@@ -845,3 +845,35 @@ def kg_entity_pagerank(triples_ds, iterations: int = 3):
     edges = triples_ds.select_columns(["subj", "obj"]).map_batches(
         to_edges, batch_format="pandas")
     return pagerank_ds(edges, iterations=iterations)
+
+
+def kg_entity_clusters(triples_ds, rounds: int | None = None):
+    """deduped triples -> (node, label): round-exact connected-component
+    labels over the hashed-entity KG — entity community/cluster ids (the
+    related-entity grouping a KG browse surface uses), the shared
+    Pregel's SEVENTH consumer.  Same hashed symmetric edge construction
+    as kg_entity_pagerank; the fixed-round min-propagation contract keeps
+    the unrolled-CTE mirror bit-exact and equals true CC wherever
+    component diameter <= rounds."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.text import stable_hash64
+    from .graph import CC_ROUNDS, cc_rounds_ds
+
+    M62 = 1 << 62
+
+    def to_edges(df: "pd.DataFrame") -> "pd.DataFrame":
+        s = df["subj"].to_numpy()
+        o = df["obj"].to_numpy()
+        u, inv = np.unique(np.concatenate([s, o]), return_inverse=True)
+        hs = np.fromiter((stable_hash64(x) % M62 for x in u),
+                         dtype=np.int64, count=len(u))
+        n = len(df)
+        a, b = hs[inv[:n]], hs[inv[n:]]
+        return pd.DataFrame({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
+
+    edges = triples_ds.select_columns(["subj", "obj"]).map_batches(
+        to_edges, batch_format="pandas")
+    return cc_rounds_ds(edges, rounds=rounds or CC_ROUNDS)

@@ -962,3 +962,30 @@ def test_kg_pagerank_matches_serial_power_iteration(ray_session):
             nxt[b] += (pr[a] * DAMP_NUM) // (DAMP_DEN * outdeg[a])
         pr = {n: BASE + v for n, v in nxt.items()}
     assert got == pr
+
+
+# ---------------------------------------------------------------------------
+# KG entity clusters (round-exact CC)
+# ---------------------------------------------------------------------------
+
+
+def test_kg_entity_clusters_islands(ray_session):
+    import ray.data as rd
+
+    from kgx.functions.text import stable_hash64
+    from kgx.stages.kg_stages import kg_entity_clusters
+
+    tri = pd.DataFrame({
+        "subj": ["A", "B", "X", "B"],
+        "pred": ["p"] * 4,
+        "obj": ["B", "C", "Y", "A"],   # island {A,B,C}, island {X,Y}
+    })
+    out = _collect(kg_entity_clusters(rd.from_pandas(tri).repartition(2)))
+    M62 = 1 << 62
+    h = {n: stable_hash64(n) % M62 for n in "ABCXY"}
+    got = {int(r.node): int(r.label) for r in out.itertuples()}
+    assert len(got) == 5
+    l1 = min(h[n] for n in "ABC")
+    l2 = min(h[n] for n in "XY")
+    assert all(got[h[n]] == l1 for n in "ABC")
+    assert all(got[h[n]] == l2 for n in "XY")
