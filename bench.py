@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "dedup_agreement",
     "kg_pagerank",
     "kg_entity_clusters",
+    "kg_hub_entities",
 ]
 
 

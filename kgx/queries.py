@@ -948,6 +948,16 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def kg_hub_entities(sf_dir: str):
+    """Entity leaderboard: top-15 entities by KG pagerank with names —
+    sound per-partition top-k prune, single-block rank, names attached
+    AFTER the top-k via one hash-keyed kind-union exchange (only k rows
+    ever need a name)."""
+    from .stages.kg_stages import kg_hub_entities as _hub
+
+    return _hub(_kg_sql_outputs(sf_dir)["triples"])
+
+
 def kg_entity_clusters(sf_dir: str):
     """Round-exact connected-component labels over the hashed-entity KG —
     entity community ids for related-entity grouping; the shared Pregel's
@@ -1819,6 +1829,7 @@ def registry() -> dict:
         "dedup_agreement": dedup_agreement,
         "kg_pagerank": kg_pagerank,
         "kg_entity_clusters": kg_entity_clusters,
+        "kg_hub_entities": kg_hub_entities,
     }
 
 
@@ -2626,6 +2637,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_type_matrix": so.sql_kg_type_matrix(),
         "kg_pagerank": so.sql_kg_pagerank(),
         "kg_entity_clusters": so.sql_kg_cc(),
+        "kg_hub_entities": so.sql_kg_hub_entities(),
         "rel_event_cooccurrence": _sql_event_cooc(),
         "doc_source_stats": _sql_source_stats(),
         "kg_degree_dist": (

@@ -882,3 +882,26 @@ def sql_kg_cc(rounds: int | None = None) -> str:
         f" SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS label "
         f"FROM {prev}")
     return "".join(parts)
+
+
+def sql_kg_hub_entities(k: int = 15, iterations: int = 3) -> str:
+    """Top-k pagerank entities with names: the pagerank oracle as a
+    derived table, ranked, then joined back to the distinct entity-name
+    set (one more chain run, names unnested from [subj, obj]) through
+    the same md5 hash."""
+    pr = sql_kg_pagerank(iterations)
+    tri = sql_kg_triples()
+    h = (f"CAST(md5_number_upper('0:' || entity) "
+         f"% {1 << 62}::HUGEINT AS BIGINT)")
+    return f"""
+SELECT nm.entity, CAST(p.pr AS BIGINT) AS pr, CAST(p.rnk AS BIGINT) AS rnk
+FROM (
+  SELECT node, pr, row_number() OVER (ORDER BY pr DESC, node) AS rnk
+  FROM ({pr}) b
+) p
+JOIN (
+  SELECT DISTINCT entity, {h} AS node
+  FROM (SELECT unnest([subj, obj]) AS entity FROM ({tri}) t) u
+) nm ON nm.node = p.node
+WHERE p.rnk <= {k}
+"""

@@ -877,3 +877,74 @@ def kg_entity_clusters(triples_ds, rounds: int | None = None):
     edges = triples_ds.select_columns(["subj", "obj"]).map_batches(
         to_edges, batch_format="pandas")
     return cc_rounds_ds(edges, rounds=rounds or CC_ROUNDS)
+
+
+def kg_hub_entities(triples_ds, k: int = 15, iterations: int = 3):
+    """deduped triples -> (entity, pr, rnk): the entity LEADERBOARD —
+    top-k entities by KG pagerank with their names attached (the
+    user-facing 'most important entities' artifact a KG browse surface
+    shows first).
+
+    Composition: the shared Pregel pagerank over hashed ids, a sound
+    per-partition top-k prune (each node lives in one partition after
+    the final rank exchange), a single-block rank under
+    (pr DESC, node ASC), and the name attach AFTER the top-k via one
+    kind-union hash-keyed exchange against the distinct entity names
+    (only k rows ever need a name — the rank-then-join convention)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.text import stable_hash64
+    from .exchange import hash_partitioned_apply
+    from .kg_stages import kg_entity_pagerank  # self-import safe at runtime
+
+    pr = kg_entity_pagerank(triples_ds, iterations=iterations)
+
+    def local_top(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.sort_values(["pr", "node"], ascending=[False, True]) \
+            .head(k).reset_index(drop=True)
+
+    def final_rank(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.sort_values(["pr", "node"], ascending=[False, True]) \
+            .head(k).reset_index(drop=True)
+        d["rnk"] = np.arange(1, len(d) + 1, dtype=np.int64)
+        return d
+
+    top = pr.map_batches(local_top, batch_format="pandas") \
+        .repartition(1).map_batches(final_rank, batch_format="pandas",
+                                    batch_size=None)
+
+    M62 = 1 << 62
+
+    def name_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        names = np.unique(np.concatenate(
+            [df["subj"].to_numpy(), df["obj"].to_numpy()]))
+        hs = np.fromiter((stable_hash64(x) % M62 for x in names),
+                         dtype=np.int64, count=len(names))
+        return pd.DataFrame({"node": hs, "kind": np.zeros(len(hs), np.int64),
+                             "entity": names, "pr": np.int64(0),
+                             "rnk": np.int64(0)})
+
+    def top_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"node": df["node"].to_numpy(np.int64),
+             "kind": np.ones(len(df), dtype=np.int64),
+             "entity": "",
+             "pr": df["pr"].to_numpy(np.int64),
+             "rnk": df["rnk"].to_numpy(np.int64)})
+
+    union = triples_ds.select_columns(["subj", "obj"]).map_batches(
+        name_rows, batch_format="pandas").union(
+        top.map_batches(top_rows, batch_format="pandas"))
+
+    def attach(df: "pd.DataFrame") -> "pd.DataFrame":
+        nm = df[df["kind"] == 0].drop_duplicates(subset=["node"])
+        t = df[df["kind"] == 1]
+        j = t.merge(nm[["node", "entity"]].rename(
+            columns={"entity": "nm"}), on="node", how="inner")
+        return pd.DataFrame(
+            {"entity": j["nm"].astype(str),
+             "pr": j["pr"].to_numpy(np.int64),
+             "rnk": j["rnk"].to_numpy(np.int64)})
+
+    return hash_partitioned_apply(union, ["node"], attach, int_keys=True)

@@ -989,3 +989,27 @@ def test_kg_entity_clusters_islands(ray_session):
     l2 = min(h[n] for n in "XY")
     assert all(got[h[n]] == l1 for n in "ABC")
     assert all(got[h[n]] == l2 for n in "XY")
+
+
+# ---------------------------------------------------------------------------
+# KG hub-entity leaderboard
+# ---------------------------------------------------------------------------
+
+
+def test_hub_entities_rank_and_names(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.kg_stages import kg_entity_pagerank, kg_hub_entities
+
+    tri = pd.DataFrame({
+        "subj": ["Hub", "Hub", "Hub", "A", "B"],
+        "pred": ["p"] * 5,
+        "obj": ["A", "B", "C", "B", "C"],
+    })
+    out = _collect(kg_hub_entities(rd.from_pandas(tri).repartition(2), k=2)) \
+        .sort_values("rnk").reset_index(drop=True)
+    pr = _collect(kg_entity_pagerank(rd.from_pandas(tri)))
+    top = pr.sort_values(["pr", "node"], ascending=[False, True]).head(2)
+    assert list(out["pr"]) == list(top["pr"])
+    assert len(out) == 2 and list(out["rnk"]) == [1, 2]
+    assert set(out["entity"]) <= {"Hub", "A", "B", "C"}
