@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "kg_pagerank",
     "kg_entity_clusters",
     "kg_hub_entities",
+    "kg_source_contrib",
 ]
 
 

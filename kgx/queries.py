@@ -948,6 +948,49 @@ def emb_cluster_purity(sf_dir: str):
     return kmeans_purity(ds)
 
 
+def kg_source_contrib(sf_dir: str):
+    """KG provenance rollup (source, n_triples, n_pages): which crawl
+    sources feed the graph — the lineage attribution table for triple
+    provenance audits.  Source parses vectorized from the url (one
+    str.split per batch), per-batch (source, url) dedup partials, one
+    source-keyed partition exchange whose nunique IS the distinct-page
+    count, plus an n_triples count that rides the same rows."""
+    import numpy as np
+    import pandas as pd
+
+    from .pipeline import broadcast_kb, linked_triples_ds
+    from .stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    linked = linked_triples_ds(_kg_sql_pages(sf_dir), _kg_sql_cfg(),
+                               broadcast_kb())
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        src = df["url"].str.split("/").str[3]
+        g = pd.DataFrame({"source": src, "url": df["url"]})
+        out = g.groupby(["source", "url"], sort=False, as_index=False).agg(
+            n_triples=("url", "size"))
+        out["n_triples"] = out["n_triples"].astype("int64")
+        return out
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["source", "url"], sort=False, as_index=False).agg(
+            n_triples=("n_triples", "sum"))
+        out = g.groupby("source", sort=False, as_index=False).agg(
+            n_triples=("n_triples", "sum"), n_pages=("url", "size"))
+        out["n_triples"] = out["n_triples"].astype("int64")
+        out["n_pages"] = out["n_pages"].astype("int64")
+        return out
+
+    partials = hash_partitioned_apply(
+        linked.select_columns(["url"]).map_batches(
+            partial, batch_format="pandas"),
+        ["source"], kernel)
+    return hash_partitioned_agg(
+        partials, ["source"],
+        lambda df: df.groupby("source", sort=False, as_index=False).agg(
+            n_triples=("n_triples", "sum"), n_pages=("n_pages", "sum")))
+
+
 def kg_hub_entities(sf_dir: str):
     """Entity leaderboard: top-15 entities by KG pagerank with names —
     sound per-partition top-k prune, single-block rank, names attached
@@ -1830,6 +1873,7 @@ def registry() -> dict:
         "kg_pagerank": kg_pagerank,
         "kg_entity_clusters": kg_entity_clusters,
         "kg_hub_entities": kg_hub_entities,
+        "kg_source_contrib": kg_source_contrib,
     }
 
 
@@ -2638,6 +2682,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": so.sql_kg_pagerank(),
         "kg_entity_clusters": so.sql_kg_cc(),
         "kg_hub_entities": so.sql_kg_hub_entities(),
+        "kg_source_contrib": so.sql_kg_source_contrib(),
         "rel_event_cooccurrence": _sql_event_cooc(),
         "doc_source_stats": _sql_source_stats(),
         "kg_degree_dist": (

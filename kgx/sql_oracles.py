@@ -905,3 +905,19 @@ JOIN (
 ) nm ON nm.node = p.node
 WHERE p.rnk <= {k}
 """
+
+
+def sql_kg_source_contrib() -> str:
+    """(source, n_triples, n_pages): triple provenance per crawl source,
+    source parsed from the url path (the doc_url convention)."""
+    return (
+        _kg_common_ctes()
+        + """
+, src AS (
+  SELECT split_part(url, '/', 4) AS source, url FROM linked
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_pages
+FROM src GROUP BY 1
+"""
+    )

@@ -1013,3 +1013,25 @@ def test_hub_entities_rank_and_names(ray_session):
     assert list(out["pr"]) == list(top["pr"])
     assert len(out) == 2 and list(out["rnk"]) == [1, 2]
     assert set(out["entity"]) <= {"Hub", "A", "B", "C"}
+
+
+# ---------------------------------------------------------------------------
+# KG provenance per source
+# ---------------------------------------------------------------------------
+
+
+def test_source_contrib_counts(ray_session):
+    import kgx.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_source_contrib(sf))
+    # total triples across sources == linked row count
+    from kgx.pipeline import broadcast_kb, linked_triples_ds
+
+    linked = _collect(linked_triples_ds(
+        Q._kg_sql_pages(sf), Q._kg_sql_cfg(), broadcast_kb()))
+    assert int(out["n_triples"].sum()) == len(linked)
+    ref = linked["url"].str.split("/").str[3].value_counts()
+    got = dict(zip(out["source"], out["n_triples"]))
+    assert got == {k: int(v) for k, v in ref.items()}
+    assert (out["n_pages"] <= out["n_triples"]).all()
