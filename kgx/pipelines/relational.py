@@ -4671,3 +4671,245 @@ FROM ut a JOIN ut b
   ON a.user_id = b.user_id AND a.event_type < b.event_type
 GROUP BY 1, 2
 """
+
+
+def local_supplier_volume(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """(n_name, revenue_cents): TPC-H-Q5-shaped local-supplier volume —
+    revenue from lineitems whose supplier and ordering customer live in
+    the SAME nation, for orders placed inside a one-year window, grouped
+    by that nation.  The reference analog is the J2/J5 weighted-join
+    family (src/align/aligner.py:23-81) composed with the G2 groupby;
+    here it is the canonical 5-table snowflake with an equality
+    constraint BETWEEN the two dimension paths (c_nationkey ==
+    s_nationkey), which TPC-H calls "local supplier volume".
+
+    Revenue is the integer disc-cents convention (cents * (100-d) // 100
+    per row) so the DuckDB mirror is bit-exact.  The order-date window
+    is evaluated on the DIM side (orders), so out-of-window orders never
+    enter the fact stream on either route.
+
+    Fast path (supplier + in-window orders + customer within the
+    broadcast budget): three sorted-array maps ship once via ray.put;
+    each lineitem batch resolves supp-nation and cust-nation in three
+    vectorized searchsorteds, keeps sn == cn rows and folds to
+    <= |nations| partial rows — ZERO row-level shuffles, one
+    nation-keyed combiner exchange.  Unbounded route: three chained
+    kind-union partition exchanges (suppkey -> orderkey -> custkey),
+    each kernel attaching one hop and folding to combiner-compressed
+    partials before the next — no unbounded broadcast anywhere."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nname = {int(k): str(v) for k, v in zip(
+        nation["n_nationkey"].to_numpy(), nation["n_name"].to_pylist())}
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    HI_US = Q12_LO_US + 366 * 86_400_000_000   # 1996 is a leap year
+
+    def orders_window(batch: "pa.Table") -> "pa.Table":
+        ok = pc.and_(pc.and_(pc.is_valid(batch["o_orderkey"]),
+                             pc.is_valid(batch["o_custkey"])),
+                     pc.is_valid(batch["o_orderdate"]))
+        batch = batch.filter(ok)
+        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy()
+        m = (ts >= Q12_LO_US) & (ts < HI_US)
+        return batch.filter(pa.array(m)).select(["o_orderkey", "o_custkey"])
+
+    orders_w = orders.map_batches(orders_window, batch_format="pyarrow")
+
+    def _li_arrays(batch: "pa.Table"):
+        ok = pc.and_(pc.and_(pc.is_valid(batch["l_suppkey"]),
+                             pc.is_valid(batch["l_orderkey"])),
+                     pc.and_(pc.is_valid(batch["l_extendedprice"]),
+                             pc.is_valid(batch["l_discount"])))
+        batch = batch.filter(ok)
+        sk = batch["l_suppkey"].to_numpy().astype(np.int64)
+        okey = batch["l_orderkey"].to_numpy().astype(np.int64)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        dpct = np.floor(
+            batch["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return sk, okey, cents * (100 - dpct) // 100
+
+    def _sorted_map(ds, kcol, vcol):
+        from ..stages.exchange import collect_arrow
+
+        def cleaner(t: "pa.Table") -> "pa.Table":
+            return t.filter(pc.and_(pc.is_valid(t[kcol]),
+                                    pc.is_valid(t[vcol])))
+
+        t = collect_arrow(
+            ds.map_batches(cleaner, batch_format="pyarrow"),
+            pa.table({kcol: pa.array([], pa.int64()),
+                      vcol: pa.array([], pa.int64())}))
+        k = t[kcol].to_numpy().astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        return k[order], t[vcol].to_numpy().astype(np.int64)[order]
+
+    def _lookup(keys, vals, probe):
+        if not (len(keys) and len(probe)):
+            return np.zeros(len(probe), dtype=bool), np.zeros(
+                len(probe), dtype=np.int64)
+        pos = np.searchsorted(keys, probe).clip(max=len(keys) - 1)
+        hit = keys[pos] == probe
+        return hit, vals[pos]
+
+    _NAT_EMPTY = pd.DataFrame(
+        {"nat": pd.Series([], dtype="int64"),
+         "revenue_cents": pd.Series([], dtype="int64")})
+
+    def _nat_fold(nat, cents) -> "pd.DataFrame":
+        if not len(nat):
+            return _NAT_EMPTY
+        u, inv = np.unique(nat, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pd.DataFrame({"nat": u.astype(np.int64), "revenue_cents": s})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["nat"], sort=False, as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+
+    def finalize(ds):
+        def name_map(df: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame(
+                {"n_name": df["nat"].map(nname).astype(str),
+                 "revenue_cents":
+                     df["revenue_cents"].to_numpy().astype(np.int64)})
+
+        return ds.map_batches(name_map, batch_format="pandas")
+
+    total_dim_rows = supplier.count() + orders.count() + customer.count()
+    if total_dim_rows <= broadcast_limit:
+        sk_keys, sk_nat = _sorted_map(supplier, "s_suppkey", "s_nationkey")
+        ok_keys, ok_cust = _sorted_map(orders_w, "o_orderkey", "o_custkey")
+        ck_keys, ck_nat = _sorted_map(customer, "c_custkey", "c_nationkey")
+        maps_ref = ray.put((sk_keys, sk_nat, ok_keys, ok_cust,
+                            ck_keys, ck_nat))
+
+        def partial(batch: "pa.Table") -> "pd.DataFrame":
+            sk, okey, cents = _li_arrays(batch)
+            sk_k, sk_v, ok_k, ok_v, ck_k, ck_v = ray.get(maps_ref)
+            h1, sn = _lookup(sk_k, sk_v, sk)
+            h2, cust = _lookup(ok_k, ok_v, okey)
+            m = h1 & h2
+            h3, cn = _lookup(ck_k, ck_v, cust)
+            m &= h3 & (sn == cn)
+            return _nat_fold(sn[m], cents[m])
+
+        return finalize(hash_partitioned_agg(
+            line.map_batches(partial, batch_format="pyarrow"),
+            ["nat"], combine))
+
+    # ---- unbounded route: three chained kind-union exchanges ----------
+    def _ku(dim_ds, dim_cols, fact_ds, fact_cols, out_builder):
+        all_cols = ["k", "kind", "val"] + fact_cols
+
+        def dim_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = df.dropna(subset=dim_cols)
+            out = pd.DataFrame(
+                {"k": df[dim_cols[0]].to_numpy().astype(np.int64),
+                 "kind": np.zeros(len(df), dtype=np.int64),
+                 "val": df[dim_cols[1]].to_numpy().astype(np.int64)})
+            for c in fact_cols:
+                out[c] = np.int64(0)
+            return out[all_cols]
+
+        u = dim_ds.map_batches(dim_rows, batch_format="pandas").union(fact_ds)
+
+        def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+            dd = d[d["kind"] == 0]
+            ks = dd["k"].to_numpy(np.int64)
+            order = np.argsort(ks, kind="stable")
+            ks, vs = ks[order], dd["val"].to_numpy(np.int64)[order]
+            ff = d[d["kind"] == 1]
+            hit, val = _lookup(ks, vs, ff["k"].to_numpy(np.int64))
+            return out_builder(ff[hit.astype(bool)] if len(ff) else ff,
+                               val[hit] if len(ff) else val)
+
+        return hash_partitioned_apply(u, ["k"], kernel, int_keys=True)
+
+    def li_rows(batch: "pa.Table") -> "pd.DataFrame":
+        sk, okey, cents = _li_arrays(batch)
+        return pd.DataFrame(
+            {"k": sk, "kind": np.ones(len(sk), dtype=np.int64),
+             "val": np.zeros(len(sk), dtype=np.int64),
+             "okey": okey, "cents": cents})
+
+    def fold_okey_sn(ff: "pd.DataFrame", sn) -> "pd.DataFrame":
+        g = pd.DataFrame({"okey": ff["okey"].to_numpy(np.int64),
+                          "sn": sn.astype(np.int64),
+                          "cents": ff["cents"].to_numpy(np.int64)})
+        g = g.groupby(["okey", "sn"], sort=False, as_index=False).agg(
+            cents=("cents", "sum"))
+        return pd.DataFrame(
+            {"k": g["okey"], "kind": np.ones(len(g), dtype=np.int64),
+             "val": np.zeros(len(g), dtype=np.int64),
+             "sn": g["sn"], "cents": g["cents"]})
+
+    s1 = _ku(supplier, ["s_suppkey", "s_nationkey"],
+             line.map_batches(li_rows, batch_format="pyarrow"),
+             ["okey", "cents"], fold_okey_sn)
+
+    def fold_cust_sn(ff: "pd.DataFrame", cust) -> "pd.DataFrame":
+        g = pd.DataFrame({"cust": cust.astype(np.int64),
+                          "sn": ff["sn"].to_numpy(np.int64),
+                          "cents": ff["cents"].to_numpy(np.int64)})
+        g = g.groupby(["cust", "sn"], sort=False, as_index=False).agg(
+            cents=("cents", "sum"))
+        return pd.DataFrame(
+            {"k": g["cust"], "kind": np.ones(len(g), dtype=np.int64),
+             "val": np.zeros(len(g), dtype=np.int64),
+             "sn": g["sn"], "cents": g["cents"]})
+
+    s2 = _ku(orders_w, ["o_orderkey", "o_custkey"], s1, ["sn", "cents"],
+             fold_cust_sn)
+
+    def fold_local(ff: "pd.DataFrame", cn) -> "pd.DataFrame":
+        sn = ff["sn"].to_numpy(np.int64)
+        m = sn == cn.astype(np.int64)
+        return _nat_fold(sn[m], ff["cents"].to_numpy(np.int64)[m])
+
+    s3 = _ku(customer, ["c_custkey", "c_nationkey"], s2, ["sn", "cents"],
+             fold_local)
+
+    return finalize(hash_partitioned_agg(s3, ["nat"], combine))
+
+
+def sql_local_supplier_volume() -> str:
+    c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    d = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH li AS (
+  SELECT l_suppkey, l_orderkey, {c} * (100 - {d}) // 100 AS cents
+  FROM lineitem
+  WHERE l_suppkey IS NOT NULL AND l_orderkey IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+), ow AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+    AND o_orderdate IS NOT NULL
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT n_name, CAST(sum(li.cents) AS BIGINT) AS revenue_cents
+FROM li
+JOIN supplier ON li.l_suppkey = s_suppkey
+JOIN ow ON li.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""

@@ -1217,6 +1217,17 @@ def rel_q6(sf_dir: str):
     return forecast_revenue(sf_dir)
 
 
+def rel_q5(sf_dir: str):
+    """TPC-H-Q5 local supplier volume: revenue where the supplier and the
+    ordering customer share a nation, 1996 order window, grouped by
+    nation — the 5-table snowflake with a cross-path equality, gated
+    between three broadcast maps and three chained kind-union
+    exchanges."""
+    from .pipelines.relational import local_supplier_volume
+
+    return local_supplier_volume(sf_dir)
+
+
 def kg_confidence_hist(sf_dir: str):
     """Extraction-confidence histogram over the deduped triples (the
     calibration curve for predicate rules / linker weights): same
@@ -1874,6 +1885,7 @@ def registry() -> dict:
         "kg_entity_clusters": kg_entity_clusters,
         "kg_hub_entities": kg_hub_entities,
         "kg_source_contrib": kg_source_contrib,
+        "rel_q5": rel_q5,
     }
 
 
@@ -2568,6 +2580,12 @@ def _sql_q6() -> str:
     return sql_forecast_revenue()
 
 
+def _sql_q5() -> str:
+    from .pipelines.relational import sql_local_supplier_volume
+
+    return sql_local_supplier_volume()
+
+
 def _sql_event_cooc() -> str:
     from .pipelines.relational import sql_event_type_cooccurrence
 
@@ -2683,6 +2701,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_clusters": so.sql_kg_cc(),
         "kg_hub_entities": so.sql_kg_hub_entities(),
         "kg_source_contrib": so.sql_kg_source_contrib(),
+        "rel_q5": _sql_q5(),
         "rel_event_cooccurrence": _sql_event_cooc(),
         "doc_source_stats": _sql_source_stats(),
         "kg_degree_dist": (

@@ -1,0 +1,134 @@
+"""Round-5 batch-10 operators (this session): TPC-H Q5 local supplier
+volume + the batch's later additions — serial-parity, both-paths and
+hostile-input tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _collect(ds) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(ds, ray.data.Dataset):
+        return ds.to_pandas()
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# rel_q5: local supplier volume
+# ---------------------------------------------------------------------------
+
+
+def test_q5_both_paths_agree(ray_session):
+    from kgx.pipelines.relational import local_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+    fast = _collect(local_supplier_volume(sf)) \
+        .sort_values("n_name").reset_index(drop=True)
+    slow = _collect(local_supplier_volume(sf, broadcast_limit=0)) \
+        .sort_values("n_name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0 and (fast["revenue_cents"] > 0).all()
+
+
+def test_q5_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import local_supplier_volume
+
+    rng = np.random.default_rng(11)
+    n = 300
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array([0, 1, 2], pa.int32()),
+         "n_name": pa.array(["AAA", "BBB", "CCC"])}),
+        sf / "nation.parquet")
+    pq.write_table(pa.table(
+        {"s_suppkey": np.arange(1, 9, dtype=np.int64),
+         "s_nationkey": pa.array(rng.integers(0, 3, 8), pa.int32())}),
+        sf / "supplier.parquet")
+    pq.write_table(pa.table(
+        {"c_custkey": np.arange(1, 13, dtype=np.int64),
+         "c_nationkey": pa.array(rng.integers(0, 3, 12), pa.int32())}),
+        sf / "customer.parquet")
+    # order dates straddle the 1996 window: in-window, before, after,
+    # and exactly-at-boundary rows
+    days = rng.integers(-200, 600, 30)          # days from 1996-01-01
+    odate = (np.datetime64("1996-01-01", "us")
+             + days.astype("timedelta64[D]").astype("timedelta64[us]"))
+    pq.write_table(pa.table(
+        {"o_orderkey": np.arange(1, 31, dtype=np.int64),
+         "o_custkey": rng.integers(1, 13, 30).astype(np.int64),
+         "o_orderdate": pa.array(odate, pa.timestamp("us"))}),
+        sf / "orders.parquet")
+    li = pa.table(
+        {"l_suppkey": rng.integers(1, 10, n).astype(np.int64),   # 9 dangles
+         "l_orderkey": rng.integers(1, 32, n).astype(np.int64),  # 31 dangles
+         "l_extendedprice": np.round(rng.uniform(1, 500, n), 2),
+         "l_discount": np.round(rng.integers(0, 11, n) / 100.0, 2)})
+    pq.write_table(li, sf / "lineitem.parquet")
+
+    # serial reference
+    ldf = li.to_pandas()
+    sup = pq.read_table(sf / "supplier.parquet").to_pandas()
+    orders = pq.read_table(sf / "orders.parquet").to_pandas()
+    in_win = ((orders["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+              & (orders["o_orderdate"] < pd.Timestamp("1997-01-01")))
+    orders = orders[in_win]
+    cust = pq.read_table(sf / "customer.parquet").to_pandas()
+    names = {0: "AAA", 1: "BBB", 2: "CCC"}
+    ldf["cents"] = (np.floor(ldf["l_extendedprice"] * 100 + 0.5)
+                    .astype(np.int64)
+                    * (100 - np.floor(ldf["l_discount"] * 100 + 0.5)
+                       .astype(np.int64)) // 100)
+    j = ldf.merge(sup, left_on="l_suppkey", right_on="s_suppkey") \
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey") \
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j = j[j["s_nationkey"] == j["c_nationkey"]]
+    ref = {names[k]: int(v)
+           for k, v in j.groupby("s_nationkey")["cents"].sum().items()}
+
+    for limit in (2_000_000, 0):
+        out = _collect(local_supplier_volume(str(sf), broadcast_limit=limit))
+        got = {r.n_name: int(r.revenue_cents) for r in out.itertuples()}
+        assert got == ref, f"route broadcast_limit={limit}"
+
+
+def test_q5_empty_window(ray_session, tmp_path):
+    """No orders inside the window -> empty result on both routes."""
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import local_supplier_volume
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array([0], pa.int32()),
+         "n_name": pa.array(["AAA"])}), sf / "nation.parquet")
+    pq.write_table(pa.table(
+        {"s_suppkey": pa.array([1], pa.int64()),
+         "s_nationkey": pa.array([0], pa.int32())}),
+        sf / "supplier.parquet")
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array([1], pa.int64()),
+         "c_nationkey": pa.array([0], pa.int32())}),
+        sf / "customer.parquet")
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array([1], pa.int64()),
+         "o_custkey": pa.array([1], pa.int64()),
+         "o_orderdate": pa.array([np.datetime64("1995-06-01", "us")],
+                                 pa.timestamp("us"))}),
+        sf / "orders.parquet")
+    pq.write_table(pa.table(
+        {"l_suppkey": pa.array([1], pa.int64()),
+         "l_orderkey": pa.array([1], pa.int64()),
+         "l_extendedprice": pa.array([100.0]),
+         "l_discount": pa.array([0.05])}), sf / "lineitem.parquet")
+
+    for limit in (2_000_000, 0):
+        out = _collect(local_supplier_volume(str(sf), broadcast_limit=limit))
+        assert len(out) == 0
