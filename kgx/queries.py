@@ -991,6 +991,61 @@ def kg_source_contrib(sf_dir: str):
             n_triples=("n_triples", "sum"), n_pages=("n_pages", "sum")))
 
 
+def kg_conflicts(sf_dir: str):
+    """KG contradiction detection (subj, pred, n_objs, objs): subjects
+    holding MORE THAN ONE distinct object under a functional predicate
+    (headquartered_in, ceo_of, ...) in the deduped triples — the
+    data-quality artifact a KG review reads before publishing (reference
+    analog: the G8 verdict-compare contract, compare_reports.py:225-274,
+    recast as an intra-graph consistency check).
+
+    Scale shape: the deduped-triple stream (one row per normalized
+    (s, p, o)) filters to functional predicates FIRST, so only that small
+    fraction enters ONE (ns, pred)-keyed partition exchange; within a
+    group the display objects are provably distinct (dedup keeps one row
+    per normalized obj, and normalization is a function of the display
+    string), so n_objs = the group's row count and the '|'-joined object
+    list follows the adjacency sort convention.  Representative subj is
+    the lexicographic min."""
+    import pandas as pd
+
+    from .sql_oracles import FUNCTIONAL_PREDS
+    from .stages.exchange import hash_partitioned_apply
+    from .stages.wide import _norm_part_series
+
+    triples = _kg_sql_outputs(sf_dir)["triples"]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["pred"].isin(FUNCTIONAL_PREDS)]
+        return pd.DataFrame(
+            {"ns": _norm_part_series(df["subj"]).astype(str),
+             "pred": df["pred"].astype(str),
+             "subj": df["subj"].astype(str),
+             "obj": df["obj"].astype(str)})
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"subj": pd.Series([], dtype="str"),
+                 "pred": pd.Series([], dtype="str"),
+                 "n_objs": pd.Series([], dtype="int64"),
+                 "objs": pd.Series([], dtype="str")})
+        df = df.sort_values(["ns", "pred", "obj"], kind="stable")
+        g = df.groupby(["ns", "pred"], sort=False, as_index=False).agg(
+            subj=("subj", "min"), n_objs=("obj", "size"),
+            objs=("obj", "|".join))
+        g = g[g["n_objs"] > 1]
+        return pd.DataFrame(
+            {"subj": g["subj"].astype(str), "pred": g["pred"].astype(str),
+             "n_objs": g["n_objs"].astype("int64"),
+             "objs": g["objs"].astype(str)})
+
+    return hash_partitioned_apply(
+        triples.select_columns(["subj", "pred", "obj"]).map_batches(
+            partial, batch_format="pandas"),
+        ["ns", "pred"], kernel)
+
+
 def kg_hub_entities(sf_dir: str):
     """Entity leaderboard: top-15 entities by KG pagerank with names —
     sound per-partition top-k prune, single-block rank, names attached
@@ -1886,6 +1941,7 @@ def registry() -> dict:
         "kg_hub_entities": kg_hub_entities,
         "kg_source_contrib": kg_source_contrib,
         "rel_q5": rel_q5,
+        "kg_conflicts": kg_conflicts,
     }
 
 
@@ -2702,6 +2758,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hub_entities": so.sql_kg_hub_entities(),
         "kg_source_contrib": so.sql_kg_source_contrib(),
         "rel_q5": _sql_q5(),
+        "kg_conflicts": so.sql_kg_conflicts(),
         "rel_event_cooccurrence": _sql_event_cooc(),
         "doc_source_stats": _sql_source_stats(),
         "kg_degree_dist": (

@@ -907,6 +907,41 @@ WHERE p.rnk <= {k}
 """
 
 
+# Predicates whose object is semantically single-valued per subject —
+# more than one distinct object for the same (normalized) subject is an
+# extraction contradiction the KG QA pass must surface.
+FUNCTIONAL_PREDS = ("headquartered_in", "located_in", "ceo_of",
+                    "merged_with", "subsidiary_of")
+
+
+def sql_kg_conflicts() -> str:
+    """(subj, pred, n_objs, objs): functional-predicate contradictions over
+    the deduped triples — group by (normalized subj, pred), keep groups
+    with >1 distinct normalized object, min display subj as representative,
+    '|'-joined display objects in obj order."""
+    preds = ", ".join(_q(p) for p in FUNCTIONAL_PREDS)
+    return (
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY ns, pred, no
+                       ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), final_t AS (
+  SELECT ns, pred, subj, obj FROM ranked
+  WHERE rr = 1 AND pred IN ({preds})
+)
+SELECT min(subj) AS subj, pred, CAST(count(*) AS BIGINT) AS n_objs,
+       string_agg(obj, '|' ORDER BY obj) AS objs
+FROM final_t GROUP BY ns, pred HAVING count(*) > 1
+"""
+    )
+
+
 def sql_kg_source_contrib() -> str:
     """(source, n_triples, n_pages): triple provenance per crawl source,
     source parsed from the url path (the doc_url convention)."""

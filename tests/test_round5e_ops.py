@@ -132,3 +132,49 @@ def test_q5_empty_window(ray_session, tmp_path):
     for limit in (2_000_000, 0):
         out = _collect(local_supplier_volume(str(sf), broadcast_limit=limit))
         assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# kg_conflicts: functional-predicate contradiction detection
+# ---------------------------------------------------------------------------
+
+
+def test_kg_conflicts_matches_serial(ray_session):
+    import kgx.queries as Q
+    from kgx.sql_oracles import FUNCTIONAL_PREDS
+    from kgx.stages.wide import _norm_part_series
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_conflicts(sf)).sort_values(
+        ["subj", "pred"]).reset_index(drop=True)
+
+    # serial reference over the deduped triples
+    tri = _collect(Q.kg_triples(sf))
+    tri = tri[tri["pred"].isin(FUNCTIONAL_PREDS)].copy()
+    tri["ns"] = _norm_part_series(tri["subj"])
+    tri = tri.sort_values(["ns", "pred", "obj"], kind="stable")
+    ref = tri.groupby(["ns", "pred"], as_index=False).agg(
+        subj=("subj", "min"), n_objs=("obj", "size"),
+        objs=("obj", "|".join))
+    ref = ref[ref["n_objs"] > 1][["subj", "pred", "n_objs", "objs"]] \
+        .sort_values(["subj", "pred"]).reset_index(drop=True)
+    ref["n_objs"] = ref["n_objs"].astype("int64")
+
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0               # the sf0.001 KB plants real conflicts
+    assert (out["n_objs"] > 1).all()
+    # every conflict row's object list is sorted and '|'-consistent
+    for r in out.itertuples():
+        parts = r.objs.split("|")
+        assert len(parts) == r.n_objs and parts == sorted(parts)
+
+
+def test_kg_conflicts_kernel_merges_normalized_subjects(ray_session):
+    """Two display forms of one subject ('Acme Corp' / 'acme corp') under a
+    functional pred must merge into ONE conflict group via ns."""
+    import kgx.queries as Q
+    from kgx.stages.wide import _norm_part_series
+
+    # piggyback on the library normalizer semantics the kernel uses
+    s = pd.Series(["Acme Corp.", "acme   corp", "ACME CORP"])
+    assert _norm_part_series(s).nunique() == 1
