@@ -174,6 +174,9 @@ BENCH_QUERIES = [
     "kg_entity_clusters",
     "kg_hub_entities",
     "kg_source_contrib",
+    "rel_q5",
+    "kg_conflicts",
+    "graph_clustering",
 ]
 
 
@@ -186,6 +189,8 @@ BENCH_SF_OVERRIDES = {
     "graph_common_neighbors": "sf0.01",
     # same wedge pipeline + a degree attach; same K1000 worst case
     "graph_jaccard": "sf0.01",
+    # same wedge pipeline + node-credit fold; same K1000 worst case
+    "graph_clustering": "sf0.01",
 }
 
 

@@ -1416,6 +1416,22 @@ def graph_jaccard(sf_dir: str):
     )
 
 
+def graph_clustering(sf_dir: str):
+    """Per-node local clustering coefficient of the co-supplier graph
+    (node, deg, n_tri, cc_pm) — the triangle pipeline in clustering mode:
+    wedge-closure matches credit their three nodes, a node-keyed combiner
+    folds T(v), degrees join back under the orientation's cost gate, and
+    cc_pm = 10000 * T // C(deg, 2) exactly in integers; zero-triangle
+    deg>=2 nodes appear with cc_pm = 0."""
+    from .pipelines.relational import _read
+    from .stages.triangles import cosupplier_triangles
+
+    return cosupplier_triangles(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]),
+        clustering=True,
+    )
+
+
 def rel_shipmode(sf_dir: str):
     """TPC-H-Q12-shaped conditional split counts through a join: per line
     status, lineitems in a two-year ship window belonging to
@@ -1942,6 +1958,7 @@ def registry() -> dict:
         "kg_source_contrib": kg_source_contrib,
         "rel_q5": rel_q5,
         "kg_conflicts": kg_conflicts,
+        "graph_clustering": graph_clustering,
     }
 
 
@@ -2606,6 +2623,12 @@ def _sql_jaccard() -> str:
     return sql_cosupplier_jaccard()
 
 
+def _sql_clustering() -> str:
+    from .stages.triangles import sql_local_clustering
+
+    return sql_local_clustering()
+
+
 def _sql_blame() -> str:
     from .pipelines.relational import sql_blame_supplier_counts
 
@@ -2759,6 +2782,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_source_contrib": so.sql_kg_source_contrib(),
         "rel_q5": _sql_q5(),
         "kg_conflicts": so.sql_kg_conflicts(),
+        "graph_clustering": _sql_clustering(),
         "rel_event_cooccurrence": _sql_event_cooc(),
         "doc_source_stats": _sql_source_stats(),
         "kg_degree_dist": (

@@ -60,7 +60,8 @@ def _group_bounds(keys: np.ndarray):
 
 def cosupplier_triangles(lineitem_ds, num_partitions: int | None = None,
                          broadcast_deg_limit: int = 2_000_000,
-                         per_edge: bool = False, jaccard: bool = False):
+                         per_edge: bool = False, jaccard: bool = False,
+                         clustering: bool = False):
     """lineitem -> one row (n_triangles,): exact triangle count of the
     co-supplier graph (edge iff two suppliers share an order).
 
@@ -71,10 +72,23 @@ def cosupplier_triangles(lineitem_ds, num_partitions: int | None = None,
     id-normalized edges gain one common neighbor, and a final
     (a, b)-keyed count combiner folds them.  Extra wire cost over the
     count mode is one int64 column on the wedge rows plus a
-    triangle-volume count exchange."""
+    triangle-volume count exchange.
+
+    With ``clustering=True`` the pipeline instead returns the per-node
+    LOCAL CLUSTERING COEFFICIENT table (node, deg, n_tri, cc_pm): each
+    matched wedge is a triangle crediting its three nodes +1; a
+    node-keyed count combiner folds the credits to T(v); degrees join
+    back in (riding the same broadcast-vs-exchange cost gate as the
+    orientation) and cc_pm = 10000 * T(v) // C(deg, 2) exactly in
+    integers.  Nodes with deg >= 2 and ZERO triangles appear with
+    cc_pm = 0 — the deg table (all nodes) drives the final join, not
+    the triangle credits."""
     import pandas as pd
 
     from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    if clustering:
+        per_edge = True        # wedge rows must carry their center node
 
     # -- 1. per-order supplier pairs (a < b), combiner-deduped per batch --
     def order_pairs_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
@@ -250,6 +264,95 @@ def cosupplier_triangles(lineitem_ds, num_partitions: int | None = None,
         oriented.map_batches(edge_probe_rows, batch_format="pandas")
     )
 
+    if clustering:
+        def close_nodes_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as pd2
+
+            w = d[d["kind"] == 0]
+            e = d[d["kind"] == 1].drop_duplicates(subset=["u", "w"])
+            m = w.merge(e[["u", "w"]], on=["u", "w"], how="inner")
+            # triangle {c, u, v}: each of the three nodes gains one
+            # triangle; pre-count per partition (the combiner)
+            nodes = np.concatenate([m["u"].to_numpy(), m["w"].to_numpy(),
+                                    m["c"].to_numpy()])
+            out = pd2.DataFrame({"node": nodes.astype(np.int64)})
+            out["n_tri"] = np.int64(1)
+            return out.groupby("node", sort=False, as_index=False).agg(
+                n_tri=("n_tri", "sum"))
+
+        tri_nodes = hash_partitioned_apply(
+            probe, ["u", "w"], close_nodes_kernel, num_partitions,
+            int_keys=True)
+        tri = hash_partitioned_agg(
+            tri_nodes, ["node"],
+            lambda df: df.groupby("node", sort=False, as_index=False).agg(
+                n_tri=("n_tri", "sum")),
+            num_partitions)
+
+        def _cc_cols(node, dg, t) -> "pd.DataFrame":
+            import pandas as pd2
+
+            keep = dg >= 2
+            node, dg, t = node[keep], dg[keep], t[keep]
+            return pd2.DataFrame(
+                {"node": node, "deg": dg, "n_tri": t,
+                 "cc_pm": 10_000 * t // (dg * (dg - 1) // 2)})
+
+        if deg_bcast_ref is not None:
+            import ray
+
+            # tri is node-scale; under the gate it fits the driver just
+            # like deg_pd (already collected above) — ship it once and
+            # drive from the FULL degree table so zero-triangle nodes
+            # appear with cc_pm = 0
+            tri_pd = tri.to_pandas()
+            tri_ref = ray.put(pd.Series(
+                tri_pd["n_tri"].values, index=tri_pd["node"].values))
+
+            def cc_bcast(df: "pd.DataFrame") -> "pd.DataFrame":
+                import ray as _ray
+
+                ts_ = _ray.get(tri_ref)
+                node = df["node"].to_numpy().astype(np.int64)
+                dg = df["cnt"].to_numpy().astype(np.int64)
+                t = ts_.reindex(node).fillna(0).to_numpy().astype(np.int64)
+                return _cc_cols(node, dg, t)
+
+            return deg.map_batches(cc_bcast, batch_format="pandas")
+
+        # unbounded route: deg rows (kind 0, carry cnt) and tri rows
+        # (kind 1, carry n_tri) meet in ONE node-keyed exchange
+        def deg_u(df: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as pd2
+
+            return pd2.DataFrame(
+                {"node": df["node"].to_numpy().astype(np.int64),
+                 "kind": np.zeros(len(df), dtype=np.int64),
+                 "val": df["cnt"].to_numpy().astype(np.int64)})
+
+        def tri_u(df: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as pd2
+
+            return pd2.DataFrame(
+                {"node": df["node"].to_numpy().astype(np.int64),
+                 "kind": np.ones(len(df), dtype=np.int64),
+                 "val": df["n_tri"].to_numpy().astype(np.int64)})
+
+        u = deg.map_batches(deg_u, batch_format="pandas").union(
+            tri.map_batches(tri_u, batch_format="pandas"))
+
+        def cc_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+            dd = d[d["kind"] == 0]
+            tt = d[d["kind"] == 1]
+            m = dd.merge(tt[["node", "val"]].rename(columns={"val": "t"}),
+                         on="node", how="left")
+            return _cc_cols(m["node"].to_numpy().astype(np.int64),
+                            m["val"].to_numpy().astype(np.int64),
+                            m["t"].fillna(0).to_numpy().astype(np.int64))
+
+        return hash_partitioned_apply(u, ["node"], cc_kernel,
+                                      num_partitions, int_keys=True)
+
     if per_edge:
         def close_edges_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
             import pandas as pd2
@@ -398,6 +501,46 @@ FROM e
 JOIN und n1 ON n1.node = e.a
 JOIN und n2 ON n2.node = e.b AND n2.other = n1.other
 GROUP BY e.a, e.b
+"""
+
+
+def sql_local_clustering() -> str:
+    """DuckDB oracle for clustering mode: per-node triangle count derived
+    from the common-neighbor counts (sum over a node's incident edges of
+    n_common = 2 * T(v), always even), LEFT-joined onto the full degree
+    table so zero-triangle deg>=2 nodes appear with cc_pm = 0; integer
+    permyriad floor division mirrors 10000 * T // (deg*(deg-1)//2)."""
+    return """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem
+), e AS (
+  SELECT DISTINCT x.s AS a, y.s AS b
+  FROM ls x JOIN ls y ON x.o = y.o AND x.s < y.s
+), und AS (
+  SELECT a AS node, b AS other FROM e
+  UNION ALL SELECT b AS node, a AS other FROM e
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY node
+), cn AS (
+  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS n_common
+  FROM e
+  JOIN und n1 ON n1.node = e.a
+  JOIN und n2 ON n2.node = e.b AND n2.other = n1.other
+  GROUP BY e.a, e.b
+), creds AS (
+  SELECT a AS node, n_common FROM cn
+  UNION ALL SELECT b AS node, n_common FROM cn
+), tri AS (
+  SELECT node, CAST(sum(n_common) // 2 AS BIGINT) AS n_tri
+  FROM creds GROUP BY node
+)
+SELECT d.node, d.d AS deg,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(10000 * COALESCE(t.n_tri, 0) // (d.d * (d.d - 1) // 2)
+            AS BIGINT) AS cc_pm
+FROM deg d LEFT JOIN tri t ON t.node = d.node
+WHERE d.d >= 2
 """
 
 

@@ -178,3 +178,56 @@ def test_kg_conflicts_kernel_merges_normalized_subjects(ray_session):
     # piggyback on the library normalizer semantics the kernel uses
     s = pd.Series(["Acme Corp.", "acme   corp", "ACME CORP"])
     assert _norm_part_series(s).nunique() == 1
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering: per-node local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def _li(pairs):
+    """[(orderkey, suppkey), ...] -> lineitem frame."""
+    return pd.DataFrame(
+        {"l_orderkey": np.array([p[0] for p in pairs], dtype=np.int64),
+         "l_suppkey": np.array([p[1] for p in pairs], dtype=np.int64)})
+
+
+def test_clustering_planted_graph(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.triangles import cosupplier_triangles
+
+    # triangle 1-2-3, pendant 4 on 3, disconnected path 5-6-7
+    pairs = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 1), (3, 3),
+             (4, 3), (4, 4), (5, 5), (5, 6), (6, 6), (6, 7)]
+    out = _collect(cosupplier_triangles(
+        rd.from_pandas(_li(pairs)).repartition(3), clustering=True)) \
+        .sort_values("node").reset_index(drop=True)
+    ref = pd.DataFrame(
+        {"node": [1, 2, 3, 6],
+         "deg": [2, 2, 3, 2],
+         "n_tri": [1, 1, 1, 0],
+         "cc_pm": [10_000, 10_000, 3_333, 0]})
+    got = out.astype({"node": "int64", "deg": "int64",
+                      "n_tri": "int64", "cc_pm": "int64"})
+    pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+
+
+def test_clustering_both_paths_agree(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.triangles import cosupplier_triangles
+
+    rng = np.random.default_rng(3)
+    pairs = list({(int(o), int(s))
+                  for o, s in zip(rng.integers(1, 40, 300),
+                                  rng.integers(1, 25, 300))})
+    ds = rd.from_pandas(_li(pairs)).repartition(4)
+    fast = _collect(cosupplier_triangles(ds, clustering=True)) \
+        .sort_values("node").reset_index(drop=True)
+    slow = _collect(cosupplier_triangles(
+        rd.from_pandas(_li(pairs)).repartition(4), clustering=True,
+        broadcast_deg_limit=0)) \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0 and (fast["cc_pm"] <= 10_000).all()
