@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "rel_q5",
     "kg_conflicts",
     "graph_clustering",
+    "text_zipf",
 ]
 
 

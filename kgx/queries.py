@@ -1781,6 +1781,18 @@ def graph_degree_stats(sf_dir: str):
 HEAVY_K = 100
 
 
+def text_zipf(sf_dir: str):
+    """Corpus frequency-of-frequencies (tf, n_tokens): how many distinct
+    tokens occur exactly tf times — the Zipf / vocabulary-growth curve
+    read to pick min-count thresholds (hapax mass) and sanity-check
+    tokenizer health.  One tokenize scan, one token-keyed combiner
+    exchange (the vocabulary crosses once, same cost class as the
+    inverted-index build), then a tiny tf-keyed histogram combiner."""
+    from .stages.corpus import zipf_histogram
+
+    return zipf_histogram(_docs_ds(sf_dir))
+
+
 def text_heavy_hitters(sf_dir: str):
     """Exact tokens with cnt * k > N via two-pass pigeonhole candidate
     generation + candidate-only recount — the full vocabulary never
@@ -1959,6 +1971,7 @@ def registry() -> dict:
         "rel_q5": rel_q5,
         "kg_conflicts": kg_conflicts,
         "graph_clustering": graph_clustering,
+        "text_zipf": text_zipf,
     }
 
 
@@ -2075,6 +2088,12 @@ def _sql_tfidf_topk_oracle() -> str:
     from .stages.corpus import sql_tfidf_topk
 
     return sql_tfidf_topk(ts.sql_token_list(_TEXT), k=3)
+
+
+def _sql_zipf() -> str:
+    from .stages.corpus import sql_zipf_histogram
+
+    return sql_zipf_histogram(ts.sql_token_list(_TEXT))
 
 
 def _sql_inverted_index_oracle() -> str:
@@ -2783,6 +2802,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q5": _sql_q5(),
         "kg_conflicts": so.sql_kg_conflicts(),
         "graph_clustering": _sql_clustering(),
+        "text_zipf": _sql_zipf(),
         "rel_event_cooccurrence": _sql_event_cooc(),
         "doc_source_stats": _sql_source_stats(),
         "kg_degree_dist": (

@@ -2122,3 +2122,67 @@ SELECT source,
 FROM documents WHERE source IS NOT NULL
 GROUP BY 1
 """
+
+
+def zipf_histogram(docs_ds):
+    """documents -> (tf, n_tokens): the corpus frequency-of-frequencies
+    table — how many DISTINCT tokens occur exactly tf times.  The Zipf /
+    vocabulary-growth curve a web-crawl curation pass reads to pick
+    min-count thresholds (hapax mass = the tf=1 row) and to sanity-check
+    tokenizer health.
+
+    Scale shape: per-batch token value_counts (ONE C call) emit
+    combiner-compressed (token, cnt) partials into a token-keyed
+    exchange — the vocabulary does cross the wire ONCE (same cost class
+    as the inverted-index / tf-idf builds, unavoidable for exact global
+    tf) — then each vocab partition folds to <= |distinct tf| histogram
+    rows and a tf-keyed combiner sums them; the second exchange is tiny
+    (distinct tf values ~ hundreds even at web scale)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.text import tokenize
+    from .exchange import hash_partitioned_agg
+
+    tok_schema = pa.schema([("token", pa.string()), ("cnt", pa.int64())])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        flat: list[str] = []
+        for text in batch["text"].to_pylist():
+            flat.extend(tokenize(text or ""))
+        if not flat:
+            return pa.table({"token": [], "cnt": []}, schema=tok_schema)
+        vc = pc.value_counts(pa.array(flat, pa.string()))
+        return pa.table(
+            {"token": vc.field("values"),
+             "cnt": pc.cast(vc.field("counts"), pa.int64())},
+            schema=tok_schema)
+
+    vocab = hash_partitioned_agg(
+        docs_ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["token"],
+        lambda df: df.groupby("token", sort=False, as_index=False).agg(
+            cnt=("cnt", "sum")))
+
+    def hist_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        vc = df["cnt"].value_counts()
+        return pd.DataFrame(
+            {"tf": vc.index.to_numpy().astype("int64"),
+             "n_tokens": vc.to_numpy().astype("int64")})
+
+    return hash_partitioned_agg(
+        vocab.map_batches(hist_partial, batch_format="pandas"),
+        ["tf"],
+        lambda df: df.groupby("tf", sort=False, as_index=False).agg(
+            n_tokens=("n_tokens", "sum")))
+
+
+def sql_zipf_histogram(sql_token_list_expr: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest({sql_token_list_expr}) AS token FROM documents
+), tc AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY token
+)
+SELECT tf, CAST(count(*) AS BIGINT) AS n_tokens FROM tc GROUP BY tf
+"""

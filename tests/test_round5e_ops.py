@@ -231,3 +231,45 @@ def test_clustering_both_paths_agree(ray_session):
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
     assert len(fast) > 0 and (fast["cc_pm"] <= 10_000).all()
+
+
+# ---------------------------------------------------------------------------
+# text_zipf: frequency-of-frequencies
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_matches_serial(ray_session):
+    import ray.data as rd
+
+    from kgx.functions.text import tokenize
+    from kgx.stages.corpus import zipf_histogram
+
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(6, dtype=np.int64),
+         "text": ["a a a b b c", "b c d", None, "", "A a", "d d d d"]})
+    out = _collect(zipf_histogram(rd.from_pandas(docs).repartition(3))) \
+        .sort_values("tf").reset_index(drop=True)
+
+    from collections import Counter
+    tc = Counter()
+    for t in docs["text"]:
+        tc.update(tokenize(t or ""))
+    ff = Counter(tc.values())
+    ref = pd.DataFrame(
+        {"tf": sorted(ff), "n_tokens": [ff[t] for t in sorted(ff)]}
+    ).astype({"tf": "int64", "n_tokens": "int64"})
+    pd.testing.assert_frame_equal(
+        out.astype({"tf": "int64", "n_tokens": "int64"}), ref)
+    # invariant: sum(tf * n_tokens) == total token occurrences
+    assert int((out["tf"] * out["n_tokens"]).sum()) == sum(tc.values())
+
+
+def test_zipf_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.corpus import zipf_histogram
+
+    docs = pd.DataFrame({"doc_id": np.array([0], dtype=np.int64),
+                         "text": [None]})
+    out = _collect(zipf_histogram(rd.from_pandas(docs)))
+    assert len(out) == 0
