@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "kg_conflicts",
     "graph_clustering",
     "text_zipf",
+    "kg_pred_cooccurrence",
 ]
 
 

@@ -1046,6 +1046,61 @@ def kg_conflicts(sf_dir: str):
         ["ns", "pred"], kernel)
 
 
+def kg_pred_cooccurrence(sf_dir: str):
+    """Predicate co-occurrence matrix (pred_a, pred_b, n_subjects): how
+    many distinct (normalized) subjects hold BOTH predicates — the
+    schema-mining artifact that surfaces relation bundles (orgs with both
+    ceo_of and founded_by) and flags predicates that never co-occur.
+    rel_event_cooccurrence's shape over the KG: per-batch distinct
+    (ns, pred) partials, ONE ns-keyed partition exchange whose kernel
+    re-dedups globally and generates each subject's pred pairs with the
+    shared vectorized pair generator (per-subject volume bounded by
+    |preds|^2), then a pair-keyed count combiner.  Distinct (ns, pred)
+    over the linked stream equals the deduped-triple set, so the dedup
+    exchange is skipped entirely."""
+    import numpy as np
+    import pandas as pd
+
+    from .pipeline import broadcast_kb, linked_triples_ds
+    from .stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+    from .stages.triangles import _group_bounds, _pairs_within_groups
+    from .stages.wide import _norm_part_series
+
+    linked = linked_triples_ds(_kg_sql_pages(sf_dir), _kg_sql_cfg(),
+                               broadcast_kb())
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"ns": _norm_part_series(df["subj"]).astype(str),
+             "pred": df["pred"].astype(str)}).drop_duplicates()
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.drop_duplicates().sort_values(["ns", "pred"])
+        if not len(d):
+            return pd.DataFrame(
+                {"pred_a": pd.Series([], dtype=object),
+                 "pred_b": pd.Series([], dtype=object),
+                 "n_subjects": pd.Series([], dtype="int64")})
+        s = d["ns"].to_numpy()
+        p = d["pred"].to_numpy()
+        starts, sizes = _group_bounds(s)
+        li, ri = _pairs_within_groups(starts, sizes, len(s))
+        g = pd.DataFrame({"pred_a": p[li], "pred_b": p[ri],
+                          "n_subjects": np.ones(len(li), dtype=np.int64)})
+        return g.groupby(["pred_a", "pred_b"], sort=False,
+                         as_index=False).agg(n_subjects=("n_subjects", "sum"))
+
+    partials = hash_partitioned_apply(
+        linked.select_columns(["subj", "pred"]).map_batches(
+            partial, batch_format="pandas"),
+        ["ns"], kernel)
+    return hash_partitioned_agg(
+        partials, ["pred_a", "pred_b"],
+        lambda df: df.groupby(["pred_a", "pred_b"], sort=False,
+                              as_index=False).agg(
+            n_subjects=("n_subjects", "sum")))
+
+
 def kg_hub_entities(sf_dir: str):
     """Entity leaderboard: top-15 entities by KG pagerank with names —
     sound per-partition top-k prune, single-block rank, names attached
@@ -1972,6 +2027,7 @@ def registry() -> dict:
         "kg_conflicts": kg_conflicts,
         "graph_clustering": graph_clustering,
         "text_zipf": text_zipf,
+        "kg_pred_cooccurrence": kg_pred_cooccurrence,
     }
 
 
@@ -2803,6 +2859,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_conflicts": so.sql_kg_conflicts(),
         "graph_clustering": _sql_clustering(),
         "text_zipf": _sql_zipf(),
+        "kg_pred_cooccurrence": so.sql_kg_pred_cooccurrence(),
         "rel_event_cooccurrence": _sql_event_cooc(),
         "doc_source_stats": _sql_source_stats(),
         "kg_degree_dist": (

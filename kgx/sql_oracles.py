@@ -942,6 +942,24 @@ FROM final_t GROUP BY ns, pred HAVING count(*) > 1
     )
 
 
+def sql_kg_pred_cooccurrence() -> str:
+    """(pred_a, pred_b, n_subjects): distinct normalized subjects holding
+    both predicates (a < b lexically) — distinct (ns, pred) over the
+    linked stream self-joined on ns."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, sp AS (
+  SELECT DISTINCT {_sql_norm_triple_part('subj')} AS ns, pred FROM linked
+)
+SELECT a.pred AS pred_a, b.pred AS pred_b,
+       CAST(count(*) AS BIGINT) AS n_subjects
+FROM sp a JOIN sp b ON a.ns = b.ns AND a.pred < b.pred
+GROUP BY 1, 2
+"""
+    )
+
+
 def sql_kg_source_contrib() -> str:
     """(source, n_triples, n_pages): triple provenance per crawl source,
     source parsed from the url path (the doc_url convention)."""

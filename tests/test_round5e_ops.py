@@ -273,3 +273,32 @@ def test_zipf_empty_corpus(ray_session):
                          "text": [None]})
     out = _collect(zipf_histogram(rd.from_pandas(docs)))
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# kg_pred_cooccurrence: predicate co-occurrence matrix
+# ---------------------------------------------------------------------------
+
+
+def test_pred_cooccurrence_matches_serial(ray_session):
+    import kgx.queries as Q
+    from kgx.pipeline import broadcast_kb, linked_triples_ds
+    from kgx.stages.wide import _norm_part_series
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_pred_cooccurrence(sf)).sort_values(
+        ["pred_a", "pred_b"]).reset_index(drop=True)
+
+    linked = _collect(linked_triples_ds(
+        Q._kg_sql_pages(sf), Q._kg_sql_cfg(), broadcast_kb()))
+    sp = pd.DataFrame({"ns": _norm_part_series(linked["subj"]),
+                       "pred": linked["pred"]}).drop_duplicates()
+    j = sp.merge(sp, on="ns", suffixes=("_a", "_b"))
+    j = j[j["pred_a"] < j["pred_b"]]
+    ref = j.groupby(["pred_a", "pred_b"], as_index=False).agg(
+        n_subjects=("ns", "size")).sort_values(
+        ["pred_a", "pred_b"]).reset_index(drop=True)
+    ref["n_subjects"] = ref["n_subjects"].astype("int64")
+
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0 and (out["pred_a"] < out["pred_b"]).all()
