@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "graph_clustering",
     "text_zipf",
     "kg_pred_cooccurrence",
+    "rel_q8",
 ]
 
 

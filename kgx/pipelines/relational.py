@@ -4913,3 +4913,257 @@ JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1
 """
+
+
+def national_market_share(sf_dir: str, part_type: str = "PROMO",
+                          broadcast_limit: int = 2_000_000):
+    """(o_year, n_name, revenue_cents, share_pm): TPC-H-Q8-shaped national
+    market share — for lineitems of parts of one type, each supplier
+    nation's share of every order-year's revenue, exact integer permyriad
+    (10000 * nation_cents // year_total_cents).  The percent-of-total is
+    the new composed shape here: the (year, nation) matrix is BOUNDED
+    (|years| x |nations|), so after the keyed combiner it coalesces to
+    one block where the window-sum share is a single vectorized kernel —
+    the unbounded streams never see a second pass.
+
+    Fast path (part + orders + supplier within the broadcast budget):
+    three sorted-array maps (partkey -> is-type member, orderkey -> year,
+    suppkey -> nation) ship once; each lineitem batch folds to
+    <= |years| x |nations| rows, ZERO row-level shuffles.  Unbounded
+    route: three chained kind-union exchanges, the part hop dropping
+    non-members so later hops carry only matching rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nname = {int(k): str(v) for k, v in zip(
+        nation["n_nationkey"].to_numpy(), nation["n_name"].to_pylist())}
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_orderkey",
+                  "l_extendedprice", "l_discount"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def part_member(batch: "pa.Table") -> "pa.Table":
+        ok = pc.and_(pc.is_valid(batch["p_partkey"]),
+                     pc.equal(batch["p_type"], part_type))
+        batch = batch.filter(pc.fill_null(ok, False))
+        return pa.table({"k": pc.cast(batch["p_partkey"], pa.int64()),
+                         "v": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    def order_year(batch: "pa.Table") -> "pa.Table":
+        ok = pc.and_(pc.is_valid(batch["o_orderkey"]),
+                     pc.is_valid(batch["o_orderdate"]))
+        batch = batch.filter(ok)
+        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy()
+        yr = (ts.astype("datetime64[us]").astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        return pa.table({"k": pc.cast(batch["o_orderkey"], pa.int64()),
+                         "v": pa.array(yr)})
+
+    def supp_nat(batch: "pa.Table") -> "pa.Table":
+        ok = pc.and_(pc.is_valid(batch["s_suppkey"]),
+                     pc.is_valid(batch["s_nationkey"]))
+        batch = batch.filter(ok)
+        return pa.table({"k": pc.cast(batch["s_suppkey"], pa.int64()),
+                         "v": pc.cast(batch["s_nationkey"], pa.int64())})
+
+    members = part.map_batches(part_member, batch_format="pyarrow")
+    oyears = orders.map_batches(order_year, batch_format="pyarrow")
+    snats = supplier.map_batches(supp_nat, batch_format="pyarrow")
+
+    def _li_arrays(batch: "pa.Table"):
+        cols = ["l_partkey", "l_suppkey", "l_orderkey",
+                "l_extendedprice", "l_discount"]
+        ok = pc.is_valid(batch[cols[0]])
+        for c in cols[1:]:
+            ok = pc.and_(ok, pc.is_valid(batch[c]))
+        batch = batch.filter(ok)
+        pk = batch["l_partkey"].to_numpy().astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy().astype(np.int64)
+        okey = batch["l_orderkey"].to_numpy().astype(np.int64)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        dpct = np.floor(
+            batch["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pk, sk, okey, cents * (100 - dpct) // 100
+
+    def _sorted_map(ds):
+        from ..stages.exchange import collect_arrow
+
+        t = collect_arrow(ds, pa.table({"k": pa.array([], pa.int64()),
+                                        "v": pa.array([], pa.int64())}))
+        k = t["k"].to_numpy().astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        return k[order], t["v"].to_numpy().astype(np.int64)[order]
+
+    def _lookup(keys, vals, probe):
+        if not (len(keys) and len(probe)):
+            return np.zeros(len(probe), dtype=bool), np.zeros(
+                len(probe), dtype=np.int64)
+        pos = np.searchsorted(keys, probe).clip(max=len(keys) - 1)
+        hit = keys[pos] == probe
+        return hit, vals[pos]
+
+    _YN_EMPTY = pd.DataFrame(
+        {"o_year": pd.Series([], dtype="int64"),
+         "nat": pd.Series([], dtype="int64"),
+         "revenue_cents": pd.Series([], dtype="int64")})
+
+    def _yn_fold(yr, nat, cents) -> "pd.DataFrame":
+        if not len(yr):
+            return _YN_EMPTY
+        packed = yr * 1_000 + nat        # nationkey < 1000 by TPC-H shape
+        u, inv = np.unique(packed, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pd.DataFrame({"o_year": (u // 1_000).astype(np.int64),
+                             "nat": (u % 1_000).astype(np.int64),
+                             "revenue_cents": s})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["o_year", "nat"], sort=False, as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+
+    def finalize(ds):
+        # the (year, nation) matrix is bounded: one block computes the
+        # within-year percent-of-total and attaches names
+        def share(df: "pd.DataFrame") -> "pd.DataFrame":
+            tot = df.groupby("o_year")["revenue_cents"].transform("sum") \
+                .to_numpy().astype(np.int64)
+            c = df["revenue_cents"].to_numpy().astype(np.int64)
+            return pd.DataFrame(
+                {"o_year": df["o_year"].to_numpy().astype(np.int64),
+                 "n_name": df["nat"].map(nname).astype(str),
+                 "revenue_cents": c,
+                 "share_pm": 10_000 * c // tot})
+
+        return ds.repartition(1).map_batches(
+            share, batch_format="pandas", batch_size=None)
+
+    total_dim_rows = part.count() + orders.count() + supplier.count()
+    if total_dim_rows <= broadcast_limit:
+        pm_k, pm_v = _sorted_map(members)
+        oy_k, oy_v = _sorted_map(oyears)
+        sn_k, sn_v = _sorted_map(snats)
+        maps_ref = ray.put((pm_k, oy_k, oy_v, sn_k, sn_v))
+
+        def partial(batch: "pa.Table") -> "pd.DataFrame":
+            pk, sk, okey, cents = _li_arrays(batch)
+            p_k, o_k, o_v, s_k, s_v = ray.get(maps_ref)
+            h1, _ = _lookup(p_k, np.ones(len(p_k), np.int64), pk)
+            h2, yr = _lookup(o_k, o_v, okey)
+            h3, nat = _lookup(s_k, s_v, sk)
+            m = h1 & h2 & h3
+            return _yn_fold(yr[m], nat[m], cents[m])
+
+        return finalize(hash_partitioned_agg(
+            line.map_batches(partial, batch_format="pyarrow"),
+            ["o_year", "nat"], combine))
+
+    # ---- unbounded route: three chained kind-union exchanges ----------
+    def _ku(dim_ds, fact_ds, fact_cols, out_builder):
+        all_cols = ["k", "kind", "val"] + fact_cols
+
+        def dim_rows(t: "pa.Table") -> "pd.DataFrame":
+            out = pd.DataFrame(
+                {"k": t["k"].to_numpy().astype(np.int64),
+                 "kind": np.zeros(t.num_rows, dtype=np.int64),
+                 "val": t["v"].to_numpy().astype(np.int64)})
+            for c in fact_cols:
+                out[c] = np.int64(0)
+            return out[all_cols]
+
+        u = dim_ds.map_batches(dim_rows, batch_format="pyarrow") \
+            .union(fact_ds)
+
+        def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+            dd = d[d["kind"] == 0]
+            ks = dd["k"].to_numpy(np.int64)
+            order = np.argsort(ks, kind="stable")
+            ks, vs = ks[order], dd["val"].to_numpy(np.int64)[order]
+            ff = d[d["kind"] == 1]
+            hit, val = _lookup(ks, vs, ff["k"].to_numpy(np.int64))
+            return out_builder(ff[hit.astype(bool)] if len(ff) else ff,
+                               val[hit] if len(ff) else val)
+
+        return hash_partitioned_apply(u, ["k"], kernel, int_keys=True)
+
+    def li_rows(batch: "pa.Table") -> "pd.DataFrame":
+        pk, sk, okey, cents = _li_arrays(batch)
+        return pd.DataFrame(
+            {"k": pk, "kind": np.ones(len(pk), dtype=np.int64),
+             "val": np.zeros(len(pk), dtype=np.int64),
+             "sk": sk, "okey": okey, "cents": cents})
+
+    # hop 1 (partkey): keep members only, re-key by orderkey
+    def fold_member(ff: "pd.DataFrame", _v) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"k": ff["okey"].to_numpy(np.int64),
+             "kind": np.ones(len(ff), dtype=np.int64),
+             "val": np.zeros(len(ff), dtype=np.int64),
+             "sk": ff["sk"].to_numpy(np.int64),
+             "cents": ff["cents"].to_numpy(np.int64)})
+
+    s1 = _ku(members, line.map_batches(li_rows, batch_format="pyarrow"),
+             ["sk", "okey", "cents"], fold_member)
+
+    # hop 2 (orderkey): attach year, pre-fold to (sk, year), re-key by sk
+    def fold_year(ff: "pd.DataFrame", yr) -> "pd.DataFrame":
+        g = pd.DataFrame({"sk": ff["sk"].to_numpy(np.int64),
+                          "yr": yr.astype(np.int64),
+                          "cents": ff["cents"].to_numpy(np.int64)})
+        g = g.groupby(["sk", "yr"], sort=False, as_index=False).agg(
+            cents=("cents", "sum"))
+        return pd.DataFrame(
+            {"k": g["sk"], "kind": np.ones(len(g), dtype=np.int64),
+             "val": np.zeros(len(g), dtype=np.int64),
+             "yr": g["yr"], "cents": g["cents"]})
+
+    s2 = _ku(oyears, s1, ["sk", "cents"], fold_year)
+
+    # hop 3 (suppkey): attach nation, fold to the bounded matrix
+    def fold_nat(ff: "pd.DataFrame", nat) -> "pd.DataFrame":
+        return _yn_fold(ff["yr"].to_numpy(np.int64), nat.astype(np.int64),
+                        ff["cents"].to_numpy(np.int64))
+
+    s3 = _ku(snats, s2, ["yr", "cents"], fold_nat)
+    return finalize(hash_partitioned_agg(s3, ["o_year", "nat"], combine))
+
+
+def sql_national_market_share(part_type: str = "PROMO") -> str:
+    c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    d = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_orderkey,
+         {c} * (100 - {d}) // 100 AS cents
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    AND l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+), m AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n_name,
+         CAST(sum(li.cents) AS BIGINT) AS revenue_cents
+  FROM li
+  JOIN part ON li.l_partkey = p_partkey AND p_type = '{part_type}'
+  JOIN orders ON li.l_orderkey = o_orderkey
+    AND o_orderdate IS NOT NULL
+  JOIN supplier ON li.l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT o_year, n_name, revenue_cents,
+       CAST(10000 * revenue_cents
+            // sum(revenue_cents) OVER (PARTITION BY o_year)
+            AS BIGINT) AS share_pm
+FROM m
+"""

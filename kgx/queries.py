@@ -1471,6 +1471,17 @@ def graph_jaccard(sf_dir: str):
     )
 
 
+def rel_q8(sf_dir: str):
+    """TPC-H-Q8 national market share: per order-year, each supplier
+    nation's exact integer-permyriad share of PROMO-part revenue — gated
+    between three broadcast maps and three chained kind-union exchanges;
+    the bounded (year, nation) matrix computes the within-year
+    percent-of-total in one block."""
+    from .pipelines.relational import national_market_share
+
+    return national_market_share(sf_dir)
+
+
 def graph_clustering(sf_dir: str):
     """Per-node local clustering coefficient of the co-supplier graph
     (node, deg, n_tri, cc_pm) — the triangle pipeline in clustering mode:
@@ -2028,6 +2039,7 @@ def registry() -> dict:
         "graph_clustering": graph_clustering,
         "text_zipf": text_zipf,
         "kg_pred_cooccurrence": kg_pred_cooccurrence,
+        "rel_q8": rel_q8,
     }
 
 
@@ -2740,6 +2752,12 @@ def _sql_q5() -> str:
     return sql_local_supplier_volume()
 
 
+def _sql_q8() -> str:
+    from .pipelines.relational import sql_national_market_share
+
+    return sql_national_market_share()
+
+
 def _sql_event_cooc() -> str:
     from .pipelines.relational import sql_event_type_cooccurrence
 
@@ -2860,6 +2878,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_clustering": _sql_clustering(),
         "text_zipf": _sql_zipf(),
         "kg_pred_cooccurrence": so.sql_kg_pred_cooccurrence(),
+        "rel_q8": _sql_q8(),
         "rel_event_cooccurrence": _sql_event_cooc(),
         "doc_source_stats": _sql_source_stats(),
         "kg_degree_dist": (

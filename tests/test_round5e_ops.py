@@ -302,3 +302,66 @@ def test_pred_cooccurrence_matches_serial(ray_session):
 
     pd.testing.assert_frame_equal(out, ref)
     assert len(out) > 0 and (out["pred_a"] < out["pred_b"]).all()
+
+
+# ---------------------------------------------------------------------------
+# rel_q8: national market share (percent-of-total)
+# ---------------------------------------------------------------------------
+
+
+def test_q8_both_paths_agree(ray_session):
+    from kgx.pipelines.relational import national_market_share
+
+    sf = "/root/testdata/sf0.001"
+    fast = _collect(national_market_share(sf)) \
+        .sort_values(["o_year", "n_name"]).reset_index(drop=True)
+    slow = _collect(national_market_share(sf, broadcast_limit=0)) \
+        .sort_values(["o_year", "n_name"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
+    # shares within a year sum to <= 10000 (floor division loses at most
+    # |nations|-1 permyriad) and are never negative
+    s = fast.groupby("o_year")["share_pm"].sum()
+    assert ((s <= 10_000) & (s > 10_000 - 30)).all()
+    assert (fast["share_pm"] >= 0).all()
+
+
+def test_q8_share_arithmetic(ray_session, tmp_path):
+    """Hand-built case: one year, two nations at 3:1 revenue -> 7500/2500
+    permyriad; non-member part rows drop."""
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import national_market_share
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array([0, 1], pa.int32()),
+         "n_name": pa.array(["AAA", "BBB"])}), sf / "nation.parquet")
+    pq.write_table(pa.table(
+        {"s_suppkey": pa.array([1, 2], pa.int64()),
+         "s_nationkey": pa.array([0, 1], pa.int32())}),
+        sf / "supplier.parquet")
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([10, 11], pa.int64()),
+         "p_type": pa.array(["PROMO", "ECONOMY"])}), sf / "part.parquet")
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array([100], pa.int64()),
+         "o_orderdate": pa.array([np.datetime64("1997-05-01", "us")],
+                                 pa.timestamp("us"))}),
+        sf / "orders.parquet")
+    pq.write_table(pa.table(
+        {"l_partkey": pa.array([10, 10, 11], pa.int64()),
+         "l_suppkey": pa.array([1, 2, 1], pa.int64()),
+         "l_orderkey": pa.array([100, 100, 100], pa.int64()),
+         "l_extendedprice": pa.array([300.0, 100.0, 999.0]),
+         "l_discount": pa.array([0.0, 0.0, 0.0])}),
+        sf / "lineitem.parquet")
+
+    for limit in (2_000_000, 0):
+        out = _collect(national_market_share(str(sf), broadcast_limit=limit)) \
+            .sort_values("n_name").reset_index(drop=True)
+        assert list(out["o_year"]) == [1997, 1997]
+        assert list(out["n_name"]) == ["AAA", "BBB"]
+        assert list(out["revenue_cents"]) == [30_000, 10_000]
+        assert list(out["share_pm"]) == [7_500, 2_500]
