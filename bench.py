@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "text_zipf",
     "kg_pred_cooccurrence",
     "rel_q8",
+    "rel_session_hist",
 ]
 
 

@@ -24,6 +24,21 @@ from .functions.pipeline_core import segments_for_page
 DOC_URL_SQL = "'https://synth.example/' || source || '/' || doc_id"
 _TEXT = "coalesce(text, '')"
 
+# shared by rel_sessionize and rel_session_hist (which wraps it in a CTE)
+_SQL_SESSIONIZE = (
+    "WITH x AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN lag(ts) OVER w IS NULL "
+    "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "y AS (SELECT user_id, ts, "
+    "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
+    "SELECT CAST(user_id AS BIGINT) AS user_id, "
+    "CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events "
+    "FROM y GROUP BY user_id, sid"
+)
+
 # Thresholds shared between the Ray ops and the generated SQL.
 NGRAM_N = 3
 NGRAM_T = 0.8
@@ -1471,6 +1486,32 @@ def graph_jaccard(sf_dir: str):
     )
 
 
+def rel_session_hist(sf_dir: str):
+    """Session-size histogram (n_events, n_sessions) — the engagement /
+    bounce-rate curve (the n_events = 1 row IS the bounce count):
+    composes the sessionize exchange (order-dependent per-user kernel)
+    with per-block value_counts partials and a tiny size-keyed combiner;
+    session rows never re-shuffle unaggregated."""
+    import pandas as pd
+
+    from .pipelines.relational import sessionize_events
+    from .stages.exchange import hash_partitioned_agg
+
+    sess = sessionize_events(sf_dir)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        vc = df["n_events"].value_counts()
+        return pd.DataFrame(
+            {"n_events": vc.index.to_numpy().astype("int64"),
+             "n_sessions": vc.to_numpy().astype("int64")})
+
+    return hash_partitioned_agg(
+        sess.map_batches(partial, batch_format="pandas"),
+        ["n_events"],
+        lambda df: df.groupby("n_events", sort=False, as_index=False).agg(
+            n_sessions=("n_sessions", "sum")))
+
+
 def rel_q8(sf_dir: str):
     """TPC-H-Q8 national market share: per order-year, each supplier
     nation's exact integer-permyriad share of PROMO-part revenue — gated
@@ -2040,6 +2081,7 @@ def registry() -> dict:
         "text_zipf": text_zipf,
         "kg_pred_cooccurrence": kg_pred_cooccurrence,
         "rel_q8": rel_q8,
+        "rel_session_hist": rel_session_hist,
     }
 
 
@@ -3038,18 +3080,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate >= o_orderdate "
             "AND l_shipdate < o_orderdate + INTERVAL 90 DAY GROUP BY 1"
         ),
-        "rel_sessionize": (
-            "WITH x AS (SELECT user_id, ts, event_id, "
-            "CASE WHEN lag(ts) OVER w IS NULL "
-            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
-            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
-            "y AS (SELECT user_id, ts, "
-            "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
-            "SELECT CAST(user_id AS BIGINT) AS user_id, "
-            "CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us, "
-            "CAST(COUNT(*) AS BIGINT) AS n_events "
-            "FROM y GROUP BY user_id, sid"
+        "rel_sessionize": _SQL_SESSIONIZE,
+        "rel_session_hist": (
+            f"WITH s AS ({_SQL_SESSIONIZE}) "
+            "SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM s GROUP BY 1"
         ),
         "rel_window_events": (
             "SELECT CAST(user_id AS BIGINT) AS user_id, "

@@ -365,3 +365,25 @@ def test_q8_share_arithmetic(ray_session, tmp_path):
         assert list(out["n_name"]) == ["AAA", "BBB"]
         assert list(out["revenue_cents"]) == [30_000, 10_000]
         assert list(out["share_pm"]) == [7_500, 2_500]
+
+
+# ---------------------------------------------------------------------------
+# rel_session_hist: session-size histogram
+# ---------------------------------------------------------------------------
+
+
+def test_session_hist_matches_sessionize(ray_session):
+    import kgx.queries as Q
+    from kgx.pipelines.relational import sessionize_events
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.rel_session_hist(sf)).sort_values(
+        "n_events").reset_index(drop=True)
+    sess = _collect(sessionize_events(sf))
+    vc = sess["n_events"].value_counts().sort_index()
+    ref = pd.DataFrame({"n_events": vc.index.to_numpy().astype("int64"),
+                        "n_sessions": vc.to_numpy().astype("int64")})
+    pd.testing.assert_frame_equal(
+        out.astype({"n_events": "int64", "n_sessions": "int64"}), ref)
+    # total mass == session count
+    assert int(out["n_sessions"].sum()) == len(sess)
