@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "kg_pred_cooccurrence",
     "rel_q8",
     "rel_session_hist",
+    "kg_new_entities",
 ]
 
 

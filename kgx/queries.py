@@ -1333,6 +1333,65 @@ def kg_entity_freshness(sf_dir: str):
         _pages_ts_ds(sf_dir))
 
 
+def kg_new_entities(sf_dir: str, window_days: int = 2):
+    """Incremental-crawl delta (entity_key, first_day, n_mentions):
+    entities FIRST seen within the trailing ``window_days`` of the crawl
+    (first_day > max_day - window) — the 'what's new in this crawl'
+    artifact an incremental KG refresh publishes (and the complement of
+    the freshness-based prune list).  Composes the shared freshness
+    pipeline with a driver-scalar max-day fold (per-batch max over the
+    two-column ts projection — |batches| rows cross, never pages) and
+    one vectorized filter.  A strict ==max_day variant can be empty on a
+    quiet final day, and an all-empty Dataset surfaces column-less
+    through to_pandas (Ray's zero-row fast path bypasses map stages);
+    the trailing window keeps the artifact non-degenerate."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .pipeline import broadcast_kb, linked_triples_ds
+    from .stages.exchange import collect_arrow
+    from .stages.kg_stages import entity_freshness
+
+    ts_ds = _pages_ts_ds(sf_dir)
+
+    def day_max(batch: "pa.Table") -> "pa.Table":
+        ts = batch["warc_ts"].cast(pa.int64()).to_numpy()
+        if not len(ts):
+            return pa.table({"day": pa.array([], pa.int64())})
+        return pa.table({"day": pa.array(
+            [int((ts // 86_400_000_000).max())], pa.int64())})
+
+    t = collect_arrow(ts_ds.map_batches(day_max, batch_format="pyarrow"),
+                      pa.table({"day": pa.array([], pa.int64())}))
+    max_day = int(t["day"].to_numpy().max()) if t.num_rows else -1
+
+    fresh = entity_freshness(
+        linked_triples_ds(_kg_sql_pages(sf_dir), _kg_sql_cfg(),
+                          broadcast_kb()),
+        ts_ds)
+
+    _SCHEMA = pa.schema([("entity_key", pa.string()),
+                         ("first_day", pa.int64()),
+                         ("n_mentions", pa.int64())])
+
+    def new_only(df: "pd.DataFrame") -> "pa.Table":
+        if not len(df) or "first_day" not in df.columns:
+            return _SCHEMA.empty_table()
+        fd = df["first_day"].to_numpy().astype(np.int64)
+        keep = df[fd > max_day - window_days]
+        return pa.table(
+            {"entity_key": pa.array(
+                keep["entity_key"].astype(str).tolist(), pa.string()),
+             "first_day": pa.array(
+                 keep["first_day"].to_numpy().astype(np.int64)),
+             "n_mentions": pa.array(
+                 keep["n_mentions"].to_numpy().astype(np.int64))},
+            schema=_SCHEMA)
+
+    return fresh.map_batches(new_only, batch_format="pandas")
+
+
 def rel_q6(sf_dir: str):
     """TPC-H-Q6 forecast revenue: the canonical ZERO-SHUFFLE plan — one
     pruned scan, vectorized three-way predicate, one row per batch,
@@ -2082,6 +2141,7 @@ def registry() -> dict:
         "kg_pred_cooccurrence": kg_pred_cooccurrence,
         "rel_q8": rel_q8,
         "rel_session_hist": rel_session_hist,
+        "kg_new_entities": kg_new_entities,
     }
 
 
@@ -2921,6 +2981,7 @@ def oracle_sql() -> dict[str, str]:
         "text_zipf": _sql_zipf(),
         "kg_pred_cooccurrence": so.sql_kg_pred_cooccurrence(),
         "rel_q8": _sql_q8(),
+        "kg_new_entities": so.sql_kg_new_entities(),
         "rel_event_cooccurrence": _sql_event_cooc(),
         "doc_source_stats": _sql_source_stats(),
         "kg_degree_dist": (

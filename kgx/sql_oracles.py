@@ -942,6 +942,19 @@ FROM final_t GROUP BY ns, pred HAVING count(*) > 1
     )
 
 
+def sql_kg_new_entities(window_days: int = 2) -> str:
+    """(entity_key, first_day, n_mentions): entities first seen within the
+    trailing window of the crawl — the freshness mirror filtered on the
+    max-day scalar (same synth warc_ts reconstruction)."""
+    return (
+        f"WITH f AS ({sql_kg_entity_freshness()}) "
+        "SELECT entity_key, first_day, n_mentions FROM f "
+        "WHERE first_day > "
+        "(SELECT max((1700000000000000 + doc_id * 37000000) "
+        f"// 86400000000) FROM documents) - {window_days}"
+    )
+
+
 def sql_kg_pred_cooccurrence() -> str:
     """(pred_a, pred_b, n_subjects): distinct normalized subjects holding
     both predicates (a < b lexically) — distinct (ns, pred) over the

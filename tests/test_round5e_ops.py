@@ -387,3 +387,34 @@ def test_session_hist_matches_sessionize(ray_session):
         out.astype({"n_events": "int64", "n_sessions": "int64"}), ref)
     # total mass == session count
     assert int(out["n_sessions"].sum()) == len(sess)
+
+
+# ---------------------------------------------------------------------------
+# kg_new_entities: incremental-crawl delta
+# ---------------------------------------------------------------------------
+
+
+def test_new_entities_matches_freshness(ray_session):
+    import kgx.queries as Q
+    from kgx.pipeline import broadcast_kb, linked_triples_ds
+    from kgx.stages.kg_stages import entity_freshness
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_new_entities(sf)).sort_values(
+        "entity_key").reset_index(drop=True)
+
+    fresh = _collect(entity_freshness(
+        linked_triples_ds(Q._kg_sql_pages(sf), Q._kg_sql_cfg(),
+                          broadcast_kb()),
+        Q._pages_ts_ds(sf)))
+    ts = _collect(Q._pages_ts_ds(sf))
+    max_day = int((ts["warc_ts"] // 86_400_000_000).max())
+    ref = fresh[fresh["first_day"] > max_day - 2] \
+        [["entity_key", "first_day", "n_mentions"]] \
+        .sort_values("entity_key").reset_index(drop=True)
+    ref = ref.astype({"first_day": "int64", "n_mentions": "int64"})
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+    # a wider window can only grow the cohort
+    wide = _collect(Q.kg_new_entities(sf, window_days=10_000))
+    assert len(wide) >= len(out) and len(wide) == len(fresh)
