@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "rel_q8",
     "rel_session_hist",
     "kg_new_entities",
+    "graph_edge_weights",
 ]
 
 

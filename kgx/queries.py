@@ -1582,6 +1582,19 @@ def rel_q8(sf_dir: str):
     return national_market_share(sf_dir)
 
 
+def graph_edge_weights(sf_dir: str):
+    """Co-supplier edge-strength histogram (weight, n_edges): weight =
+    distinct orders a supplier pair shares — the thresholding signal for
+    pruning weak co-occurrence edges before the wedge pipelines; one
+    orderkey exchange keeping per-(order, pair) rows, an (a, b)-keyed
+    weight combiner, and a bounded histogram fold."""
+    from .pipelines.relational import _read
+    from .stages.triangles import cosupplier_edge_weights
+
+    return cosupplier_edge_weights(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]))
+
+
 def graph_clustering(sf_dir: str):
     """Per-node local clustering coefficient of the co-supplier graph
     (node, deg, n_tri, cc_pm) — the triangle pipeline in clustering mode:
@@ -2142,6 +2155,7 @@ def registry() -> dict:
         "rel_q8": rel_q8,
         "rel_session_hist": rel_session_hist,
         "kg_new_entities": kg_new_entities,
+        "graph_edge_weights": graph_edge_weights,
     }
 
 
@@ -2818,6 +2832,12 @@ def _sql_clustering() -> str:
     return sql_local_clustering()
 
 
+def _sql_edge_weights() -> str:
+    from .stages.triangles import sql_edge_weights
+
+    return sql_edge_weights()
+
+
 def _sql_blame() -> str:
     from .pipelines.relational import sql_blame_supplier_counts
 
@@ -2982,6 +3002,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_cooccurrence": so.sql_kg_pred_cooccurrence(),
         "rel_q8": _sql_q8(),
         "kg_new_entities": so.sql_kg_new_entities(),
+        "graph_edge_weights": _sql_edge_weights(),
         "rel_event_cooccurrence": _sql_event_cooc(),
         "doc_source_stats": _sql_source_stats(),
         "kg_degree_dist": (

@@ -418,3 +418,44 @@ def test_new_entities_matches_freshness(ray_session):
     # a wider window can only grow the cohort
     wide = _collect(Q.kg_new_entities(sf, window_days=10_000))
     assert len(wide) >= len(out) and len(wide) == len(fresh)
+
+
+# ---------------------------------------------------------------------------
+# graph_edge_weights: co-supplier edge multiplicity histogram
+# ---------------------------------------------------------------------------
+
+
+def test_edge_weights_planted(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.triangles import cosupplier_edge_weights
+
+    # pair (1,2) shares orders 1,2,3 -> weight 3; (1,3) shares order 1;
+    # (2,3) shares order 1 -> two edges of weight 1
+    pairs = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1), (3, 2)]
+    out = _collect(cosupplier_edge_weights(
+        rd.from_pandas(_li(pairs)).repartition(3))) \
+        .sort_values("weight").reset_index(drop=True)
+    ref = pd.DataFrame({"weight": [1, 3], "n_edges": [2, 1]})
+    pd.testing.assert_frame_equal(
+        out.astype({"weight": "int64", "n_edges": "int64"}),
+        ref.astype({"weight": "int64", "n_edges": "int64"}))
+
+
+def test_edge_weights_mass_equals_edges(ray_session):
+    import ray.data as rd
+
+    from kgx.stages.triangles import cosupplier_edge_weights
+
+    rng = np.random.default_rng(5)
+    pairs = list({(int(o), int(s))
+                  for o, s in zip(rng.integers(1, 30, 200),
+                                  rng.integers(1, 20, 200))})
+    out = _collect(cosupplier_edge_weights(
+        rd.from_pandas(_li(pairs)).repartition(4)))
+    # total histogram mass == number of distinct edges (serial)
+    df = _li(pairs).drop_duplicates()
+    j = df.merge(df, on="l_orderkey")
+    e = j[j["l_suppkey_x"] < j["l_suppkey_y"]][
+        ["l_suppkey_x", "l_suppkey_y"]].drop_duplicates()
+    assert int(out["n_edges"].sum()) == len(e)
