@@ -1986,19 +1986,39 @@ def text_heavy_hitters(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+_NEVER_CHECKED_50 = (
+    # the r5-early rotation set that r4's driver window never saw ...
+    "sketch_hll_grouped", "emb_label_centroids", "rel_user_retention",
+    "text_winnow", "corpus_curate", "graph_kcore", "doc_shuffle", "emb_pq",
+    "sketch_hll", "text_heavy_hitters", "graph_degree_stats", "sketch_bloom",
+    "doc_sample_stratified", "dedup_decontaminate", "sketch_cms",
+    "sketch_quantile", "text_pmi_topk", "emb_kmeans", "doc_pack",
+    "graph_triangles", "rel_top_revenue", "graph_cc", "dedup_substring",
+    "emb_kmeans_cost", "sketch_quantile_grouped", "rel_grouped_mode",
+    "rel_semi_join_bloom", "text_lm_score",
+    # ... the 9 batch-10 operators ...
+    "rel_q5", "kg_conflicts", "graph_clustering", "text_zipf",
+    "kg_pred_cooccurrence", "rel_q8", "rel_session_hist", "kg_new_entities",
+    "graph_edge_weights",
+    # ... and the 13 KG-core mid-r5 operators (tier: kg_construct)
+    "kg_pagerank", "kg_entity_clusters", "kg_hub_entities",
+    "kg_source_contrib", "kg_mention_timeline", "kg_entity_freshness",
+    "kg_type_matrix", "kg_alias_stats", "kg_pred_stats",
+    "kg_confidence_hist", "kg_cooccurrence", "kg_entity_pmi", "kg_2hop",
+)
+
+
 def registry() -> dict:
     """Query registry. ORDER MATTERS: the driver's correctness snapshot
-    covers the FIRST 50 entries in insertion order (verified r1-r4), so the
-    never-driver-checked queries are placed first: the 8 new r5 operators,
-    then the 20 that were added in r3/r4 but never reached the driver
-    window, then as many long-verified queries as fit (22 of the curated
-    30 — rel_broadcast_join / rel_topk / rel_asof_join / rel_range_join /
-    rel_sessionize / text_ngram_topk / text_tfidf_topk / graph_pagerank
-    land just past the window).  Every entry past slot 50 stays green in
-    the local 32-CPU default + --small-blocks replica (see BASELINE.md
-    round-5 certification).
+    covers the FIRST 50 entries in insertion order (verified r1-r4), so
+    ``_NEVER_CHECKED_50`` — fifty queries with no driver-green row in any
+    CORRECTNESS_r0N file (the r5-early rotation set, this session's nine,
+    and the KG-core mid-r5 set) — is hoisted to the window; everything
+    with an r1-r4 driver row follows.  Every entry past slot 50 stays
+    green in the local 32-CPU default + --small-blocks replica (see
+    BASELINE.md round-5 certification sections).
     """
-    return {
+    base = {
         # --- new in r5 (never driver-checked) ---
         "sketch_hll_grouped": sketch_hll_grouped,
         "emb_label_centroids": emb_label_centroids,
@@ -2157,6 +2177,9 @@ def registry() -> dict:
         "kg_new_entities": kg_new_entities,
         "graph_edge_weights": graph_edge_weights,
     }
+    out = {k: base[k] for k in _NEVER_CHECKED_50}
+    out.update({k: v for k, v in base.items() if k not in out})
+    return out
 
 
 def _sql_quality() -> str:
