@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "rel_session_hist",
     "kg_new_entities",
     "graph_edge_weights",
+    "rel_q9",
+    "rel_q2",
 ]
 
 

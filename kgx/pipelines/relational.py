@@ -5167,3 +5167,568 @@ SELECT o_year, n_name, revenue_cents,
             AS BIGINT) AS share_pm
 FROM m
 """
+
+def product_profit(sf_dir: str, name_sub: str = "rod",
+                   broadcast_limit: int = 2_000_000):
+    """(o_year, n_name, profit_cents): TPC-H-Q9-shaped product-type profit
+    — for lineitems of parts whose name contains ``name_sub``, each
+    supplier nation's yearly profit, where profit is disc-revenue minus a
+    deterministic per-unit cost derived from the part's retail price
+    (``retail_cents // 100``; the schema has no partsupp table, so the
+    part row itself supplies the cost side — same join topology, same
+    negative-amount semantics as Q9).  The reference analog is the
+    J2/J5 weighted-join family (src/align/aligner.py:23-81) composed
+    with the G2 groupby.
+
+    All arithmetic is int64 cents so the DuckDB mirror is bit-exact;
+    amounts can be negative (cost exceeds discounted revenue on
+    high-quantity cheap lines), which distinguishes this from the
+    revenue-only Q5/Q8 shapes.
+
+    Fast path (part + orders + supplier within the broadcast budget):
+    three sorted-array maps (partkey -> unit cost for matching parts
+    only, orderkey -> year, suppkey -> nation) ship once via ray.put;
+    each lineitem batch folds to <= |years| x |nations| partial rows —
+    ZERO row-level shuffles, one (year, nation)-keyed combiner exchange.
+    Unbounded route: three chained kind-union partition exchanges, the
+    part hop dropping non-matching rows and converting to profit
+    immediately so quantity never travels past hop 1."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nname = {int(k): str(v) for k, v in zip(
+        nation["n_nationkey"].to_numpy(), nation["n_name"].to_pylist())}
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_orderkey",
+                  "l_extendedprice", "l_discount", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def part_cost(batch: "pa.Table") -> "pa.Table":
+        ok = pc.and_(pc.and_(pc.is_valid(batch["p_partkey"]),
+                             pc.is_valid(batch["p_retailprice"])),
+                     pc.match_substring(pc.fill_null(batch["p_name"], ""),
+                                        name_sub))
+        batch = batch.filter(pc.fill_null(ok, False))
+        rc = np.floor(batch["p_retailprice"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"k": pc.cast(batch["p_partkey"], pa.int64()),
+                         "v": pa.array(rc // 100)})
+
+    def order_year(batch: "pa.Table") -> "pa.Table":
+        ok = pc.and_(pc.is_valid(batch["o_orderkey"]),
+                     pc.is_valid(batch["o_orderdate"]))
+        batch = batch.filter(ok)
+        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy()
+        yr = (ts.astype("datetime64[us]").astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        return pa.table({"k": pc.cast(batch["o_orderkey"], pa.int64()),
+                         "v": pa.array(yr)})
+
+    def supp_nat(batch: "pa.Table") -> "pa.Table":
+        ok = pc.and_(pc.is_valid(batch["s_suppkey"]),
+                     pc.is_valid(batch["s_nationkey"]))
+        batch = batch.filter(ok)
+        return pa.table({"k": pc.cast(batch["s_suppkey"], pa.int64()),
+                         "v": pc.cast(batch["s_nationkey"], pa.int64())})
+
+    costs = part.map_batches(part_cost, batch_format="pyarrow")
+    oyears = orders.map_batches(order_year, batch_format="pyarrow")
+    snats = supplier.map_batches(supp_nat, batch_format="pyarrow")
+
+    def _li_arrays(batch: "pa.Table"):
+        cols = ["l_partkey", "l_suppkey", "l_orderkey",
+                "l_extendedprice", "l_discount", "l_quantity"]
+        ok = pc.is_valid(batch[cols[0]])
+        for c in cols[1:]:
+            ok = pc.and_(ok, pc.is_valid(batch[c]))
+        batch = batch.filter(ok)
+        pk = batch["l_partkey"].to_numpy().astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy().astype(np.int64)
+        okey = batch["l_orderkey"].to_numpy().astype(np.int64)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        dpct = np.floor(
+            batch["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        return pk, sk, okey, cents * (100 - dpct) // 100, qty
+
+    def _sorted_map(ds):
+        from ..stages.exchange import collect_arrow
+
+        t = collect_arrow(ds, pa.table({"k": pa.array([], pa.int64()),
+                                        "v": pa.array([], pa.int64())}))
+        k = t["k"].to_numpy().astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        return k[order], t["v"].to_numpy().astype(np.int64)[order]
+
+    def _lookup(keys, vals, probe):
+        if not (len(keys) and len(probe)):
+            return np.zeros(len(probe), dtype=bool), np.zeros(
+                len(probe), dtype=np.int64)
+        pos = np.searchsorted(keys, probe).clip(max=len(keys) - 1)
+        hit = keys[pos] == probe
+        return hit, vals[pos]
+
+    _YN_EMPTY = pd.DataFrame(
+        {"o_year": pd.Series([], dtype="int64"),
+         "nat": pd.Series([], dtype="int64"),
+         "profit_cents": pd.Series([], dtype="int64")})
+
+    def _yn_fold(yr, nat, amt) -> "pd.DataFrame":
+        if not len(yr):
+            return _YN_EMPTY
+        packed = yr * 1_000 + nat        # nationkey < 1000 by TPC-H shape
+        u, inv = np.unique(packed, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, amt)
+        return pd.DataFrame({"o_year": (u // 1_000).astype(np.int64),
+                             "nat": (u % 1_000).astype(np.int64),
+                             "profit_cents": s})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["o_year", "nat"], sort=False, as_index=False).agg(
+            profit_cents=("profit_cents", "sum"))
+
+    def finalize(ds):
+        def name_map(df: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame(
+                {"o_year": df["o_year"].to_numpy().astype(np.int64),
+                 "n_name": df["nat"].map(nname).astype(str),
+                 "profit_cents":
+                     df["profit_cents"].to_numpy().astype(np.int64)})
+
+        return ds.map_batches(name_map, batch_format="pandas")
+
+    total_dim_rows = part.count() + orders.count() + supplier.count()
+    if total_dim_rows <= broadcast_limit:
+        pc_k, pc_v = _sorted_map(costs)
+        oy_k, oy_v = _sorted_map(oyears)
+        sn_k, sn_v = _sorted_map(snats)
+        maps_ref = ray.put((pc_k, pc_v, oy_k, oy_v, sn_k, sn_v))
+
+        def partial(batch: "pa.Table") -> "pd.DataFrame":
+            pk, sk, okey, cents, qty = _li_arrays(batch)
+            p_k, p_v, o_k, o_v, s_k, s_v = ray.get(maps_ref)
+            h1, cost = _lookup(p_k, p_v, pk)
+            h2, yr = _lookup(o_k, o_v, okey)
+            h3, nat = _lookup(s_k, s_v, sk)
+            m = h1 & h2 & h3
+            return _yn_fold(yr[m], nat[m], cents[m] - qty[m] * cost[m])
+
+        return finalize(hash_partitioned_agg(
+            line.map_batches(partial, batch_format="pyarrow"),
+            ["o_year", "nat"], combine))
+
+    # ---- unbounded route: three chained kind-union exchanges ----------
+    def _ku(dim_ds, fact_ds, fact_cols, out_builder):
+        all_cols = ["k", "kind", "val"] + fact_cols
+
+        def dim_rows(t: "pa.Table") -> "pd.DataFrame":
+            out = pd.DataFrame(
+                {"k": t["k"].to_numpy().astype(np.int64),
+                 "kind": np.zeros(t.num_rows, dtype=np.int64),
+                 "val": t["v"].to_numpy().astype(np.int64)})
+            for c in fact_cols:
+                out[c] = np.int64(0)
+            return out[all_cols]
+
+        u = dim_ds.map_batches(dim_rows, batch_format="pyarrow") \
+            .union(fact_ds)
+
+        def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+            dd = d[d["kind"] == 0]
+            ks = dd["k"].to_numpy(np.int64)
+            order = np.argsort(ks, kind="stable")
+            ks, vs = ks[order], dd["val"].to_numpy(np.int64)[order]
+            ff = d[d["kind"] == 1]
+            hit, val = _lookup(ks, vs, ff["k"].to_numpy(np.int64))
+            return out_builder(ff[hit.astype(bool)] if len(ff) else ff,
+                               val[hit] if len(ff) else val)
+
+        return hash_partitioned_apply(u, ["k"], kernel, int_keys=True)
+
+    def li_rows(batch: "pa.Table") -> "pd.DataFrame":
+        pk, sk, okey, cents, qty = _li_arrays(batch)
+        return pd.DataFrame(
+            {"k": pk, "kind": np.ones(len(pk), dtype=np.int64),
+             "val": np.zeros(len(pk), dtype=np.int64),
+             "sk": sk, "okey": okey, "cents": cents, "qty": qty})
+
+    # hop 1 (partkey): keep matching parts, convert to profit immediately
+    def fold_cost(ff: "pd.DataFrame", cost) -> "pd.DataFrame":
+        amt = ff["cents"].to_numpy(np.int64) \
+            - ff["qty"].to_numpy(np.int64) * cost.astype(np.int64)
+        return pd.DataFrame(
+            {"k": ff["okey"].to_numpy(np.int64),
+             "kind": np.ones(len(ff), dtype=np.int64),
+             "val": np.zeros(len(ff), dtype=np.int64),
+             "sk": ff["sk"].to_numpy(np.int64), "amt": amt})
+
+    s1 = _ku(costs, line.map_batches(li_rows, batch_format="pyarrow"),
+             ["sk", "okey", "cents", "qty"], fold_cost)
+
+    # hop 2 (orderkey): attach year, pre-fold to (sk, year), re-key by sk
+    def fold_year(ff: "pd.DataFrame", yr) -> "pd.DataFrame":
+        g = pd.DataFrame({"sk": ff["sk"].to_numpy(np.int64),
+                          "yr": yr.astype(np.int64),
+                          "amt": ff["amt"].to_numpy(np.int64)})
+        g = g.groupby(["sk", "yr"], sort=False, as_index=False).agg(
+            amt=("amt", "sum"))
+        return pd.DataFrame(
+            {"k": g["sk"], "kind": np.ones(len(g), dtype=np.int64),
+             "val": np.zeros(len(g), dtype=np.int64),
+             "yr": g["yr"], "amt": g["amt"]})
+
+    s2 = _ku(oyears, s1, ["sk", "amt"], fold_year)
+
+    # hop 3 (suppkey): attach nation, fold to the bounded matrix
+    def fold_nat(ff: "pd.DataFrame", nat) -> "pd.DataFrame":
+        return _yn_fold(ff["yr"].to_numpy(np.int64), nat.astype(np.int64),
+                        ff["amt"].to_numpy(np.int64))
+
+    s3 = _ku(snats, s2, ["yr", "amt"], fold_nat)
+    return finalize(hash_partitioned_agg(s3, ["o_year", "nat"], combine))
+
+
+def sql_product_profit(name_sub: str = "rod") -> str:
+    c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    d = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    rc = "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_orderkey,
+         {c} * (100 - {d}) // 100 AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    AND l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_quantity IS NOT NULL
+), pf AS (
+  SELECT p_partkey, {rc} // 100 AS cost
+  FROM part
+  WHERE p_name LIKE '%{name_sub}%' AND p_partkey IS NOT NULL
+    AND p_retailprice IS NOT NULL
+)
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n_name,
+       CAST(sum(li.cents - li.qty * pf.cost) AS BIGINT) AS profit_cents
+FROM li
+JOIN pf ON li.l_partkey = p_partkey
+JOIN orders ON li.l_orderkey = o_orderkey AND o_orderdate IS NOT NULL
+JOIN supplier ON li.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+def min_cost_supplier(sf_dir: str, region_name: str = "EUROPE",
+                      name_suffix: str = "widget", max_size: int = 25,
+                      k: int = 100, broadcast_limit: int = 2_000_000):
+    """(acctbal_cents, s_name, n_name, p_partkey, unit_cents): TPC-H-Q2-
+    shaped minimum-cost supplier — for parts matching a name-suffix +
+    size filter, every REGION-scoped supplier that achieves the per-part
+    MINIMUM unit cost (ties kept, the correlated-min-subquery semantics),
+    ordered by (acctbal DESC, n_name, s_name, p_partkey) and capped at
+    ``k``.  The schema has no partsupp table, so the part-supplier cost
+    relation is derived from lineitem: unit cost = min observed
+    ``disc-free cents // quantity`` per (part, supplier) pair — same
+    grouped-argmin-with-tie-set topology as Q2.  Reference analog: the
+    O4 argmax/top-1 family (src/rank/ranker.py) with G2 grouping.
+
+    The per-group tie-set is the composed shape here: unlike
+    rel_top_supplier's single global max, the min is PER PART, and the
+    survivors then face a global ordered cap — per-partition local
+    top-k prune under the FULL sort key (sound: the global top-k is a
+    subset of the union of per-partition top-ks), <= k*P rows coalesce
+    to one block for the final sort.
+
+    Fast path (part + supplier within the broadcast budget): the
+    region-filtered supplier attribute table and the filtered-part
+    membership array ship once via ray.put; each lineitem batch filters
+    to member pairs and pre-folds to per-(part, supplier) min partials —
+    the only row-level exchange is ONE partkey-keyed partition exchange
+    of those pair partials.  Unbounded route: a suppkey-keyed kind-union
+    exchange (region filter + attribute attach) chained into the same
+    partkey-keyed tie-set exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.exchange import collect_arrow, hash_partitioned_apply
+
+    region = pq.read_table(str(Path(sf_dir) / "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    rkeys = {int(rk) for rk, rn in zip(
+        region["r_regionkey"].to_numpy(), region["r_name"].to_pylist())
+        if str(rn) == region_name}
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    nat_in = {int(nk): str(nn) for nk, nn, nr in zip(
+        nation["n_nationkey"].to_numpy(), nation["n_name"].to_pylist(),
+        nation["n_regionkey"].to_numpy()) if int(nr) in rkeys}
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"])
+    supplier = _read(sf_dir, "supplier",
+                     ["s_suppkey", "s_nationkey", "s_acctbal", "s_name"])
+
+    nat_arr = np.array(sorted(nat_in), dtype=np.int64)
+
+    def part_member(batch: "pa.Table") -> "pa.Table":
+        ok = pc.and_(pc.and_(pc.is_valid(batch["p_partkey"]),
+                             pc.is_valid(batch["p_size"])),
+                     pc.and_(pc.ends_with(pc.fill_null(batch["p_name"], ""),
+                                          name_suffix),
+                             pc.less_equal(batch["p_size"], max_size)))
+        batch = batch.filter(pc.fill_null(ok, False))
+        return pa.table({"k": pc.cast(batch["p_partkey"], pa.int64())})
+
+    def supp_attrs(batch: "pa.Table") -> "pd.DataFrame":
+        df = batch.to_pandas()
+        df = df.dropna(subset=["s_suppkey", "s_nationkey", "s_acctbal",
+                               "s_name"])
+        nk = df["s_nationkey"].to_numpy().astype(np.int64)
+        m = np.isin(nk, nat_arr)
+        df = df[m]
+        return pd.DataFrame(
+            {"sk": df["s_suppkey"].to_numpy().astype(np.int64),
+             "acctbal_cents": np.floor(
+                 df["s_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+             "s_name": df["s_name"].astype(str),
+             "n_name": df["s_nationkey"].astype("int64").map(
+                 nat_in).astype(str)})
+
+    members = part.map_batches(part_member, batch_format="pyarrow")
+    eu_ds = supplier.map_batches(supp_attrs, batch_format="pyarrow")
+
+    _PAIR_EMPTY = pd.DataFrame(
+        {"pk": pd.Series([], dtype="int64"),
+         "sk": pd.Series([], dtype="int64"),
+         "unit_cents": pd.Series([], dtype="int64")})
+
+    def _li_pairs(batch: "pa.Table"):
+        cols = ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
+        ok = pc.is_valid(batch[cols[0]])
+        for c in cols[1:]:
+            ok = pc.and_(ok, pc.is_valid(batch[c]))
+        ok = pc.and_(ok, pc.greater(batch["l_quantity"], 0))
+        batch = batch.filter(pc.fill_null(ok, False))
+        pk = batch["l_partkey"].to_numpy().astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy().astype(np.int64)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        return pk, sk, cents // qty
+
+    def _pair_fold(pk, sk, unit) -> "pd.DataFrame":
+        if not len(pk):
+            return _PAIR_EMPTY
+        g = pd.DataFrame({"pk": pk, "sk": sk, "unit_cents": unit})
+        return g.groupby(["pk", "sk"], sort=False, as_index=False).agg(
+            unit_cents=("unit_cents", "min"))
+
+    _OUT_EMPTY = pd.DataFrame(
+        {"acctbal_cents": pd.Series([], dtype="int64"),
+         "s_name": pd.Series([], dtype="object"),
+         "n_name": pd.Series([], dtype="object"),
+         "p_partkey": pd.Series([], dtype="int64"),
+         "unit_cents": pd.Series([], dtype="int64")})
+
+    _SORT = dict(by=["acctbal_cents", "n_name", "s_name", "p_partkey"],
+                 ascending=[False, True, True, True], kind="stable")
+
+    def _tie_prune(df: "pd.DataFrame") -> "pd.DataFrame":
+        """Per-pair global min -> per-part min -> tie set -> attach is done
+        by the caller; this is the shared min/tie/prune tail over rows that
+        already carry the supplier attributes."""
+        if not len(df):
+            return _OUT_EMPTY
+        g = df.groupby(["pk", "sk"], sort=False, as_index=False).agg(
+            unit_cents=("unit_cents", "min"),
+            acctbal_cents=("acctbal_cents", "first"),
+            s_name=("s_name", "first"), n_name=("n_name", "first"))
+        mn = g.groupby("pk")["unit_cents"].transform("min")
+        g = g[g["unit_cents"].to_numpy() == mn.to_numpy()]
+        g = g.sort_values(by=["acctbal_cents", "n_name", "s_name", "pk"],
+                          ascending=[False, True, True, True],
+                          kind="stable").head(k)
+        return pd.DataFrame(
+            {"acctbal_cents": g["acctbal_cents"].to_numpy(np.int64),
+             "s_name": g["s_name"].astype(str),
+             "n_name": g["n_name"].astype(str),
+             "p_partkey": g["pk"].to_numpy(np.int64),
+             "unit_cents": g["unit_cents"].to_numpy(np.int64)})
+
+    def finalize(ds):
+        def cap(df: "pd.DataFrame") -> "pd.DataFrame":
+            if not len(df):
+                return _OUT_EMPTY
+            df = df.sort_values(**_SORT).head(k)
+            return df.reset_index(drop=True)
+
+        return ds.repartition(1).map_batches(
+            cap, batch_format="pandas", batch_size=None)
+
+    total_dim_rows = part.count() + supplier.count()
+    if total_dim_rows <= broadcast_limit:
+        pm = collect_arrow(members, pa.table({"k": pa.array([], pa.int64())}))
+        pm_k = np.sort(pm["k"].to_numpy().astype(np.int64))
+        eu = collect_arrow(eu_ds, pa.table(
+            {"sk": pa.array([], pa.int64()),
+             "acctbal_cents": pa.array([], pa.int64()),
+             "s_name": pa.array([], pa.string()),
+             "n_name": pa.array([], pa.string())})).to_pandas()
+        eu_sk = np.sort(eu["sk"].to_numpy().astype(np.int64))
+        maps_ref = ray.put((pm_k, eu_sk, eu.set_index("sk")))
+
+        def partial(batch: "pa.Table") -> "pd.DataFrame":
+            pk, sk, unit = _li_pairs(batch)
+            p_k, s_k, _eu = ray.get(maps_ref)
+            m = np.zeros(len(pk), dtype=bool)
+            if len(pk) and len(p_k) and len(s_k):
+                pos = np.searchsorted(p_k, pk).clip(max=len(p_k) - 1)
+                m = p_k[pos] == pk
+                pos = np.searchsorted(s_k, sk).clip(max=len(s_k) - 1)
+                m &= s_k[pos] == sk
+            return _pair_fold(pk[m], sk[m], unit[m])
+
+        def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+            if not len(d):
+                return _OUT_EMPTY
+            _p, _s, eu_df = ray.get(maps_ref)
+            j = d.merge(eu_df, left_on="sk", right_index=True, how="inner")
+            return _tie_prune(j)
+
+        pairs = line.map_batches(partial, batch_format="pyarrow")
+        return finalize(hash_partitioned_apply(
+            pairs, ["pk"], kernel, int_keys=True))
+
+    # ---- unbounded route: sk-hop (region attach) then pk-hop (tie set) --
+    def eu_dim_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"sk": df["sk"].to_numpy(np.int64),
+             "kind": np.zeros(len(df), dtype=np.int64),
+             "pk": np.zeros(len(df), dtype=np.int64),
+             "unit_cents": np.zeros(len(df), dtype=np.int64),
+             "acctbal_cents": df["acctbal_cents"].to_numpy(np.int64),
+             "s_name": df["s_name"].astype(str),
+             "n_name": df["n_name"].astype(str)})
+
+    def li_pair_rows(batch: "pa.Table") -> "pd.DataFrame":
+        g = _pair_fold(*_li_pairs(batch))
+        return pd.DataFrame(
+            {"sk": g["sk"].to_numpy(np.int64),
+             "kind": np.ones(len(g), dtype=np.int64),
+             "pk": g["pk"].to_numpy(np.int64),
+             "unit_cents": g["unit_cents"].to_numpy(np.int64),
+             "acctbal_cents": np.zeros(len(g), dtype=np.int64),
+             "s_name": pd.Series([""] * len(g), dtype="object"),
+             "n_name": pd.Series([""] * len(g), dtype="object")})
+
+    u1 = eu_ds.map_batches(eu_dim_rows, batch_format="pandas").union(
+        line.map_batches(li_pair_rows, batch_format="pyarrow"))
+
+    def sk_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        dd = d[d["kind"] == 0][["sk", "acctbal_cents", "s_name", "n_name"]]
+        ff = d[d["kind"] == 1][["sk", "pk", "unit_cents"]]
+        if not (len(dd) and len(ff)):
+            return pd.DataFrame(
+                {"pk": pd.Series([], dtype="int64"),
+                 "sk": pd.Series([], dtype="int64"),
+                 "unit_cents": pd.Series([], dtype="int64"),
+                 "acctbal_cents": pd.Series([], dtype="int64"),
+                 "s_name": pd.Series([], dtype="object"),
+                 "n_name": pd.Series([], dtype="object")})
+        j = ff.merge(dd, on="sk", how="inner")
+        # pre-fold per pair before the pk exchange
+        j = j.groupby(["pk", "sk"], sort=False, as_index=False).agg(
+            unit_cents=("unit_cents", "min"),
+            acctbal_cents=("acctbal_cents", "first"),
+            s_name=("s_name", "first"), n_name=("n_name", "first"))
+        return j[["pk", "sk", "unit_cents", "acctbal_cents",
+                  "s_name", "n_name"]]
+
+    s1 = hash_partitioned_apply(u1, ["sk"], sk_kernel, int_keys=True)
+
+    def pm_rows(t: "pa.Table") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"pk": t["k"].to_numpy().astype(np.int64),
+             "kind": np.zeros(t.num_rows, dtype=np.int64),
+             "sk": np.zeros(t.num_rows, dtype=np.int64),
+             "unit_cents": np.zeros(t.num_rows, dtype=np.int64),
+             "acctbal_cents": np.zeros(t.num_rows, dtype=np.int64),
+             "s_name": pd.Series([""] * t.num_rows, dtype="object"),
+             "n_name": pd.Series([""] * t.num_rows, dtype="object")})
+
+    def fact_tag(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["kind"] = np.int64(1)
+        return df[["pk", "kind", "sk", "unit_cents", "acctbal_cents",
+                   "s_name", "n_name"]]
+
+    u2 = members.map_batches(pm_rows, batch_format="pyarrow").union(
+        s1.map_batches(fact_tag, batch_format="pandas"))
+
+    def pk_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        dd = d[d["kind"] == 0]
+        ff = d[d["kind"] == 1]
+        if not (len(dd) and len(ff)):
+            return _OUT_EMPTY
+        pks = np.sort(dd["pk"].to_numpy(np.int64))
+        probe = ff["pk"].to_numpy(np.int64)
+        pos = np.searchsorted(pks, probe).clip(max=len(pks) - 1)
+        return _tie_prune(ff[pks[pos] == probe])
+
+    return finalize(hash_partitioned_apply(u2, ["pk"], pk_kernel,
+                                           int_keys=True))
+
+
+def sql_min_cost_supplier(region_name: str = "EUROPE",
+                          name_suffix: str = "widget", max_size: int = 25,
+                          k: int = 100) -> str:
+    c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH pairs AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         min({c} // CAST(l_quantity AS BIGINT)) AS unit_cents
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_quantity > 0
+  GROUP BY 1, 2
+), eu AS (
+  SELECT s_suppkey, s_name,
+         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+         n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{region_name}' AND s_acctbal IS NOT NULL
+    AND s_name IS NOT NULL
+), pf AS (
+  SELECT p_partkey FROM part
+  WHERE p_name LIKE '%{name_suffix}' AND p_size IS NOT NULL
+    AND p_size <= {max_size}
+), reg AS (
+  SELECT pk, sk, unit_cents, acctbal_cents, s_name, n_name
+  FROM pairs
+  JOIN eu ON sk = s_suppkey
+  JOIN pf ON pk = p_partkey
+)
+SELECT acctbal_cents, s_name, n_name, pk AS p_partkey, unit_cents
+FROM (SELECT *, min(unit_cents) OVER (PARTITION BY pk) AS mn FROM reg)
+WHERE unit_cents = mn
+ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+LIMIT {k}
+"""

@@ -1582,6 +1582,28 @@ def rel_q8(sf_dir: str):
     return national_market_share(sf_dir)
 
 
+def rel_q9(sf_dir: str):
+    """TPC-H-Q9 product-type profit: per (supplier nation, order-year),
+    disc-revenue minus a part-derived unit cost for name-matching parts
+    — negative amounts included; gated between three broadcast maps and
+    three chained kind-union exchanges (the part hop converts to profit
+    so quantity never travels past hop 1)."""
+    from .pipelines.relational import product_profit
+
+    return product_profit(sf_dir)
+
+
+def rel_q2(sf_dir: str):
+    """TPC-H-Q2 minimum-cost supplier: per filtered part, every
+    EUROPE-region supplier at the per-part MINIMUM lineitem-derived unit
+    cost (correlated-min tie-set semantics), ordered by (acctbal DESC,
+    n_name, s_name, p_partkey) and capped at 100 via sound
+    per-partition top-k prunes."""
+    from .pipelines.relational import min_cost_supplier
+
+    return min_cost_supplier(sf_dir)
+
+
 def graph_edge_weights(sf_dir: str):
     """Co-supplier edge-strength histogram (weight, n_edges): weight =
     distinct orders a supplier pair shares — the thresholding signal for
@@ -2176,6 +2198,8 @@ def registry() -> dict:
         "rel_session_hist": rel_session_hist,
         "kg_new_entities": kg_new_entities,
         "graph_edge_weights": graph_edge_weights,
+        "rel_q9": rel_q9,
+        "rel_q2": rel_q2,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -2897,6 +2921,18 @@ def _sql_q5() -> str:
     return sql_local_supplier_volume()
 
 
+def _sql_q9() -> str:
+    from .pipelines.relational import sql_product_profit
+
+    return sql_product_profit()
+
+
+def _sql_q2() -> str:
+    from .pipelines.relational import sql_min_cost_supplier
+
+    return sql_min_cost_supplier()
+
+
 def _sql_q8() -> str:
     from .pipelines.relational import sql_national_market_share
 
@@ -3024,6 +3060,8 @@ def oracle_sql() -> dict[str, str]:
         "text_zipf": _sql_zipf(),
         "kg_pred_cooccurrence": so.sql_kg_pred_cooccurrence(),
         "rel_q8": _sql_q8(),
+        "rel_q9": _sql_q9(),
+        "rel_q2": _sql_q2(),
         "kg_new_entities": so.sql_kg_new_entities(),
         "graph_edge_weights": _sql_edge_weights(),
         "rel_event_cooccurrence": _sql_event_cooc(),

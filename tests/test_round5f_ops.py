@@ -1,0 +1,189 @@
+"""Round-5 batch-11 operators: TPC-H Q9 product-type profit and TPC-H Q2
+minimum-cost supplier — both-paths, serial-parity, tie-set and cap tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _collect(ds) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(ds, ray.data.Dataset):
+        return ds.to_pandas()
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# rel_q9: product-type profit
+# ---------------------------------------------------------------------------
+
+
+def test_q9_both_paths_agree(ray_session):
+    from kgx.pipelines.relational import product_profit
+
+    sf = "/root/testdata/sf0.001"
+    key = ["o_year", "n_name"]
+    fast = _collect(product_profit(sf)) \
+        .sort_values(key).reset_index(drop=True)
+    slow = _collect(product_profit(sf, broadcast_limit=0)) \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
+
+
+def test_q9_matches_serial(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import product_profit
+
+    rng = np.random.default_rng(23)
+    n = 400
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array([0, 1, 2], pa.int32()),
+         "n_name": pa.array(["AAA", "BBB", "CCC"])}),
+        sf / "nation.parquet")
+    pq.write_table(pa.table(
+        {"s_suppkey": np.arange(1, 7, dtype=np.int64),
+         "s_nationkey": pa.array(rng.integers(0, 3, 6), pa.int32())}),
+        sf / "supplier.parquet")
+    # parts: half match the 'rod' substring filter, half don't; high
+    # retail prices force NEGATIVE profit rows through the serial ref
+    names = ["red rod", "blue bolt", "cold rod", "small widget",
+             "iron rod", "green gear"]
+    pq.write_table(pa.table(
+        {"p_partkey": np.arange(1, 7, dtype=np.int64),
+         "p_name": pa.array(names),
+         "p_retailprice": np.round(rng.uniform(100, 2000, 6), 2)}),
+        sf / "part.parquet")
+    days = rng.integers(0, 900, 20)
+    odate = (np.datetime64("1995-01-01", "us")
+             + days.astype("timedelta64[D]").astype("timedelta64[us]"))
+    pq.write_table(pa.table(
+        {"o_orderkey": np.arange(1, 21, dtype=np.int64),
+         "o_orderdate": pa.array(odate, pa.timestamp("us"))}),
+        sf / "orders.parquet")
+    li = pa.table(
+        {"l_partkey": rng.integers(1, 8, n).astype(np.int64),   # 7 dangles
+         "l_suppkey": rng.integers(1, 8, n).astype(np.int64),   # 7 dangles
+         "l_orderkey": rng.integers(1, 22, n).astype(np.int64),  # 21 dangles
+         "l_extendedprice": np.round(rng.uniform(1, 500, n), 2),
+         "l_discount": np.round(rng.integers(0, 11, n) / 100.0, 2),
+         "l_quantity": rng.integers(1, 50, n).astype(np.float64)})
+    pq.write_table(li, sf / "lineitem.parquet")
+
+    # serial reference
+    ldf = li.to_pandas()
+    part = pq.read_table(sf / "part.parquet").to_pandas()
+    part = part[part["p_name"].str.contains("rod")]
+    part["cost"] = (np.floor(part["p_retailprice"] * 100 + 0.5)
+                    .astype(np.int64) // 100)
+    sup = pq.read_table(sf / "supplier.parquet").to_pandas()
+    orders = pq.read_table(sf / "orders.parquet").to_pandas()
+    orders["o_year"] = orders["o_orderdate"].dt.year.astype(np.int64)
+    nnames = {0: "AAA", 1: "BBB", 2: "CCC"}
+    ldf["cents"] = (np.floor(ldf["l_extendedprice"] * 100 + 0.5)
+                    .astype(np.int64)
+                    * (100 - np.floor(ldf["l_discount"] * 100 + 0.5)
+                       .astype(np.int64)) // 100)
+    j = ldf.merge(part, left_on="l_partkey", right_on="p_partkey") \
+        .merge(sup, left_on="l_suppkey", right_on="s_suppkey") \
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j["amt"] = j["cents"] - j["l_quantity"].astype(np.int64) * j["cost"]
+    ref = {(int(y), nnames[nk]): int(v) for (y, nk), v in
+           j.groupby(["o_year", "s_nationkey"])["amt"].sum().items()}
+    assert any(v < 0 for v in ref.values()), "planted data must exercise " \
+        "the negative-amount branch"
+
+    for limit in (2_000_000, 0):
+        out = _collect(product_profit(str(sf), broadcast_limit=limit))
+        got = {(int(r.o_year), r.n_name): int(r.profit_cents)
+               for r in out.itertuples()}
+        assert got == ref, f"route broadcast_limit={limit}"
+
+
+# ---------------------------------------------------------------------------
+# rel_q2: minimum-cost supplier (region-scoped grouped-argmin tie set)
+# ---------------------------------------------------------------------------
+
+
+def test_q2_both_paths_agree(ray_session):
+    from kgx.pipelines.relational import min_cost_supplier
+
+    sf = "/root/testdata/sf0.001"
+    key = ["p_partkey", "s_name"]
+    fast = _collect(min_cost_supplier(sf)) \
+        .sort_values(key).reset_index(drop=True)
+    slow = _collect(min_cost_supplier(sf, broadcast_limit=0)) \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
+
+
+def _q2_fixture(tmp_path):
+    """One part ('tiny widget'), three suppliers: A and B in the region
+    TIED at the regional minimum, C outside the region strictly cheaper
+    — the region-scoped min must ignore C and keep BOTH A and B."""
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table(
+        {"r_regionkey": pa.array([0, 1], pa.int32()),
+         "r_name": pa.array(["EUROPE", "ASIA"])}), sf / "region.parquet")
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array([0, 1, 2], pa.int32()),
+         "n_name": pa.array(["AAA", "BBB", "CCC"]),
+         "n_regionkey": pa.array([0, 0, 1], pa.int32())}),
+        sf / "nation.parquet")
+    pq.write_table(pa.table(
+        {"s_suppkey": pa.array([1, 2, 3], pa.int64()),
+         "s_nationkey": pa.array([0, 1, 2], pa.int32()),
+         "s_acctbal": pa.array([100.0, 900.0, 50.0]),
+         "s_name": pa.array(["SuppA", "SuppB", "SuppC"])}),
+        sf / "supplier.parquet")
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([7, 8], pa.int64()),
+         "p_name": pa.array(["tiny widget", "big bolt"]),
+         "p_size": pa.array([5, 5], pa.int32())}), sf / "part.parquet")
+    # unit costs: A -> 1000//2 = 500, B -> 2000//4 = 500 (tie),
+    # C -> 100//1 = 100 (global min, but OUTSIDE the region);
+    # part 8 fails the name filter despite a cheaper pair
+    pq.write_table(pa.table(
+        {"l_partkey": pa.array([7, 7, 7, 8], pa.int64()),
+         "l_suppkey": pa.array([1, 2, 3, 1], pa.int64()),
+         "l_extendedprice": pa.array([10.0, 20.0, 1.0, 0.5]),
+         "l_quantity": pa.array([2.0, 4.0, 1.0, 1.0])}),
+        sf / "lineitem.parquet")
+    return sf
+
+
+def test_q2_region_scoped_min_keeps_ties(ray_session, tmp_path):
+    from kgx.pipelines.relational import min_cost_supplier
+
+    sf = _q2_fixture(tmp_path)
+    for limit in (2_000_000, 0):
+        out = _collect(min_cost_supplier(str(sf), broadcast_limit=limit)) \
+            .sort_values("s_name").reset_index(drop=True)
+        assert list(out["s_name"]) == ["SuppA", "SuppB"], \
+            f"route broadcast_limit={limit}"
+        assert list(out["unit_cents"]) == [500, 500]
+        assert list(out["n_name"]) == ["AAA", "BBB"]
+        assert list(out["acctbal_cents"]) == [10_000, 90_000]
+        assert list(out["p_partkey"]) == [7, 7]
+
+
+def test_q2_cap_orders_by_acctbal_desc(ray_session, tmp_path):
+    """k=1 must keep the tie row with the HIGHER acctbal (SuppB)."""
+    from kgx.pipelines.relational import min_cost_supplier
+
+    sf = _q2_fixture(tmp_path)
+    for limit in (2_000_000, 0):
+        out = _collect(min_cost_supplier(str(sf), k=1,
+                                         broadcast_limit=limit))
+        assert list(out["s_name"]) == ["SuppB"], \
+            f"route broadcast_limit={limit}"
