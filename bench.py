@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "graph_edge_weights",
     "rel_q9",
     "rel_q2",
+    "kg_cluster_sizes",
+    "kg_pagerank_share",
 ]
 
 

@@ -1145,6 +1145,64 @@ def kg_pagerank(sf_dir: str):
     return kg_entity_pagerank(_kg_sql_outputs(sf_dir)["triples"])
 
 
+def kg_cluster_sizes(sf_dir: str):
+    """Entity-community size histogram (size, n_components) over the
+    round-exact CC labels of the constructed KG — the graph-health curve
+    a KG build reads to spot fragmentation (many small islands) vs a
+    healthy giant component; shares the hashed symmetric edge stream
+    with kg_pagerank/kg_entity_clusters and composes the bounded
+    label-count + size-histogram combiner pair from graph_cc_sizes."""
+    from .stages.graph import cc_size_histogram
+    from .stages.kg_stages import kg_entity_edges
+
+    return cc_size_histogram(
+        kg_entity_edges(_kg_sql_outputs(sf_dir)["triples"]))
+
+
+def kg_pagerank_share(sf_dir: str, k: int = 15):
+    """Hub-concentration scalar (k_top, pr_top, pr_total, share_pm): the
+    exact integer-permyriad share of total pagerank mass held by the
+    top-k entities — the 'how head-heavy is this KG' health metric read
+    next to the kg_hub_entities leaderboard.  Per-batch partials carry
+    ONE total row + k candidate values (nodes are globally unique after
+    the rank exchange, so the global top-k is a subset of the union of
+    per-batch top-ks); <= (k+1) x |batches| rows coalesce to one block
+    for the exact fold."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .stages.kg_stages import kg_entity_pagerank
+
+    pr_ds = kg_entity_pagerank(_kg_sql_outputs(sf_dir)["triples"])
+
+    _EMPTY = pd.DataFrame({"kind": pd.Series([], dtype="int64"),
+                           "pr": pd.Series([], dtype="int64")})
+
+    def partial(t: "pa.Table") -> "pd.DataFrame":
+        v = t["pr"].to_numpy()
+        if not len(v):
+            return _EMPTY
+        top = np.sort(v)[-k:]
+        return pd.DataFrame(
+            {"kind": np.concatenate([[0], np.ones(len(top), np.int64)]),
+             "pr": np.concatenate([[v.sum()], top]).astype(np.int64)})
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        total = int(df.loc[df["kind"] == 0, "pr"].sum())
+        cand = np.sort(df.loc[df["kind"] == 1, "pr"].to_numpy())
+        top = int(cand[-k:].sum())
+        return pd.DataFrame(
+            {"k_top": pd.Series([k], dtype="int64"),
+             "pr_top": pd.Series([top], dtype="int64"),
+             "pr_total": pd.Series([total], dtype="int64"),
+             "share_pm": pd.Series([10_000 * top // total], dtype="int64")})
+
+    return pr_ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(fold, batch_format="pandas",
+                                    batch_size=None)
+
+
 def dedup_agreement(sf_dir: str):
     """Cross-method dedup agreement matrix (mask, n_pairs): for the
     union of candidate pairs from n-gram Jaccard (bit 1), MinHash-LSH
@@ -2200,6 +2258,8 @@ def registry() -> dict:
         "graph_edge_weights": graph_edge_weights,
         "rel_q9": rel_q9,
         "rel_q2": rel_q2,
+        "kg_cluster_sizes": kg_cluster_sizes,
+        "kg_pagerank_share": kg_pagerank_share,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3062,6 +3122,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_q8": _sql_q8(),
         "rel_q9": _sql_q9(),
         "rel_q2": _sql_q2(),
+        "kg_cluster_sizes": so.sql_kg_cluster_sizes(),
+        "kg_pagerank_share": so.sql_kg_pagerank_share(),
         "kg_new_entities": so.sql_kg_new_entities(),
         "graph_edge_weights": _sql_edge_weights(),
         "rel_event_cooccurrence": _sql_event_cooc(),

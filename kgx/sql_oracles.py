@@ -907,6 +907,33 @@ WHERE p.rnk <= {k}
 """
 
 
+def sql_kg_cluster_sizes(rounds: int | None = None) -> str:
+    """(size, n_components) over the round-exact KG CC labels: the CC
+    oracle as a derived table, folded label -> size -> histogram."""
+    cc = sql_kg_cc(rounds)
+    return f"""
+SELECT CAST(sz AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM (SELECT label, count(*) AS sz FROM ({cc}) c GROUP BY label) g
+GROUP BY 1
+"""
+
+
+def sql_kg_pagerank_share(k: int = 15, iterations: int = 3) -> str:
+    """(k_top, pr_top, pr_total, share_pm): top-k pagerank mass share —
+    single scan over the ranked pagerank oracle (the chain runs once)."""
+    pr = sql_kg_pagerank(iterations)
+    top = f"sum(CASE WHEN rnk <= {k} THEN pr ELSE 0 END)"
+    return f"""
+SELECT CAST({k} AS BIGINT) AS k_top,
+       CAST({top} AS BIGINT) AS pr_top,
+       CAST(sum(pr) AS BIGINT) AS pr_total,
+       CAST(10000 * {top} // sum(pr) AS BIGINT) AS share_pm
+FROM (SELECT pr, row_number() OVER (ORDER BY pr DESC, node) AS rnk
+      FROM ({pr}) b) r
+"""
+
+
 # Predicates whose object is semantically single-valued per subject —
 # more than one distinct object for the same (normalized) subject is an
 # extraction contradiction the KG QA pass must surface.

@@ -811,55 +811,20 @@ def type_matrix(linked_ds, kb: dict):
                               as_index=False).agg(n=("n", "sum")))
 
 
-def kg_entity_pagerank(triples_ds, iterations: int = 3):
-    """deduped triples -> (node, pr): entity importance over the
-    constructed KG — the classic entity-ranking signal — via the SHARED
-    partitioned-edge Pregel pagerank (sixth consumer).
-
-    Entity names hash to stable 62-bit ids with the repo's
-    stable_hash64 == md5_number_upper identity (md5 once per DISTINCT
-    batch name — entities are KB-bounded, so this is a few hundred
-    digests per batch, never per row); edges symmetrize both directions
-    and pagerank_ds's src-keyed combiner dedups globally (subj->obj AND
-    obj->subj triples collapse to one undirected edge, matching the
-    SQL mirror's UNION)."""
+def kg_entity_edges(triples_ds):
+    """deduped triples -> symmetric hashed-entity edge stream (src, dst):
+    the SHARED edge construction under every KG graph consumer
+    (pagerank, CC labels, cluster sizes).  Entity names hash to stable
+    62-bit ids with the repo's stable_hash64 == md5_number_upper
+    identity (md5 once per DISTINCT batch name — entities are
+    KB-bounded, so this is a few hundred digests per batch, never per
+    row); edges symmetrize both directions and the downstream src-keyed
+    combiner dedups globally (subj->obj AND obj->subj triples collapse
+    to one undirected edge, matching the SQL mirrors' UNION)."""
     import numpy as np
     import pandas as pd
 
     from ..functions.text import stable_hash64
-    from .graph import pagerank_ds
-
-    M62 = (1 << 62) - 0
-
-    def to_edges(df: "pd.DataFrame") -> "pd.DataFrame":
-        s = df["subj"].to_numpy()
-        o = df["obj"].to_numpy()
-        u, inv = np.unique(np.concatenate([s, o]), return_inverse=True)
-        hs = np.fromiter((stable_hash64(x) % M62 for x in u),
-                         dtype=np.int64, count=len(u))
-        n = len(df)
-        a, b = hs[inv[:n]], hs[inv[n:]]
-        return pd.DataFrame({"src": np.concatenate([a, b]),
-                             "dst": np.concatenate([b, a])})
-
-    edges = triples_ds.select_columns(["subj", "obj"]).map_batches(
-        to_edges, batch_format="pandas")
-    return pagerank_ds(edges, iterations=iterations)
-
-
-def kg_entity_clusters(triples_ds, rounds: int | None = None):
-    """deduped triples -> (node, label): round-exact connected-component
-    labels over the hashed-entity KG — entity community/cluster ids (the
-    related-entity grouping a KG browse surface uses), the shared
-    Pregel's SEVENTH consumer.  Same hashed symmetric edge construction
-    as kg_entity_pagerank; the fixed-round min-propagation contract keeps
-    the unrolled-CTE mirror bit-exact and equals true CC wherever
-    component diameter <= rounds."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.text import stable_hash64
-    from .graph import CC_ROUNDS, cc_rounds_ds
 
     M62 = 1 << 62
 
@@ -874,9 +839,32 @@ def kg_entity_clusters(triples_ds, rounds: int | None = None):
         return pd.DataFrame({"src": np.concatenate([a, b]),
                              "dst": np.concatenate([b, a])})
 
-    edges = triples_ds.select_columns(["subj", "obj"]).map_batches(
+    return triples_ds.select_columns(["subj", "obj"]).map_batches(
         to_edges, batch_format="pandas")
-    return cc_rounds_ds(edges, rounds=rounds or CC_ROUNDS)
+
+
+def kg_entity_pagerank(triples_ds, iterations: int = 3):
+    """deduped triples -> (node, pr): entity importance over the
+    constructed KG — the classic entity-ranking signal — via the SHARED
+    partitioned-edge Pregel pagerank (sixth consumer) over the shared
+    hashed symmetric edge stream (kg_entity_edges)."""
+    from .graph import pagerank_ds
+
+    return pagerank_ds(kg_entity_edges(triples_ds), iterations=iterations)
+
+
+def kg_entity_clusters(triples_ds, rounds: int | None = None):
+    """deduped triples -> (node, label): round-exact connected-component
+    labels over the hashed-entity KG — entity community/cluster ids (the
+    related-entity grouping a KG browse surface uses), the shared
+    Pregel's SEVENTH consumer over the shared hashed symmetric edges
+    (kg_entity_edges); the fixed-round min-propagation contract keeps
+    the unrolled-CTE mirror bit-exact and equals true CC wherever
+    component diameter <= rounds."""
+    from .graph import CC_ROUNDS, cc_rounds_ds
+
+    return cc_rounds_ds(kg_entity_edges(triples_ds),
+                        rounds=rounds or CC_ROUNDS)
 
 
 def kg_hub_entities(triples_ds, k: int = 15, iterations: int = 3):

@@ -187,3 +187,48 @@ def test_q2_cap_orders_by_acctbal_desc(ray_session, tmp_path):
                                          broadcast_limit=limit))
         assert list(out["s_name"]) == ["SuppB"], \
             f"route broadcast_limit={limit}"
+
+
+# ---------------------------------------------------------------------------
+# kg_cluster_sizes + kg_pagerank_share: KG graph-health artifacts
+# ---------------------------------------------------------------------------
+
+
+def test_kg_cluster_sizes_planted_islands(ray_session):
+    """Two planted islands {A,B,C} and {D,E} -> sizes {3: 1, 2: 1}."""
+    import ray.data as rd
+
+    from kgx.stages.graph import cc_size_histogram
+    from kgx.stages.kg_stages import kg_entity_edges
+
+    tri = pd.DataFrame({"subj": ["A", "B", "D"],
+                        "obj": ["B", "C", "E"]})
+    out = _collect(cc_size_histogram(kg_entity_edges(rd.from_pandas(tri))))
+    got = dict(zip(out["size"], out["n_components"]))
+    assert got == {3: 1, 2: 1}
+
+
+def test_kg_cluster_sizes_mass_conservation(ray_session):
+    """sum(size * n_components) == number of labeled KG nodes."""
+    from kgx.queries import kg_cluster_sizes, kg_entity_clusters
+
+    sf = "/root/testdata/sf0.001"
+    hist = _collect(kg_cluster_sizes(sf))
+    nodes = _collect(kg_entity_clusters(sf))
+    assert int((hist["size"] * hist["n_components"]).sum()) == len(nodes)
+
+
+def test_kg_pagerank_share_consistent_with_rank_vector(ray_session):
+    """The scalar fold must equal the direct top-k/total arithmetic over
+    the full pagerank output (and stay within (0, 10000])."""
+    from kgx.queries import kg_pagerank, kg_pagerank_share
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(kg_pagerank_share(sf))
+    pr = _collect(kg_pagerank(sf))["pr"].to_numpy()
+    total = int(pr.sum())
+    top = int(np.sort(pr)[-15:].sum())
+    assert out.iloc[0]["pr_total"] == total
+    assert out.iloc[0]["pr_top"] == top
+    assert out.iloc[0]["share_pm"] == 10_000 * top // total
+    assert 0 < out.iloc[0]["share_pm"] <= 10_000
