@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "rel_q2",
     "kg_cluster_sizes",
     "kg_pagerank_share",
+    "kg_boilerplate",
 ]
 
 

@@ -1145,6 +1145,77 @@ def kg_pagerank(sf_dir: str):
     return kg_entity_pagerank(_kg_sql_outputs(sf_dir)["triples"])
 
 
+def kg_boilerplate(sf_dir: str):
+    """Cross-page boilerplate histogram (n_urls, n_segments): for each
+    distinct segment (token-normalized, under the SQL-checkable 400-char
+    config variant) on how many DISTINCT urls it appears — the crawl
+    boilerplate detector read to tune the M2 low-info pruning threshold
+    (novelty gating drops repeats WITHIN a page; this surfaces the
+    repeats ACROSS pages: shared templates, navigation chrome, quoted
+    passages).  Reference analog: the M2/M12 low-info filter family
+    (src/filters/*).
+
+    Scale shape: each url is exactly ONE input row, so a per-page set()
+    dedup makes (segment, url) rows globally distinct and the per-batch
+    np.unique counts ADDITIVE — the segment vocabulary crosses the wire
+    once through a seg-key combiner exchange (the text_zipf /
+    inverted-index cost class, unavoidable for exact global distinct-url
+    counts), then a tiny n_urls-keyed histogram combiner.  Segments ship
+    as stable_hash64 keys, never as text."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .functions.pipeline_core import segments_for_page
+    from .functions.text import stable_hash64
+    from .stages.exchange import hash_partitioned_agg
+
+    cfg2 = _kg_sql_cfg()
+    tok_re = re.compile(r"[a-z0-9_]+")
+
+    _EMPTY = pd.DataFrame({"seg_key": pd.Series([], dtype="int64"),
+                           "n_urls": pd.Series([], dtype="int64")})
+
+    def partial(batch: "pa.Table") -> "pd.DataFrame":
+        keys: list[int] = []
+        for r in batch.to_pylist():
+            page_keys = set()
+            _, segs = segments_for_page(
+                r["url"], r["html"], r["text"], r["lang"], cfg2)
+            for s in segs:
+                k = " ".join(tok_re.findall(s["text"].lower()))
+                if k:
+                    # % 2^62 keeps the key in int64 range (the
+                    # kg_entity_edges convention); the oracle groups by
+                    # the raw token join, so only counts must agree
+                    page_keys.add(stable_hash64(k) % (1 << 62))
+            keys.extend(page_keys)
+        if not keys:
+            return _EMPTY
+        u, cnt = np.unique(np.asarray(keys, dtype=np.int64),
+                           return_counts=True)
+        return pd.DataFrame({"seg_key": u, "n_urls": cnt.astype(np.int64)})
+
+    counts = hash_partitioned_agg(
+        _kg_sql_pages(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["seg_key"],
+        lambda df: df.groupby("seg_key", sort=False, as_index=False).agg(
+            n_urls=("n_urls", "sum")))
+
+    def hist_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        u, cnt = np.unique(df["n_urls"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"n_urls": u.astype(np.int64),
+                             "n_segments": cnt.astype(np.int64)})
+
+    return hash_partitioned_agg(
+        counts.map_batches(hist_partial, batch_format="pandas"),
+        ["n_urls"],
+        lambda df: df.groupby("n_urls", sort=False, as_index=False).agg(
+            n_segments=("n_segments", "sum")))
+
+
 def kg_cluster_sizes(sf_dir: str):
     """Entity-community size histogram (size, n_components) over the
     round-exact CC labels of the constructed KG — the graph-health curve
@@ -2260,6 +2331,7 @@ def registry() -> dict:
         "rel_q2": rel_q2,
         "kg_cluster_sizes": kg_cluster_sizes,
         "kg_pagerank_share": kg_pagerank_share,
+        "kg_boilerplate": kg_boilerplate,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3124,6 +3196,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q2": _sql_q2(),
         "kg_cluster_sizes": so.sql_kg_cluster_sizes(),
         "kg_pagerank_share": so.sql_kg_pagerank_share(),
+        "kg_boilerplate": so.sql_kg_boilerplate(),
         "kg_new_entities": so.sql_kg_new_entities(),
         "graph_edge_weights": _sql_edge_weights(),
         "rel_event_cooccurrence": _sql_event_cooc(),

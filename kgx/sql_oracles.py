@@ -907,6 +907,48 @@ WHERE p.rnk <= {k}
 """
 
 
+def sql_kg_boilerplate() -> str:
+    """(n_urls, n_segments): cross-page boilerplate histogram — distinct
+    token-normalized segments by how many DISTINCT urls carry them,
+    under the SQL-checkable 400-char chunk variant.  Segments are keyed
+    by their token join (regexp_extract_all on lower(raw)) — the same
+    token-sequence equivalence the am/pm match chains rely on, immune to
+    strip/whitespace differences between the engine's spans and substr
+    chunks.  Duplicates the tmpl/base/segpos/seg prefix of
+    _kg_common_ctes verbatim rather than refactoring it: reordering the
+    shared chain's CTEs would change the SQL text of every kg oracle and
+    force a full-family re-certification for zero functional gain."""
+    _, templates = _kb_state()
+    tmpl_vals = ", ".join(f"({i}, {_q(t)})" for i, t in enumerate(templates))
+    norm = ts.sql_norm_text("(coalesce(text,'') || ' ' || tmpl.body)")
+    W = KG_SEG_CHARS
+    return f"""
+WITH tmpl(tid, body) AS (VALUES {tmpl_vals}),
+base AS (
+  SELECT doc_id, {DOC_URL_SQL} AS url, {norm} AS t
+  FROM documents JOIN tmpl ON tmpl.tid = doc_id % {len(templates)}
+), segpos AS (
+  SELECT url, t,
+    unnest(generate_series(0, CAST(ceil(length(t) / {W}.0) AS BIGINT) - 1)) AS seg_id
+  FROM base WHERE length(t) > 0
+), seg AS (
+  SELECT url, substr(t, CAST(seg_id * {W} + 1 AS BIGINT), {W}) AS raw
+  FROM segpos
+), keyed AS (
+  SELECT url,
+         array_to_string(regexp_extract_all(lower(raw), '[a-z0-9_]+'), ' ')
+             AS key
+  FROM seg
+), per_seg AS (
+  SELECT key, count(DISTINCT url) AS n_urls
+  FROM keyed WHERE key <> '' GROUP BY key
+)
+SELECT CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_segments
+FROM per_seg GROUP BY 1
+"""
+
+
 def sql_kg_cluster_sizes(rounds: int | None = None) -> str:
     """(size, n_components) over the round-exact KG CC labels: the CC
     oracle as a derived table, folded label -> size -> histogram."""

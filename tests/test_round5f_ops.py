@@ -232,3 +232,38 @@ def test_kg_pagerank_share_consistent_with_rank_vector(ray_session):
     assert out.iloc[0]["pr_top"] == top
     assert out.iloc[0]["share_pm"] == 10_000 * top // total
     assert 0 < out.iloc[0]["share_pm"] <= 10_000
+
+
+# ---------------------------------------------------------------------------
+# kg_boilerplate: cross-page repeated-segment histogram
+# ---------------------------------------------------------------------------
+
+
+def test_kg_boilerplate_matches_serial(ray_session):
+    """Brute-force (segment-key -> distinct-url count -> histogram) over
+    the same SQL-checkable config variant must match exactly, and the
+    corpus must actually exercise the cross-page branch (n_urls >= 2)."""
+    import collections
+    import re
+
+    from kgx.functions.pipeline_core import segments_for_page
+    from kgx.queries import _kg_sql_cfg, _kg_sql_pages, kg_boilerplate
+
+    sf = "/root/testdata/sf0.001"
+    cfg2 = _kg_sql_cfg()
+    tok_re = re.compile(r"[a-z0-9_]+")
+    urlmap = collections.defaultdict(set)
+    for r in _kg_sql_pages(sf).take_all():
+        _, segs = segments_for_page(
+            r["url"], r["html"], r["text"], r["lang"], cfg2)
+        for s in segs:
+            k = " ".join(tok_re.findall(s["text"].lower()))
+            if k:
+                urlmap[k].add(r["url"])
+    ref = collections.Counter(len(u) for u in urlmap.values())
+
+    out = _collect(kg_boilerplate(sf))
+    got = dict(zip(out["n_urls"], out["n_segments"]))
+    assert got == dict(ref)
+    assert any(n >= 2 for n in got), "corpus must contain cross-page repeats"
+    assert sum(got.values()) == len(urlmap)
