@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "kg_cluster_sizes",
     "kg_pagerank_share",
     "kg_boilerplate",
+    "rel_part_concentration",
 ]
 
 

@@ -5732,3 +5732,94 @@ WHERE unit_cents = mn
 ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
 LIMIT {k}
 """
+
+def part_concentration(sf_dir: str):
+    """(share_pm, n_parts): supply-concentration histogram — for every
+    part, the LEAD supplier's exact integer-permyriad share of the
+    part's total shipped quantity (10000 * max_pair_qty // total_qty),
+    folded to how many parts sit at each concentration level.  The
+    single-source-risk curve a supply-chain review reads (share_pm
+    10000 = sole-sourced part; ~10000/n = perfectly diversified).
+    Reference analog: the G2 grouped merge composed with the O4 argmax
+    family.
+
+    The new composed shape vs rel_q8's bounded matrix: the
+    percent-of-total here is per PART — unbounded key cardinality — so
+    the share needs pair sums and part totals CO-LOCATED: per-batch
+    (part, supplier) quantity partials cross ONE partkey-keyed
+    partition exchange whose kernel folds global pair sums, forms
+    per-part totals and maxima with two C-level groupby reductions, and
+    pre-folds to <= |distinct shares| histogram rows.  A share_pm-keyed
+    combiner finishes; only bounded histogram rows take the second
+    hop."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_quantity"])
+
+    _PAIR_EMPTY = pd.DataFrame(
+        {"pk": pd.Series([], dtype="int64"),
+         "sk": pd.Series([], dtype="int64"),
+         "q": pd.Series([], dtype="int64")})
+
+    def pair_partial(batch: "pa.Table") -> "pd.DataFrame":
+        cols = ["l_partkey", "l_suppkey", "l_quantity"]
+        ok = pc.is_valid(batch[cols[0]])
+        for c in cols[1:]:
+            ok = pc.and_(ok, pc.is_valid(batch[c]))
+        batch = batch.filter(ok)
+        if not batch.num_rows:
+            return _PAIR_EMPTY
+        g = pd.DataFrame(
+            {"pk": batch["l_partkey"].to_numpy().astype(np.int64),
+             "sk": batch["l_suppkey"].to_numpy().astype(np.int64),
+             "q": batch["l_quantity"].to_numpy().astype(np.int64)})
+        return g.groupby(["pk", "sk"], sort=False, as_index=False).agg(
+            q=("q", "sum"))
+
+    _HIST_EMPTY = pd.DataFrame(
+        {"share_pm": pd.Series([], dtype="int64"),
+         "n_parts": pd.Series([], dtype="int64")})
+
+    def share_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(d):
+            return _HIST_EMPTY
+        g = d.groupby(["pk", "sk"], sort=False, as_index=False).agg(
+            q=("q", "sum"))
+        per = g.groupby("pk", sort=False, as_index=False).agg(
+            mx=("q", "max"), tot=("q", "sum"))
+        share = (10_000 * per["mx"].to_numpy(np.int64)
+                 // per["tot"].to_numpy(np.int64))
+        u, cnt = np.unique(share, return_counts=True)
+        return pd.DataFrame({"share_pm": u.astype(np.int64),
+                             "n_parts": cnt.astype(np.int64)})
+
+    partials = hash_partitioned_apply(
+        line.map_batches(pair_partial, batch_format="pyarrow"),
+        ["pk"], share_kernel, int_keys=True)
+
+    return hash_partitioned_agg(
+        partials, ["share_pm"],
+        lambda df: df.groupby("share_pm", sort=False, as_index=False).agg(
+            n_parts=("n_parts", "sum")))
+
+
+def sql_part_concentration() -> str:
+    return """
+WITH pairs AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+), per_part AS (
+  SELECT pk, CAST(10000 * max(q) // sum(q) AS BIGINT) AS share_pm
+  FROM pairs GROUP BY pk
+)
+SELECT share_pm, CAST(count(*) AS BIGINT) AS n_parts
+FROM per_part GROUP BY 1
+"""

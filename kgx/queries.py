@@ -1733,6 +1733,18 @@ def rel_q2(sf_dir: str):
     return min_cost_supplier(sf_dir)
 
 
+def rel_part_concentration(sf_dir: str):
+    """Supply-concentration histogram (share_pm, n_parts): each part's
+    LEAD supplier share of shipped quantity in exact integer permyriad,
+    folded to the single-source-risk curve — UNBOUNDED-cardinality
+    percent-of-total (per part), so pair sums and part totals meet in
+    ONE partkey exchange; only bounded histogram rows take the second
+    hop."""
+    from .pipelines.relational import part_concentration
+
+    return part_concentration(sf_dir)
+
+
 def graph_edge_weights(sf_dir: str):
     """Co-supplier edge-strength histogram (weight, n_edges): weight =
     distinct orders a supplier pair shares — the thresholding signal for
@@ -2332,6 +2344,7 @@ def registry() -> dict:
         "kg_cluster_sizes": kg_cluster_sizes,
         "kg_pagerank_share": kg_pagerank_share,
         "kg_boilerplate": kg_boilerplate,
+        "rel_part_concentration": rel_part_concentration,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3065,6 +3078,12 @@ def _sql_q2() -> str:
     return sql_min_cost_supplier()
 
 
+def _sql_part_concentration() -> str:
+    from .pipelines.relational import sql_part_concentration
+
+    return sql_part_concentration()
+
+
 def _sql_q8() -> str:
     from .pipelines.relational import sql_national_market_share
 
@@ -3197,6 +3216,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cluster_sizes": so.sql_kg_cluster_sizes(),
         "kg_pagerank_share": so.sql_kg_pagerank_share(),
         "kg_boilerplate": so.sql_kg_boilerplate(),
+        "rel_part_concentration": _sql_part_concentration(),
         "kg_new_entities": so.sql_kg_new_entities(),
         "graph_edge_weights": _sql_edge_weights(),
         "rel_event_cooccurrence": _sql_event_cooc(),

@@ -267,3 +267,43 @@ def test_kg_boilerplate_matches_serial(ray_session):
     assert got == dict(ref)
     assert any(n >= 2 for n in got), "corpus must contain cross-page repeats"
     assert sum(got.values()) == len(urlmap)
+
+
+# ---------------------------------------------------------------------------
+# rel_part_concentration: per-part lead-supplier share histogram
+# ---------------------------------------------------------------------------
+
+
+def test_part_concentration_planted(ray_session, tmp_path):
+    """Part 1: 3-vs-1 split -> share 7500; part 2 sole-sourced -> 10000;
+    part 3: even 1-1 split -> 5000; a null row drops."""
+    import pyarrow.parquet as pq
+
+    from kgx.pipelines.relational import part_concentration
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table(
+        {"l_partkey": pa.array([1, 1, 2, 3, 3, None], pa.int64()),
+         "l_suppkey": pa.array([10, 11, 10, 10, 11, 10], pa.int64()),
+         "l_quantity": pa.array([3.0, 1.0, 5.0, 1.0, 1.0, 9.0])}),
+        sf / "lineitem.parquet")
+    out = _collect(part_concentration(str(sf)))
+    got = dict(zip(out["share_pm"], out["n_parts"]))
+    assert got == {7500: 1, 10_000: 1, 5000: 1}
+
+
+def test_part_concentration_mass(ray_session):
+    """sum(n_parts) == number of distinct parts appearing in lineitem."""
+    import duckdb
+
+    from kgx.pipelines.relational import part_concentration
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(part_concentration(sf))
+    n_parts = duckdb.sql(
+        f"SELECT count(DISTINCT l_partkey) FROM '{sf}/lineitem.parquet' "
+        "WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL "
+        "AND l_quantity IS NOT NULL").fetchone()[0]
+    assert int(out["n_parts"].sum()) == n_parts
+    assert (out["share_pm"] <= 10_000).all() and (out["share_pm"] > 0).all()
