@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "kg_pagerank_share",
     "kg_boilerplate",
     "rel_part_concentration",
+    "kg_growth_curve",
 ]
 
 

@@ -1462,6 +1462,56 @@ def kg_entity_freshness(sf_dir: str):
         _pages_ts_ds(sf_dir))
 
 
+def kg_growth_curve(sf_dir: str):
+    """KG growth curve (day, n_new, n_cum): how many entities are FIRST
+    seen on each crawl day and the cumulative vocabulary size — the
+    saturation diagnostic an incremental-crawl operator reads (a
+    flattening n_cum says new crawling stops paying).  Composes the
+    shared freshness pipeline: per-batch first_day value counts, a
+    day-keyed combiner (bounded by |crawl days|), then a single-block
+    ordered cumulative sum — the running total never touches the
+    unbounded entity stream."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .pipeline import broadcast_kb, linked_triples_ds
+    from .stages.exchange import hash_partitioned_agg
+    from .stages.kg_stages import entity_freshness
+
+    fresh = entity_freshness(
+        linked_triples_ds(_kg_sql_pages(sf_dir), _kg_sql_cfg(),
+                          broadcast_kb()),
+        _pages_ts_ds(sf_dir))
+
+    _EMPTY = pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                           "n_new": pd.Series([], dtype="int64")})
+
+    def day_partial(t: "pa.Table") -> "pd.DataFrame":
+        d = t["first_day"].to_numpy()
+        if not len(d):
+            return _EMPTY
+        u, cnt = np.unique(d, return_counts=True)
+        return pd.DataFrame({"day": u.astype(np.int64),
+                             "n_new": cnt.astype(np.int64)})
+
+    days = hash_partitioned_agg(
+        fresh.map_batches(day_partial, batch_format="pyarrow"),
+        ["day"],
+        lambda df: df.groupby("day", sort=False, as_index=False).agg(
+            n_new=("n_new", "sum")))
+
+    def cum(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values("day").reset_index(drop=True)
+        return pd.DataFrame(
+            {"day": df["day"].to_numpy(np.int64),
+             "n_new": df["n_new"].to_numpy(np.int64),
+             "n_cum": df["n_new"].to_numpy(np.int64).cumsum()})
+
+    return days.repartition(1).map_batches(
+        cum, batch_format="pandas", batch_size=None)
+
+
 def kg_new_entities(sf_dir: str, window_days: int = 2):
     """Incremental-crawl delta (entity_key, first_day, n_mentions):
     entities FIRST seen within the trailing ``window_days`` of the crawl
@@ -2345,6 +2395,7 @@ def registry() -> dict:
         "kg_pagerank_share": kg_pagerank_share,
         "kg_boilerplate": kg_boilerplate,
         "rel_part_concentration": rel_part_concentration,
+        "kg_growth_curve": kg_growth_curve,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3217,6 +3268,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_share": so.sql_kg_pagerank_share(),
         "kg_boilerplate": so.sql_kg_boilerplate(),
         "rel_part_concentration": _sql_part_concentration(),
+        "kg_growth_curve": so.sql_kg_growth_curve(),
         "kg_new_entities": so.sql_kg_new_entities(),
         "graph_edge_weights": _sql_edge_weights(),
         "rel_event_cooccurrence": _sql_event_cooc(),

@@ -949,6 +949,22 @@ FROM per_seg GROUP BY 1
 """
 
 
+def sql_kg_growth_curve() -> str:
+    """(day, n_new, n_cum): entities first seen per crawl day + running
+    cumulative — the freshness oracle folded by first_day with a window
+    prefix sum."""
+    fresh = sql_kg_entity_freshness()
+    return f"""
+WITH d AS (
+  SELECT first_day AS day, count(*) AS n_new
+  FROM ({fresh}) f GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS n_cum
+FROM d
+"""
+
+
 def sql_kg_cluster_sizes(rounds: int | None = None) -> str:
     """(size, n_components) over the round-exact KG CC labels: the CC
     oracle as a derived table, folded label -> size -> histogram."""

@@ -307,3 +307,24 @@ def test_part_concentration_mass(ray_session):
         "AND l_quantity IS NOT NULL").fetchone()[0]
     assert int(out["n_parts"].sum()) == n_parts
     assert (out["share_pm"] <= 10_000).all() and (out["share_pm"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# kg_growth_curve: cumulative entity growth by crawl day
+# ---------------------------------------------------------------------------
+
+
+def test_kg_growth_curve_consistent_with_freshness(ray_session):
+    import collections
+
+    from kgx.queries import kg_entity_freshness, kg_growth_curve
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(kg_growth_curve(sf)).sort_values("day") \
+        .reset_index(drop=True)
+    fresh = _collect(kg_entity_freshness(sf))
+    ref = collections.Counter(int(d) for d in fresh["first_day"])
+    got = dict(zip(out["day"], out["n_new"]))
+    assert got == dict(ref)
+    assert (out["n_cum"].to_numpy() == out["n_new"].to_numpy().cumsum()).all()
+    assert int(out["n_cum"].iloc[-1]) == len(fresh)
