@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "kg_boilerplate",
     "rel_part_concentration",
     "kg_growth_curve",
+    "emb_dim_stats",
 ]
 
 

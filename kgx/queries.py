@@ -1868,6 +1868,17 @@ def emb_norm_hist(sf_dir: str):
     return norm_histogram(_emb_ds(sf_dir))
 
 
+def emb_dim_stats(sf_dir: str):
+    """Per-dimension moment table (dim, n, sum_q, sumsq_q) over the
+    centered KM_SCALE quantization — the feature-health profile (dead /
+    dominating dimensions) read before quantization, PCA or ANN index
+    builds; <= d partial rows per batch, ONE dim-keyed combiner
+    exchange, vectors never shuffle."""
+    from .stages.kmeans import dim_stats
+
+    return dim_stats(_emb_ds(sf_dir))
+
+
 def rel_value_share(sf_dir: str):
     """TPC-H-Q11-shaped rollup whose HAVING references the global total:
     per-type lineitem value with an exact cross-multiplied share test —
@@ -2396,6 +2407,7 @@ def registry() -> dict:
         "kg_boilerplate": kg_boilerplate,
         "rel_part_concentration": rel_part_concentration,
         "kg_growth_curve": kg_growth_curve,
+        "emb_dim_stats": emb_dim_stats,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3135,6 +3147,12 @@ def _sql_part_concentration() -> str:
     return sql_part_concentration()
 
 
+def _sql_dim_stats() -> str:
+    from .stages.kmeans import sql_dim_stats
+
+    return sql_dim_stats()
+
+
 def _sql_q8() -> str:
     from .pipelines.relational import sql_national_market_share
 
@@ -3269,6 +3287,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_boilerplate": so.sql_kg_boilerplate(),
         "rel_part_concentration": _sql_part_concentration(),
         "kg_growth_curve": so.sql_kg_growth_curve(),
+        "emb_dim_stats": _sql_dim_stats(),
         "kg_new_entities": so.sql_kg_new_entities(),
         "graph_edge_weights": _sql_edge_weights(),
         "rel_event_cooccurrence": _sql_event_cooc(),

@@ -864,3 +864,72 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(sum(code * code) AS BIGINT) AS code_sq_sum
 FROM c GROUP BY vec_id
 """
+
+def dim_stats(emb_ds):
+    """embeddings -> (dim, n, sum_q, sumsq_q): per-dimension moment table
+    over the centered KM_SCALE quantization — the feature-health profile
+    read before quantization / PCA / ANN index builds (a zero-variance
+    dim is dead weight in every distance computation; a huge-variance
+    dim dominates unnormalized metrics).  Complements sq8_codes' min/max
+    calibration with the first two moments.
+
+    Scale shape: each batch folds its q-matrix to <= d rows (count, sum,
+    sum-of-squares per dimension — three C-level axis reductions); ONE
+    dim-keyed combiner exchange merges O(batches x d) partial rows.  Raw
+    vectors never shuffle.  int64 headroom: |q| ~ KM_SCALE for unit-ish
+    embeddings, so sumsq per dim stays < 9.2e18 up to ~9e12 vectors —
+    beyond the 100-TB target's row count."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_partitioned_agg
+
+    _EMPTY = pd.DataFrame(
+        {"dim": pd.Series([], dtype="int64"),
+         "n": pd.Series([], dtype="int64"),
+         "sum_q": pd.Series([], dtype="int64"),
+         "sumsq_q": pd.Series([], dtype="int64")})
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat.reshape(n, -1) * KM_SCALE + 0.5).astype(np.int64)
+        d = q.shape[1]
+        return pd.DataFrame(
+            {"dim": np.arange(d, dtype=np.int64),
+             "n": np.full(d, n, dtype=np.int64),
+             "sum_q": q.sum(axis=0),
+             "sumsq_q": (q * q).sum(axis=0)})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("dim", sort=False, as_index=False).agg(
+            n=("n", "sum"), sum_q=("sum_q", "sum"),
+            sumsq_q=("sumsq_q", "sum"))
+
+    return hash_partitioned_agg(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim"], combine)
+
+
+def sql_dim_stats() -> str:
+    """DuckDB oracle: parallel unnest over the same quantization, grouped
+    per 0-based dimension."""
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+), u AS (
+  SELECT unnest(generate_series(0, len(qv) - 1)) AS dim,
+         unnest(qv) AS v
+  FROM q
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_q,
+       CAST(sum(v * v) AS BIGINT) AS sumsq_q
+FROM u GROUP BY 1
+"""

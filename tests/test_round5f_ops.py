@@ -328,3 +328,48 @@ def test_kg_growth_curve_consistent_with_freshness(ray_session):
     assert got == dict(ref)
     assert (out["n_cum"].to_numpy() == out["n_new"].to_numpy().cumsum()).all()
     assert int(out["n_cum"].iloc[-1]) == len(fresh)
+
+
+# ---------------------------------------------------------------------------
+# emb_dim_stats: per-dimension moment table
+# ---------------------------------------------------------------------------
+
+
+def test_emb_dim_stats_matches_serial(ray_session):
+    import pyarrow.parquet as pq
+
+    from kgx.queries import emb_dim_stats
+    from kgx.stages.kmeans import KM_SCALE
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    mat = np.array([v for v in t["embedding"].to_pylist() if v is not None],
+                   dtype=np.float64)
+    q = np.floor(mat * KM_SCALE + 0.5).astype(np.int64)
+    out = _collect(emb_dim_stats(sf)).sort_values("dim") \
+        .reset_index(drop=True)
+    assert len(out) == q.shape[1]
+    assert (out["n"].to_numpy() == q.shape[0]).all()
+    np.testing.assert_array_equal(out["sum_q"].to_numpy(), q.sum(axis=0))
+    np.testing.assert_array_equal(out["sumsq_q"].to_numpy(),
+                                  (q * q).sum(axis=0))
+
+
+def test_emb_dim_stats_null_vectors_drop(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kgx.stages.kmeans import dim_stats
+
+    tbl = pa.table(
+        {"vec_id": pa.array([1, 2, 3], pa.int64()),
+         "embedding": pa.array([[1.0, -2.0], None, [0.5, 0.25]],
+                               pa.list_(pa.float32()))})
+    p = tmp_path / "e.parquet"
+    pq.write_table(tbl, p)
+    out = _collect(dim_stats(rd.read_parquet(str(p))))
+    got = out.sort_values("dim").reset_index(drop=True)
+    # q rows: [1000, -2000], [500, 250]
+    assert list(got["n"]) == [2, 2]
+    assert list(got["sum_q"]) == [1500, -1750]
+    assert list(got["sumsq_q"]) == [1000**2 + 500**2, 2000**2 + 250**2]
