@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "rel_part_concentration",
     "kg_growth_curve",
     "emb_dim_stats",
+    "text_word_len_hist",
+    "rel_order_size_hist",
 ]
 
 

@@ -1750,6 +1750,65 @@ def rel_session_hist(sf_dir: str):
             n_sessions=("n_sessions", "sum")))
 
 
+def text_word_len_hist(sf_dir: str):
+    """Token-length histogram (wlen, n_tokens) — the tokenizer-health
+    curve (long-token tail = markup/encoding junk; length-1 spike =
+    over-splitting); token lengths need NO vocabulary exchange: each
+    batch folds straight to <= |distinct lengths| rows, tiny wlen-keyed
+    combiner — strictly cheaper than every token-keyed corpus op."""
+    import ray.data as rd
+
+    from .stages.corpus import word_length_histogram
+
+    return word_length_histogram(rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"), columns=["text"]))
+
+
+def rel_order_size_hist(sf_dir: str):
+    """Order-size histogram (n_lines, n_orders) — the order-shape
+    profile (basket-size curve) of the fact table: per-batch orderkey
+    value_counts partials, an orderkey-keyed count combiner (the
+    unavoidable per-order fold), then a tiny size-keyed histogram
+    combiner — the rel_session_hist shape over lineitem."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .stages.exchange import hash_partitioned_agg
+
+    line = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                           columns=["l_orderkey"])
+
+    _EMPTY = pd.DataFrame({"okey": pd.Series([], dtype="int64"),
+                           "n": pd.Series([], dtype="int64")})
+
+    def partial(batch: "pa.Table") -> "pd.DataFrame":
+        arr = batch.filter(pc.is_valid(batch["l_orderkey"]))["l_orderkey"]
+        k = arr.to_numpy().astype(np.int64)
+        if not len(k):
+            return _EMPTY
+        u, cnt = np.unique(k, return_counts=True)
+        return pd.DataFrame({"okey": u, "n": cnt.astype(np.int64)})
+
+    per_order = hash_partitioned_agg(
+        line.map_batches(partial, batch_format="pyarrow"),
+        ["okey"],
+        lambda df: df.groupby("okey", sort=False, as_index=False).agg(
+            n=("n", "sum")))
+
+    def hist_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        u, cnt = np.unique(df["n"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"n_lines": u.astype(np.int64),
+                             "n_orders": cnt.astype(np.int64)})
+
+    return hash_partitioned_agg(
+        per_order.map_batches(hist_partial, batch_format="pandas"),
+        ["n_lines"],
+        lambda df: df.groupby("n_lines", sort=False, as_index=False).agg(
+            n_orders=("n_orders", "sum")))
+
+
 def rel_q8(sf_dir: str):
     """TPC-H-Q8 national market share: per order-year, each supplier
     nation's exact integer-permyriad share of PROMO-part revenue — gated
@@ -2408,6 +2467,8 @@ def registry() -> dict:
         "rel_part_concentration": rel_part_concentration,
         "kg_growth_curve": kg_growth_curve,
         "emb_dim_stats": emb_dim_stats,
+        "text_word_len_hist": text_word_len_hist,
+        "rel_order_size_hist": rel_order_size_hist,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3153,6 +3214,12 @@ def _sql_dim_stats() -> str:
     return sql_dim_stats()
 
 
+def _sql_word_len_hist() -> str:
+    from .stages.corpus import sql_word_length_histogram
+
+    return sql_word_length_histogram(ts.sql_token_list(_TEXT))
+
+
 def _sql_q8() -> str:
     from .pipelines.relational import sql_national_market_share
 
@@ -3288,6 +3355,12 @@ def oracle_sql() -> dict[str, str]:
         "rel_part_concentration": _sql_part_concentration(),
         "kg_growth_curve": so.sql_kg_growth_curve(),
         "emb_dim_stats": _sql_dim_stats(),
+        "text_word_len_hist": _sql_word_len_hist(),
+        "rel_order_size_hist": (
+            "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
+            "WHERE l_orderkey IS NOT NULL GROUP BY 1) "
+            "SELECT CAST(n AS BIGINT) AS n_lines, "
+            "CAST(count(*) AS BIGINT) AS n_orders FROM c GROUP BY 1"),
         "kg_new_entities": so.sql_kg_new_entities(),
         "graph_edge_weights": _sql_edge_weights(),
         "rel_event_cooccurrence": _sql_event_cooc(),

@@ -2186,3 +2186,50 @@ WITH toks AS (
 )
 SELECT tf, CAST(count(*) AS BIGINT) AS n_tokens FROM tc GROUP BY tf
 """
+
+def word_length_histogram(docs_ds):
+    """documents -> (wlen, n_tokens): token-length distribution over the
+    corpus — the tokenizer-health curve (a heavy tail of very long
+    'tokens' means markup or encoding junk leaked through cleaning; a
+    spike at length 1 means over-splitting).  Read next to text_zipf
+    when tuning the token regex / BPE pre-tokenizer.
+
+    Scale shape: token LENGTHS need no vocabulary exchange at all —
+    each batch folds straight to <= |distinct lengths| rows (one
+    np.unique), and a tiny wlen-keyed combiner sums across batches.
+    Embarrassingly parallel: strictly cheaper than every token-keyed
+    corpus op."""
+    import pandas as pd
+
+    from ..functions.text import tokenize
+    from .exchange import hash_partitioned_agg
+
+    _EMPTY = pd.DataFrame({"wlen": pd.Series([], dtype="int64"),
+                           "n_tokens": pd.Series([], dtype="int64")})
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        lens: list[int] = []
+        for text in batch["text"].to_pylist():
+            lens.extend(len(t) for t in tokenize(text or ""))
+        if not lens:
+            return _EMPTY
+        u, cnt = np.unique(np.asarray(lens, dtype=np.int64),
+                           return_counts=True)
+        return pd.DataFrame({"wlen": u, "n_tokens": cnt.astype(np.int64)})
+
+    return hash_partitioned_agg(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["wlen"],
+        lambda df: df.groupby("wlen", sort=False, as_index=False).agg(
+            n_tokens=("n_tokens", "sum")))
+
+
+def sql_word_length_histogram(token_list_expr: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest({token_list_expr}) AS tok FROM documents
+)
+SELECT CAST(length(tok) AS BIGINT) AS wlen,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM toks GROUP BY 1
+"""

@@ -373,3 +373,40 @@ def test_emb_dim_stats_null_vectors_drop(ray_session, tmp_path):
     assert list(got["n"]) == [2, 2]
     assert list(got["sum_q"]) == [1500, -1750]
     assert list(got["sumsq_q"]) == [1000**2 + 500**2, 2000**2 + 250**2]
+
+
+# ---------------------------------------------------------------------------
+# text_word_len_hist + rel_order_size_hist
+# ---------------------------------------------------------------------------
+
+
+def test_word_len_hist_matches_serial(ray_session):
+    import collections
+
+    import duckdb
+
+    from kgx.functions.text import tokenize
+    from kgx.queries import text_word_len_hist
+
+    sf = "/root/testdata/sf0.001"
+    ref = collections.Counter()
+    for (t,) in duckdb.sql(
+            f"SELECT text FROM '{sf}/documents.parquet'").fetchall():
+        ref.update(len(w) for w in tokenize(t or ""))
+    out = _collect(text_word_len_hist(sf))
+    assert dict(zip(out["wlen"], out["n_tokens"])) == dict(ref)
+
+
+def test_order_size_hist_mass(ray_session):
+    import duckdb
+
+    from kgx.queries import rel_order_size_hist
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(rel_order_size_hist(sf))
+    n_orders, n_lines = duckdb.sql(
+        f"SELECT count(DISTINCT l_orderkey), count(*) "
+        f"FROM '{sf}/lineitem.parquet' WHERE l_orderkey IS NOT NULL"
+    ).fetchone()
+    assert int(out["n_orders"].sum()) == n_orders
+    assert int((out["n_lines"] * out["n_orders"]).sum()) == n_lines
