@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "emb_dim_stats",
     "text_word_len_hist",
     "rel_order_size_hist",
+    "emb_lsh_balance",
 ]
 
 

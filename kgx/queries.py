@@ -424,6 +424,17 @@ def ann_topk(sf_dir: str):
     return _ann(_emb_ds(sf_dir), q_ref, k=ANN_K)
 
 
+def emb_lsh_balance(sf_dir: str):
+    """LSH bucket-size histogram (t, size, n_buckets) per hash table —
+    the index-health diagnostic for the ann_topk_lsh path (a skewed
+    table = one giant bucket doing most candidate generation); bucket
+    count is BOUNDED (tables x 2^nbits) so both exchanges carry bounded
+    rows, vectors never shuffle."""
+    from .stages.similarity import lsh_bucket_balance
+
+    return lsh_bucket_balance(_emb_ds(sf_dir), nbits=8, tables=4)
+
+
 def ann_topk_lsh(sf_dir: str):
     import ray
 
@@ -2469,6 +2480,7 @@ def registry() -> dict:
         "emb_dim_stats": emb_dim_stats,
         "text_word_len_hist": text_word_len_hist,
         "rel_order_size_hist": rel_order_size_hist,
+        "emb_lsh_balance": emb_lsh_balance,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3356,6 +3368,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_growth_curve": so.sql_kg_growth_curve(),
         "emb_dim_stats": _sql_dim_stats(),
         "text_word_len_hist": _sql_word_len_hist(),
+        "emb_lsh_balance": so.sql_lsh_balance(nbits=8, tables=4),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

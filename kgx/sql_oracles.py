@@ -211,6 +211,40 @@ SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS "rank" FROM scored WHERE r <=
 """
 
 
+def sql_lsh_balance(nbits: int, tables: int, dim: int = 64) -> str:
+    """(t, size, n_buckets): LSH bucket-size histogram per hash table —
+    same plane literals / sign-pattern codes as sql_ann_topk_lsh (the
+    CTE scaffold is repeated rather than factored so the green LSH
+    oracle's SQL text stays untouched), with an explicit null-embedding
+    filter matching the Ray side's is_valid drop."""
+    from .stages.similarity import lsh_planes
+
+    planes = lsh_planes(dim, nbits, tables)
+    plane_vals = ", ".join(
+        f"({t}, {b}, {d}, {float(planes[t, b, d])!r})"
+        for t in range(tables) for b in range(nbits) for d in range(dim)
+    )
+    return f"""
+WITH emb AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE embedding IS NOT NULL
+), planes(t, b, d, val) AS (VALUES {plane_vals}),
+proj AS (
+  SELECT emb.vec_id, p.t, p.b, sum(emb.e[p.d + 1] * p.val) AS pr
+  FROM emb, planes p GROUP BY 1, 2, 3
+), code AS (
+  SELECT vec_id, t,
+    CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS c
+  FROM proj GROUP BY 1, 2
+), bc AS (
+  SELECT t, c, count(*) AS sz FROM code GROUP BY 1, 2
+)
+SELECT CAST(t AS BIGINT) AS t, CAST(sz AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_buckets
+FROM bc GROUP BY 1, 2
+"""
+
+
 def sql_ann_topk_ivf(every: int, k: int, n_lists: int, nprobe: int) -> str:
     """IVF with the sample coarse quantizer (ivf_train iters=0) trained on
     the DISTRIBUTED stride sample (r5: the full corpus never reaches the

@@ -568,3 +568,60 @@ def recall_eval(exact_ds, approx_ds, k: int):
 
     return hash_partitioned_apply(union, ["query_id"], kernel,
                                   int_keys=True)
+
+def lsh_bucket_balance(emb_ds, nbits: int = 8, tables: int = 4):
+    """embeddings -> (t, size, n_buckets): LSH bucket-size histogram per
+    hash table — the index-health diagnostic for the ann_topk_lsh path
+    (a skewed table means one giant bucket does most of the candidate
+    generation: recall concentrates and per-query latency spikes; a
+    balanced table shows ~n/2^nbits sizes).  Read next to
+    emb_recall_eval when tuning nbits/tables.
+
+    Scale shape: bucket count is BOUNDED (tables x 2^nbits), so after
+    per-batch (t, code) value-count partials the combiner exchange
+    carries at most that many rows per batch, and the final size
+    histogram is a driver-scale fold.  Vectors never shuffle; planes
+    are a pure function of the seed, rebuilt per batch (KB-sized)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_partitioned_agg
+
+    _EMPTY = pd.DataFrame({"t": pd.Series([], dtype="int64"),
+                           "code": pd.Series([], dtype="int64"),
+                           "n": pd.Series([], dtype="int64")})
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(n, -1)
+        codes = _bucket_codes(mat, lsh_planes(mat.shape[1], nbits, tables))
+        frames = []
+        for t in range(tables):
+            u, cnt = np.unique(codes[:, t], return_counts=True)
+            frames.append(pd.DataFrame(
+                {"t": np.full(len(u), t, dtype=np.int64),
+                 "code": u, "n": cnt.astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    buckets = hash_partitioned_agg(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["t", "code"],
+        lambda df: df.groupby(["t", "code"], sort=False, as_index=False).agg(
+            n=("n", "sum")))
+
+    def hist_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["t", "n"], sort=False, as_index=False).agg(
+            n_buckets=("code", "size"))
+        return g.rename(columns={"n": "size"})
+
+    return hash_partitioned_agg(
+        buckets.map_batches(hist_partial, batch_format="pandas"),
+        ["t", "size"],
+        lambda df: df.groupby(["t", "size"], sort=False,
+                              as_index=False).agg(
+            n_buckets=("n_buckets", "sum")))

@@ -410,3 +410,35 @@ def test_order_size_hist_mass(ray_session):
     ).fetchone()
     assert int(out["n_orders"].sum()) == n_orders
     assert int((out["n_lines"] * out["n_orders"]).sum()) == n_lines
+
+
+# ---------------------------------------------------------------------------
+# emb_lsh_balance: LSH bucket-size histogram
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_balance_matches_serial(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from kgx.queries import emb_lsh_balance
+    from kgx.stages.similarity import _bucket_codes, lsh_planes
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    mat = np.array([v for v in t["embedding"].to_pylist() if v is not None],
+                   dtype=np.float64)
+    codes = _bucket_codes(mat, lsh_planes(mat.shape[1], 8, 4))
+    ref = collections.Counter()
+    for ti in range(4):
+        sizes = collections.Counter(codes[:, ti]).values()
+        ref.update((ti, s) for s in sizes)
+    out = _collect(emb_lsh_balance(sf))
+    got = {(int(r.t), int(r.size)): int(r.n_buckets)
+           for r in out.itertuples()}
+    assert got == dict(ref)
+    # mass: sizes weighted by counts recover the corpus per table
+    per_t = out.groupby("t").apply(
+        lambda g: int((g["size"] * g["n_buckets"]).sum()))
+    assert (per_t == len(mat)).all()
