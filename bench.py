@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "text_word_len_hist",
     "rel_order_size_hist",
     "emb_lsh_balance",
+    "text_novelty_curve",
 ]
 
 

@@ -1775,6 +1775,25 @@ def text_word_len_hist(sf_dir: str):
         str(Path(sf_dir) / "documents.parquet"), columns=["text"]))
 
 
+def text_novelty_curve(sf_dir: str):
+    """Per-crawl-day token novelty (day, n_new, n_distinct, novelty_pm):
+    the content-saturation curve (does continued crawling still add
+    vocabulary?) — DISTINCT (token, day) pairs cross one token-keyed
+    exchange (the zipf cost class), the kernel anchors each token's min
+    day and folds to <= |days| rows, a day combiner + bounded ratio
+    block finish; crawl day derives from doc_id via the synth warc_ts
+    formula."""
+    import ray.data as rd
+
+    from .stages.corpus import token_novelty_curve
+    from .synth import EPOCH_US
+
+    return token_novelty_curve(
+        rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                        columns=["doc_id", "text"]),
+        epoch_us=EPOCH_US)
+
+
 def rel_order_size_hist(sf_dir: str):
     """Order-size histogram (n_lines, n_orders) — the order-shape
     profile (basket-size curve) of the fact table: per-batch orderkey
@@ -2481,6 +2500,7 @@ def registry() -> dict:
         "text_word_len_hist": text_word_len_hist,
         "rel_order_size_hist": rel_order_size_hist,
         "emb_lsh_balance": emb_lsh_balance,
+        "text_novelty_curve": text_novelty_curve,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3232,6 +3252,14 @@ def _sql_word_len_hist() -> str:
     return sql_word_length_histogram(ts.sql_token_list(_TEXT))
 
 
+def _sql_novelty_curve() -> str:
+    from .stages.corpus import sql_token_novelty_curve
+    from .synth import EPOCH_US
+
+    return sql_token_novelty_curve(ts.sql_token_list(_TEXT),
+                                   epoch_us=EPOCH_US)
+
+
 def _sql_q8() -> str:
     from .pipelines.relational import sql_national_market_share
 
@@ -3369,6 +3397,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_dim_stats": _sql_dim_stats(),
         "text_word_len_hist": _sql_word_len_hist(),
         "emb_lsh_balance": so.sql_lsh_balance(nbits=8, tables=4),
+        "text_novelty_curve": _sql_novelty_curve(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

@@ -2233,3 +2233,104 @@ SELECT CAST(length(tok) AS BIGINT) AS wlen,
        CAST(count(*) AS BIGINT) AS n_tokens
 FROM toks GROUP BY 1
 """
+
+def token_novelty_curve(docs_ds, epoch_us: int, step_us: int = 37_000_000):
+    """documents -> (day, n_new, n_distinct, novelty_pm): per crawl day,
+    how many DISTINCT tokens appear at all (n_distinct), how many have
+    their corpus-wide FIRST occurrence that day (n_new), and the exact
+    permyriad novelty ratio — the content-novelty saturation curve read
+    next to the entity growth curve when deciding whether continued
+    crawling still adds vocabulary.  Crawl day derives from doc_id via
+    the synth warc_ts formula (a real corpus reads its ingest date
+    column instead).
+
+    Scale shape: per-batch DISTINCT (token, day) pairs cross ONE
+    token-keyed partition exchange (the vocabulary crosses once — the
+    zipf / inverted-index cost class); the kernel re-dedups globally,
+    anchors each token's min day, and folds to <= |days| rows per
+    partition; a day-keyed combiner and a single bounded block finish
+    the ratio."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.text import tokenize
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    DAY_US = 86_400_000_000
+
+    _PAIR_EMPTY = pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                "day": pd.Series([], dtype="int64")})
+
+    def pair_partial(batch: pa.Table) -> "pd.DataFrame":
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        days = (epoch_us + ids * step_us) // DAY_US
+        toks: list[str] = []
+        tdays: list[int] = []
+        for text, day in zip(batch["text"].to_pylist(), days):
+            seen = set(tokenize(text or ""))
+            toks.extend(seen)
+            tdays.extend([int(day)] * len(seen))
+        if not toks:
+            return _PAIR_EMPTY
+        return pd.DataFrame({"token": toks, "day": np.asarray(
+            tdays, dtype=np.int64)}).drop_duplicates()
+
+    _DAY_EMPTY = pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                               "n_new": pd.Series([], dtype="int64"),
+                               "n_distinct": pd.Series([], dtype="int64")})
+
+    def novelty_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(d):
+            return _DAY_EMPTY
+        d = d.drop_duplicates(["token", "day"])
+        fday = d.groupby("token")["day"].transform("min").to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        new = (day == fday).astype(np.int64)
+        g = pd.DataFrame({"day": day, "n_new": new,
+                          "n_distinct": np.ones(len(d), np.int64)})
+        return g.groupby("day", sort=False, as_index=False).agg(
+            n_new=("n_new", "sum"), n_distinct=("n_distinct", "sum"))
+
+    partials = hash_partitioned_apply(
+        docs_ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["token"], novelty_kernel)
+
+    days = hash_partitioned_agg(
+        partials, ["day"],
+        lambda df: df.groupby("day", sort=False, as_index=False).agg(
+            n_new=("n_new", "sum"), n_distinct=("n_distinct", "sum")))
+
+    def ratio(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values("day").reset_index(drop=True)
+        nn = df["n_new"].to_numpy(np.int64)
+        nd = df["n_distinct"].to_numpy(np.int64)
+        return pd.DataFrame({"day": df["day"].to_numpy(np.int64),
+                             "n_new": nn, "n_distinct": nd,
+                             "novelty_pm": 10_000 * nn // nd})
+
+    return days.repartition(1).map_batches(
+        ratio, batch_format="pandas", batch_size=None)
+
+
+def sql_token_novelty_curve(token_list_expr: str, epoch_us: int,
+                            step_us: int = 37_000_000) -> str:
+    return f"""
+WITH dts AS (
+  SELECT ({epoch_us} + doc_id * {step_us}) // 86400000000 AS day,
+         {token_list_expr} AS toks
+  FROM documents
+), td AS (
+  SELECT DISTINCT day, tok FROM (
+    SELECT day, unnest(toks) AS tok FROM dts) u
+), fd AS (
+  SELECT tok, min(day) AS fday FROM td GROUP BY tok
+), per AS (
+  SELECT td.day, count(*) AS n_distinct,
+         sum(CASE WHEN td.day = fd.fday THEN 1 ELSE 0 END) AS n_new
+  FROM td JOIN fd USING (tok) GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(10000 * n_new // n_distinct AS BIGINT) AS novelty_pm
+FROM per
+"""

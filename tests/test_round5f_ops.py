@@ -442,3 +442,39 @@ def test_lsh_balance_matches_serial(ray_session):
     per_t = out.groupby("t").apply(
         lambda g: int((g["size"] * g["n_buckets"]).sum()))
     assert (per_t == len(mat)).all()
+
+
+# ---------------------------------------------------------------------------
+# text_novelty_curve: per-crawl-day token novelty
+# ---------------------------------------------------------------------------
+
+
+def test_novelty_curve_matches_serial(ray_session):
+    import collections
+
+    import duckdb
+
+    from kgx.functions.text import tokenize
+    from kgx.queries import text_novelty_curve
+    from kgx.synth import EPOCH_US
+
+    sf = "/root/testdata/sf0.001"
+    seen_by_day = collections.defaultdict(set)
+    for doc_id, t in duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet'").fetchall():
+        day = (EPOCH_US + int(doc_id) * 37_000_000) // 86_400_000_000
+        seen_by_day[day].update(tokenize(t or ""))
+    first = {}
+    for day in sorted(seen_by_day):
+        for tok in seen_by_day[day]:
+            first.setdefault(tok, day)
+    out = _collect(text_novelty_curve(sf)).sort_values("day") \
+        .reset_index(drop=True)
+    for r in out.itertuples():
+        toks = seen_by_day[int(r.day)]
+        n_new = sum(1 for t in toks if first[t] == int(r.day))
+        assert int(r.n_distinct) == len(toks)
+        assert int(r.n_new) == n_new
+        assert int(r.novelty_pm) == 10_000 * n_new // len(toks)
+    # every token is new on the first crawl day by definition
+    assert int(out.iloc[0]["novelty_pm"]) == 10_000
