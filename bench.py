@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "rel_order_size_hist",
     "emb_lsh_balance",
     "text_novelty_curve",
+    "kg_comention_clusters",
 ]
 
 

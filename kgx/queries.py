@@ -2088,6 +2088,33 @@ def kg_cooccurrence(sf_dir: str):
     return entity_cooccurrence(ds)
 
 
+def kg_comention_clusters(sf_dir: str, min_pages: int = 2):
+    """Co-mention communities (node, label): round-exact CC labels over
+    the graph whose edges are entity-surface pairs co-mentioned on at
+    least ``min_pages`` distinct pages — the topic-cluster artifact a KG
+    browse surface uses for 'related entity groups', complementary to
+    kg_entity_clusters (which connects only entities linked by an
+    extracted RELATION; co-mention connects entities that merely share
+    pages repeatedly).  The shared Pregel's ninth consumer: the
+    thresholded co-occurrence pairs rename to (subj, obj) and reuse the
+    hashed symmetric edge builder verbatim."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.graph import CC_ROUNDS, cc_rounds_ds
+    from .stages.kg_stages import kg_entity_edges
+
+    cooc = kg_cooccurrence(sf_dir)
+
+    def thresh(t: "pa.Table") -> "pa.Table":
+        t = t.filter(pc.greater_equal(t["n_pages"], min_pages))
+        return pa.table({"subj": t["surface_a"], "obj": t["surface_b"]})
+
+    return cc_rounds_ds(
+        kg_entity_edges(cooc.map_batches(thresh, batch_format="pyarrow")),
+        rounds=CC_ROUNDS)
+
+
 def rel_region_revenue(sf_dir: str):
     """Composed TPC-H-Q5-shape snowflake: one year of revenue rolled up
     through customer -> nation -> region — driver-scale dims resolved in
@@ -2501,6 +2528,7 @@ def registry() -> dict:
         "rel_order_size_hist": rel_order_size_hist,
         "emb_lsh_balance": emb_lsh_balance,
         "text_novelty_curve": text_novelty_curve,
+        "kg_comention_clusters": kg_comention_clusters,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3398,6 +3426,7 @@ def oracle_sql() -> dict[str, str]:
         "text_word_len_hist": _sql_word_len_hist(),
         "emb_lsh_balance": so.sql_lsh_balance(nbits=8, tables=4),
         "text_novelty_curve": _sql_novelty_curve(),
+        "kg_comention_clusters": so.sql_kg_comention_clusters(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

@@ -918,6 +918,51 @@ def sql_kg_cc(rounds: int | None = None) -> str:
     return "".join(parts)
 
 
+def sql_kg_comention_clusters(min_pages: int = 2,
+                              rounds: int | None = None) -> str:
+    """Round-exact CC over the thresholded co-mention graph: the
+    co-occurrence pair CTE (HAVING >= min_pages) hashed with the same
+    md5 identity, then the sql_kg_cc unrolled min-propagation (the
+    8-line loop is repeated rather than factored so the certified
+    sql_kg_cc text stays untouched)."""
+    from .stages.graph import CC_ROUNDS
+
+    rounds = rounds or CC_ROUNDS
+
+    def h(col: str) -> str:
+        return (f"CAST(md5_number_upper('0:' || {col}) "
+                f"% {1 << 62}::HUGEINT AS BIGINT)")
+
+    parts = [
+        _kg_common_ctes()
+        + f"""
+, ents AS (
+  SELECT DISTINCT url, surface FROM am
+), prs AS (
+  SELECT a.surface AS sa, b.surface AS sb
+  FROM ents a JOIN ents b ON a.url = b.url AND a.surface < b.surface
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_pages}
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT {h('sa')} AS a, {h('sb')} AS b FROM prs
+), edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0
+), l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)"""
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", l{i} AS (SELECT l.node, least(l.lab, min(p.lab)) AS lab "
+            f"FROM {prev} l JOIN edges e ON e.src = l.node "
+            f"JOIN {prev} p ON p.node = e.dst GROUP BY l.node, l.lab)"
+        )
+        prev = f"l{i}"
+    parts.append(
+        f" SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS label "
+        f"FROM {prev}")
+    return "".join(parts)
+
+
 def sql_kg_hub_entities(k: int = 15, iterations: int = 3) -> str:
     """Top-k pagerank entities with names: the pagerank oracle as a
     derived table, ranked, then joined back to the distinct entity-name

@@ -478,3 +478,60 @@ def test_novelty_curve_matches_serial(ray_session):
         assert int(r.novelty_pm) == 10_000 * n_new // len(toks)
     # every token is new on the first crawl day by definition
     assert int(out.iloc[0]["novelty_pm"]) == 10_000
+
+
+# ---------------------------------------------------------------------------
+# kg_comention_clusters: co-mention communities
+# ---------------------------------------------------------------------------
+
+
+def test_comention_clusters_matches_union_find(ray_session):
+    """With rounds >= diameter, the round-exact label partition must
+    equal true connected components (driver union-find over the same
+    thresholded co-mention pairs), and the default query's node set
+    must equal the thresholded edge endpoints."""
+    import collections
+
+    from kgx.functions.text import stable_hash64
+    from kgx.queries import kg_comention_clusters, kg_cooccurrence
+    from kgx.stages.graph import cc_rounds_ds
+    from kgx.stages.kg_stages import kg_entity_edges
+
+    sf = "/root/testdata/sf0.001"
+    cooc = _collect(kg_cooccurrence(sf))
+    pairs = cooc[cooc["n_pages"] >= 2]
+    M62 = 1 << 62
+    hs = {s: stable_hash64(s) % M62
+          for s in set(pairs["surface_a"]) | set(pairs["surface_b"])}
+
+    # driver union-find ground truth
+    parent = {h: h for h in hs.values()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["surface_a"], pairs["surface_b"]):
+        ra, rb = find(hs[a]), find(hs[b])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ref = collections.defaultdict(set)
+    for h in hs.values():
+        ref[find(h)].add(h)
+    ref_partition = {frozenset(v) for v in ref.values()}
+
+    out = _collect(kg_comention_clusters(sf))
+    assert set(out["node"]) == set(hs.values())
+
+    # converged run: enough rounds for any component diameter here
+    tri = pairs.rename(columns={"surface_a": "subj", "surface_b": "obj"})
+    import ray.data as rd
+
+    conv = _collect(cc_rounds_ds(
+        kg_entity_edges(rd.from_pandas(tri[["subj", "obj"]])), rounds=20))
+    got = collections.defaultdict(set)
+    for r in conv.itertuples():
+        got[int(r.label)].add(int(r.node))
+    assert {frozenset(v) for v in got.values()} == ref_partition
