@@ -196,6 +196,9 @@ BENCH_QUERIES = [
     "emb_lsh_balance",
     "text_novelty_curve",
     "kg_comention_clusters",
+    "kg_pred_directionality",
+    "kg_entity_cards",
+    "kg_lang_yield",
 ]
 
 

@@ -2115,6 +2115,219 @@ def kg_comention_clusters(sf_dir: str, min_pages: int = 2):
         rounds=CC_ROUNDS)
 
 
+def kg_pred_directionality(sf_dir: str):
+    """Per-predicate symmetry profile (pred, n_triples, n_sym, sym_pm) over
+    the deduped triples: a directed triple is symmetric when its reverse
+    (obj, pred, subj) also exists under normalization (self-loops trivially
+    so) — the schema-mining artifact that tells a KG modeler which
+    predicates behave as undirected relations (merged_with, partnered_with)
+    vs truly directed ones (acquired, subsidiary_of), deciding whether an
+    edge type should symmetrize in the graph build (reference analog: the
+    G3/G8 relation-audit family recast as a direction audit).
+
+    Scale shape: dedup guarantees one row per (ns, pred, no) globally, so
+    per-batch (pred, a=min, b=max) max-flag partials are additive under a
+    kernel max; ONE unordered-pair-keyed partition exchange re-ORs the
+    direction flags and folds to <= |preds| rows per partition; a tiny
+    pred-keyed combiner then an in-block exact integer permyriad finish.
+    Pair rows (not triples) cross the wire once — the kg_pred_cooccurrence
+    cost class."""
+    import numpy as np
+    import pandas as pd
+
+    from .stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+    from .stages.wide import _norm_part_series
+
+    triples = _kg_sql_outputs(sf_dir)["triples"]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ns = _norm_part_series(df["subj"]).astype(str).to_numpy()
+        no = _norm_part_series(df["obj"]).astype(str).to_numpy()
+        fwd = ns <= no
+        g = pd.DataFrame(
+            {"pred": df["pred"].astype(str).to_numpy(),
+             "a": np.where(fwd, ns, no), "b": np.where(fwd, no, ns),
+             "fwd": fwd.astype("int64"),
+             "rev": (~fwd).astype("int64")})
+        return g.groupby(["pred", "a", "b"], sort=False, as_index=False).agg(
+            fwd=("fwd", "max"), rev=("rev", "max"))
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"pred": pd.Series([], dtype=object),
+                 "n_triples": pd.Series([], dtype="int64"),
+                 "n_sym": pd.Series([], dtype="int64")})
+        g = df.groupby(["pred", "a", "b"], sort=False, as_index=False).agg(
+            fwd=("fwd", "max"), rev=("rev", "max"))
+        self_loop = (g["a"] == g["b"]).to_numpy()
+        both = ((g["fwd"] == 1) & (g["rev"] == 1)).to_numpy()
+        g["n_triples"] = np.where(
+            self_loop, 1, (g["fwd"] + g["rev"]).to_numpy()).astype("int64")
+        g["n_sym"] = np.where(
+            self_loop, 1, np.where(both, 2, 0)).astype("int64")
+        return g.groupby("pred", sort=False, as_index=False).agg(
+            n_triples=("n_triples", "sum"), n_sym=("n_sym", "sum"))
+
+    folded = hash_partitioned_agg(
+        hash_partitioned_apply(
+            triples.select_columns(["subj", "pred", "obj"]).map_batches(
+                partial, batch_format="pandas"),
+            ["pred", "a", "b"], kernel),
+        ["pred"],
+        lambda df: df.groupby("pred", sort=False, as_index=False).agg(
+            n_triples=("n_triples", "sum"), n_sym=("n_sym", "sum")))
+
+    def ratio(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["sym_pm"] = (10000 * df["n_sym"]) // df["n_triples"]
+        return df
+
+    return folded.map_batches(ratio, batch_format="pandas")
+
+
+def kg_entity_cards(sf_dir: str):
+    """Per-entity summary card (entity_key, name, n_as_subj, n_as_obj,
+    n_preds, top_pred) over the deduped triples — the 'entity page' header a
+    KG browse surface renders: role counts, distinct predicates across both
+    roles, most-frequent predicate (count DESC, pred ASC tie-break), min
+    display name as representative (reference analog: the S6 per-entity
+    report sections, generator.py).
+
+    Scale shape: each triple explodes to its two role rows INSIDE the batch
+    and immediately folds to (key, pred) partials (entities and preds are
+    KB-bounded, so partial rows per batch are bounded, never triple-grain);
+    ONE entity-keyed partition exchange re-merges, computes the distinct-pred
+    count, role sums and the deterministic per-key argmax in three
+    vectorized pandas passes."""
+    import pandas as pd
+
+    from .stages.exchange import hash_partitioned_apply
+    from .stages.wide import _norm_part_series
+
+    triples = _kg_sql_outputs(sf_dir)["triples"]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        roles = pd.DataFrame(
+            {"k": pd.concat([_norm_part_series(df["subj"]),
+                             _norm_part_series(df["obj"])],
+                            ignore_index=True).astype(str),
+             "nm": pd.concat([df["subj"], df["obj"]],
+                             ignore_index=True).astype(str),
+             "pred": pd.concat([df["pred"], df["pred"]],
+                               ignore_index=True).astype(str),
+             "is_s": [1] * len(df) + [0] * len(df)})
+        g = roles.groupby(["k", "pred"], sort=False, as_index=False).agg(
+            nm=("nm", "min"), n_s=("is_s", "sum"), cnt=("is_s", "size"))
+        g["n_o"] = (g["cnt"] - g["n_s"]).astype("int64")
+        g["n_s"] = g["n_s"].astype("int64")
+        return g[["k", "nm", "pred", "n_s", "n_o"]]
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"entity_key": pd.Series([], dtype=object),
+                 "name": pd.Series([], dtype=object),
+                 "n_as_subj": pd.Series([], dtype="int64"),
+                 "n_as_obj": pd.Series([], dtype="int64"),
+                 "n_preds": pd.Series([], dtype="int64"),
+                 "top_pred": pd.Series([], dtype=object)})
+        g = df.groupby(["k", "pred"], sort=False, as_index=False).agg(
+            nm=("nm", "min"), n_s=("n_s", "sum"), n_o=("n_o", "sum"))
+        g["c"] = g["n_s"] + g["n_o"]
+        agg = g.groupby("k", sort=False, as_index=False).agg(
+            name=("nm", "min"), n_as_subj=("n_s", "sum"),
+            n_as_obj=("n_o", "sum"), n_preds=("pred", "size"))
+        top = g.sort_values(["k", "c", "pred"],
+                            ascending=[True, False, True], kind="stable") \
+            .drop_duplicates("k")[["k", "pred"]] \
+            .rename(columns={"pred": "top_pred"})
+        out = agg.merge(top, on="k").rename(columns={"k": "entity_key"})
+        for c in ("n_as_subj", "n_as_obj", "n_preds"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return hash_partitioned_apply(
+        triples.select_columns(["subj", "pred", "obj"]).map_batches(
+            partial, batch_format="pandas"),
+        ["k"], kernel)
+
+
+def kg_lang_yield(sf_dir: str):
+    """Per-document-language extraction yield (lang, n_pages,
+    n_linked_pages, n_triples): pages per ground-truth lang, pages that
+    produced at least one linked triple, and total linked triples — the
+    crawl-planning artifact that tells an operator which languages the
+    English-centric alias/predicate KB actually serves before spending
+    crawl budget there (reference analog: the G7 per-run quality counters
+    split by corpus facet).
+
+    Scale shape: the documents side ships one (url, lang) row per page; the
+    linked side pre-folds per batch via value_counts to (url, n) partials;
+    the two streams union kind-tagged through ONE url-keyed partition
+    exchange (page-grain rows, never triples — the kg_source_contrib cost
+    class), whose kernel left-joins counts onto pages and folds to
+    <= |langs| rows per partition; a tiny lang-keyed combiner finishes.
+    Null-lang documents drop at ingest (mirrored in the oracle)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .pipeline import broadcast_kb, linked_triples_ds
+    from .stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    docs = rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["doc_id", "source", "lang"])
+    linked = linked_triples_ds(_kg_sql_pages(sf_dir), _kg_sql_cfg(),
+                               broadcast_kb())
+
+    def doc_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["lang"])
+        return pd.DataFrame(
+            {"url": ("https://synth.example/" + df["source"].astype(str)
+                     + "/" + df["doc_id"].astype(str)),
+             "lang": df["lang"].astype(str),
+             "n": pd.Series(0, index=df.index, dtype="int64"),
+             "kind": pd.Series(0, index=df.index, dtype="int64")})
+
+    def cnt_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        vc = df["url"].value_counts()
+        return pd.DataFrame(
+            {"url": vc.index.astype(str),
+             "lang": pd.Series("", index=range(len(vc)), dtype=object),
+             "n": vc.to_numpy().astype("int64"),
+             "kind": pd.Series(1, index=range(len(vc)), dtype="int64")})
+
+    tagged = docs.map_batches(doc_partial, batch_format="pandas").union(
+        linked.select_columns(["url"]).map_batches(
+            cnt_partial, batch_format="pandas"))
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"lang": pd.Series([], dtype=object),
+                 "n_pages": pd.Series([], dtype="int64"),
+                 "n_linked_pages": pd.Series([], dtype="int64"),
+                 "n_triples": pd.Series([], dtype="int64")})
+        pages = df[df["kind"] == 0][["url", "lang"]]
+        cnts = df[df["kind"] == 1].groupby("url", sort=False,
+                                           as_index=False)["n"].sum()
+        m = pages.merge(cnts, on="url", how="left")
+        m["n"] = m["n"].fillna(0).astype("int64")
+        m["linked"] = (m["n"] > 0).astype("int64")
+        return m.groupby("lang", sort=False, as_index=False).agg(
+            n_pages=("url", "size"), n_linked_pages=("linked", "sum"),
+            n_triples=("n", "sum"))
+
+    return hash_partitioned_agg(
+        hash_partitioned_apply(tagged, ["url"], kernel),
+        ["lang"],
+        lambda df: df.groupby("lang", sort=False, as_index=False).agg(
+            n_pages=("n_pages", "sum"),
+            n_linked_pages=("n_linked_pages", "sum"),
+            n_triples=("n_triples", "sum")))
+
+
 def rel_region_revenue(sf_dir: str):
     """Composed TPC-H-Q5-shape snowflake: one year of revenue rolled up
     through customer -> nation -> region — driver-scale dims resolved in
@@ -2529,6 +2742,9 @@ def registry() -> dict:
         "emb_lsh_balance": emb_lsh_balance,
         "text_novelty_curve": text_novelty_curve,
         "kg_comention_clusters": kg_comention_clusters,
+        "kg_pred_directionality": kg_pred_directionality,
+        "kg_entity_cards": kg_entity_cards,
+        "kg_lang_yield": kg_lang_yield,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3427,6 +3643,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_balance": so.sql_lsh_balance(nbits=8, tables=4),
         "text_novelty_curve": _sql_novelty_curve(),
         "kg_comention_clusters": so.sql_kg_comention_clusters(),
+        "kg_pred_directionality": so.sql_kg_pred_directionality(),
+        "kg_entity_cards": so.sql_kg_entity_cards(),
+        "kg_lang_yield": so.sql_kg_lang_yield(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

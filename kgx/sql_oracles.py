@@ -1151,3 +1151,110 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_triples,
 FROM src GROUP BY 1
 """
     )
+
+
+def sql_kg_pred_directionality() -> str:
+    """(pred, n_triples, n_sym, sym_pm): per-predicate symmetry profile over
+    the deduped triple set — a directed triple is 'symmetric' when its
+    reverse (obj, pred, subj) also exists under normalization; self-loops
+    (ns == no) are trivially symmetric.  sym_pm is the exact integer
+    permyriad 10000 * n_sym // n_triples."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY ns, pred, no
+                       ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), t AS (
+  SELECT ns, pred, no FROM ranked WHERE rr = 1
+), pairs AS (
+  SELECT pred, least(ns, no) AS a, greatest(ns, no) AS b,
+         max(CASE WHEN ns <= no THEN 1 ELSE 0 END) AS fwd,
+         max(CASE WHEN ns > no THEN 1 ELSE 0 END) AS rev
+  FROM t GROUP BY 1, 2, 3
+), folded AS (
+  SELECT pred,
+    sum(CASE WHEN a = b THEN 1 ELSE fwd + rev END) AS n_triples,
+    sum(CASE WHEN a = b THEN 1
+             WHEN fwd = 1 AND rev = 1 THEN 2 ELSE 0 END) AS n_sym
+  FROM pairs GROUP BY pred
+)
+SELECT pred, CAST(n_triples AS BIGINT) AS n_triples,
+       CAST(n_sym AS BIGINT) AS n_sym,
+       CAST((10000 * n_sym) // n_triples AS BIGINT) AS sym_pm
+FROM folded
+"""
+    )
+
+
+def sql_kg_entity_cards() -> str:
+    """(entity_key, name, n_as_subj, n_as_obj, n_preds, top_pred): the
+    per-entity summary card over the deduped triples — role counts, distinct
+    predicates across both roles, most-frequent predicate (count DESC, pred
+    ASC tie-break), min display name as representative."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY ns, pred, no
+                       ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), t AS (
+  SELECT ns, no, subj, obj, pred FROM ranked WHERE rr = 1
+), roles AS (
+  SELECT ns AS k, subj AS nm, pred, 1 AS is_s FROM t
+  UNION ALL
+  SELECT no AS k, obj AS nm, pred, 0 AS is_s FROM t
+), kp AS (
+  SELECT k, min(nm) AS nm, pred,
+         sum(is_s) AS n_s, count(*) - sum(is_s) AS n_o
+  FROM roles GROUP BY k, pred
+), tops AS (
+  SELECT k, pred,
+    row_number() OVER (PARTITION BY k ORDER BY n_s + n_o DESC, pred) AS rr
+  FROM kp
+), agg AS (
+  SELECT k, min(nm) AS name, sum(n_s) AS n_as_subj, sum(n_o) AS n_as_obj,
+         count(*) AS n_preds
+  FROM kp GROUP BY k
+)
+SELECT a.k AS entity_key, a.name,
+       CAST(a.n_as_subj AS BIGINT) AS n_as_subj,
+       CAST(a.n_as_obj AS BIGINT) AS n_as_obj,
+       CAST(a.n_preds AS BIGINT) AS n_preds,
+       tp.pred AS top_pred
+FROM agg a JOIN tops tp ON tp.k = a.k AND tp.rr = 1
+"""
+    )
+
+
+def sql_kg_lang_yield() -> str:
+    """(lang, n_pages, n_linked_pages, n_triples): per-document-language KG
+    extraction yield — pages per ground-truth lang (null lang drops on both
+    sides), pages that produced at least one linked triple, and total linked
+    triples (pre-dedup, the kg_source_contrib convention)."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, docs AS (
+  SELECT {DOC_URL_SQL} AS url, lang FROM documents WHERE lang IS NOT NULL
+), per_url AS (
+  SELECT url, count(*) AS n FROM linked GROUP BY url
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN p.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_linked_pages,
+       CAST(coalesce(sum(p.n), 0) AS BIGINT) AS n_triples
+FROM docs d LEFT JOIN per_url p ON p.url = d.url
+GROUP BY d.lang
+"""
+    )

@@ -1,0 +1,144 @@
+"""Round-5 batch-16 operators: kg_pred_directionality (per-predicate
+symmetry), kg_entity_cards (per-entity summary card), kg_lang_yield
+(per-language extraction yield) — serial-parity + invariant tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _collect(ds) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(ds, ray.data.Dataset):
+        return ds.to_pandas()
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# kg_pred_directionality: per-predicate symmetry profile
+# ---------------------------------------------------------------------------
+
+
+def test_pred_directionality_matches_serial(ray_session):
+    import kgx.queries as Q
+    from kgx.stages.wide import _norm_part_series
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_pred_directionality(sf)) \
+        .sort_values("pred").reset_index(drop=True)
+
+    tri = _collect(Q.kg_triples(sf))
+    tri["ns"] = _norm_part_series(tri["subj"])
+    tri["no"] = _norm_part_series(tri["obj"])
+    directed = set(zip(tri["ns"], tri["pred"], tri["no"]))
+    rows = {}
+    for ns, pred, no in directed:
+        n, s = rows.get(pred, (0, 0))
+        sym = (ns == no) or ((no, pred, ns) in directed)
+        rows[pred] = (n + 1, s + (1 if sym else 0))
+    ref = pd.DataFrame(
+        [(p, n, s, (10000 * s) // n) for p, (n, s) in sorted(rows.items())],
+        columns=["pred", "n_triples", "n_sym", "sym_pm"])
+
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+    assert (out["n_sym"] <= out["n_triples"]).all()
+    assert out["sym_pm"].between(0, 10000).all()
+
+
+# ---------------------------------------------------------------------------
+# kg_entity_cards: per-entity summary card
+# ---------------------------------------------------------------------------
+
+
+def test_entity_cards_matches_serial(ray_session):
+    import kgx.queries as Q
+    from kgx.stages.wide import _norm_part_series
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_entity_cards(sf)) \
+        .sort_values("entity_key").reset_index(drop=True)
+
+    tri = _collect(Q.kg_triples(sf))
+    roles = pd.DataFrame(
+        {"k": pd.concat([_norm_part_series(tri["subj"]),
+                         _norm_part_series(tri["obj"])], ignore_index=True),
+         "nm": pd.concat([tri["subj"], tri["obj"]], ignore_index=True),
+         "pred": pd.concat([tri["pred"], tri["pred"]], ignore_index=True),
+         "is_s": [1] * len(tri) + [0] * len(tri)})
+    kp = roles.groupby(["k", "pred"], as_index=False).agg(
+        nm=("nm", "min"), n_s=("is_s", "sum"), cnt=("is_s", "size"))
+    kp["n_o"] = kp["cnt"] - kp["n_s"]
+    kp["c"] = kp["n_s"] + kp["n_o"]
+    agg = kp.groupby("k", as_index=False).agg(
+        name=("nm", "min"), n_as_subj=("n_s", "sum"),
+        n_as_obj=("n_o", "sum"), n_preds=("pred", "size"))
+    top = kp.sort_values(["k", "c", "pred"],
+                         ascending=[True, False, True], kind="stable") \
+        .drop_duplicates("k")[["k", "pred"]] \
+        .rename(columns={"pred": "top_pred"})
+    ref = agg.merge(top, on="k").rename(columns={"k": "entity_key"}) \
+        .sort_values("entity_key").reset_index(drop=True)
+    for c in ("n_as_subj", "n_as_obj", "n_preds"):
+        ref[c] = ref[c].astype("int64")
+
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+    # every card's role counts cover at least one triple side
+    assert ((out["n_as_subj"] + out["n_as_obj"]) >= 1).all()
+    assert (out["n_preds"] >= 1).all()
+
+
+def test_entity_cards_top_pred_tiebreak(ray_session):
+    """On the real corpus every top_pred must actually achieve the max
+    per-key role count (argmax soundness under the pred-ASC tie-break)."""
+    import kgx.queries as Q
+    from kgx.stages.wide import _norm_part_series
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_entity_cards(sf))
+    tri = _collect(Q.kg_triples(sf))
+    roles = pd.DataFrame(
+        {"k": pd.concat([_norm_part_series(tri["subj"]),
+                         _norm_part_series(tri["obj"])], ignore_index=True),
+         "pred": pd.concat([tri["pred"], tri["pred"]], ignore_index=True)})
+    counts = roles.groupby(["k", "pred"]).size()
+    for r in out.itertuples():
+        per_key = counts.loc[r.entity_key]
+        best = per_key.max()
+        winners = sorted(per_key[per_key == best].index)
+        assert r.top_pred == winners[0]
+
+
+# ---------------------------------------------------------------------------
+# kg_lang_yield: per-language extraction yield
+# ---------------------------------------------------------------------------
+
+
+def test_lang_yield_mass_and_bounds(ray_session):
+    import pyarrow.parquet as pq
+
+    import kgx.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_lang_yield(sf)).sort_values("lang") \
+        .reset_index(drop=True)
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["lang"]) \
+        .to_pandas()
+    n_nonnull = int(docs["lang"].notna().sum())
+
+    assert len(out) > 0
+    # page mass: every non-null-lang document counted exactly once
+    assert int(out["n_pages"].sum()) == n_nonnull
+    # per-lang page counts match the raw column distribution
+    vc = docs["lang"].value_counts().sort_index()
+    got = out.set_index("lang")["n_pages"].sort_index()
+    pd.testing.assert_series_equal(
+        got, vc, check_names=False, check_index_type=False)
+    # a page yields triples only if it is linked
+    assert (out["n_linked_pages"] <= out["n_pages"]).all()
+    assert (out["n_triples"] >= out["n_linked_pages"]).all()
+    # the synthetic corpus plants extractable english pages
+    assert int(out["n_triples"].sum()) > 0
