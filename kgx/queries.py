@@ -2328,6 +2328,94 @@ def kg_lang_yield(sf_dir: str):
             n_triples=("n_triples", "sum")))
 
 
+def kg_conf_hist(sf_dir: str):
+    """Confidence histogram (conf_pct, n_triples) over the deduped triples
+    under the shared explicit half-away rule floor(max_conf * 100 + 0.5) —
+    the publish-threshold selection curve a KG release reads to decide
+    where to cut low-confidence extractions (reference analog: the G7
+    quality-counter family over extraction confidence).
+
+    Scale shape: conf values come from the bounded predicate-rule table, so
+    per-batch value_counts partials fold to a handful of rows and ONE
+    conf_pct-keyed combiner exchange finishes — nothing unbounded ever
+    crosses the wire."""
+    import numpy as np
+    import pandas as pd
+
+    from .stages.exchange import hash_partitioned_agg
+
+    triples = _kg_sql_outputs(sf_dir)["triples"]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        pct = np.floor(
+            df["conf"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype("int64")
+        vc = pd.Series(pct).value_counts()
+        return pd.DataFrame({"conf_pct": vc.index.astype("int64"),
+                             "n_triples": vc.to_numpy().astype("int64")})
+
+    partials = triples.select_columns(["conf"]).map_batches(
+        partial, batch_format="pandas")
+    return hash_partitioned_agg(
+        partials, ["conf_pct"],
+        lambda df: df.groupby("conf_pct", sort=False, as_index=False).agg(
+            n_triples=("n_triples", "sum")))
+
+
+def kg_category_stats(sf_dir: str):
+    """Per-category graph size (category, n_triples, n_subjects,
+    support_total) over the deduped + categorized triples — the S6
+    report-section size table (how big is each topical section of the
+    published KG, how much duplicate support backs it).
+
+    Scale shape: deduped triples are globally unique on (ns, pred, no), so
+    per-batch (category, ns) count/support partials are additive; ONE
+    (category, ns)-keyed partition exchange (the kg_pred_cooccurrence
+    subject-keyed cost class) re-merges, where the per-category distinct-ns
+    count is the group row count; a tiny category-keyed combiner folds the
+    per-partition partials."""
+    import pandas as pd
+
+    from .stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+    from .stages.wide import _norm_part_series
+
+    triples = _kg_sql_outputs(sf_dir)["triples"]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {"category": df["category"].astype(str),
+             "ns": _norm_part_series(df["subj"]).astype(str),
+             "n_support": df["n_support"].astype("int64")})
+        return g.groupby(["category", "ns"], sort=False, as_index=False).agg(
+            n=("n_support", "size"), sup=("n_support", "sum"))
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"category": pd.Series([], dtype=object),
+                 "n_triples": pd.Series([], dtype="int64"),
+                 "n_subjects": pd.Series([], dtype="int64"),
+                 "support_total": pd.Series([], dtype="int64")})
+        g = df.groupby(["category", "ns"], sort=False, as_index=False).agg(
+            n=("n", "sum"), sup=("sup", "sum"))
+        out = g.groupby("category", sort=False, as_index=False).agg(
+            n_triples=("n", "sum"), n_subjects=("ns", "size"),
+            support_total=("sup", "sum"))
+        for c in ("n_triples", "n_subjects", "support_total"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return hash_partitioned_agg(
+        hash_partitioned_apply(
+            triples.select_columns(["subj", "category", "n_support"])
+            .map_batches(partial, batch_format="pandas"),
+            ["category", "ns"], kernel),
+        ["category"],
+        lambda df: df.groupby("category", sort=False, as_index=False).agg(
+            n_triples=("n_triples", "sum"), n_subjects=("n_subjects", "sum"),
+            support_total=("support_total", "sum")))
+
+
 def rel_region_revenue(sf_dir: str):
     """Composed TPC-H-Q5-shape snowflake: one year of revenue rolled up
     through customer -> nation -> region — driver-scale dims resolved in
@@ -2745,6 +2833,8 @@ def registry() -> dict:
         "kg_pred_directionality": kg_pred_directionality,
         "kg_entity_cards": kg_entity_cards,
         "kg_lang_yield": kg_lang_yield,
+        "kg_conf_hist": kg_conf_hist,
+        "kg_category_stats": kg_category_stats,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3646,6 +3736,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_directionality": so.sql_kg_pred_directionality(),
         "kg_entity_cards": so.sql_kg_entity_cards(),
         "kg_lang_yield": so.sql_kg_lang_yield(),
+        "kg_conf_hist": so.sql_kg_conf_hist(),
+        "kg_category_stats": so.sql_kg_category_stats(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

@@ -142,3 +142,46 @@ def test_lang_yield_mass_and_bounds(ray_session):
     assert (out["n_triples"] >= out["n_linked_pages"]).all()
     # the synthetic corpus plants extractable english pages
     assert int(out["n_triples"].sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# kg_conf_hist / kg_category_stats: publish-threshold + section-size tables
+# ---------------------------------------------------------------------------
+
+
+def test_conf_hist_matches_serial(ray_session):
+    import numpy as np
+
+    import kgx.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_conf_hist(sf)).sort_values("conf_pct") \
+        .reset_index(drop=True)
+    tri = _collect(Q.kg_triples(sf))  # carries the same conf_pct projection
+    ref = tri["conf_pct"].value_counts().sort_index()
+    assert len(out) > 0
+    assert int(out["n_triples"].sum()) == len(tri)  # mass conservation
+    np.testing.assert_array_equal(out["conf_pct"].to_numpy(),
+                                  ref.index.to_numpy())
+    np.testing.assert_array_equal(out["n_triples"].to_numpy(),
+                                  ref.to_numpy())
+
+
+def test_category_stats_matches_serial(ray_session):
+    import kgx.queries as Q
+    from kgx.stages.wide import _norm_part_series
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_category_stats(sf)).sort_values("category") \
+        .reset_index(drop=True)
+    tri = _collect(Q.kg_triples(sf))
+    tri["ns"] = _norm_part_series(tri["subj"])
+    ref = tri.groupby("category", as_index=False).agg(
+        n_triples=("ns", "size"), n_subjects=("ns", "nunique"),
+        support_total=("n_support", "sum")).sort_values("category") \
+        .reset_index(drop=True)
+    for c in ("n_triples", "n_subjects", "support_total"):
+        ref[c] = ref[c].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+    assert (out["support_total"] >= out["n_triples"]).all()
