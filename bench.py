@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "kg_lang_yield",
     "kg_conf_hist",
     "kg_category_stats",
+    "kg_pred_trend",
 ]
 
 

@@ -2416,6 +2416,49 @@ def kg_category_stats(sf_dir: str):
             support_total=("support_total", "sum")))
 
 
+def kg_pred_trend(sf_dir: str):
+    """Per-predicate extraction volume by crawl day (pred, day, n_triples)
+    over the linked stream — the relation-drift monitor an incremental KG
+    refresh reads next to kg_growth_curve: a predicate whose daily volume
+    collapses (or explodes) signals a crawl-mix or extractor-rule change
+    before it poisons the published graph.
+
+    Scale shape: crawl day derives from the doc_id in the url path under
+    the synth warc_ts formula (a real corpus reads its ingest-date column
+    and would ride the kg_entity_freshness lineage-attach exchange
+    instead), so the day attach is a pure vectorized function of columns
+    already in the batch; per-batch (pred, day) value counts fold to
+    <= |preds| x |days| rows and ONE bounded combiner exchange finishes —
+    no unbounded rows ever cross the wire."""
+    import numpy as np
+    import pandas as pd
+
+    from .pipeline import broadcast_kb, linked_triples_ds
+    from .stages.exchange import hash_partitioned_agg
+    from .synth import EPOCH_US
+
+    linked = linked_triples_ds(_kg_sql_pages(sf_dir), _kg_sql_cfg(),
+                               broadcast_kb())
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ids = df["url"].str.rsplit("/", n=1).str[-1].astype("int64")
+        day = (EPOCH_US + ids.to_numpy() * 37_000_000) // 86_400_000_000
+        g = pd.DataFrame({"pred": df["pred"].astype(str),
+                          "day": day.astype("int64")})
+        out = g.groupby(["pred", "day"], sort=False, as_index=False).agg(
+            n_triples=("day", "size"))
+        out["n_triples"] = out["n_triples"].astype("int64")
+        return out
+
+    return hash_partitioned_agg(
+        linked.select_columns(["url", "pred"]).map_batches(
+            partial, batch_format="pandas"),
+        ["pred", "day"],
+        lambda df: df.groupby(["pred", "day"], sort=False,
+                              as_index=False).agg(
+            n_triples=("n_triples", "sum")))
+
+
 def rel_region_revenue(sf_dir: str):
     """Composed TPC-H-Q5-shape snowflake: one year of revenue rolled up
     through customer -> nation -> region — driver-scale dims resolved in
@@ -2835,6 +2878,7 @@ def registry() -> dict:
         "kg_lang_yield": kg_lang_yield,
         "kg_conf_hist": kg_conf_hist,
         "kg_category_stats": kg_category_stats,
+        "kg_pred_trend": kg_pred_trend,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3738,6 +3782,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_lang_yield": so.sql_kg_lang_yield(),
         "kg_conf_hist": so.sql_kg_conf_hist(),
         "kg_category_stats": so.sql_kg_category_stats(),
+        "kg_pred_trend": so.sql_kg_pred_trend(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

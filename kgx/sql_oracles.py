@@ -1314,3 +1314,24 @@ SELECT category, CAST(count(*) AS BIGINT) AS n_triples,
 FROM t GROUP BY 1
 """
     )
+
+
+def sql_kg_pred_trend() -> str:
+    """(pred, day, n_triples): per-predicate extraction volume by crawl day
+    over the linked stream — warc_ts reconstructed from the doc_id in the
+    url path (a real corpus reads its ingest-date column)."""
+    return (
+        _kg_common_ctes()
+        + """
+, days AS (
+  SELECT pred,
+    (1700000000000000
+     + CAST(split_part(url, '/', 5) AS BIGINT) * 37000000)
+    // 86400000000 AS day
+  FROM linked
+)
+SELECT pred, CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_triples
+FROM days GROUP BY 1, 2
+"""
+    )

