@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "kg_conf_hist",
     "kg_category_stats",
     "kg_pred_trend",
+    "kg_entity_types",
 ]
 
 

@@ -2459,6 +2459,50 @@ def kg_pred_trend(sf_dir: str):
             n_triples=("n_triples", "sum")))
 
 
+def kg_entity_types(sf_dir: str):
+    """NER-type composition of the canonical entity table (ner_type,
+    n_entities, n_aliases, n_mentions) — the graph-population summary a KG
+    release publishes first (how many ORGs / PERs / LOCs, how richly
+    aliased, how often mentioned; reference analog: the S6 report's
+    per-type sections, generator.py).
+
+    Scale shape: rides the ALREADY-aggregated canonical-entities output
+    (one row per entity), so the only new work is a KB-bounded
+    entity_id -> ner_type dict lookup per batch (the KB is config-sized;
+    captured in the closure like the synth page enricher) and per-batch
+    type sums into ONE bounded ner_type-keyed combiner exchange."""
+    import pandas as pd
+
+    from .stages.exchange import hash_partitioned_agg
+    from .synth import build_knowledge_base
+
+    entities = _kg_sql_outputs(sf_dir)["entities"]
+    id2type = {
+        int(e["entity_id"]): e["ner_type"]
+        for e in build_knowledge_base()["entities"]
+    }
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {"ner_type": df["entity_id"].map(id2type).astype(str),
+             "n_aliases": df["aliases"].map(len).astype("int64"),
+             "n_mentions": df["n_mentions"].astype("int64")})
+        out = g.groupby("ner_type", sort=False, as_index=False).agg(
+            n_entities=("ner_type", "size"), n_aliases=("n_aliases", "sum"),
+            n_mentions=("n_mentions", "sum"))
+        out["n_entities"] = out["n_entities"].astype("int64")
+        return out
+
+    return hash_partitioned_agg(
+        entities.select_columns(
+            ["entity_id", "aliases", "n_mentions"]).map_batches(
+            partial, batch_format="pandas"),
+        ["ner_type"],
+        lambda df: df.groupby("ner_type", sort=False, as_index=False).agg(
+            n_entities=("n_entities", "sum"), n_aliases=("n_aliases", "sum"),
+            n_mentions=("n_mentions", "sum")))
+
+
 def rel_region_revenue(sf_dir: str):
     """Composed TPC-H-Q5-shape snowflake: one year of revenue rolled up
     through customer -> nation -> region — driver-scale dims resolved in
@@ -2879,6 +2923,7 @@ def registry() -> dict:
         "kg_conf_hist": kg_conf_hist,
         "kg_category_stats": kg_category_stats,
         "kg_pred_trend": kg_pred_trend,
+        "kg_entity_types": kg_entity_types,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3783,6 +3828,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_conf_hist": so.sql_kg_conf_hist(),
         "kg_category_stats": so.sql_kg_category_stats(),
         "kg_pred_trend": so.sql_kg_pred_trend(),
+        "kg_entity_types": so.sql_kg_entity_types(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

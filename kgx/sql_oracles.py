@@ -1335,3 +1335,32 @@ SELECT pred, CAST(day AS BIGINT) AS day,
 FROM days GROUP BY 1, 2
 """
     )
+
+
+def sql_kg_entity_types() -> str:
+    """(ner_type, n_entities, n_aliases, n_mentions): NER-type composition
+    of the canonical entity table — the agg scaffold of sql_kg_entities with
+    the type attached from the embedded alias config (entity_id -> ner_type
+    is functional in the KB)."""
+    return (
+        _kg_common_ctes()
+        + """
+, ment AS (
+  SELECT subj_key AS entity_key, subj_id AS eid, subj_surface AS surf
+  FROM linked
+  UNION ALL
+  SELECT obj_key, obj_id, obj_surface FROM linked
+), agg AS (
+  SELECT entity_key, min(eid) AS entity_id,
+         count(DISTINCT surf) AS n_aliases, count(*) AS n_mentions
+  FROM ment GROUP BY 1
+), et AS (
+  SELECT DISTINCT entity_id, ner_type FROM aliases
+)
+SELECT et.ner_type, CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(a.n_aliases) AS BIGINT) AS n_aliases,
+       CAST(sum(a.n_mentions) AS BIGINT) AS n_mentions
+FROM agg a JOIN et ON et.entity_id = a.entity_id
+GROUP BY 1
+"""
+    )

@@ -207,3 +207,32 @@ def test_pred_trend_mass_and_day_formula(ray_session):
     assert (out["day"] >= lo).all()
     # per-pred totals match the symmetric profile's pre-dedup superset
     assert out.groupby("pred")["n_triples"].sum().gt(0).all()
+
+
+# ---------------------------------------------------------------------------
+# kg_entity_types: NER-type composition of the entity table
+# ---------------------------------------------------------------------------
+
+
+def test_entity_types_matches_serial(ray_session):
+    import kgx.queries as Q
+    from kgx.synth import build_knowledge_base
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_entity_types(sf)).sort_values("ner_type") \
+        .reset_index(drop=True)
+
+    ents = _collect(Q.kg_entities(sf))
+    id2type = {int(e["entity_id"]): e["ner_type"]
+               for e in build_knowledge_base()["entities"]}
+    ents["ner_type"] = ents["entity_id"].map(id2type)
+    assert ents["ner_type"].notna().all()  # every entity resolves to a type
+    ref = ents.groupby("ner_type", as_index=False).agg(
+        n_entities=("entity_id", "size"), n_aliases=("n_aliases", "sum"),
+        n_mentions=("n_mentions", "sum")).sort_values("ner_type") \
+        .reset_index(drop=True)
+    for c in ("n_entities", "n_aliases", "n_mentions"):
+        ref[c] = ref[c].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
+    assert set(out["ner_type"]) <= {"ORG", "PER", "LOC"}
+    assert (out["n_mentions"] >= out["n_entities"]).all()
