@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "kg_category_stats",
     "kg_pred_trend",
     "kg_entity_types",
+    "graph_degree_moments",
 ]
 
 

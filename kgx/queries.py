@@ -2503,6 +2503,21 @@ def kg_entity_types(sf_dir: str):
             n_mentions=("n_mentions", "sum")))
 
 
+def graph_degree_moments(sf_dir: str):
+    """Exact degree-distribution moments of the co-supplier graph — ONE row
+    (n_nodes, n_edges, n_wedges, max_deg): the pre-flight a scheduler reads
+    BEFORE launching the wedge pipelines (n_wedges = sum C(d,2) is exactly
+    the candidate volume cosupplier_triangles will generate under the
+    documented O(m^1.5) bound; max_deg bounds the hottest partition).
+    Shared distinct-pair build -> node-keyed degree combiner -> scalar
+    moment fold; no wedges ever materialize."""
+    from .pipelines.relational import _read
+    from .stages.triangles import cosupplier_degree_moments
+
+    return cosupplier_degree_moments(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]))
+
+
 def rel_region_revenue(sf_dir: str):
     """Composed TPC-H-Q5-shape snowflake: one year of revenue rolled up
     through customer -> nation -> region — driver-scale dims resolved in
@@ -2924,6 +2939,7 @@ def registry() -> dict:
         "kg_category_stats": kg_category_stats,
         "kg_pred_trend": kg_pred_trend,
         "kg_entity_types": kg_entity_types,
+        "graph_degree_moments": graph_degree_moments,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3609,6 +3625,12 @@ def _sql_edge_weights() -> str:
     return sql_edge_weights()
 
 
+def _sql_degree_moments() -> str:
+    from .stages.triangles import sql_degree_moments
+
+    return sql_degree_moments()
+
+
 def _sql_blame() -> str:
     from .pipelines.relational import sql_blame_supplier_counts
 
@@ -3829,6 +3851,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_category_stats": so.sql_kg_category_stats(),
         "kg_pred_trend": so.sql_kg_pred_trend(),
         "kg_entity_types": so.sql_kg_entity_types(),
+        "graph_degree_moments": _sql_degree_moments(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

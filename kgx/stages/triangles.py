@@ -574,19 +574,12 @@ FROM cn JOIN deg da ON da.node = cn.a JOIN deg db ON db.node = cn.b
 """
 
 
-def cosupplier_edge_weights(lineitem_ds, num_partitions: int | None = None):
-    """lineitem -> (weight, n_edges): histogram of co-supplier edge
-    multiplicities — weight = number of DISTINCT orders a supplier pair
-    shares, the graph's edge-strength distribution (the thresholding
-    signal for pruning weak co-occurrence edges before the expensive
-    wedge pipelines).
-
-    Stage 1 is the triangle pipeline's orderkey exchange, but KEEPING one
-    row per (order, pair) and pre-folding to (a, b, partial-weight)
-    inside the partition (an order lives wholly in one partition, so the
-    pre-fold loses nothing); stage 2 sums weights in an (a, b)-keyed
-    combiner; stage 3 folds the bounded weight histogram.  No wedges, no
-    orientation — strictly cheaper than any triangle-family query."""
+def _distinct_pair_weights(lineitem_ds, num_partitions: int | None = None):
+    """lineitem -> globally distinct weighted co-supplier pairs (a, b, w):
+    stage 1 is the triangle pipeline's orderkey exchange KEEPING one row
+    per (order, pair) with an in-partition pre-fold (an order lives wholly
+    in one partition, so nothing is lost); stage 2 sums weights in an
+    (a, b)-keyed combiner — after it each pair exists exactly once."""
     import pandas as pd
 
     from .exchange import hash_partitioned_agg, hash_partitioned_apply
@@ -608,11 +601,28 @@ def cosupplier_edge_weights(lineitem_ds, num_partitions: int | None = None):
         lineitem_ds, ["l_orderkey"], order_pair_weights, num_partitions,
         int_keys=True)
 
-    weights = hash_partitioned_agg(
+    return hash_partitioned_agg(
         pair_w, ["a", "b"],
         lambda df: df.groupby(["a", "b"], sort=False, as_index=False).agg(
             w=("w", "sum")),
         num_partitions)
+
+
+def cosupplier_edge_weights(lineitem_ds, num_partitions: int | None = None):
+    """lineitem -> (weight, n_edges): histogram of co-supplier edge
+    multiplicities — weight = number of DISTINCT orders a supplier pair
+    shares, the graph's edge-strength distribution (the thresholding
+    signal for pruning weak co-occurrence edges before the expensive
+    wedge pipelines).
+
+    Stages 1-2 are the shared distinct-pair build; stage 3 folds the
+    bounded weight histogram.  No wedges, no orientation — strictly
+    cheaper than any triangle-family query."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg
+
+    weights = _distinct_pair_weights(lineitem_ds, num_partitions)
 
     def hist_partial(df: "pd.DataFrame") -> "pd.DataFrame":
         vc = df["w"].value_counts()
@@ -626,6 +636,85 @@ def cosupplier_edge_weights(lineitem_ds, num_partitions: int | None = None):
         lambda df: df.groupby("weight", sort=False, as_index=False).agg(
             n_edges=("n_edges", "sum")),
         num_partitions)
+
+
+def cosupplier_degree_moments(lineitem_ds, num_partitions: int | None = None):
+    """lineitem -> ONE row (n_nodes, n_edges, n_wedges, max_deg): exact
+    degree-distribution moments of the co-supplier graph — the pre-flight
+    a scheduler reads BEFORE launching the wedge pipelines (n_wedges =
+    sum C(d, 2) is exactly the candidate volume cosupplier_triangles will
+    generate; max_deg bounds the hottest partition).
+
+    Stages 1-2 are the shared distinct-pair build; stage 3 emits both
+    endpoints of each distinct edge into a node-keyed degree combiner;
+    stage 4 folds per-batch scalar moment partials (constant key — a
+    driver-scale single-row exchange).  n_edges = sum(d) // 2 by the
+    handshake lemma."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg
+
+    weights = _distinct_pair_weights(lineitem_ds, num_partitions)
+
+    def node_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        nodes = pd.concat([df["a"], df["b"]], ignore_index=True)
+        vc = nodes.value_counts()
+        return pd.DataFrame({"node": vc.index.to_numpy().astype("int64"),
+                             "d": vc.to_numpy().astype("int64")})
+
+    degrees = hash_partitioned_agg(
+        weights.map_batches(node_partial, batch_format="pandas"),
+        ["node"],
+        lambda df: df.groupby("node", sort=False, as_index=False).agg(
+            d=("d", "sum")),
+        num_partitions)
+
+    def moment_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df["d"].to_numpy()
+        return pd.DataFrame(
+            {"k": np.int64(0), "n_nodes": np.int64(len(d)),
+             "sum_d": d.sum(dtype=np.int64),
+             "n_wedges": (d * (d - 1) // 2).sum(dtype=np.int64),
+             "max_deg": np.int64(d.max()) if len(d) else np.int64(0)},
+            index=[0])
+
+    folded = hash_partitioned_agg(
+        degrees.map_batches(moment_partial, batch_format="pandas"),
+        ["k"],
+        lambda df: df.groupby("k", sort=False, as_index=False).agg(
+            n_nodes=("n_nodes", "sum"), sum_d=("sum_d", "sum"),
+            n_wedges=("n_wedges", "sum"), max_deg=("max_deg", "max")),
+        num_partitions)
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["n_edges"] = df["sum_d"] // 2
+        return df[["n_nodes", "n_edges", "n_wedges", "max_deg"]]
+
+    return folded.map_batches(finish, batch_format="pandas")
+
+
+def sql_degree_moments() -> str:
+    """DuckDB oracle: same graph, moments straight off the degree CTE."""
+    return """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+), e AS (
+  SELECT DISTINCT x.s AS a, y.s AS b
+  FROM ls x JOIN ls y ON x.o = y.o AND x.s < y.s
+), und AS (
+  SELECT a AS node, b AS other FROM e
+  UNION ALL SELECT b AS node, a AS other FROM e
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY node
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+       CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+       CAST(max(d) AS BIGINT) AS max_deg
+FROM deg
+"""
 
 
 def sql_edge_weights() -> str:

@@ -236,3 +236,37 @@ def test_entity_types_matches_serial(ray_session):
     pd.testing.assert_frame_equal(out, ref)
     assert set(out["ner_type"]) <= {"ORG", "PER", "LOC"}
     assert (out["n_mentions"] >= out["n_entities"]).all()
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_moments: wedge-count pre-flight
+# ---------------------------------------------------------------------------
+
+
+def test_degree_moments_matches_serial(ray_session):
+    import numpy as np
+
+    import kgx.queries as Q
+    from kgx.pipelines.relational import _read
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.graph_degree_moments(sf))
+    assert len(out) == 1
+
+    li = _collect(_read(sf, "lineitem", ["l_orderkey", "l_suppkey"])) \
+        .dropna().drop_duplicates()
+    import itertools
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ss = sorted(set(grp["l_suppkey"].astype(int)))
+        edges.update(itertools.combinations(ss, 2))
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    d = np.array(list(deg.values()), dtype=np.int64)
+    r = out.iloc[0]
+    assert int(r["n_nodes"]) == len(d)
+    assert int(r["n_edges"]) == len(edges)
+    assert int(r["n_wedges"]) == int((d * (d - 1) // 2).sum())
+    assert int(r["max_deg"]) == int(d.max())
