@@ -199,7 +199,6 @@ BENCH_QUERIES = [
     "kg_pred_directionality",
     "kg_entity_cards",
     "kg_lang_yield",
-    "kg_conf_hist",
     "kg_category_stats",
     "kg_pred_trend",
     "kg_entity_types",

@@ -2328,40 +2328,6 @@ def kg_lang_yield(sf_dir: str):
             n_triples=("n_triples", "sum")))
 
 
-def kg_conf_hist(sf_dir: str):
-    """Confidence histogram (conf_pct, n_triples) over the deduped triples
-    under the shared explicit half-away rule floor(max_conf * 100 + 0.5) —
-    the publish-threshold selection curve a KG release reads to decide
-    where to cut low-confidence extractions (reference analog: the G7
-    quality-counter family over extraction confidence).
-
-    Scale shape: conf values come from the bounded predicate-rule table, so
-    per-batch value_counts partials fold to a handful of rows and ONE
-    conf_pct-keyed combiner exchange finishes — nothing unbounded ever
-    crosses the wire."""
-    import numpy as np
-    import pandas as pd
-
-    from .stages.exchange import hash_partitioned_agg
-
-    triples = _kg_sql_outputs(sf_dir)["triples"]
-
-    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
-        pct = np.floor(
-            df["conf"].to_numpy(dtype=np.float64) * 100.0 + 0.5
-        ).astype("int64")
-        vc = pd.Series(pct).value_counts()
-        return pd.DataFrame({"conf_pct": vc.index.astype("int64"),
-                             "n_triples": vc.to_numpy().astype("int64")})
-
-    partials = triples.select_columns(["conf"]).map_batches(
-        partial, batch_format="pandas")
-    return hash_partitioned_agg(
-        partials, ["conf_pct"],
-        lambda df: df.groupby("conf_pct", sort=False, as_index=False).agg(
-            n_triples=("n_triples", "sum")))
-
-
 def kg_category_stats(sf_dir: str):
     """Per-category graph size (category, n_triples, n_subjects,
     support_total) over the deduped + categorized triples — the S6
@@ -2935,7 +2901,6 @@ def registry() -> dict:
         "kg_pred_directionality": kg_pred_directionality,
         "kg_entity_cards": kg_entity_cards,
         "kg_lang_yield": kg_lang_yield,
-        "kg_conf_hist": kg_conf_hist,
         "kg_category_stats": kg_category_stats,
         "kg_pred_trend": kg_pred_trend,
         "kg_entity_types": kg_entity_types,
@@ -3847,7 +3812,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_directionality": so.sql_kg_pred_directionality(),
         "kg_entity_cards": so.sql_kg_entity_cards(),
         "kg_lang_yield": so.sql_kg_lang_yield(),
-        "kg_conf_hist": so.sql_kg_conf_hist(),
         "kg_category_stats": so.sql_kg_category_stats(),
         "kg_pred_trend": so.sql_kg_pred_trend(),
         "kg_entity_types": so.sql_kg_entity_types(),

@@ -1260,32 +1260,6 @@ GROUP BY d.lang
     )
 
 
-def sql_kg_conf_hist() -> str:
-    """(conf_pct, n_triples): confidence histogram over the deduped triples
-    under the shared explicit half-away rule floor(max_conf * 100 + 0.5) —
-    the publish-threshold selection curve.  The ranked-dedup scaffold is
-    repeated deliberately so the certified sql_kg_triples text stays
-    untouched."""
-    return (
-        _kg_common_ctes()
-        + f"""
-, keyed AS (
-  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
-  FROM linked
-), ranked AS (
-  SELECT *,
-    row_number() OVER (PARTITION BY ns, pred, no
-                       ORDER BY url, seg_id, subj, pred, obj) AS rr,
-    max(conf) OVER (PARTITION BY ns, pred, no) AS max_conf
-  FROM keyed
-)
-SELECT CAST(floor(max_conf * 100 + 0.5) AS BIGINT) AS conf_pct,
-       CAST(count(*) AS BIGINT) AS n_triples
-FROM ranked WHERE rr = 1 GROUP BY 1
-"""
-    )
-
-
 def sql_kg_category_stats() -> str:
     """(category, n_triples, n_subjects, support_total): per-category size of
     the final graph — the S6 report-section size table; keyword-argmax

@@ -145,26 +145,8 @@ def test_lang_yield_mass_and_bounds(ray_session):
 
 
 # ---------------------------------------------------------------------------
-# kg_conf_hist / kg_category_stats: publish-threshold + section-size tables
+# kg_category_stats: report-section size table
 # ---------------------------------------------------------------------------
-
-
-def test_conf_hist_matches_serial(ray_session):
-    import numpy as np
-
-    import kgx.queries as Q
-
-    sf = "/root/testdata/sf0.001"
-    out = _collect(Q.kg_conf_hist(sf)).sort_values("conf_pct") \
-        .reset_index(drop=True)
-    tri = _collect(Q.kg_triples(sf))  # carries the same conf_pct projection
-    ref = tri["conf_pct"].value_counts().sort_index()
-    assert len(out) > 0
-    assert int(out["n_triples"].sum()) == len(tri)  # mass conservation
-    np.testing.assert_array_equal(out["conf_pct"].to_numpy(),
-                                  ref.index.to_numpy())
-    np.testing.assert_array_equal(out["n_triples"].to_numpy(),
-                                  ref.to_numpy())
 
 
 def test_category_stats_matches_serial(ray_session):
