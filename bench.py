@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "kg_entity_cards",
     "kg_lang_yield",
     "kg_category_stats",
+    "kg_publish",
     "kg_pred_trend",
     "kg_entity_types",
     "graph_degree_moments",

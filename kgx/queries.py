@@ -2484,6 +2484,71 @@ def graph_degree_moments(sf_dir: str):
         _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]))
 
 
+KG_PUBLISH_MIN_CONF = 50
+
+
+def kg_publish(sf_dir: str, min_conf_pct: int = KG_PUBLISH_MIN_CONF):
+    """The composed release gate (subj, pred, obj, conf_pct, category):
+    deduped + categorized triples that survive publication — conf_pct >=
+    threshold FIRST, then whole (normalized subj, pred) groups under a
+    functional predicate are DROPPED when the surviving objects still
+    contradict (>1 distinct normalized object).  This is the publish step
+    a KG build runs last: kg_confidence_hist picks the threshold,
+    kg_conflicts explains what this gate removed (reference analog: the
+    S6 final-report assembly after the G8 verdict compare).
+
+    Scale shape: the confidence filter is a vectorized in-batch predicate
+    (most rows die before any shuffle); the conflict drop is ONE
+    (ns, pred)-keyed partition exchange whose kernel counts distinct
+    normalized objects per group (deduped triples are globally unique on
+    (ns, pred, no), so the in-partition nunique IS global) and drops
+    contradicted functional-pred groups whole — the kg_conflicts exchange
+    re-used as a filter instead of a report."""
+    import numpy as np
+    import pandas as pd
+
+    from .sql_oracles import FUNCTIONAL_PREDS
+    from .stages.exchange import hash_partitioned_apply
+    from .stages.wide import _norm_part_series
+
+    triples = _kg_sql_outputs(sf_dir)["triples"]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        pct = np.floor(
+            df["conf"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype("int64")
+        df = pd.DataFrame(
+            {"subj": df["subj"].astype(str), "pred": df["pred"].astype(str),
+             "obj": df["obj"].astype(str),
+             "category": df["category"].astype(str), "conf_pct": pct})
+        df = df[df["conf_pct"] >= min_conf_pct]
+        df["ns"] = _norm_part_series(df["subj"]).astype(str)
+        df["no"] = _norm_part_series(df["obj"]).astype(str)
+        return df
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        cols = ["subj", "pred", "obj", "conf_pct", "category"]
+        if not len(df):
+            return pd.DataFrame(
+                {"subj": pd.Series([], dtype=object),
+                 "pred": pd.Series([], dtype=object),
+                 "obj": pd.Series([], dtype=object),
+                 "conf_pct": pd.Series([], dtype="int64"),
+                 "category": pd.Series([], dtype=object)})
+        # deduped triples: one row per (ns, pred, no) -> group size IS the
+        # distinct-object count
+        n_objs = df.groupby(["ns", "pred"], sort=False)["no"] \
+            .transform("size")
+        functional = df["pred"].isin(FUNCTIONAL_PREDS)
+        return df[~(functional & (n_objs > 1))][cols]
+
+    return hash_partitioned_apply(
+        triples.select_columns(
+            ["subj", "pred", "obj", "conf", "category"]).map_batches(
+            partial, batch_format="pandas"),
+        ["ns", "pred"], kernel)
+
+
 def rel_region_revenue(sf_dir: str):
     """Composed TPC-H-Q5-shape snowflake: one year of revenue rolled up
     through customer -> nation -> region — driver-scale dims resolved in
@@ -2902,6 +2967,7 @@ def registry() -> dict:
         "kg_entity_cards": kg_entity_cards,
         "kg_lang_yield": kg_lang_yield,
         "kg_category_stats": kg_category_stats,
+        "kg_publish": kg_publish,
         "kg_pred_trend": kg_pred_trend,
         "kg_entity_types": kg_entity_types,
         "graph_degree_moments": graph_degree_moments,
@@ -3813,6 +3879,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_cards": so.sql_kg_entity_cards(),
         "kg_lang_yield": so.sql_kg_lang_yield(),
         "kg_category_stats": so.sql_kg_category_stats(),
+        "kg_publish": so.sql_kg_publish(KG_PUBLISH_MIN_CONF),
         "kg_pred_trend": so.sql_kg_pred_trend(),
         "kg_entity_types": so.sql_kg_entity_types(),
         "graph_degree_moments": _sql_degree_moments(),

@@ -1338,3 +1338,42 @@ FROM agg a JOIN et ON et.entity_id = a.entity_id
 GROUP BY 1
 """
     )
+
+
+def sql_kg_publish(min_conf_pct: int = 50) -> str:
+    """(subj, pred, obj, conf_pct, category): the publishable triple set —
+    the deduped + categorized triples after the release gate: conf_pct >=
+    threshold FIRST, then whole (subj, pred) groups under a functional
+    predicate are DROPPED when the surviving objects still contradict
+    (>1 distinct normalized object) — the composed publish step a KG build
+    runs last (kg_confidence_hist picks the threshold, kg_conflicts
+    explains what this gate removed)."""
+    cat = _sql_categorize("lower(subj || ' ' || pred || ' ' || obj)")
+    preds = ", ".join(_q(p) for p in FUNCTIONAL_PREDS)
+    return (
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY ns, pred, no
+                       ORDER BY url, seg_id, subj, pred, obj) AS rr,
+    max(conf) OVER (PARTITION BY ns, pred, no) AS max_conf
+  FROM keyed
+), t AS (
+  SELECT ns, no, subj, pred, obj,
+         CAST(floor(max_conf * 100 + 0.5) AS BIGINT) AS conf_pct
+  FROM ranked WHERE rr = 1
+), conf_ok AS (
+  SELECT * FROM t WHERE conf_pct >= {min_conf_pct}
+), grp AS (
+  SELECT *, count(DISTINCT no) OVER (PARTITION BY ns, pred) AS n_objs
+  FROM conf_ok
+)
+SELECT subj, pred, obj, conf_pct, {cat} AS category
+FROM grp
+WHERE NOT (pred IN ({preds}) AND n_objs > 1)
+"""
+    )

@@ -252,3 +252,39 @@ def test_degree_moments_matches_serial(ray_session):
     assert int(r["n_edges"]) == len(edges)
     assert int(r["n_wedges"]) == int((d * (d - 1) // 2).sum())
     assert int(r["max_deg"]) == int(d.max())
+
+
+# ---------------------------------------------------------------------------
+# kg_publish: the composed release gate
+# ---------------------------------------------------------------------------
+
+
+def test_kg_publish_matches_serial(ray_session):
+    import kgx.queries as Q
+    from kgx.sql_oracles import FUNCTIONAL_PREDS
+    from kgx.stages.wide import _norm_part_series
+
+    sf = "/root/testdata/sf0.001"
+    key = ["subj", "pred", "obj"]
+    out = _collect(Q.kg_publish(sf)).sort_values(key).reset_index(drop=True)
+
+    tri = _collect(Q.kg_triples(sf))
+    tri = tri[tri["conf_pct"] >= Q.KG_PUBLISH_MIN_CONF].copy()
+    tri["ns"] = _norm_part_series(tri["subj"])
+    n_objs = tri.groupby(["ns", "pred"])["obj"].transform("size")
+    functional = tri["pred"].isin(FUNCTIONAL_PREDS)
+    ref = tri[~(functional & (n_objs > 1))][
+        ["subj", "pred", "obj", "conf_pct", "category"]] \
+        .sort_values(key).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+    # the gate actually removed something on this corpus (planted conflicts)
+    assert len(out) < len(_collect(Q.kg_triples(sf)))
+    # no published functional pred still contradicts
+    chk = out.copy()
+    chk["ns"] = _norm_part_series(chk["subj"])
+    g = chk[chk["pred"].isin(FUNCTIONAL_PREDS)].groupby(["ns", "pred"])[
+        "obj"].nunique()
+    assert (g <= 1).all()
+    assert (out["conf_pct"] >= Q.KG_PUBLISH_MIN_CONF).all()
