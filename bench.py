@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "kg_lang_yield",
     "kg_category_stats",
     "kg_publish",
+    "sketch_theta",
     "kg_pred_trend",
     "kg_entity_types",
     "graph_degree_moments",

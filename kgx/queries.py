@@ -2549,6 +2549,25 @@ def kg_publish(sf_dir: str, min_conf_pct: int = KG_PUBLISH_MIN_CONF):
         ["ns", "pred"], kernel)
 
 
+def sketch_theta(sf_dir: str):
+    """Bottom-k (KMV / theta) sketch of distinct user_ids per event type
+    (event_type, rnk, h) — the k smallest 62-bit hashes in rank order.
+    Unlike HLL (union-only), theta sketches estimate set INTERSECTIONS
+    (cross-type audience overlap, cross-source contamination overlap) via
+    a deterministic driver post-process; the integer hash table IS the
+    value-hash-checkable, mergeable artifact.  Per-batch distinct + md5 +
+    bottom-k prune (<= types x k rows leave any task; bottom-k of a union
+    of deduped bottom-ks IS the global bottom-k), ONE type-keyed exchange
+    with an in-kernel global dedup + rank."""
+    import ray.data as rd
+
+    from .stages.sketch import theta_sketches
+
+    return theta_sketches(rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_type", "user_id"]))
+
+
 def rel_region_revenue(sf_dir: str):
     """Composed TPC-H-Q5-shape snowflake: one year of revenue rolled up
     through customer -> nation -> region — driver-scale dims resolved in
@@ -2968,6 +2987,7 @@ def registry() -> dict:
         "kg_lang_yield": kg_lang_yield,
         "kg_category_stats": kg_category_stats,
         "kg_publish": kg_publish,
+        "sketch_theta": sketch_theta,
         "kg_pred_trend": kg_pred_trend,
         "kg_entity_types": kg_entity_types,
         "graph_degree_moments": graph_degree_moments,
@@ -3662,6 +3682,12 @@ def _sql_degree_moments() -> str:
     return sql_degree_moments()
 
 
+def _sql_theta() -> str:
+    from .stages.sketch import sql_theta_sketches
+
+    return sql_theta_sketches()
+
+
 def _sql_blame() -> str:
     from .pipelines.relational import sql_blame_supplier_counts
 
@@ -3880,6 +3906,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_lang_yield": so.sql_kg_lang_yield(),
         "kg_category_stats": so.sql_kg_category_stats(),
         "kg_publish": so.sql_kg_publish(KG_PUBLISH_MIN_CONF),
+        "sketch_theta": _sql_theta(),
         "kg_pred_trend": so.sql_kg_pred_trend(),
         "kg_entity_types": so.sql_kg_entity_types(),
         "graph_degree_moments": _sql_degree_moments(),

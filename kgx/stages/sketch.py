@@ -736,3 +736,121 @@ JOIN cum ON cum.l_returnflag = n.l_returnflag
         AND cum.cum >= (n.n * p + 99) // 100
 GROUP BY n.l_returnflag, p
 """
+
+
+# ---------------------------------------------------------------------------
+# Theta (bottom-k / KMV) sketch — mergeable distinct-count + INTERSECTION
+# ---------------------------------------------------------------------------
+
+THETA_K = 64
+_M62 = 1 << 62
+
+
+def theta_sketches(events_ds, k: int = THETA_K):
+    """events -> (event_type, rnk, h): the bottom-k (KMV / theta) sketch of
+    DISTINCT user_ids per event type — the k smallest 62-bit hashes in rank
+    order.  Unlike HLL (union-only), theta sketches support set
+    INTERSECTION estimation (cross-type audience overlap, cross-source
+    contamination overlap) via a deterministic driver post-process
+    (:func:`theta_intersection_estimate`); the integer hash table IS the
+    result, so it is value-hash checkable and mergeable.
+
+    Per batch: distinct (event_type, user_id) via one Arrow group_by, the
+    shared ``stable_hash64 == md5_number_upper`` identity, then a per-type
+    bottom-k prune — at most groups x k rows leave any task, and bottom-k
+    of a union of deduped bottom-ks equals the global bottom-k (the
+    min-merge is associative/commutative), so ONE type-keyed partition
+    exchange finishes with an in-kernel global dedup + rank."""
+    import pandas as pd
+
+    from ..functions.text import stable_hash64
+    from .exchange import hash_partitioned_apply
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        ok = pc.and_(pc.is_valid(batch["event_type"]),
+                     pc.is_valid(batch["user_id"]))
+        dd = (
+            batch.filter(ok).select(["event_type", "user_id"])
+            .group_by(["event_type", "user_id"]).aggregate([])
+        )
+        uids = dd["user_id"].to_pylist()
+        hs = np.fromiter(
+            (stable_hash64(str(u)) % _M62 for u in uids), dtype=np.int64,
+            count=len(uids),
+        )
+        df = pd.DataFrame(
+            {"event_type": dd["event_type"].to_pylist(), "h": hs})
+        df = df.drop_duplicates()
+        return df.sort_values(["event_type", "h"], kind="stable") \
+            .groupby("event_type", sort=False).head(k) \
+            .reset_index(drop=True)
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "rnk": pd.Series([], dtype="int64"),
+                 "h": pd.Series([], dtype="int64")})
+        g = df.drop_duplicates().sort_values(
+            ["event_type", "h"], kind="stable") \
+            .groupby("event_type", sort=False).head(k) \
+            .reset_index(drop=True)
+        g["rnk"] = g.groupby("event_type", sort=False).cumcount() + 1
+        g["rnk"] = g["rnk"].astype("int64")
+        return g[["event_type", "rnk", "h"]]
+
+    return hash_partitioned_apply(
+        events_ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], kernel)
+
+
+def theta_intersection_estimate(sketch_df, type_a: str, type_b: str,
+                                k: int = THETA_K) -> float:
+    """Deterministic driver post-process over the theta table: KMV
+    distinct-count and intersection estimates for two types.  theta =
+    k-th smallest hash / 2^62 (1.0 when the set has < k members and the
+    sketch is exact); |A ∩ B| ~= |{h in both sketches, h < min(theta)}| /
+    min(theta_frac)."""
+    import pandas as pd  # noqa: F401  (type hint clarity)
+
+    M = float(1 << 62)
+
+    def side(t):
+        s = sketch_df[sketch_df["event_type"] == t].sort_values("rnk")
+        hs = s["h"].to_numpy()
+        theta = hs[-1] / M if len(hs) >= k else 1.0
+        exact = len(hs) < k
+        return set(int(x) for x in hs), theta, exact
+
+    ha, ta, ea = side(type_a)
+    hb, tb, eb = side(type_b)
+    theta = min(ta, tb)
+    cut = theta * M
+    common = [h for h in ha & hb if h <= cut or (ea and eb)]
+    if ea and eb:
+        return float(len(ha & hb))
+    return len(common) / theta if theta > 0 else 0.0
+
+
+def sql_theta_sketches(k: int = THETA_K) -> str:
+    """DuckDB oracle: identical hash + bottom-k rank per event type."""
+    m62 = f"{1 << 62}::HUGEINT"
+    return f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+), h AS (
+  SELECT DISTINCT event_type,
+    CAST(md5_number_upper('0:' || CAST(user_id AS VARCHAR))
+         % {m62} AS BIGINT) AS h
+  FROM du
+), r AS (
+  SELECT event_type, h,
+    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+  FROM h
+)
+SELECT event_type, CAST(rnk AS BIGINT) AS rnk, h
+FROM r WHERE rnk <= {k}
+"""

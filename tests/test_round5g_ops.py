@@ -288,3 +288,70 @@ def test_kg_publish_matches_serial(ray_session):
         "obj"].nunique()
     assert (g <= 1).all()
     assert (out["conf_pct"] >= Q.KG_PUBLISH_MIN_CONF).all()
+
+
+# ---------------------------------------------------------------------------
+# sketch_theta: bottom-k (KMV) sketch + intersection estimate
+# ---------------------------------------------------------------------------
+
+
+def test_theta_sketch_matches_serial(ray_session):
+    import numpy as np
+
+    import kgx.queries as Q
+    from kgx.functions.text import stable_hash64
+    from kgx.stages.sketch import THETA_K
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.sketch_theta(sf)).sort_values(
+        ["event_type", "rnk"]).reset_index(drop=True)
+
+    import pyarrow.parquet as pq
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    ev = ev.dropna().drop_duplicates()
+    M62 = 1 << 62
+    rows = []
+    for t, grp in ev.groupby("event_type"):
+        hs = sorted({stable_hash64(str(u)) % M62
+                     for u in grp["user_id"]})[:THETA_K]
+        rows += [(t, i + 1, h) for i, h in enumerate(hs)]
+    ref = pd.DataFrame(rows, columns=["event_type", "rnk", "h"]) \
+        .sort_values(["event_type", "rnk"]).reset_index(drop=True)
+    ref["rnk"] = ref["rnk"].astype("int64")
+    ref["h"] = ref["h"].astype("int64")
+
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+    # sketch ranks are contiguous from 1 and hashes strictly increase
+    for _, g in out.groupby("event_type"):
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["h"].to_numpy()) > 0).all()
+
+
+def test_theta_intersection_estimate(ray_session):
+    """KMV intersection estimate is exact when both sketches are exact
+    (|set| < k), and within a loose error band otherwise."""
+    import kgx.queries as Q
+    from kgx.stages.sketch import theta_intersection_estimate
+
+    sf = "/root/testdata/sf0.001"
+    sk = _collect(Q.sketch_theta(sf))
+    types = sorted(sk["event_type"].unique())
+    assert len(types) >= 2
+    a, b = types[0], types[1]
+
+    import pyarrow.parquet as pq
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas() \
+        .dropna().drop_duplicates()
+    ua = set(ev[ev["event_type"] == a]["user_id"])
+    ub = set(ev[ev["event_type"] == b]["user_id"])
+    truth = len(ua & ub)
+
+    est = theta_intersection_estimate(sk, a, b)
+    if len(ua) < 64 and len(ub) < 64:
+        assert est == truth
+    else:
+        # loose KMV band: within 60% relative or +-12 absolute
+        assert abs(est - truth) <= max(12, 0.6 * truth)
