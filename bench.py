@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "kg_category_stats",
     "kg_publish",
     "sketch_theta",
+    "emb_ivf_balance",
     "kg_pred_trend",
     "kg_entity_types",
     "graph_degree_moments",

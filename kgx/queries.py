@@ -2568,6 +2568,23 @@ def sketch_theta(sf_dir: str):
         columns=["event_type", "user_id"]))
 
 
+def emb_ivf_balance(sf_dir: str):
+    """IVF cell-occupancy table (c, size) under the sample coarse quantizer
+    — the index-health diagnostic for the ann_topk_ivf path (a skewed
+    quantizer = one giant list doing most candidate generation), the exact
+    IVF sibling of emb_lsh_balance; centroids train on the shared
+    distributed stride sample (iters=0, SQL-reproducible) and broadcast
+    via ray.put, per-batch argmax + bincount partials, ONE bounded
+    c-keyed combiner — vectors never shuffle."""
+    import ray
+
+    from .stages.similarity import ivf_balance, ivf_train, normalized_matrix
+
+    _, mat = normalized_matrix(_emb_sample(sf_dir))
+    cent_ref = ray.put(ivf_train(mat, n_lists=16, iters=0))
+    return ivf_balance(_emb_ds(sf_dir), cent_ref)
+
+
 def rel_region_revenue(sf_dir: str):
     """Composed TPC-H-Q5-shape snowflake: one year of revenue rolled up
     through customer -> nation -> region — driver-scale dims resolved in
@@ -2988,6 +3005,7 @@ def registry() -> dict:
         "kg_category_stats": kg_category_stats,
         "kg_publish": kg_publish,
         "sketch_theta": sketch_theta,
+        "emb_ivf_balance": emb_ivf_balance,
         "kg_pred_trend": kg_pred_trend,
         "kg_entity_types": kg_entity_types,
         "graph_degree_moments": graph_degree_moments,
@@ -3907,6 +3925,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_category_stats": so.sql_kg_category_stats(),
         "kg_publish": so.sql_kg_publish(KG_PUBLISH_MIN_CONF),
         "sketch_theta": _sql_theta(),
+        "emb_ivf_balance": so.sql_ivf_balance(ANN_EVERY, n_lists=16),
         "kg_pred_trend": so.sql_kg_pred_trend(),
         "kg_entity_types": so.sql_kg_entity_types(),
         "graph_degree_moments": _sql_degree_moments(),

@@ -1377,3 +1377,35 @@ FROM grp
 WHERE NOT (pred IN ({preds}) AND n_objs > 1)
 """
     )
+
+
+def sql_ivf_balance(every: int, n_lists: int) -> str:
+    """(c, size): occupancy of every non-empty IVF cell under the sample
+    coarse quantizer — the assign scaffold of sql_ann_topk_ivf (repeated
+    deliberately so the certified text stays untouched) folded to a
+    per-cell count."""
+    return f"""
+WITH emb AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+), qs AS (
+  SELECT vec_id, e,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS rn
+  FROM emb WHERE vec_id % {every} = 0
+), qm AS (
+  SELECT count(*) AS n, greatest(count(*) // {n_lists}, 1) AS stride FROM qs
+), cidx AS (
+  SELECT CAST(g.c AS BIGINT) AS c,
+         (CAST(g.c AS BIGINT) * qm.stride) % qm.n AS idx
+  FROM generate_series(0, {n_lists - 1}) g(c), qm
+), cent AS (
+  SELECT cidx.c, qs.e AS ce FROM cidx JOIN qs ON qs.rn = cidx.idx
+), assign AS (
+  SELECT vec_id, c FROM (
+    SELECT emb.vec_id, cent.c,
+      row_number() OVER (PARTITION BY emb.vec_id
+        ORDER BY list_cosine_similarity(emb.e, cent.ce) DESC, cent.c) AS rr
+    FROM emb, cent) WHERE rr = 1
+)
+SELECT c, CAST(count(*) AS BIGINT) AS size FROM assign GROUP BY 1
+"""

@@ -625,3 +625,41 @@ def lsh_bucket_balance(emb_ds, nbits: int = 8, tables: int = 4):
         lambda df: df.groupby(["t", "size"], sort=False,
                               as_index=False).agg(
             n_buckets=("n_buckets", "sum")))
+
+
+def ivf_balance(emb_ds, cent_ref):
+    """embeddings -> (c, size): corpus occupancy of every NON-EMPTY IVF
+    cell under the broadcast coarse quantizer — the index-health
+    diagnostic for the ann_topk_ivf path (a skewed quantizer = one giant
+    list doing most candidate generation: per-query latency spikes, probe
+    recall concentrates), read next to emb_recall_eval when tuning
+    n_lists / nprobe; the exact IVF sibling of lsh_bucket_balance.
+
+    Per batch: the SAME normalized-matrix argmax assignment the certified
+    IVF search uses (first-max == lowest list id, matching the oracle's
+    sim DESC, c ASC row_number), one np.bincount, <= n_lists partial
+    rows; ONE bounded c-keyed combiner exchange — vectors never
+    shuffle."""
+    import pandas as pd
+    import ray
+
+    from .exchange import hash_partitioned_agg
+
+    def per_batch(batch: pa.Table) -> "pd.DataFrame":
+        cent = ray.get(cent_ref)
+        _, mat = normalized_matrix(batch)
+        if not len(mat):
+            return pd.DataFrame({"c": pd.Series([], dtype="int64"),
+                                 "size": pd.Series([], dtype="int64")})
+        assign = (mat @ cent.T).argmax(axis=1)
+        vc = np.bincount(assign, minlength=cent.shape[0])
+        nz = np.nonzero(vc)[0]
+        return pd.DataFrame({"c": nz.astype("int64"),
+                             "size": vc[nz].astype("int64")})
+
+    return hash_partitioned_agg(
+        emb_ds.map_batches(per_batch, batch_format="pyarrow",
+                           batch_size=1024),
+        ["c"],
+        lambda df: df.groupby("c", sort=False, as_index=False).agg(
+            size=("size", "sum")))

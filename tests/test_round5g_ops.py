@@ -355,3 +355,36 @@ def test_theta_intersection_estimate(ray_session):
     else:
         # loose KMV band: within 60% relative or +-12 absolute
         assert abs(est - truth) <= max(12, 0.6 * truth)
+
+
+# ---------------------------------------------------------------------------
+# emb_ivf_balance: IVF cell-occupancy table
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_balance_matches_serial(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import kgx.queries as Q
+    from kgx.stages.similarity import ivf_train, normalized_matrix
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.emb_ivf_balance(sf)).sort_values("c") \
+        .reset_index(drop=True)
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet")
+    ids, mat = normalized_matrix(emb)
+    order = np.argsort(ids, kind="stable")
+    sample = mat[order][ids[order] % Q.ANN_EVERY == 0]
+    cent = ivf_train(sample, n_lists=16, iters=0)
+    assign = (mat @ cent.T).argmax(axis=1)
+    vc = np.bincount(assign, minlength=16)
+    nz = np.nonzero(vc)[0]
+    ref = pd.DataFrame({"c": nz.astype("int64"),
+                        "size": vc[nz].astype("int64")})
+
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+    # mass conservation: every vector assigned to exactly one cell
+    assert int(out["size"].sum()) == mat.shape[0]
