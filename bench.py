@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "kg_publish",
     "sketch_theta",
     "emb_ivf_balance",
+    "dedup_lsh_balance",
     "kg_pred_trend",
     "kg_entity_types",
     "graph_degree_moments",

@@ -2585,6 +2585,25 @@ def emb_ivf_balance(sf_dir: str):
     return ivf_balance(_emb_ds(sf_dir), cent_ref)
 
 
+def dedup_lsh_balance(sf_dir: str):
+    """MinHash-LSH band-bucket size histogram (band, size, n_buckets) —
+    the dedup-index health diagnostic (a skewed band = one giant bucket
+    generating most candidate pairs, concentrating the in-bucket verify
+    cost), read next to dedup_minhash_lsh when tuning num_perm / bands;
+    completes the index-balance family (emb_lsh_balance for ANN-LSH,
+    emb_ivf_balance for IVF).  Reuses the signature + slim band-row
+    builders verbatim; one bucket-keyed exchange, bounded histogram
+    combiner."""
+    from .stages.dedup import minhash_band_balance
+
+    d = config_loader.resolve_settings()["processing"]["dedup"]
+    return minhash_band_balance(
+        _docs_ds(sf_dir),
+        num_perm=d["minhash_num_perm"],
+        bands=d["minhash_bands"],
+        shingle_k=d["shingle_k"])
+
+
 def rel_region_revenue(sf_dir: str):
     """Composed TPC-H-Q5-shape snowflake: one year of revenue rolled up
     through customer -> nation -> region — driver-scale dims resolved in
@@ -3006,6 +3025,7 @@ def registry() -> dict:
         "kg_publish": kg_publish,
         "sketch_theta": sketch_theta,
         "emb_ivf_balance": emb_ivf_balance,
+        "dedup_lsh_balance": dedup_lsh_balance,
         "kg_pred_trend": kg_pred_trend,
         "kg_entity_types": kg_entity_types,
         "graph_degree_moments": graph_degree_moments,
@@ -3926,6 +3946,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_publish": so.sql_kg_publish(KG_PUBLISH_MIN_CONF),
         "sketch_theta": _sql_theta(),
         "emb_ivf_balance": so.sql_ivf_balance(ANN_EVERY, n_lists=16),
+        "dedup_lsh_balance": so.sql_minhash_band_balance(
+            d["minhash_num_perm"], d["minhash_bands"],
+            d["minhash_jaccard"], d["shingle_k"]),
         "kg_pred_trend": so.sql_kg_pred_trend(),
         "kg_entity_types": so.sql_kg_entity_types(),
         "graph_degree_moments": _sql_degree_moments(),

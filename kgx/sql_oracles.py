@@ -94,9 +94,13 @@ WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= {max_hamming}
 # ---------------------------------------------------------------------------
 
 
-def sql_dedup_minhash_lsh(
+def _sql_minhash_bh(
     num_perm: int, bands: int, threshold: float, shingle_k: int
-) -> str:
+) -> tuple[str, int]:
+    """Shared WITH-chain through the per-doc band hashes (bh CTE) plus the
+    verification threshold — the byte-identical prefix of
+    sql_dedup_minhash_lsh, split out so the band-balance mirror reuses the
+    certified text untouched."""
     """Byte-k-gram shingle codes, the (a*x+b mod 2^64) hash family (constants
     embedded from the same stable_hash64 derivation as minhash_from_codes),
     band hashing via md5, in-bucket verification on the signature Jaccard
@@ -121,7 +125,7 @@ def sql_dedup_minhash_lsh(
     code_expr = " + ".join(
         f"({byte(j)})::HUGEINT * {256 ** j}::HUGEINT" for j in range(k)
     )
-    return f"""
+    prefix = f"""
 WITH d AS (
   SELECT doc_id, {norm} AS t FROM documents
 ), d2 AS (SELECT doc_id, t FROM d WHERE length(t) > 0),
@@ -147,7 +151,21 @@ hashed AS (
   SELECT doc_id, band,
          CAST(md5_number_upper('0:' || bs) % {_M62P1} AS BIGINT) AS band_hash
   FROM bandstr
-), cand AS (
+)"""
+    return prefix, min_eq
+
+
+def sql_dedup_minhash_lsh(
+    num_perm: int, bands: int, threshold: float, shingle_k: int
+) -> str:
+    """Byte-k-gram shingle codes, the (a*x+b mod 2^64) hash family (constants
+    embedded from the same stable_hash64 derivation as minhash_from_codes),
+    band hashing via md5, in-bucket verification on the signature Jaccard
+    estimate.  Exact parity assumes single-byte characters (the driver
+    corpora are pure ASCII; the Python side windows over utf-8 BYTES)."""
+    prefix, min_eq = _sql_minhash_bh(num_perm, bands, threshold, shingle_k)
+    return prefix + f"""
+, cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bh a JOIN bh b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -160,6 +178,22 @@ hashed AS (
   HAVING CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS BIGINT) >= {min_eq}
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b FROM verified
+"""
+
+
+def sql_minhash_band_balance(
+    num_perm: int, bands: int, threshold: float, shingle_k: int
+) -> str:
+    """(band, size, n_buckets): bucket-size histogram per LSH band over the
+    per-doc band hashes — the byte-identical bh prefix folded twice."""
+    prefix, _ = _sql_minhash_bh(num_perm, bands, threshold, shingle_k)
+    return prefix + """
+, bsz AS (
+  SELECT band, band_hash, count(*) AS size FROM bh GROUP BY 1, 2
+)
+SELECT CAST(band AS BIGINT) AS band, CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_buckets
+FROM bsz GROUP BY 1, 2
 """
 
 

@@ -1072,3 +1072,58 @@ SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
 FROM win a JOIN win b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+
+def minhash_band_balance(
+    docs_ds, num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+):
+    """documents -> (band, size, n_buckets): bucket-size histogram per LSH
+    band over the per-doc band hashes — the dedup-index health diagnostic
+    (a skewed band = one giant bucket generating most candidate pairs:
+    the in-bucket verify cost concentrates there), read next to the pair
+    pipelines when tuning num_perm / bands; completes the index-balance
+    family (emb_lsh_balance for ANN-LSH, emb_ivf_balance for IVF).
+
+    Reuses the signature + slim band-row builders verbatim, then per-batch
+    (band, band_hash) value counts feed ONE bucket-keyed combiner exchange
+    (bucket-grain rows, the same volume the candidate pipeline ships) and
+    a bounded (band, size) histogram combiner finishes."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg
+
+    rows_per_band = num_perm // bands
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        return _minhash_sig_rows(batch, num_perm, shingle_k)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        return _band_rows_slim(batch, bands, rows_per_band)
+
+    def bucket_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["band", "band_hash"], sort=False,
+                       as_index=False).agg(size=("doc_id", "size"))
+        g["band"] = g["band"].astype("int64")
+        g["size"] = g["size"].astype("int64")
+        return g[["band", "band_hash", "size"]]
+
+    buckets = hash_partitioned_agg(
+        docs_ds.map_batches(sig_rows, batch_format="pyarrow")
+        .map_batches(band_rows, batch_format="pyarrow")
+        .map_batches(bucket_partial, batch_format="pandas"),
+        ["band", "band_hash"],
+        lambda df: df.groupby(["band", "band_hash"], sort=False,
+                              as_index=False).agg(size=("size", "sum")))
+
+    def hist_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["band", "size"], sort=False, as_index=False).agg(
+            n_buckets=("band_hash", "size"))
+        g["n_buckets"] = g["n_buckets"].astype("int64")
+        return g
+
+    return hash_partitioned_agg(
+        buckets.map_batches(hist_partial, batch_format="pandas"),
+        ["band", "size"],
+        lambda df: df.groupby(["band", "size"], sort=False,
+                              as_index=False).agg(
+            n_buckets=("n_buckets", "sum")))

@@ -388,3 +388,34 @@ def test_ivf_balance_matches_serial(ray_session):
     assert len(out) > 0
     # mass conservation: every vector assigned to exactly one cell
     assert int(out["size"].sum()) == mat.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_balance: MinHash band-bucket histogram
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_lsh_balance_mass(ray_session):
+    import pyarrow.parquet as pq
+
+    import kgx.queries as Q
+    from kgx import config_loader
+    from kgx.functions.text import shingle_codes
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.dedup_lsh_balance(sf))
+    d = config_loader.resolve_settings()["processing"]["dedup"]
+    bands = d["minhash_bands"]
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    n_sig = sum(
+        1 for t in docs["text"]
+        if len(shingle_codes(t or "", k=d["shingle_k"])) > 0)
+
+    assert set(out["band"]) <= set(range(bands))
+    # every signed doc contributes exactly one bucket membership per band
+    per_band = out.groupby("band").apply(
+        lambda g: int((g["size"] * g["n_buckets"]).sum()))
+    assert (per_band == n_sig).all()
+    assert len(per_band) == bands
