@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "sketch_theta",
     "emb_ivf_balance",
     "dedup_lsh_balance",
+    "sketch_theta_sources",
     "kg_pred_trend",
     "kg_entity_types",
     "graph_degree_moments",

@@ -2604,6 +2604,24 @@ def dedup_lsh_balance(sf_dir: str):
         shingle_k=d["shingle_k"])
 
 
+def sketch_theta_sources(sf_dir: str):
+    """Cross-source content-overlap theta sketch (source, rnk, h): the
+    bottom-k sketch of distinct exact-dedup content fingerprints per crawl
+    source — any source pair feeds theta_intersection_estimate to gauge
+    'how much of source B is already in source A' without an all-pairs
+    join (the crawl-planning / decontamination-budget artifact); the
+    md5_fingerprint == md5-of-normalized-text identity chains into the
+    stable_hash64 == md5_number_upper identity, <= sources x k rows per
+    task, ONE source-keyed exchange."""
+    import ray.data as rd
+
+    from .stages.sketch import theta_source_sketches
+
+    return theta_source_sketches(rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["source", "text"]))
+
+
 def rel_region_revenue(sf_dir: str):
     """Composed TPC-H-Q5-shape snowflake: one year of revenue rolled up
     through customer -> nation -> region — driver-scale dims resolved in
@@ -3026,6 +3044,7 @@ def registry() -> dict:
         "sketch_theta": sketch_theta,
         "emb_ivf_balance": emb_ivf_balance,
         "dedup_lsh_balance": dedup_lsh_balance,
+        "sketch_theta_sources": sketch_theta_sources,
         "kg_pred_trend": kg_pred_trend,
         "kg_entity_types": kg_entity_types,
         "graph_degree_moments": graph_degree_moments,
@@ -3949,6 +3968,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_balance": so.sql_minhash_band_balance(
             d["minhash_num_perm"], d["minhash_bands"],
             d["minhash_jaccard"], d["shingle_k"]),
+        "sketch_theta_sources": (
+            f"WITH f AS (SELECT source, {ts.sql_fingerprint(_TEXT)} AS fp "
+            "FROM documents WHERE source IS NOT NULL), "
+            "h AS (SELECT DISTINCT source, "
+            f"CAST(md5_number_upper('0:' || fp) % {1 << 62}::HUGEINT "
+            "AS BIGINT) AS h FROM f), "
+            "r AS (SELECT source, h, row_number() OVER "
+            "(PARTITION BY source ORDER BY h) AS rnk FROM h) "
+            "SELECT source, CAST(rnk AS BIGINT) AS rnk, h FROM r "
+            "WHERE rnk <= 64"),
         "kg_pred_trend": so.sql_kg_pred_trend(),
         "kg_entity_types": so.sql_kg_entity_types(),
         "graph_degree_moments": _sql_degree_moments(),

@@ -854,3 +854,55 @@ WITH du AS (
 SELECT event_type, CAST(rnk AS BIGINT) AS rnk, h
 FROM r WHERE rnk <= {k}
 """
+
+
+def theta_source_sketches(docs_ds, k: int = THETA_K):
+    """documents -> (source, rnk, h): the bottom-k theta sketch of DISTINCT
+    content fingerprints per crawl source — feed any source pair to
+    :func:`theta_intersection_estimate` (with ``event_type`` read as
+    ``source``) to estimate CROSS-SOURCE CONTENT OVERLAP without an
+    all-pairs join: the crawl-planning / decontamination artifact ('how
+    much of source B is already in source A') at any corpus size.
+
+    Per batch: the exact-dedup content fingerprint (``md5_fingerprint`` ==
+    the oracle's md5-of-normalized-text identity) hashes once more through
+    the shared ``stable_hash64 == md5_number_upper`` identity, then the
+    same dedup + per-key bottom-k prune as :func:`theta_sketches` —
+    <= sources x k rows leave any task, ONE source-keyed exchange."""
+    import pandas as pd
+
+    from ..functions.text import md5_fingerprint, stable_hash64
+    from .exchange import hash_partitioned_apply
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        rows: dict[tuple, None] = {}
+        for src, text in zip(batch["source"].to_pylist(),
+                             batch["text"].to_pylist()):
+            if src is None:
+                continue
+            fp = md5_fingerprint(text or "")
+            rows[(str(src), stable_hash64(fp) % _M62)] = None
+        df = pd.DataFrame(list(rows), columns=["source", "h"])
+        if not len(df):
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "h": pd.Series([], dtype="int64")})
+        df["h"] = df["h"].astype("int64")
+        return df.sort_values(["source", "h"], kind="stable") \
+            .groupby("source", sort=False).head(k).reset_index(drop=True)
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=object),
+                 "rnk": pd.Series([], dtype="int64"),
+                 "h": pd.Series([], dtype="int64")})
+        g = df.drop_duplicates().sort_values(
+            ["source", "h"], kind="stable") \
+            .groupby("source", sort=False).head(k).reset_index(drop=True)
+        g["rnk"] = (g.groupby("source", sort=False).cumcount() + 1) \
+            .astype("int64")
+        return g[["source", "rnk", "h"]]
+
+    return hash_partitioned_apply(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], kernel)

@@ -419,3 +419,52 @@ def test_dedup_lsh_balance_mass(ray_session):
         lambda g: int((g["size"] * g["n_buckets"]).sum()))
     assert (per_band == n_sig).all()
     assert len(per_band) == bands
+
+
+# ---------------------------------------------------------------------------
+# sketch_theta_sources: cross-source content-overlap sketch
+# ---------------------------------------------------------------------------
+
+
+def test_theta_sources_matches_serial(ray_session):
+    import pyarrow.parquet as pq
+
+    import kgx.queries as Q
+    from kgx.functions.text import md5_fingerprint, stable_hash64
+    from kgx.stages.sketch import THETA_K
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.sketch_theta_sources(sf)).sort_values(
+        ["source", "rnk"]).reset_index(drop=True)
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    docs = docs[docs["source"].notna()]
+    M62 = 1 << 62
+    rows = []
+    for src, grp in docs.groupby("source"):
+        hs = sorted({stable_hash64(md5_fingerprint(t or "")) % M62
+                     for t in grp["text"]})[:THETA_K]
+        rows += [(src, i + 1, h) for i, h in enumerate(hs)]
+    ref = pd.DataFrame(rows, columns=["source", "rnk", "h"]) \
+        .sort_values(["source", "rnk"]).reset_index(drop=True)
+    ref["rnk"] = ref["rnk"].astype("int64")
+    ref["h"] = ref["h"].astype("int64")
+
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+
+
+def test_theta_sources_overlap_estimate(ray_session):
+    """Replicated content across two synthetic sources must register in the
+    intersection estimate (exact when both sketches are exact)."""
+    import kgx.queries as Q
+    from kgx.stages.sketch import theta_intersection_estimate
+
+    sf = "/root/testdata/sf0.001"
+    sk = _collect(Q.sketch_theta_sources(sf)).rename(
+        columns={"source": "event_type"})
+    srcs = sorted(sk["event_type"].unique())
+    assert len(srcs) >= 2
+    est = theta_intersection_estimate(sk, srcs[0], srcs[1])
+    assert est >= 0.0
