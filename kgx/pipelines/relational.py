@@ -5823,3 +5823,76 @@ WITH pairs AS (
 SELECT share_pm, CAST(count(*) AS BIGINT) AS n_parts
 FROM per_part GROUP BY 1
 """
+
+
+def event_transitions(sf_dir: str):
+    """events -> (prev_type, next_type, n_pairs): counts of consecutive
+    event-type transitions per user in (ts, event_id) order — the
+    first-order Markov / behavioral-model matrix a product-analytics pass
+    fits (reference analog: the G1/G6 per-user ordered-scan family recast
+    as an adjacent-pair count).
+
+    Scale shape: users co-locate via the int-keyed partition-only exchange
+    (the sessionize topology — rows cross ONCE); each partition runs one
+    vectorized kernel over ALL its users (lexsort, shift, same-user mask,
+    one value_counts) and folds straight to <= |types|^2 partial rows, so
+    the second exchange is a bounded pair-keyed combiner.  No per-user
+    Python anywhere (user cardinality is unbounded at web scale)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    def valid(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.and_(pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"])),
+            pc.is_valid(batch["event_type"]))
+        return batch.filter(mask)
+
+    _EMPTY = pd.DataFrame({"prev_type": pd.Series([], dtype="object"),
+                           "next_type": pd.Series([], dtype="object"),
+                           "n_pairs": pd.Series([], dtype="int64")})
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) < 2:
+            return _EMPTY
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        users = df["user_id"].to_numpy()
+        types = df["event_type"].to_numpy()
+        same = users[1:] == users[:-1]
+        if not same.any():
+            return _EMPTY
+        g = pd.DataFrame({"prev_type": types[:-1][same],
+                          "next_type": types[1:][same]})
+        out = g.groupby(["prev_type", "next_type"], sort=False,
+                        as_index=False).agg(n_pairs=("prev_type", "size"))
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    partials = hash_partitioned_apply(
+        ds.map_batches(valid, batch_format="pyarrow"),
+        ["user_id"], kernel, int_keys=True)
+    return hash_partitioned_agg(
+        partials, ["prev_type", "next_type"],
+        lambda df: df.groupby(["prev_type", "next_type"], sort=False,
+                              as_index=False).agg(n_pairs=("n_pairs", "sum")))
+
+
+def sql_event_transitions() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+), p AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM e
+)
+SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_pairs
+FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""

@@ -2469,6 +2469,76 @@ def kg_entity_types(sf_dir: str):
             n_mentions=("n_mentions", "sum")))
 
 
+def kg_seg_yield(sf_dir: str):
+    """Corpus-wide extraction yield by SEGMENT ORDINAL (seg_id, n_segments,
+    n_mentions, n_triples) — do mentions and triples concentrate in the
+    leading chunks of a page?  The chunk-budget signal an extraction
+    scheduler reads when deciding a per-page segment cap (reference M4/G5
+    window-cap semantics, chunker.py / extractor.py).
+
+    Scale shape: three kind-tagged partial streams — segments, mentions,
+    linked triples — each fold to <= |distinct seg ordinals| rows per batch
+    via one value-counts call (the ordinal is BOUNDED by max page length /
+    chunk size, ~dozens), then union through ONE tiny int-keyed seg_id
+    exchange whose kernel pivots kinds to columns; segment/mention/triple
+    rows themselves never shuffle.  The mention and triple chains re-run
+    the page scan (the kg_lang_yield cost class: the automaton pass
+    dominates, the exchange is noise)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipeline import broadcast_kb, linked_triples_ds, mentions_ds, segments_ds
+    from .stages.exchange import hash_partitioned_apply
+
+    cfg = _kg_sql_cfg()
+    refs = broadcast_kb()
+
+    def counts(kind: str):
+        def partial(batch: "pa.Table") -> "pa.Table":
+            vc = pc.value_counts(pc.cast(batch["seg_id"], pa.int64()))
+            n = len(vc)
+            return pa.table(
+                {"seg_id": vc.field("values"),
+                 "kind": pa.array([kind] * n, pa.string()),
+                 "n": pc.cast(vc.field("counts"), pa.int64())})
+
+        return partial
+
+    segs = segments_ds(_kg_sql_pages(sf_dir), cfg).select_columns(
+        ["seg_id"]).map_batches(counts("seg"), batch_format="pyarrow")
+    men = mentions_ds(_kg_sql_pages(sf_dir), cfg, refs).select_columns(
+        ["seg_id"]).map_batches(counts("men"), batch_format="pyarrow")
+    tri = linked_triples_ds(_kg_sql_pages(sf_dir), cfg, refs).select_columns(
+        ["seg_id"]).map_batches(counts("tri"), batch_format="pyarrow")
+
+    _EMPTY = pd.DataFrame(
+        {"seg_id": pd.Series([], dtype="int64"),
+         "n_segments": pd.Series([], dtype="int64"),
+         "n_mentions": pd.Series([], dtype="int64"),
+         "n_triples": pd.Series([], dtype="int64")})
+
+    def pivot(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return _EMPTY
+        g = df.groupby(["seg_id", "kind"], sort=False, as_index=False).agg(
+            n=("n", "sum"))
+        p = g.pivot(index="seg_id", columns="kind", values="n")
+        for k in ("seg", "men", "tri"):
+            if k not in p.columns:
+                p[k] = 0
+        p = p.fillna(0)
+        p = p[p["seg"] > 0]  # left-anchor: ordinals that exist as segments
+        return pd.DataFrame(
+            {"seg_id": p.index.to_numpy().astype("int64"),
+             "n_segments": p["seg"].to_numpy().astype("int64"),
+             "n_mentions": p["men"].to_numpy().astype("int64"),
+             "n_triples": p["tri"].to_numpy().astype("int64")})
+
+    return hash_partitioned_apply(
+        segs.union(men).union(tri), ["seg_id"], pivot, int_keys=True)
+
+
 def graph_degree_moments(sf_dir: str):
     """Exact degree-distribution moments of the co-supplier graph — ONE row
     (n_nodes, n_edges, n_wedges, max_deg): the pre-flight a scheduler reads
@@ -2828,6 +2898,30 @@ def text_heavy_hitters(sf_dir: str):
     return heavy_hitter_tokens(_docs_ds(sf_dir), k=HEAVY_K)
 
 
+def text_vocab_overlap(sf_dir: str):
+    """Exact per-source-pair vocabulary Jaccard (src_a, src_b, n_common,
+    n_a, n_b, jaccard_pm) — the source-mix / decontamination-planning
+    artifact, the exact complement of the sketch_theta_sources estimate.
+    One token-keyed exchange (the vocabulary crosses once); pair volume
+    bounded by |sources|^2."""
+    import ray.data as rd
+
+    from .stages.corpus import vocab_overlap
+
+    docs = rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"), columns=["source", "text"])
+    return vocab_overlap(docs)
+
+
+def rel_event_transitions(sf_dir: str):
+    """Per-user consecutive event-type transition counts (prev_type,
+    next_type, n_pairs) — the first-order Markov behavioral matrix; the
+    sessionize partition topology with bounded |types|^2 partials."""
+    from .pipelines.relational import event_transitions
+
+    return event_transitions(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registry + SQL oracles
 # ---------------------------------------------------------------------------
@@ -3048,6 +3142,9 @@ def registry() -> dict:
         "kg_pred_trend": kg_pred_trend,
         "kg_entity_types": kg_entity_types,
         "graph_degree_moments": graph_degree_moments,
+        "text_vocab_overlap": text_vocab_overlap,
+        "rel_event_transitions": rel_event_transitions,
+        "kg_seg_yield": kg_seg_yield,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3173,6 +3270,18 @@ def _sql_zipf() -> str:
     from .stages.corpus import sql_zipf_histogram
 
     return sql_zipf_histogram(ts.sql_token_list(_TEXT))
+
+
+def _sql_vocab_overlap() -> str:
+    from .stages.corpus import sql_vocab_overlap
+
+    return sql_vocab_overlap(ts.sql_token_list(_TEXT))
+
+
+def _sql_event_transitions() -> str:
+    from .pipelines.relational import sql_event_transitions
+
+    return sql_event_transitions()
 
 
 def _sql_inverted_index_oracle() -> str:
@@ -3981,6 +4090,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_trend": so.sql_kg_pred_trend(),
         "kg_entity_types": so.sql_kg_entity_types(),
         "graph_degree_moments": _sql_degree_moments(),
+        "text_vocab_overlap": _sql_vocab_overlap(),
+        "rel_event_transitions": _sql_event_transitions(),
+        "kg_seg_yield": so.sql_kg_seg_yield(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

@@ -1443,3 +1443,26 @@ WITH emb AS (
 )
 SELECT c, CAST(count(*) AS BIGINT) AS size FROM assign GROUP BY 1
 """
+
+
+def sql_kg_seg_yield() -> str:
+    """(seg_id, n_segments, n_mentions, n_triples): corpus-wide extraction
+    yield by SEGMENT ORDINAL — do mentions and triples concentrate in the
+    leading chunks of a page?  The chunk-budget signal an extraction
+    scheduler reads when deciding a per-page segment cap (M4/G5)."""
+    return (
+        _kg_common_ctes()
+        + """
+, segc AS (
+  SELECT seg_id, CAST(count(*) AS BIGINT) AS n_segments FROM seg GROUP BY seg_id
+), mc AS (
+  SELECT seg_id, CAST(count(*) AS BIGINT) AS n_mentions FROM am GROUP BY seg_id
+), tc AS (
+  SELECT seg_id, CAST(count(*) AS BIGINT) AS n_triples FROM linked GROUP BY seg_id
+)
+SELECT s.seg_id, s.n_segments,
+       CAST(coalesce(mc.n_mentions, 0) AS BIGINT) AS n_mentions,
+       CAST(coalesce(tc.n_triples, 0) AS BIGINT) AS n_triples
+FROM segc s LEFT JOIN mc USING (seg_id) LEFT JOIN tc USING (seg_id)
+"""
+    )

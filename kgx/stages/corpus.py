@@ -2334,3 +2334,133 @@ SELECT CAST(day AS BIGINT) AS day, CAST(n_new AS BIGINT) AS n_new,
        CAST(10000 * n_new // n_distinct AS BIGINT) AS novelty_pm
 FROM per
 """
+
+
+def vocab_overlap(docs_ds):
+    """documents -> (src_a, src_b, n_common, n_a, n_b, jaccard_pm): exact
+    vocabulary Jaccard for every crawl-source pair sharing at least one
+    token — the source-mix / decontamination-planning artifact (a pair
+    with high vocabulary overlap is a near-duplicate crawl slice; a pair
+    with none is a genuinely new domain), the exact complement of the
+    sketch_theta_sources estimate (reference analog: the source-level
+    report sections, generator.py).
+
+    Scale shape: per-batch DISTINCT (source, token) partials (one
+    drop_duplicates) cross ONE token-keyed partition exchange — the
+    vocabulary crosses the wire once, the text_zipf / inverted-index cost
+    class, unavoidable for exact per-source distinct-token sets; each
+    token partition re-dedups globally, folds per-source sizes (additive
+    across partitions because tokens are partition-disjoint) and
+    generates per-token source pairs with a C-level self-merge (sources
+    are BOUNDED — ~dozens even at web scale — so pair volume per token is
+    bounded); a tiny (src_a, src_b)-keyed combiner sums, and the final
+    jaccard_pm = 10000*|A∩B| // |A∪B| is exact integer arithmetic over
+    the <= |sources|^2 coalesced block."""
+    import pandas as pd
+
+    from ..functions.text import tokenize
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    _ST_EMPTY = pd.DataFrame({"source": pd.Series([], dtype="object"),
+                              "token": pd.Series([], dtype="object")})
+    _PAIR_EMPTY = pd.DataFrame({"src_a": pd.Series([], dtype="object"),
+                                "src_b": pd.Series([], dtype="object"),
+                                "n": pd.Series([], dtype="int64")})
+
+    def st_partial(batch: pa.Table) -> "pd.DataFrame":
+        srcs: list[str] = []
+        toks: list[str] = []
+        for src, text in zip(batch["source"].to_pylist(),
+                             batch["text"].to_pylist()):
+            if src is None:
+                continue
+            seen = set(tokenize(text or ""))
+            toks.extend(seen)
+            srcs.extend([src] * len(seen))
+        if not toks:
+            return _ST_EMPTY
+        return pd.DataFrame({"source": srcs,
+                             "token": toks}).drop_duplicates()
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return _PAIR_EMPTY
+        d = df.drop_duplicates(["source", "token"])
+        # per-source distinct-token sizes, emitted as self-pair rows
+        # (additive across partitions: tokens are partition-disjoint)
+        sz = d.groupby("source", sort=False, as_index=False).agg(
+            n=("source", "size"))
+        sizes = pd.DataFrame({"src_a": sz["source"], "src_b": sz["source"],
+                              "n": sz["n"].astype("int64")})
+        # per-token source pairs via one C-level self-merge (bounded fanout)
+        m = d.merge(d, on="token")
+        m = m[m["source_x"] < m["source_y"]]
+        if len(m):
+            pairs = m.groupby(["source_x", "source_y"], sort=False,
+                              as_index=False).agg(n=("token", "size"))
+            pairs = pairs.rename(
+                columns={"source_x": "src_a", "source_y": "src_b"})
+            pairs["n"] = pairs["n"].astype("int64")
+            return pd.concat([sizes, pairs], ignore_index=True)
+        return sizes
+
+    folded = hash_partitioned_agg(
+        hash_partitioned_apply(
+            docs_ds.map_batches(st_partial, batch_format="pyarrow"),
+            ["token"], kernel),
+        ["src_a", "src_b"],
+        lambda df: df.groupby(["src_a", "src_b"], sort=False,
+                              as_index=False).agg(n=("n", "sum")))
+
+    _OUT_EMPTY = pd.DataFrame(
+        {"src_a": pd.Series([], dtype="object"),
+         "src_b": pd.Series([], dtype="object"),
+         "n_common": pd.Series([], dtype="int64"),
+         "n_a": pd.Series([], dtype="int64"),
+         "n_b": pd.Series([], dtype="int64"),
+         "jaccard_pm": pd.Series([], dtype="int64")})
+
+    def ratio(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return _OUT_EMPTY
+        sizes = df[df["src_a"] == df["src_b"]].set_index("src_a")["n"]
+        out = df[df["src_a"] != df["src_b"]].copy()
+        if not len(out):
+            return _OUT_EMPTY
+        out["n_common"] = out["n"].astype("int64")
+        out["n_a"] = out["src_a"].map(sizes).astype("int64")
+        out["n_b"] = out["src_b"].map(sizes).astype("int64")
+        union = out["n_a"] + out["n_b"] - out["n_common"]
+        out["jaccard_pm"] = (10_000 * out["n_common"]) // union
+        return out[["src_a", "src_b", "n_common", "n_a", "n_b",
+                    "jaccard_pm"]]
+
+    # the folded table is <= |sources|^2 rows: coalesce to ONE block so the
+    # size lookup sees every self-pair row (ngram_topk layout-dependence
+    # class)
+    return folded.repartition(1).map_batches(
+        ratio, batch_format="pandas", batch_size=None)
+
+
+def sql_vocab_overlap(token_list_expr: str) -> str:
+    return f"""
+WITH u AS (
+  SELECT source, unnest({token_list_expr}) AS token
+  FROM documents WHERE source IS NOT NULL
+), st AS (
+  SELECT DISTINCT source, token FROM u
+), sz AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY source
+), pr AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT pr.src_a, pr.src_b, pr.n_common, za.n AS n_a, zb.n AS n_b,
+       CAST(10000 * pr.n_common // (za.n + zb.n - pr.n_common) AS BIGINT)
+         AS jaccard_pm
+FROM pr
+JOIN sz za ON za.source = pr.src_a
+JOIN sz zb ON zb.source = pr.src_b
+"""
