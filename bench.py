@@ -208,6 +208,14 @@ BENCH_QUERIES = [
     "kg_pred_trend",
     "kg_entity_types",
     "graph_degree_moments",
+    "text_vocab_overlap",
+    "rel_event_transitions",
+    "kg_seg_yield",
+    "rel_basket_rules",  # 4 sort barriers (stage-1 + marg + dual-key
+    # attach + final combiner): ~15 s at sf0.1, barrier-latency bound —
+    # the pair-pipeline cost class, volume-safe at scale
+    "doc_token_budget",
+    "kg_negative_samples",
 ]
 
 

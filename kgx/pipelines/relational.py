@@ -5896,3 +5896,199 @@ WITH e AS (
 SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_pairs
 FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (r5 batch 21)
+# ---------------------------------------------------------------------------
+
+BASKET_MINSUP = 2               # min distinct orders a part pair must share
+
+
+def basket_rules(sf_dir: str, minsup: int = BASKET_MINSUP):
+    """lineitem -> (part_a, part_b, n_ab, n_a, n_b, lift_pm): classic
+    market-basket association mining over order baskets — every unordered
+    part pair co-occurring in >= ``minsup`` distinct orders, with both
+    marginal order counts and the exact integer-permyriad lift
+    ``10000 * n_ab * n_orders // (n_a * n_b)`` (lift > 10000 = the pair
+    co-occurs MORE than independence predicts).  Distinct semantics from
+    ``graph_edge_weights`` (edge-multiplicity histogram): this is the
+    association-RULE artifact — supports, marginals and a normalized
+    strength score per pair (reference analog: the G2/J2 weighted-pair
+    family recast as co-purchase mining).
+
+    Scale shape: ONE orderkey-keyed partition exchange co-locates each
+    basket (the triangle pipeline's stage-1 topology); a single vectorized
+    kernel per partition dedups (order, part), pair-generates with the
+    shared ``_pairs_within_groups``, and emits THREE kind-tagged bounded
+    partial streams in one all-int64 schema — pair counts (kind 0), part
+    marginals (kind 1, additive because orders are partition-disjoint) and
+    the partition's distinct-order count (kind 2, one row).  Pairs fold in
+    an (a, b)-keyed combiner and take the support filter EARLY; marginals
+    then attach through two chained kind-union part-keyed exchanges (the
+    rel_q9 unbounded route — no broadcast of the part table is ever
+    required), and the n_orders scalar is a driver-scale collect of
+    <= |partitions| rows.  The lift product ``10000 * n_ab * n_orders``
+    falls back to Python-int arithmetic when it could exceed int64 (the
+    PMI overflow convention, ADVICE r4)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import (collect_arrow, hash_partitioned_agg,
+                                   hash_partitioned_apply)
+    from ..stages.triangles import _group_bounds, _pairs_within_groups
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        d = d.dropna(subset=["l_orderkey", "l_partkey"])
+        d = d.drop_duplicates(subset=["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"])
+        o = d["l_orderkey"].to_numpy().astype(np.int64)
+        p = d["l_partkey"].to_numpy().astype(np.int64)
+        starts, sizes = _group_bounds(o)
+        li_, ri_ = _pairs_within_groups(starts, sizes, len(o))
+        pairs = pd.DataFrame({"a": p[li_], "b": p[ri_]})
+        pairs["n"] = np.int64(1)
+        pairs = pairs.groupby(["a", "b"], sort=False, as_index=False).agg(
+            n=("n", "sum"))
+        pairs.insert(0, "kind", np.int64(0))
+        vc = pd.Series(p).value_counts()
+        marg = pd.DataFrame(
+            {"kind": np.int64(1), "a": vc.index.to_numpy().astype("int64"),
+             "b": np.int64(-1), "n": vc.to_numpy().astype("int64")})
+        scal = pd.DataFrame(
+            {"kind": [np.int64(2)], "a": [np.int64(-1)], "b": [np.int64(-1)],
+             "n": [np.int64(len(starts))]})
+        out = pd.concat([pairs[["kind", "a", "b", "n"]], marg, scal],
+                        ignore_index=True)
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    tagged = hash_partitioned_apply(
+        li, ["l_orderkey"], kernel, int_keys=True).materialize()
+
+    def _only(kind: int):
+        import pyarrow.compute as _pc
+
+        def f(t: "pa.Table") -> "pa.Table":
+            return t.filter(_pc.equal(t["kind"], kind)).drop_columns(["kind"])
+
+        return f
+
+    marg = hash_partitioned_agg(
+        tagged.map_batches(_only(1), batch_format="pyarrow"), ["a"],
+        lambda df: df.groupby("a", sort=False, as_index=False).agg(
+            n=("n", "sum")))
+
+    n_orders = int(pa.Table.to_pandas(collect_arrow(
+        tagged.map_batches(_only(2), batch_format="pyarrow"),
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                  "n": pa.array([], pa.int64())})))["n"].sum())
+
+    # dual-key marginal attach in ONE exchange: every pair PARTIAL ships
+    # twice — once keyed by each endpoint (sentinel-fill union with the
+    # marginal rows, all int64).  All partials of a pair co-locate with
+    # each endpoint key, so the kernel re-sums the GLOBAL n_ab on both
+    # copies independently, takes the support filter EARLY, and attaches
+    # that endpoint's marginal; a final (a, b)-keyed combiner merges the
+    # two half-rows.  Same total pair-row wire volume as combiner + two
+    # chained attaches (3x), one barrier fewer.
+    def dual_tag(t: "pa.Table") -> "pa.Table":
+        a = t["a"].to_numpy().astype(np.int64)
+        b = t["b"].to_numpy().astype(np.int64)
+        n = t["n"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"key": pa.array(np.concatenate([a, b])),
+             "side": pa.array(np.concatenate(
+                 [np.zeros(len(a), dtype=np.int64),
+                  np.ones(len(b), dtype=np.int64)])),
+             "part_a": pa.array(np.concatenate([a, a])),
+             "part_b": pa.array(np.concatenate([b, b])),
+             "n": pa.array(np.concatenate([n, n]))})
+
+    def marg_tag(t: "pa.Table") -> "pa.Table":
+        k = t["a"].to_numpy().astype(np.int64)
+        n = t["n"].to_numpy().astype(np.int64)
+        s = np.full(len(k), -1, dtype=np.int64)
+        return pa.table({"key": pa.array(k), "side": pa.array(s),
+                         "part_a": pa.array(s.copy()),
+                         "part_b": pa.array(s.copy()), "n": pa.array(n)})
+
+    u = tagged.map_batches(_only(0), batch_format="pyarrow")         .map_batches(dual_tag, batch_format="pyarrow")         .union(marg.map_batches(marg_tag, batch_format="pyarrow"))
+
+    def attach_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        m = d[d["side"] < 0][["key", "n"]].rename(columns={"n": "mn"})
+        p = d[d["side"] >= 0]
+        g = p.groupby(["key", "side", "part_a", "part_b"], sort=False,
+                      as_index=False).agg(n_ab=("n", "sum"))
+        g = g[g["n_ab"] >= minsup]
+        g = g.merge(m, on="key", how="inner")
+        side = g["side"].to_numpy()
+        mn = g["mn"].to_numpy()
+        out = pd.DataFrame(
+            {"part_a": g["part_a"], "part_b": g["part_b"],
+             "n_ab": g["n_ab"],
+             "na_part": np.where(side == 0, mn, -1),
+             "nb_part": np.where(side == 1, mn, -1)})
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    halves = hash_partitioned_apply(u, ["key"], attach_kernel, int_keys=True)
+
+    with_b = hash_partitioned_agg(
+        halves, ["part_a", "part_b"],
+        lambda df: df.groupby(["part_a", "part_b"], sort=False,
+                              as_index=False).agg(
+            n_ab=("n_ab", "max"), na_part=("na_part", "max"),
+            nb_part=("nb_part", "max")))
+
+    def finish(d: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(d):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("part_a", "part_b", "n_ab",
+                                           "n_a", "n_b", "lift_pm")})
+        n_ab = d["n_ab"].to_numpy()
+        n_a = d["na_part"].to_numpy()
+        n_b = d["nb_part"].to_numpy()
+        num_max = 10000 * int(n_ab.max()) * n_orders
+        den_max = int(n_a.max()) * int(n_b.max())
+        if num_max >= 2 ** 63 or den_max >= 2 ** 63:
+            lift = np.fromiter(
+                ((10000 * int(x) * n_orders) // (int(y) * int(z))
+                 for x, y, z in zip(n_ab, n_a, n_b)),
+                dtype="int64", count=len(n_ab))
+        else:
+            lift = (10000 * n_ab.astype(np.int64) * n_orders) // (
+                n_a.astype(np.int64) * n_b.astype(np.int64))
+        out = d[["part_a", "part_b", "n_ab"]].copy()
+        out["n_a"] = n_a.astype("int64")
+        out["n_b"] = n_b.astype("int64")
+        out["lift_pm"] = lift.astype("int64")
+        return out
+
+    return with_b.map_batches(finish, batch_format="pandas")
+
+
+def sql_basket_rules(minsup: int = BASKET_MINSUP) -> str:
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+), cnt AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY pk
+), no AS (
+  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op
+), pr AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= {minsup}
+)
+SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+       n_ab, ca.n AS n_a, cb.n AS n_b,
+       CAST(10000 * n_ab * (SELECT n_orders FROM no) // (ca.n * cb.n)
+            AS BIGINT) AS lift_pm
+FROM pr JOIN cnt ca ON ca.pk = part_a JOIN cnt cb ON cb.pk = part_b
+"""

@@ -2922,6 +2922,42 @@ def rel_event_transitions(sf_dir: str):
     return event_transitions(sf_dir)
 
 
+def rel_basket_rules(sf_dir: str):
+    """Market-basket association rules (part_a, part_b, n_ab, n_a, n_b,
+    lift_pm) over order baskets — supports, marginals and exact integer
+    permyriad lift per co-purchased part pair; ONE orderkey exchange +
+    bounded kind-tagged partials + two chained marginal-attach
+    exchanges."""
+    from .pipelines.relational import basket_rules
+
+    return basket_rules(sf_dir)
+
+
+def doc_token_budget(sf_dir: str):
+    """Per-source quality-ranked token-budget selection (doc_id, source,
+    score, n_tokens, cum_tokens) — exact global ordered budget fill
+    WITHOUT a global sort: bounded (source, score, bucket) offsets prune
+    everything past the budget before one partition exchange."""
+    import ray.data as rd
+
+    from .stages.corpus import token_budget
+
+    docs = rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["doc_id", "source", "text"])
+    return token_budget(docs)
+
+
+def kg_negative_samples(sf_dir: str):
+    """Deterministic consistent-hashing negatives (subj, pred, obj,
+    neg_obj) for KG-embedding training — entity vocabulary on a 2^62
+    ring, one bucket-keyed exchange, bounded per-bucket-minima wrap
+    table; probes hitting the true object drop."""
+    from .stages.kg_stages import negative_samples
+
+    return negative_samples(_kg_sql_outputs(sf_dir)["triples"])
+
+
 # ---------------------------------------------------------------------------
 # Registry + SQL oracles
 # ---------------------------------------------------------------------------
@@ -3145,6 +3181,9 @@ def registry() -> dict:
         "text_vocab_overlap": text_vocab_overlap,
         "rel_event_transitions": rel_event_transitions,
         "kg_seg_yield": kg_seg_yield,
+        "rel_basket_rules": rel_basket_rules,
+        "doc_token_budget": doc_token_budget,
+        "kg_negative_samples": kg_negative_samples,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3983,6 +4022,18 @@ def _sql_outliers_oracle() -> str:
     return sql_kmeans_outliers()
 
 
+def _sql_basket_rules() -> str:
+    from .pipelines.relational import sql_basket_rules
+
+    return sql_basket_rules()
+
+
+def _sql_token_budget() -> str:
+    from .stages.corpus import sql_token_budget
+
+    return sql_token_budget()
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB SQL per SQL-expressible query; keys match registry()."""
     from . import sql_oracles as so
@@ -4093,6 +4144,9 @@ def oracle_sql() -> dict[str, str]:
         "text_vocab_overlap": _sql_vocab_overlap(),
         "rel_event_transitions": _sql_event_transitions(),
         "kg_seg_yield": so.sql_kg_seg_yield(),
+        "rel_basket_rules": _sql_basket_rules(),
+        "doc_token_budget": _sql_token_budget(),
+        "kg_negative_samples": so.sql_kg_negative_samples(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

@@ -1466,3 +1466,49 @@ SELECT s.seg_id, s.n_segments,
 FROM segc s LEFT JOIN mc USING (seg_id) LEFT JOIN tc USING (seg_id)
 """
     )
+
+
+def sql_kg_negative_samples() -> str:
+    """(subj, pred, obj, neg_obj): one deterministic consistent-hashing
+    negative per deduped triple — the negative is the entity with min
+    (h, key) such that h >= probe, wrapping to the global min (the ring
+    semantics in ONE window: ORDER BY (h < p), h, key); probes landing on
+    the true object drop.  Mirrors kg_stages.negative_samples under the
+    stable_hash64 == md5_number_upper identity."""
+    m62 = f"{1 << 62}::HUGEINT"
+    return (
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY ns, pred, no
+                       ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), final_t AS (
+  SELECT ns, no, subj, pred, obj FROM ranked WHERE rr = 1
+), roles AS (
+  SELECT ns AS key, subj AS disp FROM final_t
+  UNION ALL SELECT no AS key, obj AS disp FROM final_t
+), ents AS (
+  SELECT key, min(disp) AS disp,
+         CAST(md5_number_upper('0:ent:' || key) % {m62} AS BIGINT) AS h
+  FROM roles GROUP BY key
+), pr AS (
+  SELECT ns, no, subj, pred, obj,
+         CAST(md5_number_upper(
+           '0:neg:' || ns || chr(31) || pred || chr(31) || no) % {m62}
+           AS BIGINT) AS p
+  FROM final_t
+), cand AS (
+  SELECT pr.subj, pr.pred, pr.obj, pr.no, e.key AS nkey, e.disp,
+         row_number() OVER (PARTITION BY pr.ns, pr.pred, pr.no
+                            ORDER BY (e.h < pr.p), e.h, e.key) AS rn
+  FROM pr CROSS JOIN ents e
+)
+SELECT subj, pred, obj, disp AS neg_obj
+FROM cand WHERE rn = 1 AND nkey <> no
+"""
+    )

@@ -2464,3 +2464,170 @@ FROM pr
 JOIN sz za ON za.source = pr.src_a
 JOIN sz zb ON zb.source = pr.src_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality-ranked token-budget selection (r5 batch 21)
+# ---------------------------------------------------------------------------
+
+BUDGET_TOKENS = 600             # per-source token budget (cuts at every sf)
+
+
+def token_budget(docs_ds, budget: int = BUDGET_TOKENS,
+                 num_buckets: int | None = None):
+    """documents -> (doc_id, source, score, n_tokens, cum_tokens): fill each
+    source's token budget with its best documents — the curation step a
+    training-mix builder runs last ("give me <= B tokens per source, best
+    first").  Selection order within a source is (score DESC, doc_id ASC)
+    where score = how many of the three Gopher-style quality sub-rules the
+    document passes (min-tokens, min-chars, stop-ratio — the exact
+    ``quality_batch`` rules, so score is an integer in [0, 3]); a document
+    is kept iff the INCLUSIVE running token total up to it is <= budget.
+    ``cum_tokens`` is that running total — the seam a downstream packer
+    reads.
+
+    Scale shape — exact global ordered selection WITHOUT a global sort:
+
+    1. one stats scan (vectorized counts, the quality_batch kernel's rules)
+       materializes (doc_id, source, n_tokens, score) once;
+    2. pass A: docs range-bucket by doc_id (the pack_sequences bucketing);
+       per-batch (source, score, bucket) token sums tree-combine to a
+       BOUNDED table (|sources| x 4 x num_buckets), whose exclusive prefix
+       under (score DESC, bucket ASC) per source gives every group's
+       global starting offset — and PRUNES: any group whose offset already
+       exceeds the budget is dropped before the exchange, so at web scale
+       only the budget-boundary sliver of the corpus ever crosses the
+       wire;
+    3. pass B: surviving rows co-locate via ONE (source, score, bucket)
+       partition exchange; each partition sorts its groups locally
+       (doc_id ASC inside a group), adds the broadcast offset, and keeps
+       rows with inclusive cum <= budget.
+
+    DuckDB mirror: a per-source window running sum ordered by
+    (score DESC, doc_id) filtered at the same inclusive budget."""
+    import pandas as pd
+    import ray
+
+    from ..functions import textstats as ts
+    from .exchange import _default_partitions, hash_partitioned_apply
+    from .text_analysis import _marker_count
+
+    def stats(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["doc_id", "source"])
+        text = df["text"].fillna("")
+        nt = text.str.count(ts.TOKEN_PATTERN).astype("int64")
+        nc = text.str.len().astype("int64")
+        nstop = _marker_count(text.str.lower(), ts.QUALITY_STOPWORDS)
+        score = (
+            (nt >= ts.QUALITY_MIN_TOKENS).astype("int64")
+            + (nc >= ts.QUALITY_MIN_CHARS).astype("int64")
+            + (ts.QUALITY_STOP_RATIO_DEN * nstop
+               <= ts.QUALITY_STOP_RATIO_NUM * nt).astype("int64")
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "source": df["source"].astype(str),
+             "n_tokens": nt, "score": score})
+
+    st = docs_ds.map_batches(stats, batch_format="pandas").materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    agg = st.aggregate(Min("doc_id"), Max("doc_id"))
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "source": pd.Series([], dtype="str"),
+         "score": pd.Series([], dtype="int64"),
+         "n_tokens": pd.Series([], dtype="int64"),
+         "cum_tokens": pd.Series([], dtype="int64")})
+    if not agg or agg.get("min(doc_id)") is None:
+        return st.map_batches(lambda df: empty, batch_format="pandas")
+    lo, hi = int(agg["min(doc_id)"]), int(agg["max(doc_id)"])
+    B = num_buckets or _default_partitions() * 8
+    bucket_w = max(1, (hi - lo + B) // B)
+
+    def bucket_sums(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.copy()
+        g["bucket"] = ((g["doc_id"].to_numpy() - lo) // bucket_w).astype(
+            "int64")
+        out = g.groupby(["source", "score", "bucket"], sort=False,
+                        as_index=False).agg(n_tokens=("n_tokens", "sum"))
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out
+
+    merged = st.map_batches(bucket_sums, batch_format="pandas") \
+        .repartition(1).map_batches(
+            lambda df: df.groupby(["source", "score", "bucket"], sort=False,
+                                  as_index=False)
+                         .agg(n_tokens=("n_tokens", "sum")),
+            batch_format="pandas",
+        ).to_pandas()
+
+    # exclusive global offsets under (score DESC, bucket ASC) per source
+    merged = merged.sort_values(["source", "score", "bucket"],
+                                ascending=[True, False, True], kind="stable")
+    csum = merged.groupby("source", sort=False)["n_tokens"].cumsum()
+    merged["off"] = (csum - merged["n_tokens"]).astype("int64")
+    # prune: a group starting at or past the budget contributes nothing
+    offsets = merged.loc[merged["off"] < budget,
+                         ["source", "score", "bucket", "off"]].reset_index(
+        drop=True)
+    off_ref = ray.put(offsets)
+
+    def attach_and_prune(df: "pd.DataFrame") -> "pd.DataFrame":
+        off = ray.get(off_ref)
+        g = df.copy()
+        g["bucket"] = ((g["doc_id"].to_numpy() - lo) // bucket_w).astype(
+            "int64")
+        return g.merge(off, on=["source", "score", "bucket"], how="inner")
+
+    def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(d):
+            return empty
+        d = d.sort_values(["source", "score", "bucket", "doc_id"],
+                          kind="stable")
+        cum = d.groupby(["source", "score", "bucket"], sort=False)[
+            "n_tokens"].cumsum()
+        d = d.assign(cum_tokens=(cum + d["off"]).astype("int64"))
+        d = d[d["cum_tokens"] <= budget]
+        return d[["doc_id", "source", "score", "n_tokens",
+                  "cum_tokens"]].reset_index(drop=True)
+
+    pruned = st.map_batches(attach_and_prune, batch_format="pandas")
+    return hash_partitioned_apply(
+        pruned, ["source", "score", "bucket"], kernel)
+
+
+def sql_token_budget(budget: int = BUDGET_TOKENS) -> str:
+    from ..functions import textstats as ts
+
+    text = "coalesce(text, '')"
+    nt = ts.sql_n_tokens(text)
+    ns = ts.sql_n_stopwords(text)
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST({nt} AS BIGINT) AS n_tokens,
+         CAST(length({text}) AS BIGINT) AS n_chars,
+         CAST({ns} AS BIGINT) AS n_stop
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+), s AS (
+  SELECT doc_id, source, n_tokens,
+         CAST((CASE WHEN n_tokens >= {ts.QUALITY_MIN_TOKENS}
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars >= {ts.QUALITY_MIN_CHARS}
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN {ts.QUALITY_STOP_RATIO_DEN} * n_stop
+                         <= {ts.QUALITY_STOP_RATIO_NUM} * n_tokens
+                    THEN 1 ELSE 0 END) AS BIGINT) AS score
+  FROM t
+), c AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY source ORDER BY score DESC, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, score, n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= {budget}
+"""

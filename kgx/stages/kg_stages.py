@@ -936,3 +936,162 @@ def kg_hub_entities(triples_ds, k: int = 15, iterations: int = 3):
              "rnk": j["rnk"].to_numpy(np.int64)})
 
     return hash_partitioned_apply(union, ["node"], attach, int_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for KG-embedding training (r5 batch 21)
+# ---------------------------------------------------------------------------
+
+
+def negative_samples(triples_ds, num_partitions: int | None = None):
+    """deduped triples -> (subj, pred, obj, neg_obj): one deterministic
+    corrupted-object negative per positive triple — the training-pair
+    artifact a KG-embedding job (TransE-style margin loss) consumes next
+    to the positive graph.  The corruption is CONSISTENT-HASHING on a
+    2^62 ring: every entity key (normalized subject/object vocabulary of
+    the deduped graph) hashes onto the ring at ``stable_hash64('ent:' +
+    key)``, each triple probes at ``stable_hash64('neg:' + ns + US + pred
+    + US + no)``, and the negative is the first entity clockwise from the
+    probe (min (h, key) with h >= p, wrapping to the global min) — a
+    uniform-ish, reproducible draw that needs NO random state and NO
+    global rank table.  Probes that land on the true object are dropped
+    (the standard filtered-negatives convention).  Display form per entity
+    key is the min display string over all its occurrences (the
+    kg_conflicts representative convention).
+
+    Scale shape: the vocabulary crosses the wire exactly once (key-keyed
+    min-display combiner), and the ring join is ONE bucket-keyed partition
+    exchange — the ring splits into ``8 x cluster CPUs`` hash-range
+    buckets, entities and probes co-locate by bucket, and each partition
+    resolves its probes with one searchsorted over its sorted entities.
+    Cross-bucket wrap (a probe past its bucket's last entity) resolves
+    against the BOUNDED per-bucket-minimum table (<= num_buckets rows,
+    collected once and shipped via ray.put) — the vocabulary itself is
+    never broadcast, so the operator holds at any entity count.  Hash
+    cost is one md5 per entity + one per triple (the exact-dedup cost
+    class).  DuckDB mirror: row_number over (h < p, h, key) per probe —
+    the same ring ordering in one window."""
+    import hashlib
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from .exchange import (_default_partitions, collect_arrow,
+                           hash_partitioned_agg, hash_partitioned_apply)
+    from .wide import _norm_part_series
+
+    M62 = 1 << 62
+    NB = (num_partitions or _default_partitions()) * 8
+    W = (M62 + NB - 1) // NB  # ring-bucket width: rb = h // W in [0, NB)
+
+    def _h62(prefix: str, values) -> np.ndarray:
+        out = np.empty(len(values), dtype=np.int64)
+        for i, v in enumerate(values):
+            d = hashlib.md5(f"0:{prefix}{v}".encode("utf-8")).digest()
+            out[i] = struct.unpack("<Q", d[:8])[0] % M62
+        return out
+
+    # --- vocabulary: one (key, min display) row per entity ---------------
+    def role_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        subj = df["subj"].astype(str)
+        obj = df["obj"].astype(str)
+        return pd.DataFrame(
+            {"key": pd.concat([_norm_part_series(subj),
+                               _norm_part_series(obj)], ignore_index=True),
+             "disp": pd.concat([subj, obj], ignore_index=True)})
+
+    vocab = hash_partitioned_agg(
+        triples_ds.select_columns(["subj", "obj"]).map_batches(
+            role_rows, batch_format="pandas"),
+        ["key"],
+        lambda df: df.groupby("key", sort=False, as_index=False).agg(
+            disp=("disp", "min")),
+        num_partitions)
+
+    def hash_vocab(df: "pd.DataFrame") -> "pd.DataFrame":
+        h = _h62("ent:", df["key"].tolist())
+        return pd.DataFrame(
+            {"rb": (h // W).astype("int64"), "h": h,
+             "key": df["key"].astype(str), "disp": df["disp"].astype(str),
+             "subj": "", "pred": "", "obj": "", "no": "",
+             "p": np.int64(-1)})
+
+    ents = vocab.map_batches(hash_vocab, batch_format="pandas").materialize()
+
+    # --- bounded per-bucket minima (wrap-resolution table) ----------------
+    def bucket_min(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.sort_values(["rb", "h", "key"], kind="stable")
+        return d.groupby("rb", sort=False, as_index=False).first()[
+            ["rb", "h", "key", "disp"]]
+
+    minima_ds = hash_partitioned_agg(
+        ents.map_batches(
+            lambda d: d[["rb", "h", "key", "disp"]], batch_format="pandas"),
+        ["rb"], bucket_min, num_partitions)
+    minima = collect_arrow(
+        minima_ds,
+        pa.table({"rb": pa.array([], pa.int64()),
+                  "h": pa.array([], pa.int64()),
+                  "key": pa.array([], pa.string()),
+                  "disp": pa.array([], pa.string())})).to_pandas()
+    minima = minima.sort_values("rb", kind="stable").reset_index(drop=True)
+    minima_ref = ray.put(minima)
+
+    _EMPTY = pd.DataFrame({c: pd.Series([], dtype="str")
+                           for c in ("subj", "pred", "obj", "neg_obj")})
+
+    # --- probes ------------------------------------------------------------
+    def probe_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        subj = df["subj"].astype(str)
+        pred = df["pred"].astype(str)
+        obj = df["obj"].astype(str)
+        ns = _norm_part_series(subj)
+        no = _norm_part_series(obj)
+        keys = (ns + "\x1f" + pred + "\x1f" + no).tolist()
+        p = _h62("neg:", keys)
+        return pd.DataFrame(
+            {"rb": (p // W).astype("int64"), "h": np.int64(-1),
+             "key": "", "disp": "",
+             "subj": subj, "pred": pred, "obj": obj, "no": no.astype(str),
+             "p": p})
+
+    probes = triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+        probe_rows, batch_format="pandas")
+
+    def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        mn = ray.get(minima_ref)
+        pr = d[d["p"] >= 0]
+        if not len(pr) or not len(mn):
+            return _EMPTY
+        e = d[d["p"] < 0].sort_values(["h", "key"], kind="stable")
+        eh = e["h"].to_numpy()
+        ekey = e["key"].to_numpy()
+        edisp = e["disp"].to_numpy()
+        p = pr["p"].to_numpy()
+        rbp = pr["rb"].to_numpy()
+        n = len(eh)
+        lo = np.searchsorted(eh, p, side="left")
+        safe = np.minimum(lo, max(n - 1, 0))
+        in_bucket = (lo < n) & (eh[safe] // W == rbp) if n else np.zeros(
+            len(p), dtype=bool)
+        neg_key = np.empty(len(p), dtype=object)
+        neg_disp = np.empty(len(p), dtype=object)
+        neg_key[in_bucket] = ekey[safe[in_bucket]]
+        neg_disp[in_bucket] = edisp[safe[in_bucket]]
+        fb = ~in_bucket
+        if fb.any():
+            brb = mn["rb"].to_numpy()
+            idx = np.searchsorted(brb, rbp[fb], side="right") % len(brb)
+            neg_key[fb] = mn["key"].to_numpy()[idx]
+            neg_disp[fb] = mn["disp"].to_numpy()[idx]
+        out = pd.DataFrame(
+            {"subj": pr["subj"].to_numpy(), "pred": pr["pred"].to_numpy(),
+             "obj": pr["obj"].to_numpy(), "neg_obj": neg_disp,
+             "_nk": neg_key, "_no": pr["no"].to_numpy()})
+        out = out[out["_nk"] != out["_no"]]
+        return out[["subj", "pred", "obj", "neg_obj"]].astype(str)
+
+    return hash_partitioned_apply(
+        ents.union(probes), ["rb"], kernel, num_partitions, int_keys=True)
