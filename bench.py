@@ -216,6 +216,9 @@ BENCH_QUERIES = [
     # the pair-pipeline cost class, volume-safe at scale
     "doc_token_budget",
     "kg_negative_samples",
+    "emb_quantize_error",
+    "emb_centroid_drift",
+    "rel_rfm_segments",
 ]
 
 

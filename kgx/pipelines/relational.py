@@ -6092,3 +6092,134 @@ SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
             AS BIGINT) AS lift_pm
 FROM pr JOIN cnt ca ON ca.pk = part_a JOIN cnt cb ON cb.pk = part_b
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (r5 batch 22)
+# ---------------------------------------------------------------------------
+
+# bucket thresholds sit at the synthetic corpus's quartiles (stable across
+# sf0.001-0.1), so every cell is populated at every test scale
+RFM_R_DAYS = (60, 180, 365)            # recency: days since last order
+RFM_F_ORDERS = (8, 10, 12)             # frequency: lifetime order count
+RFM_M_CENTS = (180_000_000, 250_000_000, 315_000_000)  # monetary: cents
+
+
+def _bucket3(v, t):
+    """Tier index under the SQL rule ``v < t[i] -> i`` (else 3): side=
+    'right' counts thresholds <= v, which matches the strict-< CASE chain
+    exactly at the boundary values."""
+    import numpy as np
+
+    return (np.searchsorted(np.asarray(t, dtype=np.int64), v,
+                            side="right")).astype("int64")
+
+
+def rfm_segments(sf_dir: str):
+    """orders -> (r, f, m, n_customers): the classic RFM segmentation
+    histogram — each customer scored by Recency (days between their last
+    order and the corpus's last order), Frequency (lifetime order count)
+    and Monetary (lifetime spend in exact cents, half-away rounding per
+    order), each bucketed into 4 quartile-anchored tiers, then counted
+    per (r, f, m) cell (<= 64 rows).  The marketing-segmentation artifact
+    a CRM pass publishes; distinct from rel_user_retention (per-user
+    spans over EVENTS) and rel_cohorts (signup-cohort funnel): this is
+    the bounded 3-axis behavioral histogram over ORDERS.
+
+    Scale shape: per-batch per-customer partials (max day, count, cents
+    sum) fold into ONE custkey-keyed combiner exchange (customer rows
+    cross once, pre-compressed); the global max day is a driver-scale
+    scalar fold of per-batch maxima; bucketing is a vectorized in-batch
+    map over the already-global per-customer rows, and the final
+    exchange is the bounded (r, f, m)-keyed histogram combiner."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import (collect_arrow, hash_partitioned_agg)
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def clean(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["o_custkey", "o_orderdate", "o_totalprice"])
+        day = (pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+               .astype("int64") // 86_400_000_000)
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"c": df["o_custkey"].astype("int64").to_numpy(),
+             "day": day.to_numpy(), "cents": cents})
+
+    cleaned = ds.map_batches(clean, batch_format="pandas").materialize()
+
+    def cust_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("c", sort=False, as_index=False).agg(
+            md=("day", "max"), n=("day", "size"), tc=("cents", "sum"))
+        for col in g.columns:
+            g[col] = g[col].astype("int64")
+        return g
+
+    def cust_combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        # self-applicable: partial pass sees (c, day, cents) never — the
+        # stream is pre-projected to (c, md, n, tc) rows by cust_partial
+        return df.groupby("c", sort=False, as_index=False).agg(
+            md=("md", "max"), n=("n", "sum"), tc=("tc", "sum"))
+
+    percust = hash_partitioned_agg(
+        cleaned.map_batches(cust_partial, batch_format="pandas"),
+        ["c"], cust_combine)
+
+    gd = int(pa.Table.to_pandas(collect_arrow(
+        cleaned.map_batches(
+            lambda df: pd.DataFrame({"gd": [np.int64(df["day"].max())]})
+            if len(df) else pd.DataFrame({"gd": pd.Series([], dtype="int64")}),
+            batch_format="pandas"),
+        pa.table({"gd": pa.array([], pa.int64())})))["gd"].max())
+
+    def bucketize(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("r", "f", "m", "n_customers")})
+        r = _bucket3(gd - df["md"].to_numpy(), RFM_R_DAYS)
+        f = _bucket3(df["n"].to_numpy(), RFM_F_ORDERS)
+        m = _bucket3(df["tc"].to_numpy(), RFM_M_CENTS)
+        g = pd.DataFrame({"r": r, "f": f, "m": m})
+        out = g.groupby(["r", "f", "m"], sort=False, as_index=False).agg(
+            n_customers=("r", "size"))
+        out["n_customers"] = out["n_customers"].astype("int64")
+        return out
+
+    return hash_partitioned_agg(
+        percust.map_batches(bucketize, batch_format="pandas"),
+        ["r", "f", "m"],
+        lambda df: df.groupby(["r", "f", "m"], sort=False,
+                              as_index=False).agg(
+            n_customers=("n_customers", "sum")))
+
+
+def sql_rfm_segments() -> str:
+    def case3(expr: str, t) -> str:
+        return (f"CASE WHEN {expr} < {t[0]} THEN 0 "
+                f"WHEN {expr} < {t[1]} THEN 1 "
+                f"WHEN {expr} < {t[2]} THEN 2 ELSE 3 END")
+
+    return f"""
+WITH o AS (
+  SELECT o_custkey AS c,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL
+), g AS (
+  SELECT c, max(day) AS md, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS tc
+  FROM o GROUP BY 1
+), mx AS (SELECT max(day) AS gd FROM o)
+SELECT CAST({case3('gd - md', RFM_R_DAYS)} AS BIGINT) AS r,
+       CAST({case3('n', RFM_F_ORDERS)} AS BIGINT) AS f,
+       CAST({case3('tc', RFM_M_CENTS)} AS BIGINT) AS m,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM g, mx GROUP BY 1, 2, 3
+"""

@@ -2958,6 +2958,38 @@ def kg_negative_samples(sf_dir: str):
     return negative_samples(_kg_sql_outputs(sf_dir)["triples"])
 
 
+def emb_quantize_error(sf_dir: str):
+    """Exact per-dimension SQ8 reconstruction-error profile (dim, n,
+    sum_err_q, max_err_q) under the shared calibration — the
+    quantization-quality eval next to emb_sq8; vectors never shuffle."""
+    from .stages.kmeans import quantize_error
+
+    return quantize_error(_emb_ds(sf_dir))
+
+
+def emb_centroid_drift(sf_dir: str):
+    """Exact integer A/B centroid-drift profile (label, n_a, n_b, dot_q,
+    na2_q, nb2_q) between the vec_id-parity halves — the embedding-health
+    monitor; one (label, dim)-keyed exchange, bounded label combiner."""
+    import ray.data as rd
+
+    from .stages.kmeans import centroid_drift
+
+    ds = rd.read_parquet(
+        str(Path(sf_dir) / "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"])
+    return centroid_drift(ds)
+
+
+def rel_rfm_segments(sf_dir: str):
+    """RFM customer-segmentation histogram (r, f, m, n_customers) over
+    orders — per-customer combiner exchange + driver-scalar max-day fold
+    + bounded 64-cell histogram combiner."""
+    from .pipelines.relational import rfm_segments
+
+    return rfm_segments(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registry + SQL oracles
 # ---------------------------------------------------------------------------
@@ -3184,6 +3216,9 @@ def registry() -> dict:
         "rel_basket_rules": rel_basket_rules,
         "doc_token_budget": doc_token_budget,
         "kg_negative_samples": kg_negative_samples,
+        "emb_quantize_error": emb_quantize_error,
+        "emb_centroid_drift": emb_centroid_drift,
+        "rel_rfm_segments": rel_rfm_segments,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4034,6 +4069,24 @@ def _sql_token_budget() -> str:
     return sql_token_budget()
 
 
+def _sql_quantize_error() -> str:
+    from .stages.kmeans import sql_quantize_error
+
+    return sql_quantize_error()
+
+
+def _sql_centroid_drift() -> str:
+    from .stages.kmeans import sql_centroid_drift
+
+    return sql_centroid_drift()
+
+
+def _sql_rfm_segments() -> str:
+    from .pipelines.relational import sql_rfm_segments
+
+    return sql_rfm_segments()
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB SQL per SQL-expressible query; keys match registry()."""
     from . import sql_oracles as so
@@ -4147,6 +4200,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_basket_rules": _sql_basket_rules(),
         "doc_token_budget": _sql_token_budget(),
         "kg_negative_samples": so.sql_kg_negative_samples(),
+        "emb_quantize_error": _sql_quantize_error(),
+        "emb_centroid_drift": _sql_centroid_drift(),
+        "rel_rfm_segments": _sql_rfm_segments(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

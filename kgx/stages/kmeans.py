@@ -760,6 +760,29 @@ FROM n GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
+def _sq8_params(emb_ds, mm_partial, mm_combine, hash_partitioned_agg,
+                collect_arrow):
+    """Shared SQ8 calibration: one dim-keyed min/max combiner exchange ->
+    driver-side (minq, span) arrays (<= d rows; span floored at 1 so
+    constant dims quantize to code 0).  Consumed by ``sq8_codes`` and
+    ``quantize_error`` — both see the SAME affine grid."""
+    params = collect_arrow(
+        hash_partitioned_agg(
+            emb_ds.map_batches(mm_partial, batch_format="pyarrow"),
+            ["dim"], mm_combine),
+        pa.table({"dim": pa.array([], pa.int64()),
+                  "minq": pa.array([], pa.int64()),
+                  "maxq": pa.array([], pa.int64())}))
+    dims = params["dim"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(dims, kind="stable")
+    minq = params["minq"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[order]
+    maxq = params["maxq"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[order]
+    span = np.maximum(maxq - minq, 1)   # constant dims -> code 0
+    return minq, span
+
+
 def sq8_codes(emb_ds):
     """embeddings -> (vec_id, code_sum, code_sq_sum): two-pass scalar
     quantization to 8-bit codes with per-dimension affine calibration.
@@ -804,20 +827,8 @@ def sq8_codes(emb_ds):
         return df.groupby("dim", sort=False, as_index=False).agg(
             minq=("minq", "min"), maxq=("maxq", "max"))
 
-    params = collect_arrow(
-        hash_partitioned_agg(
-            emb_ds.map_batches(mm_partial, batch_format="pyarrow"),
-            ["dim"], mm_combine),
-        pa.table({"dim": pa.array([], pa.int64()),
-                  "minq": pa.array([], pa.int64()),
-                  "maxq": pa.array([], pa.int64())}))
-    dims = params["dim"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(dims, kind="stable")
-    minq = params["minq"].to_numpy(zero_copy_only=False) \
-        .astype(np.int64)[order]
-    maxq = params["maxq"].to_numpy(zero_copy_only=False) \
-        .astype(np.int64)[order]
-    span = np.maximum(maxq - minq, 1)   # constant dims -> code 0
+    minq, span = _sq8_params(emb_ds, mm_partial, mm_combine,
+                             hash_partitioned_agg, collect_arrow)
 
     out_schema = pa.schema([("vec_id", pa.int64()),
                             ("code_sum", pa.int64()),
@@ -932,4 +943,292 @@ SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(v) AS BIGINT) AS sum_q,
        CAST(sum(v * v) AS BIGINT) AS sumsq_q
 FROM u GROUP BY 1
+"""
+
+
+def quantize_error(emb_ds):
+    """embeddings -> (dim, n, sum_err_q, max_err_q): exact per-dimension
+    SQ8 reconstruction-error profile in the KM_SCALE integer domain — the
+    quantization-QUALITY eval read next to sq8_codes' calibration before
+    shipping an 8-bit index (a dimension whose max_err dwarfs the others
+    is under-resolved: widen its span handling or keep it float).  recon
+    = minq + code * span // 255 with code = (q - minq) * 255 // span, so
+    err = q - recon is always in [0, ceil(span/255)] and every compared
+    column is an exact integer.
+
+    Scale shape: the shared ``_sq8_params`` calibration exchange (<= d
+    rows cross), then ONE streaming pass folds each batch to <= d
+    (dim, n, sum_err, max_err) partial rows into a bounded dim-keyed
+    combiner — raw vectors never shuffle (the dim_stats cost class)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import collect_arrow, hash_partitioned_agg
+
+    def _qmat(batch: pa.Table):
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        n = batch.num_rows
+        if n == 0:
+            return np.zeros((0, 1), np.int64)
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(flat.reshape(n, -1) * KM_SCALE + 0.5).astype(np.int64)
+
+    def mm_partial(batch: pa.Table) -> "pd.DataFrame":
+        q = _qmat(batch)
+        if not q.shape[0]:
+            return pd.DataFrame(
+                {"dim": pd.Series([], dtype="int64"),
+                 "minq": pd.Series([], dtype="int64"),
+                 "maxq": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"dim": np.arange(q.shape[1], dtype=np.int64),
+             "minq": q.min(axis=0), "maxq": q.max(axis=0)})
+
+    def mm_combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("dim", sort=False, as_index=False).agg(
+            minq=("minq", "min"), maxq=("maxq", "max"))
+
+    minq, span = _sq8_params(emb_ds, mm_partial, mm_combine,
+                             hash_partitioned_agg, collect_arrow)
+
+    _EMPTY = pd.DataFrame(
+        {"dim": pd.Series([], dtype="int64"),
+         "n": pd.Series([], dtype="int64"),
+         "sum_err_q": pd.Series([], dtype="int64"),
+         "max_err_q": pd.Series([], dtype="int64")})
+
+    def err_partial(batch: pa.Table) -> "pd.DataFrame":
+        q = _qmat(batch)
+        n = q.shape[0]
+        if not n:
+            return _EMPTY
+        codes = (q - minq[None, :]) * 255 // span[None, :]
+        recon = minq[None, :] + codes * span[None, :] // 255
+        err = q - recon
+        d = q.shape[1]
+        return pd.DataFrame(
+            {"dim": np.arange(d, dtype=np.int64),
+             "n": np.full(d, n, dtype=np.int64),
+             "sum_err_q": err.sum(axis=0),
+             "max_err_q": err.max(axis=0)})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("dim", sort=False, as_index=False).agg(
+            n=("n", "sum"), sum_err_q=("sum_err_q", "sum"),
+            max_err_q=("max_err_q", "max"))
+
+    return hash_partitioned_agg(
+        emb_ds.map_batches(err_partial, batch_format="pyarrow"),
+        ["dim"], combine)
+
+
+def sql_quantize_error() -> str:
+    """DuckDB oracle: the sq8 scaffold (q/u/mm CTEs repeated deliberately
+    so the certified sql_sq8_codes text stays untouched) folded to the
+    per-dimension reconstruction-error profile, 0-based dims."""
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+), u AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(qv))) AS i,
+         unnest(qv) AS v
+  FROM q
+), mm AS (
+  SELECT i, min(v) AS minq,
+         CASE WHEN max(v) - min(v) < 1 THEN 1
+              ELSE max(v) - min(v) END AS span
+  FROM u GROUP BY i
+), c AS (
+  SELECT u.i, u.v,
+         mm.minq + ((u.v - mm.minq) * 255 // mm.span) * mm.span // 255
+           AS recon
+  FROM u JOIN mm USING (i)
+)
+SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v - recon) AS BIGINT) AS sum_err_q,
+       CAST(max(v - recon) AS BIGINT) AS max_err_q
+FROM c GROUP BY 1
+"""
+
+
+def centroid_drift(emb_ds):
+    """embeddings -> (label, n_a, n_b, dot_q, na2_q, nb2_q): exact
+    integer A/B drift profile of the per-label centroids between the two
+    vec_id-parity halves of the corpus — the embedding-health monitor a
+    recurring ingest runs (drift cosine = dot / sqrt(na2 * nb2) of the
+    per-half prototype SUM vectors, which equals the cosine of the means;
+    a label whose halves diverge flags upstream feature or labeling
+    drift).  Every compared column is an exact int64 under the shared
+    KM_SCALE quantization; the cosine itself is the driver's one float
+    post-process.  Labels missing a half drop (no drift is defined).
+
+    Scale shape: per-batch (label, half, dim) prototype-sum partials
+    (<= 2 x labels x d rows) cross ONE (label, dim)-keyed partition
+    exchange — both halves of a (label, dim) cell co-locate, so the
+    kernel finishes the global sums and folds its resident dims straight
+    to per-label PRODUCT partials (dot / norm-squares are additive over
+    dims); a final bounded label-keyed combiner merges partitions.  Raw
+    vectors never shuffle.  int64 headroom: |sum_q| <= n x KM_SCALE, so
+    per-dim products stay < 2^63 up to ~2.4e6 vectors per (label, half)
+    per 16-dim corpus slice x d — beyond that the partial fold flips to
+    Python-int arithmetic (the PMI overflow convention) and raises if the
+    TOTAL exceeds int64 (the artifact itself is then out of integer
+    range)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    _EMPTY_P = pd.DataFrame(
+        {"label": pd.Series([], dtype="int64"),
+         "half": pd.Series([], dtype="int64"),
+         "dim": pd.Series([], dtype="int64"),
+         "sum_q": pd.Series([], dtype="int64"),
+         "n_vecs": pd.Series([], dtype="int64")})
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        ok = pc.and_(pc.and_(pc.is_valid(batch["embedding"]),
+                             pc.is_valid(batch["label"])),
+                     pc.is_valid(batch["vec_id"]))
+        batch = batch.filter(ok)
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY_P
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(flat) // n
+        q = np.floor(flat.reshape(n, d) * KM_SCALE + 0.5).astype(np.int64)
+        key = labels * 2 + (ids % 2)
+        u, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros((len(u), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pd.DataFrame(
+            {"label": np.repeat(u // 2, d),
+             "half": np.repeat(u % 2, d),
+             "dim": np.tile(np.arange(d, dtype=np.int64), len(u)),
+             "sum_q": sums.ravel(),
+             "n_vecs": np.repeat(cnt, d)})
+
+    _EMPTY_K = pd.DataFrame(
+        {"label": pd.Series([], dtype="int64"),
+         "n_a": pd.Series([], dtype="int64"),
+         "n_b": pd.Series([], dtype="int64"),
+         "dot_q": pd.Series([], dtype="int64"),
+         "na2_q": pd.Series([], dtype="int64"),
+         "nb2_q": pd.Series([], dtype="int64")})
+
+    def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(d):
+            return _EMPTY_K
+        g = d.groupby(["label", "half", "dim"], sort=False,
+                      as_index=False).agg(sum_q=("sum_q", "sum"),
+                                          n_vecs=("n_vecs", "sum"))
+        a = g[g["half"] == 0]
+        b = g[g["half"] == 1]
+        m = a.merge(b, on=["label", "dim"], suffixes=("_a", "_b"))
+        if not len(m):
+            return _EMPTY_K
+        sa = m["sum_q_a"].to_numpy()
+        sb = m["sum_q_b"].to_numpy()
+        if (int(np.abs(sa).max(initial=0)) * int(np.abs(sb).max(initial=0))
+                >= 2 ** 62):
+            dot = np.fromiter((int(x) * int(y) for x, y in zip(sa, sb)),
+                              dtype=object, count=len(sa))
+            na2 = np.fromiter((int(x) * int(x) for x in sa),
+                              dtype=object, count=len(sa))
+            nb2 = np.fromiter((int(x) * int(x) for x in sb),
+                              dtype=object, count=len(sb))
+            out = pd.DataFrame(
+                {"label": m["label"], "dot_p": dot, "na2_p": na2,
+                 "nb2_p": nb2})
+            out = out.groupby("label", as_index=False).agg(
+                dot_q=("dot_p", "sum"), na2_q=("na2_p", "sum"),
+                nb2_q=("nb2_p", "sum"))
+            for c in ("dot_q", "na2_q", "nb2_q"):
+                if (out[c].abs() >= 2 ** 63).any():
+                    raise OverflowError(
+                        "centroid_drift products exceed int64")
+                out[c] = out[c].astype("int64")
+        else:
+            out = pd.DataFrame(
+                {"label": m["label"], "dot_p": sa * sb, "na2_p": sa * sa,
+                 "nb2_p": sb * sb})
+            out = out.groupby("label", as_index=False).agg(
+                dot_q=("dot_p", "sum"), na2_q=("na2_p", "sum"),
+                nb2_q=("nb2_p", "sum"))
+            for c in ("dot_q", "na2_q", "nb2_q"):
+                out[c] = out[c].astype("int64")
+        # n per (label, half): every batch-partial repeats its count on
+        # ALL d resident dim rows — sum over exactly ONE resident dim
+        # (the min) so each contributing batch counts once
+        md = d.groupby(["label", "half"], sort=False)["dim"].transform("min")
+        nn = d[d["dim"] == md].groupby(
+            ["label", "half"], sort=False, as_index=False).agg(
+            n_vecs=("n_vecs", "sum"))
+        na = nn[nn["half"] == 0][["label", "n_vecs"]].rename(
+            columns={"n_vecs": "n_a"})
+        nb = nn[nn["half"] == 1][["label", "n_vecs"]].rename(
+            columns={"n_vecs": "n_b"})
+        out = out.merge(na, on="label", how="inner").merge(
+            nb, on="label", how="inner")
+        out["label"] = out["label"].astype("int64")
+        out["n_a"] = out["n_a"].astype("int64")
+        out["n_b"] = out["n_b"].astype("int64")
+        return out[["label", "n_a", "n_b", "dot_q", "na2_q", "nb2_q"]]
+
+    partials = hash_partitioned_apply(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], kernel, int_keys=True)
+
+    return hash_partitioned_agg(
+        partials, ["label"],
+        lambda df: df.groupby("label", sort=False, as_index=False).agg(
+            n_a=("n_a", "max"), n_b=("n_b", "max"), dot_q=("dot_q", "sum"),
+            na2_q=("na2_q", "sum"), nb2_q=("nb2_q", "sum")))
+
+
+def sql_centroid_drift() -> str:
+    """DuckDB oracle: parallel unnest per (label, vec_id-parity half, dim)
+    sum vectors, inner-joined across halves per (label, dim) — labels
+    missing a half drop on both sides."""
+    return f"""
+WITH b AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL AND vec_id IS NOT NULL
+), u AS (
+  SELECT vec_id % 2 AS half, label,
+         unnest(generate_series(0, len(qv) - 1)) AS dim,
+         unnest(qv) AS v
+  FROM b
+), s AS (
+  SELECT label, half, dim, CAST(sum(v) AS BIGINT) AS sq
+  FROM u GROUP BY 1, 2, 3
+), nn AS (
+  SELECT label, vec_id % 2 AS half, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY 1, 2
+), p AS (
+  SELECT a.label,
+         CAST(sum(a.sq * b.sq) AS BIGINT) AS dot_q,
+         CAST(sum(a.sq * a.sq) AS BIGINT) AS na2_q,
+         CAST(sum(b.sq * b.sq) AS BIGINT) AS nb2_q
+  FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1
+  GROUP BY 1
+)
+SELECT CAST(p.label AS BIGINT) AS label, na.n AS n_a, nb.n AS n_b,
+       p.dot_q, p.na2_q, p.nb2_q
+FROM p
+JOIN nn na ON na.label = p.label AND na.half = 0
+JOIN nn nb ON nb.label = p.label AND nb.half = 1
 """
