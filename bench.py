@@ -219,6 +219,8 @@ BENCH_QUERIES = [
     "emb_quantize_error",
     "emb_centroid_drift",
     "rel_rfm_segments",
+    "kg_neighborhood_function",
+    "rel_conversion_lag",
 ]
 
 

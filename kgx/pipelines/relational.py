@@ -6223,3 +6223,110 @@ SELECT CAST({case3('gd - md', RFM_R_DAYS)} AS BIGINT) AS r,
        CAST(count(*) AS BIGINT) AS n_customers
 FROM g, mx GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Activation-time (conversion-lag) histogram (r5 batch 23)
+# ---------------------------------------------------------------------------
+
+LAG_FROM = "signup"
+LAG_TO = "purchase"
+LAG_BUCKET_US = 3_600_000_000          # 1 hour
+
+
+def conversion_lag(sf_dir: str, from_type: str = LAG_FROM,
+                   to_type: str = LAG_TO,
+                   bucket_us: int = LAG_BUCKET_US):
+    """events -> (lag_hours, n_users): the ACTIVATION-TIME distribution —
+    for every user with at least one ``from_type`` event and a
+    ``to_type`` event at-or-after their first ``from_type``, the lag
+    between the FIRST from-event and the FIRST to-event at-or-after it,
+    floor-bucketed to hours.  The time-to-convert curve a growth team
+    reads next to rel_event_funnel (windowed conversion counts) and
+    rel_event_gaps (adjacent-gap stats): first-touch -> first-conversion
+    at user grain, bounded histogram output.
+
+    Scale shape: ONE user-keyed partition exchange.  The from side is
+    min-composable, so it pre-compresses to one (user, min ts) row per
+    batch.  The to side is NOT min-composable against an unknown global
+    first_from (a batch's single min-to row below first_from would hide
+    a larger same-batch to-ts that is the true answer), so to-events
+    ship as DISTINCT (user, ts) rows per batch — at web scale the
+    conversion events are the rare side of the stream, so this is the
+    small volume by construction.  The partition kernel then resolves
+    exactly (first_from = min of from rows; first_to = min of to rows >=
+    first_from) and folds to <= |lags| histogram partials; a bounded
+    lag-keyed combiner finishes."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["user_id", "ts", "event_type"])
+        us = (pd.to_datetime(df["ts"]).astype("datetime64[us]")
+              .astype("int64"))
+        d = pd.DataFrame({"u": df["user_id"].astype("int64").to_numpy(),
+                          "t": df["event_type"].to_numpy(),
+                          "ts": us.to_numpy()})
+        fr = d[d["t"] == from_type].groupby("u", as_index=False).agg(
+            ts=("ts", "min"))
+        fr["kind"] = np.int64(0)
+        to = d[d["t"] == to_type][["u", "ts"]].drop_duplicates()
+        to = to.copy()
+        to["kind"] = np.int64(1)
+        out = pd.concat([fr[["u", "kind", "ts"]], to[["u", "kind", "ts"]]],
+                        ignore_index=True)
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(d):
+            return pd.DataFrame({"lag_hours": pd.Series([], dtype="int64"),
+                                 "n_users": pd.Series([], dtype="int64")})
+        fr = d[d["kind"] == 0].groupby("u", as_index=False).agg(
+            f=("ts", "min"))
+        to = d[d["kind"] == 1].merge(fr, on="u", how="inner")
+        to = to[to["ts"] >= to["f"]]
+        if not len(to):
+            return pd.DataFrame({"lag_hours": pd.Series([], dtype="int64"),
+                                 "n_users": pd.Series([], dtype="int64")})
+        g = to.groupby("u", as_index=False).agg(ts=("ts", "min"),
+                                                f=("f", "min"))
+        lag = ((g["ts"] - g["f"]) // bucket_us).astype("int64")
+        vc = lag.value_counts()
+        return pd.DataFrame(
+            {"lag_hours": vc.index.to_numpy().astype("int64"),
+             "n_users": vc.to_numpy().astype("int64")})
+
+    partials = hash_partitioned_apply(
+        ds.map_batches(partial, batch_format="pandas"), ["u"], kernel,
+        int_keys=True)
+    return hash_partitioned_agg(
+        partials, ["lag_hours"],
+        lambda df: df.groupby("lag_hours", sort=False, as_index=False).agg(
+            n_users=("n_users", "sum")))
+
+
+def sql_conversion_lag(from_type: str = LAG_FROM, to_type: str = LAG_TO,
+                       bucket_us: int = LAG_BUCKET_US) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, event_type AS t FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), fr AS (
+  SELECT u, min(us) AS f FROM e WHERE t = '{from_type}' GROUP BY 1
+), to_first AS (
+  SELECT e.u, min(e.us) AS s
+  FROM e JOIN fr ON fr.u = e.u
+  WHERE e.t = '{to_type}' AND e.us >= fr.f
+  GROUP BY 1
+)
+SELECT CAST((tf.s - fr.f) // {bucket_us} AS BIGINT) AS lag_hours,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM to_first tf JOIN fr ON fr.u = tf.u
+GROUP BY 1
+"""

@@ -2990,6 +2990,26 @@ def rel_rfm_segments(sf_dir: str):
     return rfm_segments(sf_dir)
 
 
+def kg_neighborhood_function(sf_dir: str):
+    """ANF / effective-diameter curve (depth, n_pairs) of the hashed-
+    entity KG: exact truncated per-seed BFS from the 16 smallest node
+    ids, all seeds packed as 4-bit nibbles in ONE int64 per node — the
+    shared Pregel's tenth consumer; bounded histogram output."""
+    from .stages.kg_stages import neighborhood_function
+
+    return neighborhood_function(_kg_sql_outputs(sf_dir)["triples"])
+
+
+def rel_conversion_lag(sf_dir: str):
+    """Activation-time histogram (lag_hours, n_users): first signup ->
+    first purchase at-or-after it, floor-bucketed to hours; one
+    user-keyed exchange (from side pre-compressed, rare to side ships
+    distinct rows), bounded lag combiner."""
+    from .pipelines.relational import conversion_lag
+
+    return conversion_lag(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registry + SQL oracles
 # ---------------------------------------------------------------------------
@@ -3219,6 +3239,8 @@ def registry() -> dict:
         "emb_quantize_error": emb_quantize_error,
         "emb_centroid_drift": emb_centroid_drift,
         "rel_rfm_segments": rel_rfm_segments,
+        "kg_neighborhood_function": kg_neighborhood_function,
+        "rel_conversion_lag": rel_conversion_lag,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4087,6 +4109,12 @@ def _sql_rfm_segments() -> str:
     return sql_rfm_segments()
 
 
+def _sql_conversion_lag() -> str:
+    from .pipelines.relational import sql_conversion_lag
+
+    return sql_conversion_lag()
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB SQL per SQL-expressible query; keys match registry()."""
     from . import sql_oracles as so
@@ -4203,6 +4231,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_quantize_error": _sql_quantize_error(),
         "emb_centroid_drift": _sql_centroid_drift(),
         "rel_rfm_segments": _sql_rfm_segments(),
+        "kg_neighborhood_function": so.sql_kg_neighborhood_function(),
+        "rel_conversion_lag": _sql_conversion_lag(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

@@ -1512,3 +1512,56 @@ SELECT subj, pred, obj, disp AS neg_obj
 FROM cand WHERE rn = 1 AND nkey <> no
 """
     )
+
+
+def sql_kg_neighborhood_function(rounds: int | None = None,
+                                 n_seeds: int | None = None) -> str:
+    """(depth, n_pairs): exact truncated per-seed BFS depth histogram over
+    the hashed-entity KG edges — seeds = the n_seeds smallest node ids;
+    unrolled UNION-ALL expansion with a min-dist fold per round (min dist
+    after R rounds == true distance wherever it is <= R, the bfs/cc
+    round-exactness contract).  Mirrors kg_stages.neighborhood_function."""
+    from .stages.kg_stages import NF_ROUNDS, NF_SEEDS
+
+    rounds = rounds or NF_ROUNDS
+    n_seeds = n_seeds or NF_SEEDS
+
+    def h(col: str) -> str:
+        return (f"CAST(md5_number_upper('0:' || {col}) "
+                f"% {1 << 62}::HUGEINT AS BIGINT)")
+
+    parts = [
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ns, pred, no
+                               ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), final_t AS (
+  SELECT subj, pred, obj FROM ranked WHERE rr = 1
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT {h('subj')} AS a, {h('obj')} AS b FROM final_t
+), edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0
+), seeds AS (
+  SELECT DISTINCT src AS node FROM edges ORDER BY src LIMIT {n_seeds}
+), d0 AS (SELECT node AS seed, node, 0 AS dist FROM seeds)"""
+    ]
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", d{i} AS (SELECT seed, node, min(dist) AS dist FROM ("
+            f"SELECT seed, node, dist FROM {prev} "
+            f"UNION ALL "
+            f"SELECT x.seed, e.dst AS node, x.dist + 1 AS dist "
+            f"FROM {prev} x JOIN edges e ON e.src = x.node"
+            f") GROUP BY 1, 2)"
+        )
+        prev = f"d{i}"
+    parts.append(
+        f" SELECT CAST(dist AS BIGINT) AS depth, "
+        f"CAST(count(*) AS BIGINT) AS n_pairs FROM {prev} GROUP BY 1")
+    return "".join(parts)

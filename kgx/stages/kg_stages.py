@@ -1095,3 +1095,165 @@ def negative_samples(triples_ds, num_partitions: int | None = None):
 
     return hash_partitioned_apply(
         ents.union(probes), ["rb"], kernel, num_partitions, int_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood function / effective-diameter curve (r5 batch 23)
+# ---------------------------------------------------------------------------
+
+NF_SEEDS = 16                  # seed entities (the 16 smallest node ids)
+NF_ROUNDS = 4                  # truncated BFS horizon
+
+
+def neighborhood_function(triples_ds, rounds: int = NF_ROUNDS,
+                          n_seeds: int = NF_SEEDS):
+    """deduped triples -> (depth, n_pairs): the NEIGHBORHOOD FUNCTION of
+    the hashed-entity KG — for the ``n_seeds`` deterministic seed
+    entities (the smallest node ids), how many (seed, node) pairs sit at
+    exact hop distance d for d = 0..rounds.  This is the ANF / effective-
+    diameter curve (Palmer et al. '02) computed EXACTLY on a seed sample:
+    the graph-connectivity health artifact a KG release reads next to
+    kg_cluster_sizes (a flat curve = fragmentation; a steep one = a
+    well-connected core), and a different artifact from graph_bfs's
+    nearest-source ball (per-seed distances, bounded histogram output).
+
+    Scale shape — the shared partitioned-edge Pregel's TENTH consumer,
+    with a new state encoding: all ``n_seeds`` per-seed depths pack into
+    ONE int64 per node as 4-bit saturating nibbles (depth 15 = INF), so
+    every round still moves exactly one (node, packed) row per node and
+    the nibble-wise min-merge is 16 vectorized shift/mask lanes — no
+    per-seed state blowup, no per-seed rounds.  Seeds come from a
+    driver-scale bottom-k fold (<= k rows per batch cross); the final
+    depth histogram folds per partition to <= rounds+1 rows.  Round-
+    exactness: after R synchronous min-rounds every nibble holds the
+    true distance wherever it is <= R (the bfs_rounds_ds contract), so
+    the unrolled-CTE DuckDB mirror is bit-exact."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from .exchange import collect_arrow
+    from .pregel import (concat_parts, make_splitter, partition_edges,
+                         run_rounds, split_by_owner)
+
+    assert n_seeds * 4 <= 64, "nibble packing: at most 16 seeds"
+    edges_ds = kg_entity_edges(triples_ds)
+
+    # --- deterministic seeds: global bottom-k node ids -------------------
+    def bottom_k(df: "pd.DataFrame") -> "pd.DataFrame":
+        u = np.unique(df["src"].to_numpy())[:n_seeds]
+        return pd.DataFrame({"node": u.astype("int64")})
+
+    edges_mat = edges_ds.materialize()
+    cand = collect_arrow(
+        edges_mat.map_batches(bottom_k, batch_format="pandas"),
+        pa.table({"node": pa.array([], pa.int64())}))
+    seed_ids = np.unique(cand["node"].to_numpy())[:n_seeds]
+    k = len(seed_ids)
+    if k == 0:
+        return pa.table({"depth": pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64())})
+
+    P = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    key_schema = pa.schema([("node", pa.int64()), ("other", pa.int64())])
+    state_schema = pa.schema([("node", pa.int64()), ("packed", pa.int64())])
+    INF_PACK = np.uint64(0)
+    for s in range(k):
+        INF_PACK |= np.uint64(15) << np.uint64(4 * s)
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": [], "other": []}, schema=key_schema)
+        return pa.table({"node": t["src"], "other": t["dst"]},
+                        schema=key_schema)
+
+    edge_parts = partition_edges(edges_mat, make_splitter(norm, "node", P), P)
+
+    def _unpack(packed_i64: np.ndarray) -> np.ndarray:
+        """(n,) int64 bit patterns -> (n, k) uint8 nibble depths."""
+        u = packed_i64.view(np.uint64) if packed_i64.dtype == np.int64 \
+            else packed_i64.astype(np.uint64)
+        out = np.empty((len(u), k), dtype=np.uint8)
+        for s in range(k):
+            out[:, s] = ((u >> np.uint64(4 * s)) & np.uint64(15)).astype(
+                np.uint8)
+        return out
+
+    def _pack(mat: np.ndarray) -> np.ndarray:
+        """(n, k) uint8 -> (n,) int64 bit patterns."""
+        u = np.zeros(mat.shape[0], dtype=np.uint64)
+        for s in range(k):
+            u |= mat[:, s].astype(np.uint64) << np.uint64(4 * s)
+        return u.view(np.int64)
+
+    def seed_part(t: pa.Table) -> pa.Table:
+        nodes = np.unique(t["node"].to_numpy())
+        mat = np.full((len(nodes), k), 15, dtype=np.uint8)
+        pos = np.searchsorted(nodes, seed_ids)
+        for s in range(k):
+            if pos[s] < len(nodes) and nodes[pos[s]] == seed_ids[s]:
+                mat[pos[s], s] = 0
+        return pa.table({"node": nodes.astype(np.int64),
+                         "packed": _pack(mat)}, schema=state_schema)
+
+    def _min_per_node(n: np.ndarray, mat: np.ndarray):
+        if not len(n):
+            return n, mat
+        order = np.argsort(n, kind="stable")
+        ns, ms = n[order], mat[order]
+        starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
+        out = np.minimum.reduceat(ms, starts, axis=0)
+        return ns[starts], out
+
+    def message_part(edges_t: pa.Table, state_t: pa.Table):
+        src = edges_t["node"].to_numpy()
+        sn = state_t["node"].to_numpy()
+        order = np.argsort(sn)
+        mat = _unpack(state_t["packed"].to_numpy())[order]
+        cand = mat[np.searchsorted(sn[order], src)]
+        cand = np.minimum(cand + 1, 15).astype(np.uint8)
+        tgt, mm = _min_per_node(edges_t["other"].to_numpy(), cand)
+        t = pa.table({"node": tgt.astype(np.int64), "packed": _pack(mm)},
+                     schema=state_schema)
+        return split_by_owner(t, t["node"].to_numpy(), P)
+
+    def merge_part(state_t: pa.Table, *msg_pieces):
+        inc = concat_parts(*msg_pieces) if msg_pieces else None
+        n = state_t["node"].to_numpy()
+        mat = _unpack(state_t["packed"].to_numpy())
+        if inc is not None and inc.num_rows and len(n):
+            order = np.argsort(n, kind="stable")
+            n = n[order]
+            mat = mat[order]
+            mi = _unpack(inc["packed"].to_numpy())
+            idx = np.searchsorted(n, inc["node"].to_numpy())
+            np.minimum.at(mat, idx, mi)
+        out = pa.table({"node": n.astype(np.int64), "packed": _pack(mat)},
+                       schema=state_schema)
+        return out, 0
+
+    seed_r = ray.remote(seed_part)
+    state_parts = [seed_r.remote(edge_parts[p]) for p in range(P)]
+    state_parts, _ = run_rounds(edge_parts, state_parts, message_part,
+                                merge_part, iterations=rounds)
+
+    def hist(t: pa.Table) -> pa.Table:
+        mat = _unpack(t["packed"].to_numpy())
+        flat = mat.ravel()
+        flat = flat[flat <= rounds]
+        counts = np.bincount(flat, minlength=rounds + 1).astype(np.int64)
+        depths = np.arange(rounds + 1, dtype=np.int64)
+        live = counts > 0
+        return pa.table({"depth": pa.array(depths[live]),
+                         "n_pairs": pa.array(counts[live])})
+
+    parts_hist = rd.from_arrow_refs(list(state_parts)).map_batches(
+        hist, batch_format="pyarrow")
+    folded = collect_arrow(
+        parts_hist, pa.table({"depth": pa.array([], pa.int64()),
+                              "n_pairs": pa.array([], pa.int64())}))
+    df = folded.to_pandas().groupby("depth", as_index=False).agg(
+        n_pairs=("n_pairs", "sum")).sort_values("depth")
+    return pa.table({"depth": df["depth"].astype("int64").to_numpy(),
+                     "n_pairs": df["n_pairs"].astype("int64").to_numpy()})
