@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     "rel_rfm_segments",
     "kg_neighborhood_function",
     "rel_conversion_lag",
+    "doc_quality_dup",
+    "text_tokenizer_fertility",
 ]
 
 

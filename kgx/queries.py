@@ -3010,6 +3010,25 @@ def rel_conversion_lag(sf_dir: str):
     return conversion_lag(sf_dir)
 
 
+def doc_quality_dup(sf_dir: str):
+    """Quality x duplication cross-tab (score, is_dup, n_docs): the
+    curation-overlap artifact — one scan computes fingerprint + score,
+    the score rides the fp row through ONE fp-keyed exchange, bounded
+    8-cell combiner."""
+    from .stages.corpus import quality_dup_matrix
+
+    return quality_dup_matrix(_docs_ds(sf_dir))
+
+
+def text_tokenizer_fertility(sf_dir: str):
+    """Tokenizer-fertility profile (lang, n_docs, n_chars, n_words,
+    n_bpe) by predicted language — one scan folding to <= |langs| rows,
+    bounded lang combiner."""
+    from .stages.corpus import tokenizer_fertility
+
+    return tokenizer_fertility(_docs_ds(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registry + SQL oracles
 # ---------------------------------------------------------------------------
@@ -3241,6 +3260,8 @@ def registry() -> dict:
         "rel_rfm_segments": rel_rfm_segments,
         "kg_neighborhood_function": kg_neighborhood_function,
         "rel_conversion_lag": rel_conversion_lag,
+        "doc_quality_dup": doc_quality_dup,
+        "text_tokenizer_fertility": text_tokenizer_fertility,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4115,6 +4136,18 @@ def _sql_conversion_lag() -> str:
     return sql_conversion_lag()
 
 
+def _sql_quality_dup() -> str:
+    from .stages.corpus import sql_quality_dup_matrix
+
+    return sql_quality_dup_matrix()
+
+
+def _sql_tokenizer_fertility() -> str:
+    from .stages.corpus import sql_tokenizer_fertility
+
+    return sql_tokenizer_fertility()
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB SQL per SQL-expressible query; keys match registry()."""
     from . import sql_oracles as so
@@ -4233,6 +4266,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_rfm_segments": _sql_rfm_segments(),
         "kg_neighborhood_function": so.sql_kg_neighborhood_function(),
         "rel_conversion_lag": _sql_conversion_lag(),
+        "doc_quality_dup": _sql_quality_dup(),
+        "text_tokenizer_fertility": _sql_tokenizer_fertility(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

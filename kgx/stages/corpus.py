@@ -2631,3 +2631,181 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source, score, n_tokens,
        CAST(cum AS BIGINT) AS cum_tokens
 FROM c WHERE cum <= {budget}
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality x duplication cross-tab + tokenizer fertility (r5 batch 24)
+# ---------------------------------------------------------------------------
+
+
+def quality_dup_matrix(docs_ds):
+    """documents -> (score, is_dup, n_docs): the curation cross-tab that
+    answers "are my low-quality documents also my duplicated ones?" —
+    every document scored by the Gopher-style sub-rule count (0-3, the
+    doc_token_budget scale) AND flagged as an exact duplicate (its
+    normalized-text md5 fingerprint appears on more than one document),
+    folded to the bounded 4x2 histogram.  Reading this next to
+    dedup_exact / text_quality tells a curation pass whether dedup and
+    quality filtering remove the SAME mass or different mass — which
+    changes the filter ordering a 100-TB run should use (drop the
+    cheaper-to-compute one first only if the overlap is high).
+
+    Scale shape: ONE scan computes fingerprint + score per document
+    (both already-certified kernels), and because the score RIDES ON the
+    fingerprint row, a single fp-keyed partition exchange resolves the
+    global duplicate flag (group size > 1) and folds straight to
+    (score, is_dup) value-count partials — no second doc-keyed join
+    exchange; a bounded 8-cell combiner finishes."""
+    import pandas as pd
+
+    from ..functions import textstats as ts
+    from ..functions.text import md5_fingerprint
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+    from .text_analysis import _marker_count
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["doc_id"])
+        text = df["text"].fillna("")
+        nt = text.str.count(ts.TOKEN_PATTERN).astype("int64")
+        nc = text.str.len().astype("int64")
+        nstop = _marker_count(text.str.lower(), ts.QUALITY_STOPWORDS)
+        score = (
+            (nt >= ts.QUALITY_MIN_TOKENS).astype("int64")
+            + (nc >= ts.QUALITY_MIN_CHARS).astype("int64")
+            + (ts.QUALITY_STOP_RATIO_DEN * nstop
+               <= ts.QUALITY_STOP_RATIO_NUM * nt).astype("int64")
+        )
+        return pd.DataFrame(
+            {"fp": text.map(md5_fingerprint).astype(str), "score": score})
+
+    _EMPTY = pd.DataFrame({"score": pd.Series([], dtype="int64"),
+                           "is_dup": pd.Series([], dtype="int64"),
+                           "n_docs": pd.Series([], dtype="int64")})
+
+    def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(d):
+            return _EMPTY
+        sizes = d.groupby("fp", sort=False)["fp"].transform("size")
+        g = pd.DataFrame({"score": d["score"].astype("int64"),
+                          "is_dup": (sizes > 1).astype("int64")})
+        out = g.groupby(["score", "is_dup"], sort=False,
+                        as_index=False).agg(n_docs=("score", "size"))
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    partials = hash_partitioned_apply(
+        docs_ds.map_batches(scan, batch_format="pandas"), ["fp"], kernel)
+    return hash_partitioned_agg(
+        partials, ["score", "is_dup"],
+        lambda df: df.groupby(["score", "is_dup"], sort=False,
+                              as_index=False).agg(n_docs=("n_docs", "sum")))
+
+
+def sql_quality_dup_matrix() -> str:
+    from ..functions import textstats as ts
+
+    text = "coalesce(text, '')"
+    nt = ts.sql_n_tokens(text)
+    ns = ts.sql_n_stopwords(text)
+    return f"""
+WITH t AS (
+  SELECT {ts.sql_fingerprint(text)} AS fp,
+         CAST({nt} AS BIGINT) AS n_tokens,
+         CAST(length({text}) AS BIGINT) AS n_chars,
+         CAST({ns} AS BIGINT) AS n_stop
+  FROM documents WHERE doc_id IS NOT NULL
+), s AS (
+  SELECT fp,
+         CAST((CASE WHEN n_tokens >= {ts.QUALITY_MIN_TOKENS}
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars >= {ts.QUALITY_MIN_CHARS}
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN {ts.QUALITY_STOP_RATIO_DEN} * n_stop
+                         <= {ts.QUALITY_STOP_RATIO_NUM} * n_tokens
+                    THEN 1 ELSE 0 END) AS BIGINT) AS score
+  FROM t
+), d AS (
+  SELECT score,
+         CAST(CASE WHEN count(*) OVER (PARTITION BY fp) > 1
+              THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+  FROM s
+)
+SELECT score, is_dup, CAST(count(*) AS BIGINT) AS n_docs
+FROM d GROUP BY 1, 2
+"""
+
+
+def tokenizer_fertility(docs_ds):
+    """documents -> (lang, n_docs, n_chars, n_words, n_bpe): the
+    tokenizer-FERTILITY profile by predicted language — bpe-tokens-per-
+    word (n_bpe / n_words, the driver's one float) is the standard
+    multilingual tokenizer-health metric (a language whose fertility is
+    2x the others pays 2x the sequence length for the same content; read
+    before choosing a vocab or a per-language sampling weight).  All
+    four counters are exact int64 under the certified langid / token /
+    BPE kernels.
+
+    Scale shape: ONE scan folds each batch to <= |langs| partial rows
+    (vectorized marker-count langid + two C-level regex counts), then a
+    bounded lang-keyed combiner — strictly cheaper than every
+    token-keyed corpus op (the text_word_len_hist cost class)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import textstats as ts
+    from .exchange import hash_partitioned_agg
+    from .text_analysis import _marker_count
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["doc_id"])
+        text = df["text"].fillna("")
+        lower = text.str.lower()
+        counts = {lang: _marker_count(lower, ts.LANG_MARKERS[lang])
+                  for lang in ts.LANG_ORDER}
+        stacked = np.stack([counts[lang].to_numpy()
+                            for lang in ts.LANG_ORDER])
+        best = stacked.argmax(axis=0)
+        lang = np.array(ts.LANG_ORDER, dtype=object)[best]
+        lang[stacked.max(axis=0) == 0] = ts.LANG_UNKNOWN
+        g = pd.DataFrame(
+            {"lang": lang,
+             "n_docs": np.int64(1),
+             "n_chars": text.str.len().astype("int64"),
+             "n_words": text.str.count(ts.TOKEN_PATTERN).astype("int64"),
+             "n_bpe": text.str.count(ts.BPE_PATTERN).astype("int64")})
+        out = g.groupby("lang", sort=False, as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_chars=("n_chars", "sum"),
+            n_words=("n_words", "sum"), n_bpe=("n_bpe", "sum"))
+        for c in ("n_docs", "n_chars", "n_words", "n_bpe"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("lang", sort=False, as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_chars=("n_chars", "sum"),
+            n_words=("n_words", "sum"), n_bpe=("n_bpe", "sum"))
+
+    return hash_partitioned_agg(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        ["lang"], combine)
+
+
+def sql_tokenizer_fertility() -> str:
+    from ..functions import textstats as ts
+
+    text = "coalesce(text, '')"
+    counts = {lang: ts.sql_lang_count(text, lang) for lang in ts.LANG_ORDER}
+    return f"""
+WITH t AS (
+  SELECT {ts.sql_predict_lang(counts)} AS lang,
+         CAST(length({text}) AS BIGINT) AS n_chars,
+         CAST({ts.sql_n_tokens(text)} AS BIGINT) AS n_words,
+         CAST({ts.sql_n_bpe_tokens(text)} AS BIGINT) AS n_bpe
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe
+FROM t GROUP BY 1
+"""
