@@ -223,6 +223,8 @@ BENCH_QUERIES = [
     "rel_conversion_lag",
     "doc_quality_dup",
     "text_tokenizer_fertility",
+    "doc_mix_order",
+    "doc_shard_skew",
 ]
 
 

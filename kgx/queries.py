@@ -3029,6 +3029,30 @@ def text_tokenizer_fertility(sf_dir: str):
     return tokenizer_fertility(_docs_ds(sf_dir))
 
 
+def doc_mix_order(sf_dir: str):
+    """Source-balanced interleave (doc_id, source, src_rank, mix_rank):
+    every document's deterministic position in the uniform-mixture
+    training stream via the closed-form arithmetic-sequence rank — NO
+    global sort, NO pairwise merge; the token_budget two-pass assigns
+    per-source ranks and one vectorized map finishes."""
+    import ray.data as rd
+
+    from .stages.corpus import mix_order
+
+    return mix_order(rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["doc_id", "source"]))
+
+
+def doc_shard_skew(sf_dir: str):
+    """Training-shard balance table (shard, n_docs, n_tokens) under the
+    doc_shuffle assignment — a pure combiner (doc rows never shuffle),
+    completing the index-balance family for training shards."""
+    from .stages.corpus import shard_skew
+
+    return shard_skew(_docs_ds(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registry + SQL oracles
 # ---------------------------------------------------------------------------
@@ -3262,6 +3286,8 @@ def registry() -> dict:
         "rel_conversion_lag": rel_conversion_lag,
         "doc_quality_dup": doc_quality_dup,
         "text_tokenizer_fertility": text_tokenizer_fertility,
+        "doc_mix_order": doc_mix_order,
+        "doc_shard_skew": doc_shard_skew,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4148,6 +4174,18 @@ def _sql_tokenizer_fertility() -> str:
     return sql_tokenizer_fertility()
 
 
+def _sql_mix_order() -> str:
+    from .stages.corpus import sql_mix_order
+
+    return sql_mix_order()
+
+
+def _sql_shard_skew() -> str:
+    from .stages.corpus import sql_shard_skew
+
+    return sql_shard_skew()
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB SQL per SQL-expressible query; keys match registry()."""
     from . import sql_oracles as so
@@ -4268,6 +4306,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_conversion_lag": _sql_conversion_lag(),
         "doc_quality_dup": _sql_quality_dup(),
         "text_tokenizer_fertility": _sql_tokenizer_fertility(),
+        "doc_mix_order": _sql_mix_order(),
+        "doc_shard_skew": _sql_shard_skew(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

@@ -2809,3 +2809,223 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_bpe) AS BIGINT) AS n_bpe
 FROM t GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted interleave + shard balance (r5 batch 25)
+# ---------------------------------------------------------------------------
+
+
+def mix_order(docs_ds, num_buckets: int | None = None):
+    """documents -> (doc_id, source, src_rank, mix_rank): the SOURCE-
+    BALANCED INTERLEAVE — the deterministic global position of every
+    document in the uniform-mixture training stream, where each source's
+    documents (in doc_id order) spread evenly over the unit interval at
+    keys (2i+1)/(2*n_s), so ANY prefix of the stream contains each
+    source in near-equal proportion.  This is the data-mixing step that
+    MATERIALIZES a mixture (doc_mixture decides keep-rates; this orders
+    the kept stream) — a trainer reading mix_rank order consumes a
+    balanced diet from record one.
+
+    Scale shape — NO global sort, NO pairwise merge: because each
+    source's keys form an arithmetic sequence, the global rank of key
+    (2i+1)/(2*n_s) has a CLOSED FORM — for every other source t,
+    #{j : (2j+1)/n_t < (2i+1)/n_s} = clamp((A - B - 1) // (2B) + 1,
+    0, n_t) with A = (2i+1)*n_t, B = n_s, plus an exact-tie term for
+    sources earlier in name order.  So the operator is: (1) the
+    token_budget range-bucket two-pass assigns src_rank (per-source
+    prefix COUNTS this time); (2) the bounded per-source totals
+    broadcast; (3) one vectorized in-batch map computes mix_rank as a
+    sum over the |sources|-bounded totals table.  Exact int64 while
+    2 * n_s * n_t < 2^63 (~2.1e9 docs per source); beyond that the
+    per-batch fold flips to Python-int arithmetic (the PMI convention).
+
+    DuckDB mirror: row_number over the float key (2i+1)/n with
+    (source, rank) tie-break — exact-equality-safe because two distinct
+    rationals with denominators <= ~2^26 cannot collide in float64 at
+    gate scales (the Ray side is exact integer arithmetic at any
+    scale)."""
+    import pandas as pd
+    import ray
+
+    from .exchange import _default_partitions, hash_partitioned_apply
+
+    def keyed(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["doc_id", "source"])
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "source": df["source"].astype(str)})
+
+    st = docs_ds.map_batches(keyed, batch_format="pandas").materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    _EMPTY = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "source": pd.Series([], dtype="str"),
+         "src_rank": pd.Series([], dtype="int64"),
+         "mix_rank": pd.Series([], dtype="int64")})
+    agg = st.aggregate(Min("doc_id"), Max("doc_id"))
+    if not agg or agg.get("min(doc_id)") is None:
+        return st.map_batches(lambda df: _EMPTY, batch_format="pandas")
+    lo, hi = int(agg["min(doc_id)"]), int(agg["max(doc_id)"])
+    B = num_buckets or _default_partitions() * 8
+    bucket_w = max(1, (hi - lo + B) // B)
+
+    def bucket_counts(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.copy()
+        g["bucket"] = ((g["doc_id"].to_numpy() - lo) // bucket_w).astype(
+            "int64")
+        out = g.groupby(["source", "bucket"], sort=False,
+                        as_index=False).agg(n=("doc_id", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    merged = st.map_batches(bucket_counts, batch_format="pandas") \
+        .repartition(1).map_batches(
+            lambda df: df.groupby(["source", "bucket"], sort=False,
+                                  as_index=False).agg(n=("n", "sum")),
+            batch_format="pandas").to_pandas()
+    merged = merged.sort_values(["source", "bucket"], kind="stable")
+    csum = merged.groupby("source", sort=False)["n"].cumsum()
+    merged["off"] = (csum - merged["n"]).astype("int64")
+    totals = merged.groupby("source", as_index=False).agg(n_s=("n", "sum")) \
+        .sort_values("source").reset_index(drop=True)
+    off_ref = ray.put(merged[["source", "bucket", "off"]])
+    src_names = totals["source"].tolist()
+    src_totals = totals["n_s"].to_numpy().astype("int64")
+
+    def rank_kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if not len(d):
+            return _EMPTY
+        off = ray.get(off_ref)
+        d = d.sort_values(["source", "bucket", "doc_id"], kind="stable")
+        local = d.groupby(["source", "bucket"], sort=False).cumcount()
+        d = d.merge(off, on=["source", "bucket"], how="left")
+        i = (local.to_numpy() + d["off"].to_numpy()).astype(np.int64)
+        s_idx = np.searchsorted(np.array(src_names, dtype=object),
+                                d["source"].to_numpy())
+        n_s = src_totals[s_idx]
+        K = 2 * i + 1
+        if int(K.max(initial=1)) * int(src_totals.max(initial=1)) >= 2 ** 63:
+            mix = np.fromiter(
+                (_mix_rank_py(int(k), int(ns), int(si), src_totals)
+                 for k, ns, si in zip(K, n_s, s_idx)),
+                dtype=np.int64, count=len(K))
+        else:
+            mix = np.zeros(len(K), dtype=np.int64)
+            for t, n_t in enumerate(src_totals):
+                A = K * np.int64(n_t)
+                Bv = n_s
+                less = np.clip((A - Bv - 1) // (2 * Bv) + 1, 0, n_t)
+                less[A <= Bv] = 0
+                eq = ((A - Bv) % (2 * Bv) == 0) & (A >= Bv) \
+                    & ((A - Bv) // (2 * Bv) < n_t)
+                mix += less + np.where((t < s_idx) & eq, 1, 0)
+        return pd.DataFrame(
+            {"doc_id": d["doc_id"].astype("int64"),
+             "source": d["source"].astype(str),
+             "src_rank": i,
+             "mix_rank": (mix + 1).astype("int64")})
+
+    tagged = st.map_batches(
+        lambda df: df.assign(
+            bucket=((df["doc_id"].to_numpy() - lo) // bucket_w)
+            .astype("int64")),
+        batch_format="pandas")
+    return hash_partitioned_apply(tagged, ["source", "bucket"], rank_kernel)
+
+
+def _mix_rank_py(K: int, n_s: int, s_idx: int, src_totals) -> int:
+    """Python-int fallback of the closed-form rank (overflow-safe)."""
+    mix = 0
+    for t, n_t in enumerate(int(x) for x in src_totals):
+        A = K * n_t
+        B = n_s
+        if A > B:
+            mix += min(n_t, (A - B - 1) // (2 * B) + 1)
+        if A >= B and (A - B) % (2 * B) == 0 and (A - B) // (2 * B) < n_t \
+                and t < s_idx:
+            mix += 1
+    return mix
+
+
+def sql_mix_order() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+), r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+              AS BIGINT) AS src_rank,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+  FROM d
+)
+SELECT doc_id, source, src_rank,
+       CAST(row_number() OVER (
+         ORDER BY (2 * src_rank + 1) / CAST(n_s AS DOUBLE), source, src_rank)
+         AS BIGINT) AS mix_rank
+FROM r
+"""
+
+
+def shard_skew(docs_ds, n_shards: int = SHUFFLE_SHARDS):
+    """documents -> (shard, n_docs, n_tokens): training-shard BALANCE
+    table under the doc_shuffle assignment — the shard-health diagnostic
+    completing the index-balance family (emb_lsh_balance / emb_ivf_
+    balance / dedup_lsh_balance for indexes, this for training shards):
+    a skewed shard = one data-loader rank starving the others.
+
+    Scale shape: a pure COMBINER — per-batch (shard, count, token-sum)
+    partials (the same wraparound-multiply hash as doc_shuffle, one
+    vectorized map) fold into a bounded shard-keyed exchange; doc rows
+    never shuffle at all (strictly cheaper than doc_shuffle, which must
+    rank within shards)."""
+    import pandas as pd
+
+    from ..functions import textstats as ts
+    from .exchange import hash_partitioned_agg
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["doc_id"])
+        ids = df["doc_id"].to_numpy()
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(SAMPLE_MUL) + np.uint64(
+                SAMPLE_ADD)
+        shard = ((h >> np.uint64(32)) % np.uint64(n_shards)).astype(np.int64)
+        nt = df["text"].fillna("").str.count(ts.TOKEN_PATTERN) \
+            .astype("int64")
+        g = pd.DataFrame({"shard": shard, "n_docs": np.int64(1),
+                          "n_tokens": nt.to_numpy()})
+        out = g.groupby("shard", sort=False, as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+        for c in ("n_docs", "n_tokens"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return hash_partitioned_agg(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        ["shard"],
+        lambda df: df.groupby("shard", sort=False, as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum")))
+
+
+def sql_shard_skew(n_shards: int = SHUFFLE_SHARDS) -> str:
+    from ..functions import textstats as ts
+
+    two64 = 1 << 64
+    h = f"((CAST(doc_id AS HUGEINT) * {SAMPLE_MUL} + {SAMPLE_ADD}) % {two64})"
+    nt = ts.sql_n_tokens("coalesce(text, '')")
+    return f"""
+WITH k AS (
+  SELECT CAST(({h} // {1 << 32}) % {n_shards} AS BIGINT) AS shard,
+         CAST({nt} AS BIGINT) AS nt
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM k GROUP BY 1
+"""
