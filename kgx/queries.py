@@ -3053,30 +3053,205 @@ def doc_shard_skew(sf_dir: str):
     return shard_skew(_docs_ds(sf_dir))
 
 
+def kg_pred_paths(sf_dir: str):
+    """Directional predicate-composition matrix (pred_in, pred_out,
+    n_paths) over the deduped triples: the number of length-2 directed
+    walks x -pred_in-> m -pred_out-> y, endpoint-unconstrained (x == y and
+    palindromic walks count; m ranges over normalized entities) — the
+    schema-path-mining artifact that tells a KG modeler which relation
+    compositions exist (founded_by . ceo_of) and with what volume, the
+    precursor to rule mining / relation-path features (reference analog:
+    the J2-J4 linking chain's relation audit, recast as composition
+    statistics; complements kg_pred_cooccurrence's same-subject bundles
+    and kg_2hop's entity-level expansion).
+
+    Scale shape: n_paths(p1, p2) = sum over middles m of
+    in_count(m, p1) * out_count(m, p2), so triples never pair-explode:
+    per-batch (m, pred, kind in/out, c) count partials fold inside the
+    scan, ONE m-keyed partition exchange re-sums exact per-(m, pred)
+    in/out counts and cross-merges the two sides per middle (<= |preds|^2
+    product rows per middle, preds a bounded vocabulary), a
+    (pred_in, pred_out)-keyed combiner sums.  Per-middle products guard
+    the int64 fast path basket-rules-style (Python-int fromiter fallback
+    when max_in * max_out could overflow)."""
+    import numpy as np
+    import pandas as pd
+
+    from .stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+    from .stages.wide import _norm_part_series
+
+    triples = _kg_sql_outputs(sf_dir)["triples"]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ns = _norm_part_series(df["subj"]).astype(str).to_numpy()
+        no = _norm_part_series(df["obj"]).astype(str).to_numpy()
+        pred = df["pred"].astype(str).to_numpy()
+        long = pd.DataFrame(
+            {"m": np.concatenate([no, ns]),
+             "pred": np.concatenate([pred, pred]),
+             "kind": np.repeat(np.array([0, 1], dtype="int64"), len(df))})
+        g = long.groupby(["m", "pred", "kind"], sort=False,
+                         as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"pred_in": pd.Series([], dtype=object),
+             "pred_out": pd.Series([], dtype=object),
+             "n_paths": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        g = df.groupby(["m", "pred", "kind"], sort=False, as_index=False).agg(
+            c=("c", "sum"))
+        inn = g[g["kind"] == 0].rename(
+            columns={"pred": "pred_in", "c": "c_in"})
+        out = g[g["kind"] == 1].rename(
+            columns={"pred": "pred_out", "c": "c_out"})
+        if not len(inn) or not len(out):
+            return empty
+        pairs = inn[["m", "pred_in", "c_in"]].merge(
+            out[["m", "pred_out", "c_out"]], on="m")
+        if not len(pairs):
+            return empty
+        ci = pairs["c_in"].to_numpy()
+        co = pairs["c_out"].to_numpy()
+        if int(ci.max()) * int(co.max()) >= 2 ** 63:
+            prod = np.fromiter(
+                (int(a) * int(b) for a, b in zip(ci, co)),
+                dtype="int64", count=len(ci))
+        else:
+            prod = ci.astype(np.int64) * co.astype(np.int64)
+        pairs["n_paths"] = prod
+        return pairs.groupby(["pred_in", "pred_out"], sort=False,
+                             as_index=False).agg(n_paths=("n_paths", "sum"))
+
+    return hash_partitioned_agg(
+        hash_partitioned_apply(
+            triples.select_columns(["subj", "pred", "obj"]).map_batches(
+                partial, batch_format="pandas"),
+            ["m"], kernel),
+        ["pred_in", "pred_out"],
+        lambda df: df.groupby(["pred_in", "pred_out"], sort=False,
+                              as_index=False).agg(
+            n_paths=("n_paths", "sum")))
+
+
+def kg_pred_object_concentration(sf_dir: str):
+    """Per-predicate object-side selectivity profile (pred, n_triples,
+    n_distinct_obj, top_obj, top_pm) over the deduped triples: how
+    concentrated is each predicate's object distribution — located_in
+    funnels into few countries (high top_pm) while ceo_of fans out to
+    near-unique persons (low) — the cardinality/selectivity statistic a
+    KG schema miner (and a join planner) reads per relation.  top_obj is
+    the NORMALIZED most-attested object, tie-broken lexicographically
+    ASC; top_pm = 10000 * top_count // n_triples exact integer permyriad.
+
+    Scale shape: ONE (pred, no)-keyed partition exchange makes each
+    (pred, normalized-object) group's count exact inside one partition
+    (per-batch count partials fold in the scan first), the kernel folds
+    its complete groups to per-pred partials (n, d, top candidate) — a
+    mergeable argmax under (count DESC, no ASC) — and a tiny pred-keyed
+    combiner re-merges; the permyriad finish runs on <= |preds| rows in
+    Python ints (no overflow at any scale)."""
+    import numpy as np
+    import pandas as pd
+
+    from .stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+    from .stages.wide import _norm_part_series
+
+    triples = _kg_sql_outputs(sf_dir)["triples"]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {"pred": df["pred"].astype(str),
+             "no": _norm_part_series(df["obj"]).astype(str)})
+        return g.groupby(["pred", "no"], sort=False, as_index=False).size() \
+            .rename(columns={"size": "c"})
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"pred": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64"),
+                 "d": pd.Series([], dtype="int64"),
+                 "top_obj": pd.Series([], dtype=object),
+                 "top_c": pd.Series([], dtype="int64")})
+        g = df.groupby(["pred", "no"], sort=False, as_index=False).agg(
+            c=("c", "sum"))
+        g = g.sort_values(["pred", "c", "no"],
+                          ascending=[True, False, True], kind="stable")
+        top = g.drop_duplicates("pred")[["pred", "no", "c"]].rename(
+            columns={"no": "top_obj", "c": "top_c"})
+        agg = g.groupby("pred", sort=False, as_index=False).agg(
+            n=("c", "sum"), d=("no", "size"))
+        return agg.merge(top, on="pred")
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["pred", "top_c", "top_obj"],
+                            ascending=[True, False, True], kind="stable")
+        top = df.drop_duplicates("pred")[["pred", "top_obj", "top_c"]]
+        agg = df.groupby("pred", sort=False, as_index=False).agg(
+            n=("n", "sum"), d=("d", "sum"))
+        return agg.merge(top, on="pred")
+
+    folded = hash_partitioned_agg(
+        hash_partitioned_apply(
+            triples.select_columns(["pred", "obj"]).map_batches(
+                partial, batch_format="pandas"),
+            ["pred", "no"], kernel),
+        ["pred"], merge)
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"pred": pd.Series([], dtype=object),
+                 "n_triples": pd.Series([], dtype="int64"),
+                 "n_distinct_obj": pd.Series([], dtype="int64"),
+                 "top_obj": pd.Series([], dtype=object),
+                 "top_pm": pd.Series([], dtype="int64")})
+        pm = np.fromiter(
+            ((10000 * int(c)) // int(n)
+             for c, n in zip(df["top_c"], df["n"])),
+            dtype="int64", count=len(df))
+        return pd.DataFrame(
+            {"pred": df["pred"].to_numpy(),
+             "n_triples": df["n"].astype("int64").to_numpy(),
+             "n_distinct_obj": df["d"].astype("int64").to_numpy(),
+             "top_obj": df["top_obj"].to_numpy(),
+             "top_pm": pm})
+
+    return folded.map_batches(finish, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Registry + SQL oracles
 # ---------------------------------------------------------------------------
 
 
 _NEVER_CHECKED_50 = (
-    # the r5-early rotation set that r4's driver window never saw ...
+    # r5-late rotation: the r4 judge replica-verified 20 of the prior window
+    # (sketch_*, emb_kmeans*, graph_cc/triangles, dedup_substring, ...) so
+    # they rotate out; kept are the 30 with NO external verification yet ...
     "sketch_hll_grouped", "emb_label_centroids", "rel_user_retention",
     "text_winnow", "corpus_curate", "graph_kcore", "doc_shuffle", "emb_pq",
-    "sketch_hll", "text_heavy_hitters", "graph_degree_stats", "sketch_bloom",
-    "doc_sample_stratified", "dedup_decontaminate", "sketch_cms",
-    "sketch_quantile", "text_pmi_topk", "emb_kmeans", "doc_pack",
-    "graph_triangles", "rel_top_revenue", "graph_cc", "dedup_substring",
-    "emb_kmeans_cost", "sketch_quantile_grouped", "rel_grouped_mode",
-    "rel_semi_join_bloom", "text_lm_score",
     # ... the 9 batch-10 operators ...
     "rel_q5", "kg_conflicts", "graph_clustering", "text_zipf",
     "kg_pred_cooccurrence", "rel_q8", "rel_session_hist", "kg_new_entities",
     "graph_edge_weights",
-    # ... and the 13 KG-core mid-r5 operators (tier: kg_construct)
+    # ... the 13 KG-core mid-r5 operators (tier: kg_construct) ...
     "kg_pagerank", "kg_entity_clusters", "kg_hub_entities",
     "kg_source_contrib", "kg_mention_timeline", "kg_entity_freshness",
     "kg_type_matrix", "kg_alias_stats", "kg_pred_stats",
     "kg_confidence_hist", "kg_cooccurrence", "kg_entity_pmi", "kg_2hop",
+    # ... and 20 late-r5 never-checked: the full KG-tier tail + the newest
+    # composed pipelines (everything else past slot 50 stays green in the
+    # local 32-CPU default + --small-blocks four-way replica).
+    "kg_cluster_sizes", "kg_pagerank_share", "kg_boilerplate",
+    "kg_growth_curve", "kg_comention_clusters", "kg_pred_directionality",
+    "kg_entity_cards", "kg_lang_yield", "kg_category_stats", "kg_publish",
+    "kg_pred_trend", "kg_entity_types", "kg_seg_yield", "kg_degree_dist",
+    "kg_neighborhood_function", "kg_negative_samples",
+    "rel_q9", "rel_q2", "doc_mix_order", "rel_basket_rules",
 )
 
 
@@ -3084,9 +3259,10 @@ def registry() -> dict:
     """Query registry. ORDER MATTERS: the driver's correctness snapshot
     covers the FIRST 50 entries in insertion order (verified r1-r4), so
     ``_NEVER_CHECKED_50`` — fifty queries with no driver-green row in any
-    CORRECTNESS_r0N file (the r5-early rotation set, this session's nine,
-    and the KG-core mid-r5 set) — is hoisted to the window; everything
-    with an r1-r4 driver row follows.  Every entry past slot 50 stays
+    CORRECTNESS_r0N file AND no r4-judge replica verification (the 30
+    unverified earlier-r5 window entries plus the 20 late-r5 KG-tier /
+    composed-pipeline additions) — is hoisted to the window; everything
+    with an r1-r4 driver row or a judge replica row follows.  Every entry past slot 50 stays
     green in the local 32-CPU default + --small-blocks replica (see
     BASELINE.md round-5 certification sections).
     """
@@ -3288,6 +3464,8 @@ def registry() -> dict:
         "text_tokenizer_fertility": text_tokenizer_fertility,
         "doc_mix_order": doc_mix_order,
         "doc_shard_skew": doc_shard_skew,
+        "kg_pred_paths": kg_pred_paths,
+        "kg_pred_object_concentration": kg_pred_object_concentration,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4308,6 +4486,9 @@ def oracle_sql() -> dict[str, str]:
         "text_tokenizer_fertility": _sql_tokenizer_fertility(),
         "doc_mix_order": _sql_mix_order(),
         "doc_shard_skew": _sql_shard_skew(),
+        "kg_pred_paths": so.sql_kg_pred_paths(),
+        "kg_pred_object_concentration":
+            so.sql_kg_pred_object_concentration(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

@@ -1565,3 +1565,72 @@ def sql_kg_neighborhood_function(rounds: int | None = None,
         f" SELECT CAST(dist AS BIGINT) AS depth, "
         f"CAST(count(*) AS BIGINT) AS n_pairs FROM {prev} GROUP BY 1")
     return "".join(parts)
+
+
+def sql_kg_pred_paths() -> str:
+    """(pred_in, pred_out, n_paths): directional predicate-composition
+    matrix — the number of length-2 directed walks x -pred_in-> m
+    -pred_out-> y over the deduped triple set, endpoint-unconstrained;
+    equals sum over middles of in_count(m, pred_in) * out_count(m,
+    pred_out), mirrored here as the factored count-product join (never the
+    pair-exploded self-join)."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ns, pred, no
+                               ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), t AS (
+  SELECT ns, pred, no FROM ranked WHERE rr = 1
+), inn AS (
+  SELECT no AS m, pred, count(*) AS c FROM t GROUP BY 1, 2
+), outt AS (
+  SELECT ns AS m, pred, count(*) AS c FROM t GROUP BY 1, 2
+)
+SELECT i.pred AS pred_in, o.pred AS pred_out,
+       CAST(sum(i.c * o.c) AS BIGINT) AS n_paths
+FROM inn i JOIN outt o ON i.m = o.m
+GROUP BY 1, 2
+"""
+    )
+
+
+def sql_kg_pred_object_concentration() -> str:
+    """(pred, n_triples, n_distinct_obj, top_obj, top_pm): per-predicate
+    object-side selectivity over the deduped triples; top_obj is the
+    normalized most-attested object (count DESC, obj ASC tie-break),
+    top_pm the exact integer permyriad 10000 * top_count // n_triples."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ns, pred, no
+                               ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), t AS (
+  SELECT ns, pred, no FROM ranked WHERE rr = 1
+), cnt AS (
+  SELECT pred, no, count(*) AS c FROM t GROUP BY 1, 2
+), top AS (
+  SELECT pred, no AS top_obj, c AS top_c,
+         row_number() OVER (PARTITION BY pred ORDER BY c DESC, no ASC) AS rr
+  FROM cnt
+), agg AS (
+  SELECT pred, sum(c) AS n_triples, count(*) AS n_distinct_obj
+  FROM cnt GROUP BY 1
+)
+SELECT a.pred, CAST(a.n_triples AS BIGINT) AS n_triples,
+       CAST(a.n_distinct_obj AS BIGINT) AS n_distinct_obj,
+       tp.top_obj,
+       CAST((10000 * tp.top_c) // a.n_triples AS BIGINT) AS top_pm
+FROM agg a JOIN (SELECT pred, top_obj, top_c FROM top WHERE rr = 1) tp
+  ON a.pred = tp.pred
+"""
+    )
