@@ -359,6 +359,22 @@ def dedup_minhash_lsh(sf_dir: str):
     )
 
 
+def dedup_edit(sf_dir: str):
+    """Fuzzy-dup pairs under PREFIX EDIT DISTANCE (id_a, id_b): minhash-band
+    candidate buckets (certified slim layout), verified by exact vectorized
+    Levenshtein <= EDIT_MAX_DIST over the first EDIT_PREFIX_LEN chars of
+    the normalized text — the edit-distance member of the dedup family."""
+    from .stages.dedup import edit_prefix_pairs
+
+    d = config_loader.resolve_settings()["processing"]["dedup"]
+    return edit_prefix_pairs(
+        _docs_ds(sf_dir),
+        num_perm=d["minhash_num_perm"],
+        bands=d["minhash_bands"],
+        shingle_k=d["shingle_k"],
+    )
+
+
 def dedup_simhash(sf_dir: str):
     from .stages.dedup import simhash_pairs
 
@@ -3466,6 +3482,7 @@ def registry() -> dict:
         "doc_shard_skew": doc_shard_skew,
         "kg_pred_paths": kg_pred_paths,
         "kg_pred_object_concentration": kg_pred_object_concentration,
+        "dedup_edit": dedup_edit,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4370,6 +4387,7 @@ def oracle_sql() -> dict[str, str]:
 
     from .pipelines.relational import sql_user_retention
     from .stages.corpus import sql_winnow_fingerprints
+    from .stages.dedup import EDIT_MAX_DIST, EDIT_PREFIX_LEN
     from .stages.kmeans import sql_label_centroids
     from .stages.sketch import sql_hll_grouped_registers
 
@@ -4489,6 +4507,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_paths": so.sql_kg_pred_paths(),
         "kg_pred_object_concentration":
             so.sql_kg_pred_object_concentration(),
+        "dedup_edit": so.sql_dedup_edit(
+            d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],
+            d["shingle_k"], EDIT_PREFIX_LEN, EDIT_MAX_DIST),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

@@ -1634,3 +1634,29 @@ FROM agg a JOIN (SELECT pred, top_obj, top_c FROM top WHERE rr = 1) tp
   ON a.pred = tp.pred
 """
     )
+
+
+def sql_dedup_edit(num_perm: int, bands: int, threshold: float,
+                   shingle_k: int, prefix_len: int, max_dist: int) -> str:
+    """(id_a, id_b): fuzzy-dup pairs under prefix edit distance — the
+    byte-identical minhash bh candidate prefix (same bands, same hash
+    family), verified by DuckDB's levenshtein over the first ``prefix_len``
+    chars of the normalized text (substr is char-based; char == byte on the
+    ASCII driver corpora, the documented minhash-mirror parity assumption).
+    The jaccard threshold is unused here (candidates only) but keeps the
+    shared prefix text identical."""
+    prefix, _ = _sql_minhash_bh(num_perm, bands, threshold, shingle_k)
+    return prefix + f"""
+, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bh a JOIN bh b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), pfx AS (
+  SELECT doc_id, substr(t, 1, {prefix_len}) AS p FROM d2
+)
+SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b
+FROM cand c
+JOIN pfx fa ON fa.doc_id = c.id_a
+JOIN pfx fb ON fb.doc_id = c.id_b
+WHERE levenshtein(fa.p, fb.p) <= {max_dist}
+"""

@@ -1127,3 +1127,111 @@ def minhash_band_balance(
         lambda df: df.groupby(["band", "size"], sort=False,
                               as_index=False).agg(
             n_buckets=("n_buckets", "sum")))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (prefix-Levenshtein) fuzzy dedup
+# ---------------------------------------------------------------------------
+
+EDIT_PREFIX_LEN = 64
+EDIT_MAX_DIST = 8
+
+
+def _prefix_payload_rows(batch: pa.Table, prefix_len: int) -> pa.Table:
+    """doc -> ONE fixed-width payload row (doc_id, [len, byte_0..byte_{L-1}])
+    of the first ``prefix_len`` CHARS of the normalized lowercase text,
+    zero-padded (byte == char on the ASCII driver corpora — the same parity
+    assumption the minhash shingle mirror documents).  Fixed width keeps the
+    payload a rectangular list column, so the verify kernel gets one
+    ``np.asarray`` with no ragged handling.  Docs whose normalized text is
+    empty are skipped — the same population rule as ``_minhash_sig_rows``
+    (and the SQL mirror's ``length(t) > 0`` filter), so every candidate pair
+    always resolves a payload."""
+    from ..functions.text import normalize_ws
+
+    ids, pays = [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+        norm = normalize_ws((text or "").lower())
+        if not norm:
+            continue
+        bts = norm[:prefix_len].encode("utf-8")[:prefix_len]
+        pay = [len(bts)] + list(bts) + [0] * (prefix_len - len(bts))
+        ids.append(doc_id)
+        pays.append(pay)
+    return pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "pay": pa.array(pays, type=_PAY_TYPE)})
+
+
+def _levenshtein_padded(a: "np.ndarray", la: "np.ndarray",
+                        b: "np.ndarray", lb: "np.ndarray") -> "np.ndarray":
+    """Exact Levenshtein distance for P string pairs at once: ``a``/``b``
+    are (P, L) code matrices (padding past each true length ``la``/``lb`` is
+    arbitrary — DP entry (i, j) depends only on chars < i / < j, so reading
+    the answer at (la, lb) is exact regardless of pad bytes).  The row
+    recurrence's left-to-right dependency (cur_j needs cur_{j-1}) vectorizes
+    via the prefix-min identity cur_j = j + min_{k<=j}(base_k - k) with
+    base_0 = i and base_k = min(prev_k + 1, prev_{k-1} + cost_k) — one
+    ``np.minimum.accumulate`` per row instead of an inner Python loop, so
+    the whole batch costs O(L) vector ops of width P x L."""
+    P, L = a.shape
+    cols = np.arange(L + 1, dtype=np.int64)
+    prev = np.tile(cols, (P, 1))
+    out = lb.astype(np.int64).copy()  # la == 0 rows: distance = |b|
+    i_max = int(la.max(initial=0))
+    for i in range(1, i_max + 1):
+        cost = (a[:, i - 1 : i] != b).astype(np.int64)
+        base = np.empty((P, L + 1), dtype=np.int64)
+        base[:, 0] = i
+        base[:, 1:] = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+        base -= cols
+        cur = np.minimum.accumulate(base, axis=1) + cols
+        hit = la == i
+        if hit.any():
+            out[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return out
+
+
+def edit_prefix_pairs(docs_ds, prefix_len: int = EDIT_PREFIX_LEN,
+                      max_dist: int = EDIT_MAX_DIST, num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 5):
+    """documents -> fuzzy-dup pairs under PREFIX EDIT DISTANCE: MinHash-band
+    candidate buckets (the certified slim layout — 32 B band rows, payloads
+    resolved once), verified by exact Levenshtein <= ``max_dist`` over the
+    first ``prefix_len`` chars of the normalized text.  The edit-distance
+    member of the dedup family (exact / minhash-jaccard / simhash-hamming /
+    ngram-jaccard / substring / embedding-cosine already exist): character
+    edits are the right metric for template pages and boilerplate variants
+    where token-set measures saturate (reference analog: D1's near-dup
+    family, extractor.py:302-353).  Prefix-bounded (not whole-doc) BY
+    DESIGN: it caps the verify cost at O(pairs x prefix_len^2 / lanes)
+    vectorized element-ops independent of document length — the whole-doc
+    variant would be O(len^2) per pair in ONE task; the prefix is where
+    template boilerplate lives.  Candidate recall is the banded-MinHash
+    S-curve (16x4 knee ~0.7 Jaccard) — pairs whose prefixes are close but
+    whose full texts share no band never surface, exactly like the sibling
+    ngram/minhash operators; the SQL mirror regenerates the identical
+    candidate set so the gate compares verify semantics, not recall."""
+    sigs = docs_ds.map_batches(
+        lambda b: _minhash_sig_rows(b, num_perm, shingle_k),
+        batch_format="pyarrow",
+    ).materialize()
+    band_rows = sigs.map_batches(
+        lambda b: _band_rows_slim(b, bands, num_perm // bands),
+        batch_format="pyarrow",
+    )
+    prefixes = docs_ds.map_batches(
+        lambda b: _prefix_payload_rows(b, prefix_len),
+        batch_format="pyarrow",
+    )
+
+    def verify_mask(pay_a, pay_b):
+        A = np.asarray(pay_a, dtype=np.int64)
+        B = np.asarray(pay_b, dtype=np.int64)
+        dist = _levenshtein_padded(A[:, 1:], A[:, 0], B[:, 1:], B[:, 0])
+        return dist <= max_dist
+
+    return _verified_pairs_slim(
+        band_rows, ["band", "band_hash"], prefixes, verify_mask)

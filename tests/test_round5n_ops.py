@@ -149,3 +149,109 @@ def test_pred_object_concentration_argmax_sound(ray_session):
         best = per.max()
         winners = sorted(per[per == best].index)
         assert r.top_obj == winners[0]
+
+
+# ---------------------------------------------------------------------------
+# dedup_edit: prefix-edit-distance fuzzy dedup (batch-27)
+# ---------------------------------------------------------------------------
+
+
+def _lev_ref(s, t):
+    m, n = len(s), len(t)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev = d[0]
+        d[0] = i
+        for j in range(1, n + 1):
+            cur = min(d[j] + 1, d[j - 1] + 1, prev + (s[i - 1] != t[j - 1]))
+            prev = d[j]
+            d[j] = cur
+    return d[n]
+
+
+def test_levenshtein_padded_matches_reference():
+    """Vectorized prefix-min DP == the classic serial DP on random
+    variable-length code pairs (including empty strings)."""
+    import random
+
+    import numpy as np
+
+    from kgx.stages.dedup import _levenshtein_padded
+
+    random.seed(7)
+    L, P = 24, 400
+    A = np.zeros((P, L), dtype=np.int64)
+    B = np.zeros((P, L), dtype=np.int64)
+    la = np.zeros(P, dtype=np.int64)
+    lb = np.zeros(P, dtype=np.int64)
+    refs = []
+    for i in range(P):
+        a = [random.randint(97, 100) for _ in range(random.randint(0, L))]
+        b = [random.randint(97, 100) for _ in range(random.randint(0, L))]
+        A[i, : len(a)] = a
+        B[i, : len(b)] = b
+        la[i], lb[i] = len(a), len(b)
+        refs.append(_lev_ref(a, b))
+    got = _levenshtein_padded(A, la, B, lb)
+    assert (got == np.array(refs)).all()
+
+
+def test_dedup_edit_matches_serial(ray_session):
+    """Ray pairs == serial recomputation: minhash-band candidate buckets
+    (same certified sig/band builders run serially) verified by the serial
+    Levenshtein over normalized prefixes."""
+    import pyarrow.parquet as pq
+
+    import kgx.queries as Q
+    from kgx.functions.text import normalize_ws
+    from kgx.stages.dedup import (EDIT_MAX_DIST, EDIT_PREFIX_LEN,
+                                  _band_rows_slim, _minhash_sig_rows)
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.dedup_edit(sf)).sort_values(["id_a", "id_b"]) \
+        .reset_index(drop=True)
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sigs = _minhash_sig_rows(docs, 64, 5)
+    bands = _band_rows_slim(sigs, 16, 4).to_pandas()
+    prefix = {
+        int(d): normalize_ws((t or "").lower())[:EDIT_PREFIX_LEN]
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    cands = set()
+    for _, g in bands.groupby(["band", "band_hash"]):
+        ids = sorted(set(g["doc_id"]))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+    rows = sorted(
+        (a, b) for a, b in cands
+        if _lev_ref(prefix[a], prefix[b]) <= EDIT_MAX_DIST)
+    ref = pd.DataFrame(rows, columns=["id_a", "id_b"])
+    for c in ("id_a", "id_b"):
+        ref[c] = ref[c].astype("int64")
+
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+
+
+def test_edit_prefix_pairs_planted(ray_session):
+    """Planted corpus: a doc and its few-char-edit variant (same shingle
+    mass -> shared bands) pair up; an unrelated doc does not."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgx.stages.dedup import edit_prefix_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight again")
+    near = base.replace("quick", "quickk").replace("lazy", "lzy")
+    other = ("completely different content about databases and "
+             "distributed systems with no shared shingles at all here")
+    docs = rd.from_arrow(pa.table(
+        {"doc_id": [1, 2, 3], "text": [base, near, other]}))
+    pairs = edit_prefix_pairs(docs).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
