@@ -3006,6 +3006,27 @@ def rel_rfm_segments(sf_dir: str):
     return rfm_segments(sf_dir)
 
 
+def kg_closeness(sf_dir: str):
+    """Truncated closeness-centrality components (seed, n_reached,
+    dist_sum) of the 16 smallest-id KG entities — the distance-based
+    hub-importance artifact next to kg_hub_entities' flow-based view;
+    the shared nibble-BFS Pregel's eleventh consumer (the BFS runs once
+    per query, per-partition fold emits <= 16 rows)."""
+    from .stages.kg_stages import seed_closeness
+
+    return seed_closeness(_kg_sql_outputs(sf_dir)["triples"])
+
+
+def emb_matryoshka(sf_dir: str):
+    """Matryoshka truncation-energy histogram (ratio_pm, n_vecs): exact
+    integer 10000 * ss_half // ss_full per vector over the KM_SCALE
+    quantization — the MRL half-width safety curve; pure combiner,
+    vectors never shuffle."""
+    from .stages.kmeans import matryoshka_profile
+
+    return matryoshka_profile(_emb_ds(sf_dir))
+
+
 def kg_neighborhood_function(sf_dir: str):
     """ANF / effective-diameter curve (depth, n_pairs) of the hashed-
     entity KG: exact truncated per-seed BFS from the 16 smallest node
@@ -3483,6 +3504,8 @@ def registry() -> dict:
         "kg_pred_paths": kg_pred_paths,
         "kg_pred_object_concentration": kg_pred_object_concentration,
         "dedup_edit": dedup_edit,
+        "kg_closeness": kg_closeness,
+        "emb_matryoshka": emb_matryoshka,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4388,7 +4411,7 @@ def oracle_sql() -> dict[str, str]:
     from .pipelines.relational import sql_user_retention
     from .stages.corpus import sql_winnow_fingerprints
     from .stages.dedup import EDIT_MAX_DIST, EDIT_PREFIX_LEN
-    from .stages.kmeans import sql_label_centroids
+    from .stages.kmeans import sql_label_centroids, sql_matryoshka_profile
     from .stages.sketch import sql_hll_grouped_registers
 
     d = config_loader.resolve_settings()["processing"]["dedup"]
@@ -4510,6 +4533,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_edit": so.sql_dedup_edit(
             d["minhash_num_perm"], d["minhash_bands"], d["minhash_jaccard"],
             d["shingle_k"], EDIT_PREFIX_LEN, EDIT_MAX_DIST),
+        "kg_closeness": so.sql_kg_seed_closeness(),
+        "emb_matryoshka": sql_matryoshka_profile(),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

@@ -1567,6 +1567,23 @@ def sql_kg_neighborhood_function(rounds: int | None = None,
     return "".join(parts)
 
 
+def sql_kg_seed_closeness(rounds: int | None = None,
+                          n_seeds: int | None = None) -> str:
+    """(seed, n_reached, dist_sum): truncated closeness components per
+    seed over the same unrolled BFS chain as the neighborhood-function
+    mirror (byte-identical prefix, per-seed fold instead of the depth
+    histogram; the seed's own depth-0 row counts with dist 0)."""
+    base = sql_kg_neighborhood_function(rounds, n_seeds)
+    prefix, _final = base.rsplit(" SELECT CAST(dist AS BIGINT)", 1)
+    from .stages.kg_stages import NF_ROUNDS
+
+    prev = f"d{rounds or NF_ROUNDS}"
+    return prefix + (
+        f" SELECT CAST(seed AS BIGINT) AS seed, "
+        f"CAST(count(*) AS BIGINT) AS n_reached, "
+        f"CAST(sum(dist) AS BIGINT) AS dist_sum FROM {prev} GROUP BY 1")
+
+
 def sql_kg_pred_paths() -> str:
     """(pred_in, pred_out, n_paths): directional predicate-composition
     matrix — the number of length-2 directed walks x -pred_in-> m

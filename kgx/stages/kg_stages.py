@@ -1105,9 +1105,32 @@ NF_SEEDS = 16                  # seed entities (the 16 smallest node ids)
 NF_ROUNDS = 4                  # truncated BFS horizon
 
 
-def neighborhood_function(triples_ds, rounds: int = NF_ROUNDS,
-                          n_seeds: int = NF_SEEDS):
-    """deduped triples -> (depth, n_pairs): the NEIGHBORHOOD FUNCTION of
+def _nf_unpack(packed_i64: "np.ndarray", k: int) -> "np.ndarray":
+    """(n,) int64 nibble-packed bit patterns -> (n, k) uint8 depths —
+    module-level so every consumer of the shared BFS states decodes with
+    the same lane layout."""
+    import numpy as np
+
+    u = packed_i64.view(np.uint64) if packed_i64.dtype == np.int64 \
+        else packed_i64.astype(np.uint64)
+    out = np.empty((len(u), k), dtype=np.uint8)
+    for s in range(k):
+        out[:, s] = ((u >> np.uint64(4 * s)) & np.uint64(15)).astype(
+            np.uint8)
+    return out
+
+
+def _nf_state_parts(triples_ds, rounds: int = NF_ROUNDS,
+                    n_seeds: int = NF_SEEDS):
+    """Shared truncated per-seed nibble-BFS runner: executes the packed
+    16-lane synchronous min-BFS described in ``neighborhood_function`` and
+    returns ``(state_parts, seed_ids)`` — per-partition (node, packed)
+    state object refs after ``rounds`` rounds, plus the seed id array
+    (``(None, empty)`` on an empty graph).  Factored out so the ANF
+    histogram and the per-seed closeness fold share ONE certified BFS
+    (the Pregel machinery's eleventh-consumer pattern).
+
+    deduped triples -> per-seed depth states: the NEIGHBORHOOD core of
     the hashed-entity KG — for the ``n_seeds`` deterministic seed
     entities (the smallest node ids), how many (seed, node) pairs sit at
     exact hop distance d for d = 0..rounds.  This is the ANF / effective-
@@ -1152,8 +1175,7 @@ def neighborhood_function(triples_ds, rounds: int = NF_ROUNDS,
     seed_ids = np.unique(cand["node"].to_numpy())[:n_seeds]
     k = len(seed_ids)
     if k == 0:
-        return pa.table({"depth": pa.array([], pa.int64()),
-                         "n_pairs": pa.array([], pa.int64())})
+        return None, seed_ids
 
     P = max(2, int(ray.cluster_resources().get("CPU", 8)))
     key_schema = pa.schema([("node", pa.int64()), ("other", pa.int64())])
@@ -1172,13 +1194,7 @@ def neighborhood_function(triples_ds, rounds: int = NF_ROUNDS,
 
     def _unpack(packed_i64: np.ndarray) -> np.ndarray:
         """(n,) int64 bit patterns -> (n, k) uint8 nibble depths."""
-        u = packed_i64.view(np.uint64) if packed_i64.dtype == np.int64 \
-            else packed_i64.astype(np.uint64)
-        out = np.empty((len(u), k), dtype=np.uint8)
-        for s in range(k):
-            out[:, s] = ((u >> np.uint64(4 * s)) & np.uint64(15)).astype(
-                np.uint8)
-        return out
+        return _nf_unpack(packed_i64, k)
 
     def _pack(mat: np.ndarray) -> np.ndarray:
         """(n, k) uint8 -> (n,) int64 bit patterns."""
@@ -1237,9 +1253,28 @@ def neighborhood_function(triples_ds, rounds: int = NF_ROUNDS,
     state_parts = [seed_r.remote(edge_parts[p]) for p in range(P)]
     state_parts, _ = run_rounds(edge_parts, state_parts, message_part,
                                 merge_part, iterations=rounds)
+    return state_parts, seed_ids
+
+
+def neighborhood_function(triples_ds, rounds: int = NF_ROUNDS,
+                          n_seeds: int = NF_SEEDS):
+    """deduped triples -> (depth, n_pairs): the ANF / effective-diameter
+    curve — exact (seed, node) pair counts per hop distance d = 0..rounds
+    from the shared nibble-BFS states (``_nf_state_parts``); the final
+    histogram folds per partition to <= rounds+1 rows."""
+    import numpy as np
+    import ray.data as rd
+
+    from .exchange import collect_arrow
+
+    state_parts, seed_ids = _nf_state_parts(triples_ds, rounds, n_seeds)
+    k = len(seed_ids)
+    if state_parts is None:
+        return pa.table({"depth": pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64())})
 
     def hist(t: pa.Table) -> pa.Table:
-        mat = _unpack(t["packed"].to_numpy())
+        mat = _nf_unpack(t["packed"].to_numpy(), k)
         flat = mat.ravel()
         flat = flat[flat <= rounds]
         counts = np.bincount(flat, minlength=rounds + 1).astype(np.int64)
@@ -1257,3 +1292,58 @@ def neighborhood_function(triples_ds, rounds: int = NF_ROUNDS,
         n_pairs=("n_pairs", "sum")).sort_values("depth")
     return pa.table({"depth": df["depth"].astype("int64").to_numpy(),
                      "n_pairs": df["n_pairs"].astype("int64").to_numpy()})
+
+
+def seed_closeness(triples_ds, rounds: int = NF_ROUNDS,
+                   n_seeds: int = NF_SEEDS):
+    """deduped triples -> (seed, n_reached, dist_sum): truncated
+    CLOSENESS-CENTRALITY components of the ``n_seeds`` smallest-id
+    entities in the hashed-entity KG — n_reached counts nodes at hop
+    distance <= rounds INCLUDING the seed itself (depth 0 contributes 0
+    to dist_sum), dist_sum is the exact integer distance total.  The
+    Wasserman-Faust truncated closeness (n_reached - 1)^2 / ((N - 1) *
+    dist_sum) is a downstream division over these exact components — the
+    hub-importance artifact a KG release reads next to kg_hub_entities'
+    PageRank view (distance-based vs flow-based centrality).
+
+    Scale shape: the shared nibble-BFS Pregel's ELEVENTH consumer — the
+    BFS itself is ``_nf_state_parts`` unchanged (one packed int64 row per
+    node per round); this fold emits <= n_seeds rows per partition
+    (lane, count, sum) and a driver-scale sum finishes.  Round-exact
+    under the same bfs/cc contract as neighborhood_function, so the
+    unrolled-CTE DuckDB mirror is bit-exact."""
+    import numpy as np
+    import ray.data as rd
+
+    from .exchange import collect_arrow
+
+    empty = pa.table({"seed": pa.array([], pa.int64()),
+                      "n_reached": pa.array([], pa.int64()),
+                      "dist_sum": pa.array([], pa.int64())})
+    state_parts, seed_ids = _nf_state_parts(triples_ds, rounds, n_seeds)
+    k = len(seed_ids)
+    if state_parts is None:
+        return empty
+
+    def fold(t: pa.Table) -> pa.Table:
+        mat = _nf_unpack(t["packed"].to_numpy(), k).astype(np.int64)
+        reach = mat <= rounds
+        return pa.table(
+            {"lane": pa.array(np.arange(k, dtype=np.int64)),
+             "n_reached": pa.array(reach.sum(axis=0).astype(np.int64)),
+             "dist_sum": pa.array(
+                 np.where(reach, mat, 0).sum(axis=0).astype(np.int64))})
+
+    parts = rd.from_arrow_refs(list(state_parts)).map_batches(
+        fold, batch_format="pyarrow")
+    folded = collect_arrow(
+        parts, pa.table({"lane": pa.array([], pa.int64()),
+                         "n_reached": pa.array([], pa.int64()),
+                         "dist_sum": pa.array([], pa.int64())}))
+    df = folded.to_pandas().groupby("lane", as_index=False).agg(
+        n_reached=("n_reached", "sum"), dist_sum=("dist_sum", "sum"))
+    df["seed"] = seed_ids[df["lane"].to_numpy()].astype("int64")
+    df = df.sort_values("seed")
+    return pa.table({"seed": df["seed"].to_numpy(),
+                     "n_reached": df["n_reached"].astype("int64").to_numpy(),
+                     "dist_sum": df["dist_sum"].astype("int64").to_numpy()})

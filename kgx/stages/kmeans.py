@@ -1232,3 +1232,86 @@ FROM p
 JOIN nn na ON na.label = p.label AND na.half = 0
 JOIN nn nb ON nb.label = p.label AND nb.half = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation-energy profile (r5 batch-28): how much of each
+# vector's energy lives in the first half of its dimensions — the MRL
+# (matryoshka representation) truncation-quality histogram an embedding
+# service reads before serving shortened vectors.
+# ---------------------------------------------------------------------------
+
+
+def matryoshka_profile(emb_ds):
+    """embeddings -> (ratio_pm, n_vecs): per-vector truncation-energy
+    histogram — ratio_pm = 10000 * ss_half // ss_full over the KM_SCALE
+    quantization, where ss_half sums squares of the FIRST d // 2
+    dimensions.  cosine(full, zero-padded half-truncation) =
+    sqrt(ss_half / ss_full), so ratio_pm is the exact monotone integer
+    proxy for the truncation-cosine curve (a mass near 10000 = the
+    embedding is matryoshka-safe at half width; a wide spread = halving
+    loses rank fidelity for many vectors).
+
+    Scale shape: pure combiner — one flat-buffer reshape + two row sums
+    per batch folding to <= 10001 bounded (ratio_pm, count) rows, one
+    ratio-keyed combiner exchange; vectors never shuffle.  Zero-norm
+    vectors drop (no defined ratio — the norm_histogram ingest rule);
+    10000 * ss_half <= 1e4 * d * KM_SCALE^2 * |x|max^2 ~ 6.4e11 at
+    d = 64, far inside int64."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_partitioned_agg
+
+    _EMPTY = pd.DataFrame(
+        {"ratio_pm": pd.Series([], dtype="int64"),
+         "n_vecs": pd.Series([], dtype="int64")})
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat.reshape(n, -1) * KM_SCALE + 0.5).astype(np.int64)
+        sq = q * q
+        ss_full = sq.sum(axis=1)
+        ss_half = sq[:, : q.shape[1] // 2].sum(axis=1)
+        live = ss_full > 0
+        ratio = (10000 * ss_half[live]) // ss_full[live]
+        b, cnt = np.unique(ratio, return_counts=True)
+        return pd.DataFrame({"ratio_pm": b.astype(np.int64),
+                             "n_vecs": cnt.astype(np.int64)})
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("ratio_pm", sort=False, as_index=False).agg(
+            n_vecs=("n_vecs", "sum"))
+
+    return hash_partitioned_agg(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["ratio_pm"], combine,
+    )
+
+
+def sql_matryoshka_profile() -> str:
+    """DuckDB oracle: same quantization as sql_norm_histogram; the half
+    prefix is list_slice over len(qv) // 2 (len is per-row, so ragged
+    dims stay correct); BIGINT casts before ``//`` (the rel_cohorts
+    lesson)."""
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+), s AS (
+  SELECT CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS ss_full,
+         CAST(coalesce(list_sum(list_transform(
+             list_slice(qv, 1, len(qv) // 2), v -> v * v)), 0) AS BIGINT)
+           AS ss_half
+  FROM q
+)
+SELECT CAST((10000 * ss_half) // ss_full AS BIGINT) AS ratio_pm,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM s WHERE ss_full > 0 GROUP BY 1
+"""

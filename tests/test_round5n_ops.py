@@ -8,9 +8,12 @@ import pandas as pd
 
 
 def _collect(ds) -> pd.DataFrame:
+    import pyarrow as pa
     import ray.data
 
     if isinstance(ds, ray.data.Dataset):
+        return ds.to_pandas()
+    if isinstance(ds, pa.Table):
         return ds.to_pandas()
     return ds
 
@@ -255,3 +258,116 @@ def test_edit_prefix_pairs_planted(ray_session):
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (1, 2) in got
     assert all(3 not in p for p in got)
+
+
+# ---------------------------------------------------------------------------
+# kg_closeness: truncated per-seed closeness components (batch-28)
+# ---------------------------------------------------------------------------
+
+
+def _kg_edges_n(sf: str) -> pd.DataFrame:
+    import kgx.queries as Q
+    from kgx.functions.text import stable_hash64
+
+    M62 = 1 << 62
+    t = _collect(Q.kg_triples(sf))[["subj", "obj"]]
+    a = t["subj"].map(lambda s: stable_hash64(s) % M62)
+    b = t["obj"].map(lambda s: stable_hash64(s) % M62)
+    return pd.DataFrame(
+        {"src": pd.concat([a, b], ignore_index=True),
+         "dst": pd.concat([b, a], ignore_index=True)}).drop_duplicates()
+
+
+def test_kg_closeness_matches_serial(ray_session):
+    import kgx.queries as Q
+    from kgx.stages.kg_stages import NF_ROUNDS, NF_SEEDS
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_closeness(sf)) \
+        .sort_values("seed").reset_index(drop=True)
+
+    edges = _kg_edges_n(sf)
+    adj: dict[int, set] = {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        adj.setdefault(int(s), set()).add(int(d))
+    seeds = sorted(adj)[:NF_SEEDS]
+    rows = []
+    for seed in seeds:
+        dist = {seed: 0}
+        frontier = [seed]
+        for depth in range(1, NF_ROUNDS + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = depth
+                        nxt.append(v)
+            frontier = nxt
+        rows.append((seed, len(dist), sum(dist.values())))
+    ref = pd.DataFrame(rows, columns=["seed", "n_reached", "dist_sum"]) \
+        .sort_values("seed").reset_index(drop=True).astype("int64")
+
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+    # the seed itself always counts (depth 0) and contributes 0 distance
+    assert (out["n_reached"] >= 1).all()
+    assert (out["dist_sum"] >= out["n_reached"] - 1).all()
+
+
+def test_seed_closeness_planted_path(ray_session):
+    """Path graph: each seed's dist_sum is the exact sum of hop counts to
+    every node within the 4-round horizon."""
+    import ray.data as rd
+
+    from kgx.functions.text import stable_hash64
+    from kgx.stages.kg_stages import seed_closeness
+
+    names = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    triples = pd.DataFrame(
+        {"subj": names[:-1], "pred": ["linked_to"] * 5, "obj": names[1:]})
+    out = _collect(seed_closeness(rd.from_pandas(triples), rounds=4,
+                                  n_seeds=16)).set_index("seed")
+    M62 = 1 << 62
+    ids = {n: stable_hash64(n) % M62 for n in names}
+    pos = {ids[n]: i for i, n in enumerate(names)}
+    for node, i in pos.items():
+        dists = [abs(i - j) for j in range(len(names)) if abs(i - j) <= 4]
+        assert int(out.loc[node, "n_reached"]) == len(dists)
+        assert int(out.loc[node, "dist_sum"]) == sum(dists)
+
+
+# ---------------------------------------------------------------------------
+# emb_matryoshka: truncation-energy histogram (batch-28)
+# ---------------------------------------------------------------------------
+
+
+def test_emb_matryoshka_matches_serial(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import kgx.queries as Q
+    from kgx.stages.kmeans import KM_SCALE
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.emb_matryoshka(sf)) \
+        .sort_values("ratio_pm").reset_index(drop=True)
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    mat = np.array(
+        [e for e in tbl["embedding"].to_pylist() if e is not None],
+        dtype=np.float64)
+    q = np.floor(mat * KM_SCALE + 0.5).astype(np.int64)
+    sq = q * q
+    full = sq.sum(axis=1)
+    half = sq[:, : q.shape[1] // 2].sum(axis=1)
+    live = full > 0
+    ratio = (10000 * half[live]) // full[live]
+    b, c = np.unique(ratio, return_counts=True)
+    ref = pd.DataFrame({"ratio_pm": b.astype("int64"),
+                        "n_vecs": c.astype("int64")})
+
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+    assert out["ratio_pm"].between(0, 10000).all()
+    # total mass = number of nonzero vectors
+    assert out["n_vecs"].sum() == int(live.sum())
