@@ -225,6 +225,11 @@ BENCH_QUERIES = [
     "text_tokenizer_fertility",
     "doc_mix_order",
     "doc_shard_skew",
+    "kg_pred_paths",
+    "kg_pred_object_concentration",
+    "dedup_edit",
+    "kg_closeness",
+    "emb_matryoshka",
 ]
 
 
