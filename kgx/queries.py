@@ -3027,6 +3027,49 @@ def emb_matryoshka(sf_dir: str):
     return matryoshka_profile(_emb_ds(sf_dir))
 
 
+def kg_walks(sf_dir: str):
+    """Deterministic random-walk corpus (start, s1, s2, s3): one
+    hash-seeded DeepWalk-style walk per entity over the symmetric
+    hashed-entity KG — the node-embedding training-data generator with
+    NO RNG state (transition = argmin over neighbors of
+    (stable_hash64(u|t|v), v)); one src-keyed exchange builds the
+    per-(node, step) transition table, then walk_len chained node-keyed
+    exchanges unroll the walk at node-grain volume."""
+    from .stages.kg_stages import entity_walks
+
+    return entity_walks(_kg_sql_outputs(sf_dir)["triples"])
+
+
+def kg_conf_support(sf_dir: str):
+    """Confidence-vs-attestation calibration cross-tab (conf_pct,
+    support_bucket, n_triples) over the deduped triples — are
+    high-confidence triples multiply attested?  support_bucket caps at 4
+    (1 / 2 / 3 / 4+); a pure bounded value-count combiner (the
+    kg_confidence_hist cost class with one extra key)."""
+    import numpy as np
+    import pandas as pd
+
+    from .stages.exchange import hash_partitioned_agg
+
+    triples = kg_triples(sf_dir)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {"conf_pct": df["conf_pct"].astype("int64"),
+             "support_bucket": np.minimum(
+                 df["n_support"].astype("int64"), 4)})
+        return g.groupby(["conf_pct", "support_bucket"], sort=False,
+                         as_index=False).size() \
+            .rename(columns={"size": "n_triples"})
+
+    return hash_partitioned_agg(
+        triples.map_batches(partial, batch_format="pandas"),
+        ["conf_pct", "support_bucket"],
+        lambda df: df.groupby(["conf_pct", "support_bucket"], sort=False,
+                              as_index=False).agg(
+            n_triples=("n_triples", "sum")))
+
+
 def kg_neighborhood_function(sf_dir: str):
     """ANF / effective-diameter curve (depth, n_pairs) of the hashed-
     entity KG: exact truncated per-seed BFS from the 16 smallest node
@@ -3506,6 +3549,8 @@ def registry() -> dict:
         "dedup_edit": dedup_edit,
         "kg_closeness": kg_closeness,
         "emb_matryoshka": emb_matryoshka,
+        "kg_walks": kg_walks,
+        "kg_conf_support": kg_conf_support,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4535,6 +4580,11 @@ def oracle_sql() -> dict[str, str]:
             d["shingle_k"], EDIT_PREFIX_LEN, EDIT_MAX_DIST),
         "kg_closeness": so.sql_kg_seed_closeness(),
         "emb_matryoshka": sql_matryoshka_profile(),
+        "kg_walks": so.sql_kg_walks(),
+        "kg_conf_support": (
+            "SELECT conf_pct, least(n_support, 4) AS support_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_triples FROM ("
+            + so.sql_kg_triples() + ") t GROUP BY 1, 2"),
         "rel_order_size_hist": (
             "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem "
             "WHERE l_orderkey IS NOT NULL GROUP BY 1) "

@@ -1677,3 +1677,60 @@ JOIN pfx fa ON fa.doc_id = c.id_a
 JOIN pfx fb ON fb.doc_id = c.id_b
 WHERE levenshtein(fa.p, fb.p) <= {max_dist}
 """
+
+
+def sql_kg_walks(walk_len: int | None = None) -> str:
+    """(start, s1..sL): one deterministic hash-seeded walk per entity —
+    same edge construction as the BFS mirrors, transition = argmin over
+    neighbors of (md5h(src|t|dst), dst) via a window row_number, then L
+    chained joins unroll the walk.  The hash string uses decimal int64
+    renderings on both sides (stable_hash64 == md5_number_upper('0:'||s)
+    identity)."""
+    from .stages.kg_stages import WALK_LEN
+
+    L = walk_len or WALK_LEN
+
+    def h(col: str) -> str:
+        return (f"CAST(md5_number_upper('0:' || {col}) "
+                f"% {1 << 62}::HUGEINT AS BIGINT)")
+
+    key = ("md5_number_upper('0:' || CAST(src AS VARCHAR) || '|' || "
+           "CAST(t AS VARCHAR) || '|' || CAST(dst AS VARCHAR))")
+    step_vals = ", ".join(f"({t})" for t in range(L))
+    parts = [
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ns, pred, no
+                               ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), final_t AS (
+  SELECT subj, pred, obj FROM ranked WHERE rr = 1
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT {h('subj')} AS a, {h('obj')} AS b FROM final_t
+), edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0
+), steps(t) AS (VALUES {step_vals}),
+wr AS (
+  SELECT src, t, dst,
+         row_number() OVER (PARTITION BY src, t ORDER BY {key}, dst) AS rw
+  FROM edges CROSS JOIN steps
+), tt AS (
+  SELECT src, t, dst FROM wr WHERE rw = 1
+), w0 AS (SELECT DISTINCT src AS start FROM edges)"""
+    ]
+    cols = ["start"]
+    for i in range(1, L + 1):
+        src_expr = "start" if i == 1 else f"s{i - 1}"
+        sel = ", ".join(f"w{i - 1}.{c}" for c in cols)
+        parts.append(
+            f", w{i} AS (SELECT {sel}, t{i}.dst AS s{i} "
+            f"FROM w{i - 1} JOIN tt t{i} "
+            f"ON t{i}.src = w{i - 1}.{src_expr} AND t{i}.t = {i - 1})")
+        cols.append(f"s{i}")
+    final = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    parts.append(f" SELECT {final} FROM w{L}")
+    return "".join(parts)

@@ -1347,3 +1347,128 @@ def seed_closeness(triples_ds, rounds: int = NF_ROUNDS,
     return pa.table({"seed": df["seed"].to_numpy(),
                      "n_reached": df["n_reached"].astype("int64").to_numpy(),
                      "dist_sum": df["dist_sum"].astype("int64").to_numpy()})
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random-walk corpus (r5 batch-29): DeepWalk-style node
+# sequences over the hashed-entity KG — the node-embedding training-data
+# generator (walk corpora feed skip-gram the way token windows feed word2vec).
+# ---------------------------------------------------------------------------
+
+WALK_LEN = 3                   # steps per walk (4 nodes incl. the start)
+
+
+def entity_walks(triples_ds, walk_len: int = WALK_LEN):
+    """deduped triples -> (start, s1, .., s{L}) one deterministic walk per
+    entity over the symmetric hashed-entity KG: from node u at step t the
+    walk moves to the neighbor v minimizing (stable_hash64(f"{u}|{t}|{v}"),
+    v) — a hash-seeded 'random' walk that is exactly reproducible across
+    runs, workers and the SQL mirror (the kg_negative_samples determinism
+    convention).  Every entity starts one walk, so the corpus is the
+    node-embedding training input (DeepWalk / node2vec class) without any
+    RNG state.
+
+    Scale shape: ONE src-keyed partition exchange builds the per-(node,
+    step) transition table T (argmin over the node's deduped neighbors,
+    walk_len rows per node — md5 cost is walk_len x |edges|, the exact-
+    dedup cost class); the walk then unrolls as walk_len chained node-keyed
+    exchanges, each co-locating the current frontier row with its T rows
+    and appending one step — node-grain volume per round, never an edge
+    blowup, no broadcast of T (node-grain, unbroadcastable at scale)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.text import stable_hash64
+    from .exchange import hash_partitioned_apply
+
+    edges = kg_entity_edges(triples_ds)
+
+    def t_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates()
+
+    def t_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.drop_duplicates()
+        if not len(d):
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "t": pd.Series([], dtype="int64"),
+                 "nxt": pd.Series([], dtype="int64")})
+        u = d["src"].to_numpy()
+        v = d["dst"].to_numpy()
+        outs = []
+        for t in range(walk_len):
+            key = np.fromiter(
+                (stable_hash64(f"{a}|{t}|{b}") for a, b in zip(u, v)),
+                dtype=np.uint64, count=len(u))
+            order = np.lexsort((v, key, u))
+            us, vs = u[order], v[order]
+            first = np.r_[True, us[1:] != us[:-1]]
+            outs.append(pd.DataFrame(
+                {"node": us[first].astype("int64"),
+                 "t": np.full(first.sum(), t, dtype="int64"),
+                 "nxt": vs[first].astype("int64")}))
+        return pd.concat(outs, ignore_index=True)
+
+    trans = hash_partitioned_apply(
+        edges.map_batches(t_partial, batch_format="pandas"),
+        ["src"], t_kernel, int_keys=True).materialize()
+
+    # walk state: kind 1 rows carry (start, s1..sL, cur); kind 0 rows are
+    # the transition table re-keyed each round.  Fixed schema, -1 padding.
+    step_cols = [f"s{i}" for i in range(1, walk_len + 1)]
+
+    def starts(df: "pd.DataFrame") -> "pd.DataFrame":
+        # exactly ONE t == 0 row exists per node globally, so deriving the
+        # start set from those rows needs no dedup (a per-batch unique
+        # would double-start a node whose walk_len rows straddle batches)
+        u = df.loc[df["t"] == 0, "node"].to_numpy()
+        out = pd.DataFrame({"key": u.astype("int64")})
+        out["kind"] = np.int64(1)
+        out["start"] = u.astype("int64")
+        for c in step_cols:
+            out[c] = np.int64(-1)
+        out["t"] = np.int64(-1)
+        out["nxt"] = np.int64(-1)
+        return out
+
+    def t_rows(df: "pd.DataFrame", r: int) -> "pd.DataFrame":
+        df = df[df["t"] == r]  # ship only this round's hop rows
+        out = pd.DataFrame({"key": df["node"].astype("int64")})
+        out["kind"] = np.int64(0)
+        out["start"] = np.int64(-1)
+        for c in step_cols:
+            out[c] = np.int64(-1)
+        out["t"] = df["t"].astype("int64").to_numpy()
+        out["nxt"] = df["nxt"].astype("int64").to_numpy()
+        return out
+
+    state = trans.map_batches(starts, batch_format="pandas")
+    for r in range(walk_len):
+        def advance(df: "pd.DataFrame", _r=r) -> "pd.DataFrame":
+            cols = ["key", "kind", "start", *step_cols, "t", "nxt"]
+            if not len(df):
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype="int64") for c in cols})
+            walks = df[df["kind"] == 1]
+            hop = df[(df["kind"] == 0) & (df["t"] == _r)][["key", "nxt"]] \
+                .rename(columns={"nxt": "_next"})
+            m = walks.drop(columns=["t", "nxt"]).merge(hop, on="key")
+            m[f"s{_r + 1}"] = m["_next"]
+            m["key"] = m["_next"]
+            m = m.drop(columns=["_next"])
+            m["t"] = np.int64(-1)
+            m["nxt"] = np.int64(-1)
+            return m[cols]
+
+        merged = state.union(trans.map_batches(
+            lambda df, _r=r: t_rows(df, _r), batch_format="pandas"))
+        state = hash_partitioned_apply(
+            merged, ["key"], advance, int_keys=True)
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df[["start", *step_cols]].copy()
+        for c in ("start", *step_cols):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return state.map_batches(finish, batch_format="pandas")

@@ -371,3 +371,102 @@ def test_emb_matryoshka_matches_serial(ray_session):
     assert out["ratio_pm"].between(0, 10000).all()
     # total mass = number of nonzero vectors
     assert out["n_vecs"].sum() == int(live.sum())
+
+
+# ---------------------------------------------------------------------------
+# kg_walks: deterministic random-walk corpus (batch-29)
+# ---------------------------------------------------------------------------
+
+
+def _serial_walks(edges: pd.DataFrame, walk_len: int) -> pd.DataFrame:
+    from kgx.functions.text import stable_hash64
+
+    adj: dict[int, list] = {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        adj.setdefault(int(s), set()).add(int(d))
+    rows = []
+    for start in sorted(adj):
+        cur, steps = start, []
+        for t in range(walk_len):
+            cur = min(adj[cur],
+                      key=lambda v, u=cur, tt=t:
+                      (stable_hash64(f"{u}|{tt}|{v}"), v))
+            steps.append(cur)
+        rows.append((start, *steps))
+    return pd.DataFrame(
+        rows, columns=["start"] + [f"s{i}" for i in range(1, walk_len + 1)]
+    ).astype("int64")
+
+
+def test_kg_walks_matches_serial(ray_session):
+    import kgx.queries as Q
+    from kgx.stages.kg_stages import WALK_LEN
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_walks(sf)).sort_values("start") \
+        .reset_index(drop=True)
+    ref = _serial_walks(_kg_edges_n(sf), WALK_LEN)
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+
+
+def test_kg_walks_edges_valid(ray_session):
+    """Every consecutive walk hop is an actual symmetric KG edge."""
+    import kgx.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_walks(sf))
+    eset = set(zip(_kg_edges_n(sf)["src"], _kg_edges_n(sf)["dst"]))
+    hops = [("start", "s1"), ("s1", "s2"), ("s2", "s3")]
+    for a, b in hops:
+        for u, v in zip(out[a], out[b]):
+            assert (int(u), int(v)) in eset
+
+
+def test_entity_walks_planted_path(ray_session):
+    """Path graph: interior nodes have exactly two neighbors, so each hop
+    is the hash-argmin of the two — checked against the serial walk."""
+    import ray.data as rd
+
+    from kgx.stages.kg_stages import entity_walks
+
+    names = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    triples = pd.DataFrame(
+        {"subj": names[:-1], "pred": ["linked_to"] * 5, "obj": names[1:]})
+    out = _collect(entity_walks(rd.from_pandas(triples), walk_len=3)) \
+        .sort_values("start").reset_index(drop=True)
+    from kgx.functions.text import stable_hash64
+    M62 = 1 << 62
+    a = pd.Series(names[:-1]).map(lambda s: stable_hash64(s) % M62)
+    b = pd.Series(names[1:]).map(lambda s: stable_hash64(s) % M62)
+    edges = pd.DataFrame(
+        {"src": pd.concat([a, b], ignore_index=True),
+         "dst": pd.concat([b, a], ignore_index=True)})
+    ref = _serial_walks(edges, 3)
+    pd.testing.assert_frame_equal(out, ref)
+
+
+# ---------------------------------------------------------------------------
+# kg_conf_support: confidence-vs-attestation cross-tab (batch-29)
+# ---------------------------------------------------------------------------
+
+
+def test_kg_conf_support_matches_serial(ray_session):
+    import numpy as np
+
+    import kgx.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_conf_support(sf)) \
+        .sort_values(["conf_pct", "support_bucket"]).reset_index(drop=True)
+    tri = _collect(Q.kg_triples(sf))
+    g = pd.DataFrame(
+        {"conf_pct": tri["conf_pct"].astype("int64"),
+         "support_bucket": np.minimum(tri["n_support"].astype("int64"), 4)})
+    ref = g.groupby(["conf_pct", "support_bucket"], as_index=False) \
+        .size().rename(columns={"size": "n_triples"}) \
+        .sort_values(["conf_pct", "support_bucket"]).reset_index(drop=True)
+    ref["n_triples"] = ref["n_triples"].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
+    assert out["n_triples"].sum() == len(tri)
+    assert out["support_bucket"].between(1, 4).all()
