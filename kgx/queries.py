@@ -3070,6 +3070,62 @@ def kg_conf_support(sf_dir: str):
             n_triples=("n_triples", "sum")))
 
 
+def kg_split(sf_dir: str):
+    """Deterministic train/valid/test split table (pred, split,
+    n_triples) for KG-embedding training: each deduped triple lands in a
+    split by stable_hash64(ns|pred|no) % 10 (0-7 train, 8 valid, 9 test
+    — the 80/10/10 convention), so the split is reproducible across
+    runs, workers and the SQL mirror with NO RNG state, and the per-pred
+    counts are the stratification audit a dataset release publishes
+    (completes the KG-embedding training-data trio with
+    kg_negative_samples and kg_walks).  Pure bounded value-count
+    combiner; md5 cost is one digest per deduped triple (the exact-dedup
+    cost class)."""
+    import numpy as np
+    import pandas as pd
+
+    from .functions.text import stable_hash64
+    from .stages.exchange import hash_partitioned_agg
+    from .stages.wide import _norm_part_series
+
+    triples = _kg_sql_outputs(sf_dir)["triples"]
+    labels = np.array(["train"] * 8 + ["valid", "test"], dtype=object)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ns = _norm_part_series(df["subj"]).astype(str).to_numpy()
+        no = _norm_part_series(df["obj"]).astype(str).to_numpy()
+        pred = df["pred"].astype(str).to_numpy()
+        h = np.fromiter(
+            (stable_hash64(f"{a}|{p}|{b}") % 10
+             for a, p, b in zip(ns, pred, no)),
+            dtype=np.int64, count=len(df))
+        g = pd.DataFrame({"pred": pred, "split": labels[h]})
+        return g.groupby(["pred", "split"], sort=False, as_index=False) \
+            .size().rename(columns={"size": "n_triples"})
+
+    return hash_partitioned_agg(
+        triples.select_columns(["subj", "pred", "obj"]).map_batches(
+            partial, batch_format="pandas"),
+        ["pred", "split"],
+        lambda df: df.groupby(["pred", "split"], sort=False,
+                              as_index=False).agg(
+            n_triples=("n_triples", "sum")))
+
+
+def sketch_f2(sf_dir: str):
+    """Exact per-source token frequency moments (source, f0, f1, f2) —
+    the AMS moment family as ground truth for the sketch suite and the
+    skew statistic (f2 / f1^2) a shuffle planner reads; vocabulary
+    crosses the wire once (the text_zipf cost class)."""
+    import ray.data as rd
+
+    from .stages.corpus import frequency_moments
+
+    return frequency_moments(rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["source", "text"]))
+
+
 def kg_neighborhood_function(sf_dir: str):
     """ANF / effective-diameter curve (depth, n_pairs) of the hashed-
     entity KG: exact truncated per-seed BFS from the 16 smallest node
@@ -3551,6 +3607,8 @@ def registry() -> dict:
         "emb_matryoshka": emb_matryoshka,
         "kg_walks": kg_walks,
         "kg_conf_support": kg_conf_support,
+        "kg_split": kg_split,
+        "sketch_f2": sketch_f2,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3676,6 +3734,12 @@ def _sql_zipf() -> str:
     from .stages.corpus import sql_zipf_histogram
 
     return sql_zipf_histogram(ts.sql_token_list(_TEXT))
+
+
+def _sql_frequency_moments() -> str:
+    from .stages.corpus import sql_frequency_moments
+
+    return sql_frequency_moments(ts.sql_token_list(_TEXT))
 
 
 def _sql_vocab_overlap() -> str:
@@ -4581,6 +4645,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_closeness": so.sql_kg_seed_closeness(),
         "emb_matryoshka": sql_matryoshka_profile(),
         "kg_walks": so.sql_kg_walks(),
+        "kg_split": so.sql_kg_split(),
+        "sketch_f2": _sql_frequency_moments(),
         "kg_conf_support": (
             "SELECT conf_pct, least(n_support, 4) AS support_bucket, "
             "CAST(count(*) AS BIGINT) AS n_triples FROM ("

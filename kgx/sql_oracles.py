@@ -1734,3 +1734,31 @@ wr AS (
     final = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
     parts.append(f" SELECT {final} FROM w{L}")
     return "".join(parts)
+
+
+def sql_kg_split() -> str:
+    """(pred, split, n_triples): deterministic 80/10/10 split counts —
+    split = md5h(ns|pred|no) % 10 over the deduped triple set (the
+    stable_hash64 identity), 0-7 train / 8 valid / 9 test."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ns, pred, no
+                               ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), t AS (
+  SELECT ns, pred, no,
+         md5_number_upper('0:' || ns || '|' || pred || '|' || no) % 10 AS s
+  FROM ranked WHERE rr = 1
+)
+SELECT pred,
+       CASE WHEN s < 8 THEN 'train' WHEN s = 8 THEN 'valid'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_triples
+FROM t GROUP BY 1, 2
+"""
+    )

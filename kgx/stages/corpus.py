@@ -3029,3 +3029,98 @@ SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(nt) AS BIGINT) AS n_tokens
 FROM k GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact token frequency moments per source (r5 batch-30): the AMS F0/F1/F2
+# family computed exactly — the ground-truth baseline the sketch suite
+# (hll/cms/theta) estimates, and the skew statistic (F2/F1^2) a shuffle
+# planner reads per source.
+# ---------------------------------------------------------------------------
+
+
+def frequency_moments(docs_ds):
+    """documents -> (source, f0, f1, f2): per-source token frequency
+    moments — f0 = distinct tokens, f1 = total tokens, f2 = sum of squared
+    token counts (the self-join size / skew moment of AMS '96).
+
+    Scale shape: per-batch (source, token) value-count partials cross ONE
+    (source, token)-keyed exchange (the vocabulary crosses once — the
+    text_zipf / inverted-index cost class, unavoidable for exact global
+    counts); each partition folds its complete groups to <= |sources|
+    moment partials and a tiny source-keyed combiner sums.  f2 stays
+    int64-exact while every (source, token) count is < ~3.04e9 (c^2 <
+    2^63); beyond that a real corpus splits f2 into hi/lo words — the
+    guard raises instead of wrapping (the PMI-denominator lesson,
+    ADVICE r4)."""
+    import pandas as pd
+
+    from ..functions.text import tokenize
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    def tok_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        srcs, toks = [], []
+        for src, text in zip(df["source"].to_numpy(),
+                             df["text"].to_numpy()):
+            ts = tokenize(text or "")
+            toks.extend(ts)
+            srcs.extend([src] * len(ts))
+        if not toks:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=object),
+                 "token": pd.Series([], dtype=object),
+                 "cnt": pd.Series([], dtype="int64")})
+        g = pd.DataFrame({"source": srcs, "token": toks})
+        return g.groupby(["source", "token"], sort=False,
+                         as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+
+    def moment_fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=object),
+                 "f0": pd.Series([], dtype="int64"),
+                 "f1": pd.Series([], dtype="int64"),
+                 "f2": pd.Series([], dtype="int64")})
+        g = df.groupby(["source", "token"], sort=False, as_index=False).agg(
+            cnt=("cnt", "sum"))
+        c = g["cnt"].to_numpy()
+        if int(c.max()) ** 2 >= 2 ** 63:
+            raise OverflowError(
+                "frequency_moments: a (source, token) count >= ~3.04e9 "
+                "overflows the int64 f2 column — split f2 into hi/lo words")
+        g["sq"] = c.astype(np.int64) * c.astype(np.int64)
+        return g.groupby("source", sort=False, as_index=False).agg(
+            f0=("token", "size"), f1=("cnt", "sum"), f2=("sq", "sum"))
+
+    # partition-ONLY exchange: every (source, token) group lands whole in
+    # one partition, so moment_fold sees exact global counts — a combiner
+    # exchange would square per-batch partial counts ((a+b)^2 != a^2+b^2)
+    folded = hash_partitioned_apply(
+        docs_ds.map_batches(tok_partial, batch_format="pandas"),
+        ["source", "token"], moment_fold)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("source", sort=False, as_index=False).agg(
+            f0=("f0", "sum"), f1=("f1", "sum"), f2=("f2", "sum"))
+        for col in ("f0", "f1", "f2"):
+            g[col] = g[col].astype("int64")
+        return g
+
+    return hash_partitioned_agg(folded, ["source"], combine)
+
+
+def sql_frequency_moments(sql_token_list: str) -> str:
+    """(source, f0, f1, f2) over the same token list expression as the
+    zipf / vocab-overlap mirrors."""
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({sql_token_list}) AS token FROM documents
+), cnt AS (
+  SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS f0,
+       CAST(sum(c) AS BIGINT) AS f1,
+       CAST(sum(c * c) AS BIGINT) AS f2
+FROM cnt GROUP BY 1
+"""

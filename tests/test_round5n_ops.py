@@ -470,3 +470,67 @@ def test_kg_conf_support_matches_serial(ray_session):
     pd.testing.assert_frame_equal(out, ref)
     assert out["n_triples"].sum() == len(tri)
     assert out["support_bucket"].between(1, 4).all()
+
+
+# ---------------------------------------------------------------------------
+# kg_split: deterministic 80/10/10 split counts (batch-30)
+# ---------------------------------------------------------------------------
+
+
+def test_kg_split_matches_serial(ray_session):
+    import kgx.queries as Q
+    from kgx.functions.text import stable_hash64
+    from kgx.stages.wide import _norm_part_series
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_split(sf)) \
+        .sort_values(["pred", "split"]).reset_index(drop=True)
+    tri = _collect(Q.kg_triples(sf))
+    tri["ns"] = _norm_part_series(tri["subj"])
+    tri["no"] = _norm_part_series(tri["obj"])
+    t = tri[["ns", "pred", "no"]].drop_duplicates()
+    lab = ["train"] * 8 + ["valid", "test"]
+    t = t.assign(split=[
+        lab[stable_hash64(f"{a}|{p}|{b}") % 10]
+        for a, p, b in zip(t["ns"], t["pred"], t["no"])])
+    ref = t.groupby(["pred", "split"], as_index=False).size() \
+        .rename(columns={"size": "n_triples"}) \
+        .sort_values(["pred", "split"]).reset_index(drop=True)
+    ref["n_triples"] = ref["n_triples"].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
+    # every deduped triple lands in exactly one split
+    assert out["n_triples"].sum() == len(t)
+
+
+# ---------------------------------------------------------------------------
+# sketch_f2: exact per-source token frequency moments (batch-30)
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_f2_matches_serial(ray_session):
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    import kgx.queries as Q
+    from kgx.functions.text import tokenize
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.sketch_f2(sf)).sort_values("source") \
+        .reset_index(drop=True)
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    per: dict[str, Counter] = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        per.setdefault(src, Counter()).update(tokenize(text or ""))
+    rows = [(s, len(c), sum(c.values()), sum(v * v for v in c.values()))
+            for s, c in sorted(per.items()) if c]
+    ref = pd.DataFrame(rows, columns=["source", "f0", "f1", "f2"])
+    for col in ("f0", "f1", "f2"):
+        ref[col] = ref[col].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+    # moment inequalities: F1 >= F0, F2 >= F1, and Cauchy-Schwarz
+    assert (out["f1"] >= out["f0"]).all()
+    assert (out["f2"] >= out["f1"]).all()
+    assert ((out["f1"] ** 2) <= out["f0"] * out["f2"]).all()
