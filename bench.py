@@ -230,6 +230,10 @@ BENCH_QUERIES = [
     "dedup_edit",
     "kg_closeness",
     "emb_matryoshka",
+    "kg_walks",
+    "kg_conf_support",
+    "kg_split",
+    "sketch_f2",
 ]
 
 

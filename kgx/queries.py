@@ -3367,11 +3367,17 @@ def kg_pred_object_concentration(sf_dir: str):
 _NEVER_CHECKED_50 = (
     # r5-late rotation: the r4 judge replica-verified 20 of the prior window
     # (sketch_*, emb_kmeans*, graph_cc/triangles, dedup_substring, ...) so
-    # they rotate out; kept are the 30 with NO external verification yet ...
-    "sketch_hll_grouped", "emb_label_centroids", "rel_user_retention",
-    "text_winnow", "corpus_curate", "graph_kcore", "doc_shuffle", "emb_pq",
+    # they rotate out, as do 9 long-soaked early-r5 entries (text_winnow,
+    # corpus_curate, graph_kcore, doc_shuffle, emb_pq, sketch_hll_grouped,
+    # emb_label_centroids, rel_user_retention, graph_clustering — each
+    # certified in every four-way full-registry sweep since mid-r5) in
+    # favour of the 9 newest batch-26..30 operators, which have the least
+    # soak time and so gain the most from a hard driver row ...
+    "kg_pred_paths", "kg_pred_object_concentration", "dedup_edit",
+    "kg_closeness", "emb_matryoshka", "kg_walks", "kg_conf_support",
+    "kg_split", "sketch_f2",
     # ... the 9 batch-10 operators ...
-    "rel_q5", "kg_conflicts", "graph_clustering", "text_zipf",
+    "rel_q5", "kg_conflicts", "text_zipf",
     "kg_pred_cooccurrence", "rel_q8", "rel_session_hist", "kg_new_entities",
     "graph_edge_weights",
     # ... the 13 KG-core mid-r5 operators (tier: kg_construct) ...
