@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "kg_conf_support",
     "kg_split",
     "sketch_f2",
+    "kg_walk_pairs",
 ]
 
 

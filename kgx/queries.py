@@ -3040,6 +3040,47 @@ def kg_walks(sf_dir: str):
     return entity_walks(_kg_sql_outputs(sf_dir)["triples"])
 
 
+def kg_walk_pairs(sf_dir: str):
+    """Skip-gram training pairs (a, b, n_pairs) from the deterministic
+    walk corpus: every ordered (center, context) position pair with
+    |i - j| <= 2 over each walk's 4-node sequence — the word2vec-style
+    input a KG-embedding trainer consumes (composes kg_walks the way
+    doc_pack composes doc_chunks).  Pure composition: the walk table
+    (node-grain) explodes to a FIXED 10 pairs per walk inside the batch
+    and folds straight to (a, b) count partials, one pair-keyed combiner
+    — never a per-pair Python loop, never more than 10x node-grain
+    volume."""
+    import numpy as np
+    import pandas as pd
+
+    from .stages.exchange import hash_partitioned_agg
+    from .stages.kg_stages import WALK_LEN, entity_walks
+
+    walks = entity_walks(_kg_sql_outputs(sf_dir)["triples"])
+    cols = ["start"] + [f"s{i}" for i in range(1, WALK_LEN + 1)]
+    offs = [(i, j) for i in range(len(cols)) for j in range(len(cols))
+            if i != j and abs(i - j) <= 2]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "n_pairs": pd.Series([], dtype="int64")})
+        mat = df[cols].to_numpy(dtype="int64")
+        a = np.concatenate([mat[:, i] for i, _ in offs])
+        b = np.concatenate([mat[:, j] for _, j in offs])
+        g = pd.DataFrame({"a": a, "b": b})
+        return g.groupby(["a", "b"], sort=False, as_index=False).size() \
+            .rename(columns={"size": "n_pairs"})
+
+    return hash_partitioned_agg(
+        walks.map_batches(partial, batch_format="pandas"),
+        ["a", "b"],
+        lambda df: df.groupby(["a", "b"], sort=False, as_index=False).agg(
+            n_pairs=("n_pairs", "sum")))
+
+
 def kg_conf_support(sf_dir: str):
     """Confidence-vs-attestation calibration cross-tab (conf_pct,
     support_bucket, n_triples) over the deduped triples — are
@@ -3615,6 +3656,7 @@ def registry() -> dict:
         "kg_conf_support": kg_conf_support,
         "kg_split": kg_split,
         "sketch_f2": sketch_f2,
+        "kg_walk_pairs": kg_walk_pairs,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4653,6 +4695,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_walks": so.sql_kg_walks(),
         "kg_split": so.sql_kg_split(),
         "sketch_f2": _sql_frequency_moments(),
+        "kg_walk_pairs": so.sql_kg_walk_pairs(),
         "kg_conf_support": (
             "SELECT conf_pct, least(n_support, 4) AS support_bucket, "
             "CAST(count(*) AS BIGINT) AS n_triples FROM ("

@@ -1762,3 +1762,21 @@ SELECT pred,
 FROM t GROUP BY 1, 2
 """
     )
+
+
+def sql_kg_walk_pairs(walk_len: int | None = None, window: int = 2) -> str:
+    """(a, b, n_pairs): skip-gram position pairs with |i - j| <= window
+    over the walk mirror's (start, s1..sL) rows — a UNION ALL of the
+    fixed offset column pairs folded to counts."""
+    from .stages.kg_stages import WALK_LEN
+
+    L = walk_len or WALK_LEN
+    cols = ["start"] + [f"s{i}" for i in range(1, L + 1)]
+    arms = " UNION ALL ".join(
+        f"SELECT {cols[i]} AS a, {cols[j]} AS b FROM w"
+        for i in range(len(cols)) for j in range(len(cols))
+        if i != j and abs(i - j) <= window)
+    return (f"WITH w AS ({sql_kg_walks(L)}) "
+            f"SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+            f"CAST(count(*) AS BIGINT) AS n_pairs FROM ({arms}) "
+            f"GROUP BY 1, 2")

@@ -534,3 +534,33 @@ def test_sketch_f2_matches_serial(ray_session):
     assert (out["f1"] >= out["f0"]).all()
     assert (out["f2"] >= out["f1"]).all()
     assert ((out["f1"] ** 2) <= out["f0"] * out["f2"]).all()
+
+
+# ---------------------------------------------------------------------------
+# kg_walk_pairs: skip-gram pairs from the walk corpus (batch-31)
+# ---------------------------------------------------------------------------
+
+
+def test_kg_walk_pairs_matches_serial(ray_session):
+    import kgx.queries as Q
+    from kgx.stages.kg_stages import WALK_LEN
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_walk_pairs(sf)).sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+    walks = _serial_walks(_kg_edges_n(sf), WALK_LEN)
+    cols = ["start"] + [f"s{i}" for i in range(1, WALK_LEN + 1)]
+    counts: dict[tuple[int, int], int] = {}
+    for row in walks[cols].itertuples(index=False):
+        seq = list(row)
+        for i in range(len(seq)):
+            for j in range(len(seq)):
+                if i != j and abs(i - j) <= 2:
+                    k = (seq[i], seq[j])
+                    counts[k] = counts.get(k, 0) + 1
+    ref = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(counts.items())],
+        columns=["a", "b", "n_pairs"]).astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
+    # fixed fan-out: 10 position pairs per 4-node walk
+    assert out["n_pairs"].sum() == 10 * len(walks)
