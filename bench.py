@@ -282,6 +282,11 @@ def _init_ray(num_cpus: int):
         num_cpus=num_cpus,
         include_dashboard=False,
         logging_level="ERROR",
+        # keep worker prints/log forwards OUT of the driver's stdout — the
+        # one JSON line this script prints must stay machine-parseable
+        # (a raw worker print once leaked between trials and landed in the
+        # bench file; logs remain in /tmp/ray session dirs)
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
