@@ -3081,6 +3081,90 @@ def kg_walk_pairs(sf_dir: str):
             n_pairs=("n_pairs", "sum")))
 
 
+def doc_quality_by_source(sf_dir: str):
+    """Quality-mass cross-tab per source (source, score, n_docs,
+    n_tokens) — which sources produce high-quality token mass, the
+    direct input to training-mixture weights; pure bounded combiner,
+    doc rows never shuffle."""
+    import ray.data as rd
+
+    from .stages.corpus import quality_by_source
+
+    return quality_by_source(rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["doc_id", "text", "source"]))
+
+
+def kg_temporal_conflicts(sf_dir: str):
+    """Time-sliced contradiction detection (subj, pred, day, n_objs,
+    objs): functional-predicate subjects holding MORE THAN ONE distinct
+    normalized object ON THE SAME crawl day over the linked stream — the
+    sharper sibling of kg_conflicts: a CEO change ACROSS days is a
+    legitimate update an incremental refresh should absorb, while two
+    different headquarters ON ONE day is an extraction error to fix
+    before publish.  Representative subj is the lexicographic min
+    display; objs joins the per-normalized-object min displays sorted.
+
+    Scale shape: the functional-pred filter runs FIRST (the kg_conflicts
+    rule — only that small fraction enters the wire), per-batch distinct
+    (ns, pred, day, no) partials carry min-display partials, ONE
+    (ns, pred, day)-keyed partition exchange re-mins and counts distinct
+    normalized objects per group; day derives from the url doc_id under
+    the synth warc_ts formula (the kg_pred_trend convention — a real
+    corpus reads its ingest-date column)."""
+    import pandas as pd
+
+    from .pipeline import broadcast_kb, linked_triples_ds
+    from .sql_oracles import FUNCTIONAL_PREDS
+    from .stages.exchange import hash_partitioned_apply
+    from .stages.wide import _norm_part_series
+    from .synth import EPOCH_US
+
+    linked = linked_triples_ds(_kg_sql_pages(sf_dir), _kg_sql_cfg(),
+                               broadcast_kb())
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["pred"].isin(FUNCTIONAL_PREDS)]
+        ids = df["url"].str.rsplit("/", n=1).str[-1].astype("int64")
+        day = (EPOCH_US + ids.to_numpy() * 37_000_000) // 86_400_000_000
+        g = pd.DataFrame(
+            {"ns": _norm_part_series(df["subj"]).astype(str),
+             "pred": df["pred"].astype(str),
+             "day": day.astype("int64"),
+             "no": _norm_part_series(df["obj"]).astype(str),
+             "subj": df["subj"].astype(str),
+             "obj": df["obj"].astype(str)})
+        return g.groupby(["ns", "pred", "day", "no"], sort=False,
+                         as_index=False).agg(subj=("subj", "min"),
+                                             obj=("obj", "min"))
+
+    def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        cols = {"subj": pd.Series([], dtype="str"),
+                "pred": pd.Series([], dtype="str"),
+                "day": pd.Series([], dtype="int64"),
+                "n_objs": pd.Series([], dtype="int64"),
+                "objs": pd.Series([], dtype="str")}
+        if not len(d):
+            return pd.DataFrame(cols)
+        om = d.groupby(["ns", "pred", "day", "no"], sort=False,
+                       as_index=False).agg(subj=("subj", "min"),
+                                           obj=("obj", "min"))
+        om = om.sort_values(["ns", "pred", "day", "obj"], kind="stable")
+        g = om.groupby(["ns", "pred", "day"], sort=False, as_index=False) \
+            .agg(subj=("subj", "min"), n_objs=("no", "size"),
+                 objs=("obj", "|".join))
+        g = g[g["n_objs"] > 1]
+        out = g[["subj", "pred", "day", "n_objs", "objs"]].copy()
+        out["day"] = out["day"].astype("int64")
+        out["n_objs"] = out["n_objs"].astype("int64")
+        return out
+
+    return hash_partitioned_apply(
+        linked.select_columns(["subj", "pred", "obj", "url"]).map_batches(
+            partial, batch_format="pandas"),
+        ["ns", "pred", "day"], kernel)
+
+
 def kg_conf_support(sf_dir: str):
     """Confidence-vs-attestation calibration cross-tab (conf_pct,
     support_bucket, n_triples) over the deduped triples — are
@@ -3657,6 +3741,8 @@ def registry() -> dict:
         "kg_split": kg_split,
         "sketch_f2": sketch_f2,
         "kg_walk_pairs": kg_walk_pairs,
+        "kg_temporal_conflicts": kg_temporal_conflicts,
+        "doc_quality_by_source": doc_quality_by_source,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3788,6 +3874,12 @@ def _sql_frequency_moments() -> str:
     from .stages.corpus import sql_frequency_moments
 
     return sql_frequency_moments(ts.sql_token_list(_TEXT))
+
+
+def _sql_quality_by_source() -> str:
+    from .stages.corpus import sql_quality_by_source
+
+    return sql_quality_by_source()
 
 
 def _sql_vocab_overlap() -> str:
@@ -4696,6 +4788,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_split": so.sql_kg_split(),
         "sketch_f2": _sql_frequency_moments(),
         "kg_walk_pairs": so.sql_kg_walk_pairs(),
+        "kg_temporal_conflicts": so.sql_kg_temporal_conflicts(),
+        "doc_quality_by_source": _sql_quality_by_source(),
         "kg_conf_support": (
             "SELECT conf_pct, least(n_support, 4) AS support_bucket, "
             "CAST(count(*) AS BIGINT) AS n_triples FROM ("

@@ -1780,3 +1780,33 @@ def sql_kg_walk_pairs(walk_len: int | None = None, window: int = 2) -> str:
             f"SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
             f"CAST(count(*) AS BIGINT) AS n_pairs FROM ({arms}) "
             f"GROUP BY 1, 2")
+
+
+def sql_kg_temporal_conflicts() -> str:
+    """(subj, pred, day, n_objs, objs): functional-pred contradictions
+    WITHIN one crawl day over the linked stream — per-normalized-object
+    min displays joined sorted, min display subj as representative; day
+    from the url doc_id under the synth warc_ts formula (the
+    kg_pred_trend convention)."""
+    preds = ", ".join(_q(p) for p in FUNCTIONAL_PREDS)
+    return (
+        _kg_common_ctes()
+        + f"""
+, f AS (
+  SELECT {_sql_norm_triple_part('subj')} AS ns,
+         {_sql_norm_triple_part('obj')} AS no,
+         pred, subj, obj,
+         (1700000000000000
+          + CAST(split_part(url, '/', 5) AS BIGINT) * 37000000)
+         // 86400000000 AS day
+  FROM linked WHERE pred IN ({preds})
+), om AS (
+  SELECT ns, pred, day, no, min(subj) AS subj, min(obj) AS obj
+  FROM f GROUP BY 1, 2, 3, 4
+)
+SELECT min(subj) AS subj, pred, CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_objs,
+       string_agg(obj, '|' ORDER BY obj) AS objs
+FROM om GROUP BY ns, pred, day HAVING count(*) > 1
+"""
+    )

@@ -3124,3 +3124,70 @@ SELECT source, CAST(count(*) AS BIGINT) AS f0,
        CAST(sum(c * c) AS BIGINT) AS f2
 FROM cnt GROUP BY 1
 """
+
+
+def quality_by_source(docs_ds):
+    """documents -> (source, score, n_docs, n_tokens): the quality-mass
+    cross-tab per crawl source — which sources produce high-quality token
+    mass is the direct input to the mixture weights a training-data build
+    assigns (read next to doc_mixture / doc_token_budget); score is the
+    Gopher-style sub-rule count (0-3, the doc_token_budget scale).
+
+    Scale shape: pure combiner — one scan scores each batch with the
+    certified quality kernel and folds to <= |sources| x 4 value-count
+    partials, one bounded (source, score)-keyed combiner exchange; doc
+    rows never shuffle."""
+    import pandas as pd
+
+    from ..functions import textstats as ts
+    from .exchange import hash_partitioned_agg
+    from .text_analysis import _marker_count
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["doc_id"])
+        text = df["text"].fillna("")
+        nt = text.str.count(ts.TOKEN_PATTERN).astype("int64")
+        nc = text.str.len().astype("int64")
+        nstop = _marker_count(text.str.lower(), ts.QUALITY_STOPWORDS)
+        score = (
+            (nt >= ts.QUALITY_MIN_TOKENS).astype("int64")
+            + (nc >= ts.QUALITY_MIN_CHARS).astype("int64")
+            + (ts.QUALITY_STOP_RATIO_DEN * nstop
+               <= ts.QUALITY_STOP_RATIO_NUM * nt).astype("int64")
+        )
+        g = pd.DataFrame({"source": df["source"].astype(str),
+                          "score": score, "nt": nt})
+        out = g.groupby(["source", "score"], sort=False, as_index=False) \
+            .agg(n_docs=("nt", "size"), n_tokens=("nt", "sum"))
+        for c in ("n_docs", "n_tokens"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return hash_partitioned_agg(
+        docs_ds.map_batches(scan, batch_format="pandas"),
+        ["source", "score"],
+        lambda df: df.groupby(["source", "score"], sort=False,
+                              as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum")))
+
+
+def sql_quality_by_source() -> str:
+    from ..functions import textstats as ts
+
+    text = "coalesce(text, '')"
+    nt = ts.sql_n_tokens(text)
+    ns = ts.sql_n_stopwords(text)
+    return f"""
+WITH s AS (
+  SELECT source,
+         CAST({nt} >= {ts.QUALITY_MIN_TOKENS} AS BIGINT)
+       + CAST(length({text}) >= {ts.QUALITY_MIN_CHARS} AS BIGINT)
+       + CAST({ts.QUALITY_STOP_RATIO_DEN} * {ns}
+              <= {ts.QUALITY_STOP_RATIO_NUM} * {nt} AS BIGINT) AS score,
+         CAST({nt} AS BIGINT) AS nt
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT source, score, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM s GROUP BY 1, 2
+"""

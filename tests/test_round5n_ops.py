@@ -564,3 +564,71 @@ def test_kg_walk_pairs_matches_serial(ray_session):
     pd.testing.assert_frame_equal(out, ref)
     # fixed fan-out: 10 position pairs per 4-node walk
     assert out["n_pairs"].sum() == 10 * len(walks)
+
+
+# ---------------------------------------------------------------------------
+# kg_temporal_conflicts + doc_quality_by_source (batch-32)
+# ---------------------------------------------------------------------------
+
+
+def test_kg_temporal_conflicts_matches_serial(ray_session):
+    import kgx.queries as Q
+    from kgx.pipeline import broadcast_kb, linked_triples_ds
+    from kgx.sql_oracles import FUNCTIONAL_PREDS
+    from kgx.stages.wide import _norm_part_series
+    from kgx.synth import EPOCH_US
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.kg_temporal_conflicts(sf)) \
+        .sort_values(["subj", "pred", "day"]).reset_index(drop=True)
+
+    linked = linked_triples_ds(
+        Q._kg_sql_pages(sf), Q._kg_sql_cfg(), broadcast_kb()).to_pandas()
+    f = linked[linked["pred"].isin(FUNCTIONAL_PREDS)].copy()
+    ids = f["url"].str.rsplit("/", n=1).str[-1].astype("int64")
+    f["day"] = (EPOCH_US + ids * 37_000_000) // 86_400_000_000
+    f["ns"] = _norm_part_series(f["subj"])
+    f["no"] = _norm_part_series(f["obj"])
+    om = f.groupby(["ns", "pred", "day", "no"], as_index=False).agg(
+        subj=("subj", "min"), obj=("obj", "min"))
+    rows = []
+    for (ns, pred, day), g in om.groupby(["ns", "pred", "day"]):
+        if len(g) > 1:
+            objs = "|".join(sorted(g["obj"]))
+            rows.append((g["subj"].min(), pred, int(day), len(g), objs))
+    ref = pd.DataFrame(
+        rows, columns=["subj", "pred", "day", "n_objs", "objs"]) \
+        .sort_values(["subj", "pred", "day"]).reset_index(drop=True)
+    for c in ("day", "n_objs"):
+        ref[c] = ref[c].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
+    assert (out["n_objs"] >= 2).all()
+
+
+def test_kg_temporal_conflicts_subset_of_conflicts(ray_session):
+    """Every same-day conflicting (subj, pred) also conflicts in the
+    day-blind kg_conflicts view (the temporal slice can only REFINE)."""
+    import kgx.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    temporal = _collect(Q.kg_temporal_conflicts(sf))
+    blind = _collect(Q.kg_conflicts(sf))
+    blind_keys = set(zip(blind["subj"], blind["pred"]))
+    for s, p in zip(temporal["subj"], temporal["pred"]):
+        assert (s, p) in blind_keys
+
+
+def test_doc_quality_by_source_matches_serial(ray_session):
+    import kgx.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.doc_quality_by_source(sf)) \
+        .sort_values(["source", "score"]).reset_index(drop=True)
+    dup = _collect(Q.doc_quality_dup(sf))
+    # mass conservation: per-score doc counts equal the quality_dup
+    # cross-tab's score marginals (same certified scoring kernel)
+    a = out.groupby("score")["n_docs"].sum()
+    b = dup.groupby("score")["n_docs"].sum()
+    pd.testing.assert_series_equal(a, b, check_names=False)
+    assert out["score"].between(0, 3).all()
+    assert (out["n_tokens"] >= 0).all()
