@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "kg_split",
     "sketch_f2",
     "kg_walk_pairs",
+    "kg_temporal_conflicts",
+    "doc_quality_by_source",
 ]
 
 
