@@ -6330,3 +6330,135 @@ SELECT CAST((tf.s - fr.f) // {bucket_us} AS BIGINT) AS lag_hours,
 FROM to_first tf JOIN fr ON fr.u = tf.u
 GROUP BY 1
 """
+
+
+def decile_report(sf_dir: str):
+    """orders -> (decile, n_customers, revenue_cents): exact customer
+    lifetime-revenue deciles — the Lorenz / Pareto concentration audit
+    (what share of revenue does the top tenth hold) a BI pass publishes;
+    every customer is globally ranked by (cents ASC, custkey ASC) and
+    decile = rank * 10 // n (0 = poorest tenth, 9 = richest).
+
+    Scale shape — the canonical DISTRIBUTED RANK without a global sort
+    (the doc_token_budget / doc_mix_order two-pass family applied to an
+    unbounded value domain): per-customer cents fold in ONE custkey
+    combiner exchange (customer rows cross once, pre-compressed); a
+    bounded 4096-cell value-range histogram over the driver-folded
+    [min, max] cents span gives every cell's exclusive global offset
+    (cells partition the ORDER, so offsets are exact); a second
+    cell-keyed partition exchange ranks locally within each cell by
+    (cents, custkey) and adds the offset — only customer-grain rows ever
+    cross the wire, and the final decile fold is a bounded 10-row
+    combiner.  rank * 10 stays far inside int64 at any customer count."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    CELLS = 4096
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def per_cust(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["o_custkey", "o_totalprice"])
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"k": df["o_custkey"].astype("int64").to_numpy(),
+                          "cents": cents})
+        return g.groupby("k", sort=False, as_index=False).agg(
+            cents=("cents", "sum"))
+
+    cust = hash_partitioned_agg(
+        orders.map_batches(per_cust, batch_format="pandas"),
+        ["k"],
+        lambda df: df.groupby("k", sort=False, as_index=False).agg(
+            cents=("cents", "sum"))).materialize()
+
+    # driver-scale scalar folds: [min, max] span + total customer count
+    stats = cust.map_batches(
+        lambda df: pd.DataFrame(
+            {"lo": [df["cents"].min()], "hi": [df["cents"].max()],
+             "n": [len(df)]}) if len(df) else pd.DataFrame(
+            {"lo": pd.Series([], dtype="int64"),
+             "hi": pd.Series([], dtype="int64"),
+             "n": pd.Series([], dtype="int64")}),
+        batch_format="pandas").to_pandas()
+    if not len(stats):
+        return pd.DataFrame(
+            {"decile": pd.Series([], dtype="int64"),
+             "n_customers": pd.Series([], dtype="int64"),
+             "revenue_cents": pd.Series([], dtype="int64")})
+    lo, hi = int(stats["lo"].min()), int(stats["hi"].max())
+    n_total = int(stats["n"].sum())
+    span = hi - lo + 1
+
+    def cell_of(c: "np.ndarray") -> "np.ndarray":
+        return (c - lo) * CELLS // span
+
+    # bounded cell histogram -> exclusive global offsets (cells partition
+    # the (cents, custkey) order because cell is monotone in cents)
+    hist = hash_partitioned_agg(
+        cust.map_batches(
+            lambda df: pd.DataFrame({"cell": cell_of(
+                df["cents"].to_numpy())}).groupby(
+                "cell", sort=False, as_index=False).size().rename(
+                columns={"size": "n"}),
+            batch_format="pandas"),
+        ["cell"],
+        lambda df: df.groupby("cell", sort=False, as_index=False).agg(
+            n=("n", "sum"))).to_pandas().sort_values("cell")
+    offsets = np.zeros(CELLS, dtype=np.int64)
+    np.add.at(offsets, hist["cell"].to_numpy(dtype=np.int64),
+              hist["n"].to_numpy(dtype=np.int64))
+    offsets = np.r_[0, np.cumsum(offsets)[:-1]]
+
+    def rank_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"decile": pd.Series([], dtype="int64"),
+                 "n_customers": pd.Series([], dtype="int64"),
+                 "revenue_cents": pd.Series([], dtype="int64")})
+        cell = cell_of(df["cents"].to_numpy())
+        d = df.assign(cell=cell).sort_values(
+            ["cell", "cents", "k"], kind="stable")
+        local = d.groupby("cell", sort=False).cumcount().to_numpy()
+        rank = offsets[d["cell"].to_numpy()] + local
+        decile = rank * 10 // n_total
+        g = pd.DataFrame({"decile": decile.astype("int64"),
+                          "cents": d["cents"].to_numpy()})
+        out = g.groupby("decile", sort=False, as_index=False).agg(
+            n_customers=("cents", "size"), revenue_cents=("cents", "sum"))
+        for c in ("n_customers", "revenue_cents"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    partials = hash_partitioned_apply(cust.map_batches(
+        lambda df: df.assign(cell=cell_of(df["cents"].to_numpy())),
+        batch_format="pandas"), ["cell"], rank_kernel, int_keys=True)
+    return hash_partitioned_agg(
+        partials, ["decile"],
+        lambda df: df.groupby("decile", sort=False, as_index=False).agg(
+            n_customers=("n_customers", "sum"),
+            revenue_cents=("revenue_cents", "sum")))
+
+
+def sql_decile_report() -> str:
+    return """
+WITH c AS (
+  SELECT o_custkey AS k,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), r AS (
+  SELECT k, cents,
+         row_number() OVER (ORDER BY cents, k) - 1 AS rnk,
+         count(*) OVER () AS n
+  FROM c
+)
+SELECT CAST(rnk * 10 // n AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM r GROUP BY 1
+"""

@@ -3081,6 +3081,25 @@ def kg_walk_pairs(sf_dir: str):
             n_pairs=("n_pairs", "sum")))
 
 
+def rel_decile_report(sf_dir: str):
+    """Customer lifetime-revenue deciles (decile, n_customers,
+    revenue_cents) — the Lorenz/Pareto concentration audit; exact global
+    rank via the bounded-cell two-pass (NO global sort): customer rows
+    cross once, offsets from a 4096-cell histogram, decile fold bounded."""
+    from .pipelines.relational import decile_report
+
+    return decile_report(sf_dir)
+
+
+def emb_sign_balance(sf_dir: str):
+    """Per-dimension sign census (dim, n_pos, n_zero, n_neg) in the
+    KM_SCALE domain — the binary-quantization calibration read before
+    sign-bit codes; pure combiner, vectors never shuffle."""
+    from .stages.kmeans import sign_balance
+
+    return sign_balance(_emb_ds(sf_dir))
+
+
 def doc_quality_by_source(sf_dir: str):
     """Quality-mass cross-tab per source (source, score, n_docs,
     n_tokens) — which sources produce high-quality token mass, the
@@ -3743,6 +3762,8 @@ def registry() -> dict:
         "kg_walk_pairs": kg_walk_pairs,
         "kg_temporal_conflicts": kg_temporal_conflicts,
         "doc_quality_by_source": doc_quality_by_source,
+        "rel_decile_report": rel_decile_report,
+        "emb_sign_balance": emb_sign_balance,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4657,10 +4678,11 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB SQL per SQL-expressible query; keys match registry()."""
     from . import sql_oracles as so
 
-    from .pipelines.relational import sql_user_retention
+    from .pipelines.relational import sql_decile_report, sql_user_retention
     from .stages.corpus import sql_winnow_fingerprints
     from .stages.dedup import EDIT_MAX_DIST, EDIT_PREFIX_LEN
-    from .stages.kmeans import sql_label_centroids, sql_matryoshka_profile
+    from .stages.kmeans import (sql_label_centroids, sql_matryoshka_profile,
+                                sql_sign_balance)
     from .stages.sketch import sql_hll_grouped_registers
 
     d = config_loader.resolve_settings()["processing"]["dedup"]
@@ -4790,6 +4812,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_walk_pairs": so.sql_kg_walk_pairs(),
         "kg_temporal_conflicts": so.sql_kg_temporal_conflicts(),
         "doc_quality_by_source": _sql_quality_by_source(),
+        "rel_decile_report": sql_decile_report(),
+        "emb_sign_balance": sql_sign_balance(),
         "kg_conf_support": (
             "SELECT conf_pct, least(n_support, 4) AS support_bucket, "
             "CAST(count(*) AS BIGINT) AS n_triples FROM ("

@@ -1315,3 +1315,63 @@ SELECT CAST((10000 * ss_half) // ss_full AS BIGINT) AS ratio_pm,
        CAST(count(*) AS BIGINT) AS n_vecs
 FROM s WHERE ss_full > 0 GROUP BY 1
 """
+
+
+def sign_balance(emb_ds):
+    """embeddings -> (dim, n_pos, n_zero, n_neg): per-dimension sign
+    census in the KM_SCALE quantized domain — the binary-quantization
+    calibration artifact a vector store reads before flipping to sign-bit
+    codes (a dimension whose signs are heavily imbalanced carries almost
+    no information in BQ; the fix is a rotation or per-dim threshold).
+    Pure combiner: <= d rows per batch, one dim-keyed exchange, vectors
+    never shuffle (the dim_stats cost class)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_partitioned_agg
+
+    _EMPTY = pd.DataFrame(
+        {"dim": pd.Series([], dtype="int64"),
+         "n_pos": pd.Series([], dtype="int64"),
+         "n_zero": pd.Series([], dtype="int64"),
+         "n_neg": pd.Series([], dtype="int64")})
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat.reshape(n, -1) * KM_SCALE + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {"dim": np.arange(q.shape[1], dtype=np.int64),
+             "n_pos": (q > 0).sum(axis=0).astype(np.int64),
+             "n_zero": (q == 0).sum(axis=0).astype(np.int64),
+             "n_neg": (q < 0).sum(axis=0).astype(np.int64)})
+
+    return hash_partitioned_agg(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim"],
+        lambda df: df.groupby("dim", sort=False, as_index=False).agg(
+            n_pos=("n_pos", "sum"), n_zero=("n_zero", "sum"),
+            n_neg=("n_neg", "sum")))
+
+
+def sql_sign_balance() -> str:
+    """DuckDB oracle: same quantization as sql_label_centroids, parallel
+    index/value unnest, sign census per dimension."""
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+), u AS (
+  SELECT unnest(generate_series(1, len(qv))) AS i, unnest(qv) AS v FROM q
+)
+SELECT CAST(i - 1 AS BIGINT) AS dim,
+       CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(sum(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+FROM u GROUP BY 1
+"""

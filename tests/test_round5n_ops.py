@@ -632,3 +632,66 @@ def test_doc_quality_by_source_matches_serial(ray_session):
     pd.testing.assert_series_equal(a, b, check_names=False)
     assert out["score"].between(0, 3).all()
     assert (out["n_tokens"] >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# rel_decile_report + emb_sign_balance (batch-33)
+# ---------------------------------------------------------------------------
+
+
+def test_rel_decile_report_matches_serial(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import kgx.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.rel_decile_report(sf)).sort_values("decile") \
+        .reset_index(drop=True)
+    o = pq.read_table(f"{sf}/orders.parquet",
+                      columns=["o_custkey", "o_totalprice"]).to_pandas() \
+        .dropna()
+    o["cents"] = np.floor(
+        o["o_totalprice"].to_numpy(dtype=np.float64) * 100 + 0.5
+    ).astype("int64")
+    c = o.groupby("o_custkey", as_index=False).agg(cents=("cents", "sum")) \
+        .sort_values(["cents", "o_custkey"]).reset_index(drop=True)
+    n = len(c)
+    c["decile"] = (np.arange(n, dtype=np.int64) * 10) // n
+    ref = c.groupby("decile", as_index=False).agg(
+        n_customers=("cents", "size"), revenue_cents=("cents", "sum")) \
+        .sort_values("decile").reset_index(drop=True)
+    for col in ("n_customers", "revenue_cents"):
+        ref[col] = ref[col].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
+    # decile sizes are floor/ceil of n/10 and revenue is nondecreasing
+    assert set(out["decile"]) == set(range(10))
+    assert out["n_customers"].sum() == n
+    assert out["n_customers"].between(n // 10, n // 10 + 1).all()
+    assert (out["revenue_cents"].diff().dropna() >= 0).all()
+
+
+def test_emb_sign_balance_matches_serial(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import kgx.queries as Q
+    from kgx.stages.kmeans import KM_SCALE
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.emb_sign_balance(sf)).sort_values("dim") \
+        .reset_index(drop=True)
+    tbl = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    mat = np.array(
+        [e for e in tbl["embedding"].to_pylist() if e is not None],
+        dtype=np.float64)
+    q = np.floor(mat * KM_SCALE + 0.5).astype(np.int64)
+    ref = pd.DataFrame(
+        {"dim": np.arange(q.shape[1], dtype="int64"),
+         "n_pos": (q > 0).sum(axis=0).astype("int64"),
+         "n_zero": (q == 0).sum(axis=0).astype("int64"),
+         "n_neg": (q < 0).sum(axis=0).astype("int64")})
+    pd.testing.assert_frame_equal(out, ref)
+    # sign census partitions every vector at every dimension
+    assert ((out["n_pos"] + out["n_zero"] + out["n_neg"])
+            == len(mat)).all()
