@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "kg_walk_pairs",
     "kg_temporal_conflicts",
     "doc_quality_by_source",
+    "rel_decile_report",
+    "emb_sign_balance",
 ]
 
 
