@@ -3184,6 +3184,18 @@ def kg_temporal_conflicts(sf_dir: str):
         ["ns", "pred", "day"], kernel)
 
 
+def kg_inverse_preds(sf_dir: str):
+    """Inverse-relation mining (pred_a, pred_b, n_ab, n_a, conf_pm):
+    AMIE-class inverse-rule support over the deduped triples — which
+    predicate PAIRS behave as inverses (acquired vs subsidiary_of),
+    complementing kg_pred_directionality's same-pred symmetry audit;
+    faithfully 0-row on corpora with no inverse pairs (the planted test
+    exercises the branch).  See stages.kg_stages.inverse_pred_support."""
+    from .stages.kg_stages import inverse_pred_support
+
+    return inverse_pred_support(_kg_sql_outputs(sf_dir)["triples"])
+
+
 def kg_conf_support(sf_dir: str):
     """Confidence-vs-attestation calibration cross-tab (conf_pct,
     support_bucket, n_triples) over the deduped triples — are
@@ -3764,6 +3776,7 @@ def registry() -> dict:
         "doc_quality_by_source": doc_quality_by_source,
         "rel_decile_report": rel_decile_report,
         "emb_sign_balance": emb_sign_balance,
+        "kg_inverse_preds": kg_inverse_preds,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4814,6 +4827,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_by_source": _sql_quality_by_source(),
         "rel_decile_report": sql_decile_report(),
         "emb_sign_balance": sql_sign_balance(),
+        "kg_inverse_preds": so.sql_kg_inverse_preds(),
         "kg_conf_support": (
             "SELECT conf_pct, least(n_support, 4) AS support_bucket, "
             "CAST(count(*) AS BIGINT) AS n_triples FROM ("

@@ -1810,3 +1810,36 @@ SELECT min(subj) AS subj, pred, CAST(day AS BIGINT) AS day,
 FROM om GROUP BY ns, pred, day HAVING count(*) > 1
 """
     )
+
+
+def sql_kg_inverse_preds() -> str:
+    """(pred_a, pred_b, n_ab, n_a, conf_pm): AMIE-class inverse-relation
+    support over the deduped triples — n_ab = triples of pred_a whose
+    exact reverse exists under pred_b (dedup guarantees at most one
+    reverse per (triple, pred_b), so the join count IS the support);
+    confidence = exact integer permyriad against pred_a's total."""
+    return (
+        _kg_common_ctes()
+        + f"""
+, keyed AS (
+  SELECT *, {_sql_norm_triple_part('subj')} AS ns, {_sql_norm_triple_part('obj')} AS no
+  FROM linked
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ns, pred, no
+                               ORDER BY url, seg_id, subj, pred, obj) AS rr
+  FROM keyed
+), t AS (
+  SELECT ns, pred, no FROM ranked WHERE rr = 1
+), ab AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b, count(*) AS n_ab
+  FROM t a JOIN t b ON b.ns = a.no AND b.no = a.ns
+  GROUP BY 1, 2
+), na AS (
+  SELECT pred, count(*) AS n_a FROM t GROUP BY 1
+)
+SELECT ab.pred_a, ab.pred_b, CAST(ab.n_ab AS BIGINT) AS n_ab,
+       CAST(na.n_a AS BIGINT) AS n_a,
+       CAST((10000 * ab.n_ab) // na.n_a AS BIGINT) AS conf_pm
+FROM ab JOIN na ON na.pred = ab.pred_a
+"""
+    )

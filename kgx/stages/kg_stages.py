@@ -1472,3 +1472,111 @@ def entity_walks(triples_ds, walk_len: int = WALK_LEN):
         return out
 
     return state.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Inverse-relation mining (r5 batch-34): which predicate PAIRS behave as
+# inverses — the AMIE-class schema-mining artifact complementing
+# kg_pred_directionality's same-pred symmetry audit.
+# ---------------------------------------------------------------------------
+
+
+def inverse_pred_support(triples_ds):
+    """deduped triples -> (pred_a, pred_b, n_ab, n_a, conf_pm): n_ab
+    counts triples (s, pred_a, o) whose exact reverse (o, pred_b, s) also
+    exists; conf_pm = 10000 * n_ab // n_a against pred_a's total.  A
+    modeler reads high-confidence rows to collapse redundant inverse
+    relations before publishing the graph.
+
+    Scale shape: triples co-locate by UNORDERED normalized entity pair
+    through ONE partition exchange; each group's direction-split pred
+    lists cross-merge (<= |preds|^2 rows per pair — dedup guarantees at
+    most one reverse per (triple, pred_b), so the group cross-product IS
+    n_ab; self-loops are their own reverses, every ordered pred pair
+    counts including p == p); bounded pred-pair combiner; the n_a
+    marginal is a <= |preds| fold and the permyriad finish runs driver-
+    side over the bounded |preds|^2 result (typed even when empty — the
+    faithful 0-row case on corpora with no inverse pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+    from .wide import _norm_part_series
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ns = _norm_part_series(df["subj"]).astype(str).to_numpy()
+        no = _norm_part_series(df["obj"]).astype(str).to_numpy()
+        fwd = ns <= no
+        return pd.DataFrame(
+            {"u": np.where(fwd, ns, no), "v": np.where(fwd, no, ns),
+             "d": (~fwd).astype("int64"),
+             "pred": df["pred"].astype(str).to_numpy()}).drop_duplicates()
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"pred_a": pd.Series([], dtype=object),
+             "pred_b": pd.Series([], dtype=object),
+             "n_ab": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        d = df.drop_duplicates()
+        loops = d[d["u"] == d["v"]]
+        outs = []
+        if len(loops):
+            m = loops[["u", "pred"]].merge(
+                loops[["u", "pred"]].rename(columns={"pred": "pred_b"}),
+                on="u")
+            outs.append(m.rename(columns={"pred": "pred_a"})
+                        [["pred_a", "pred_b"]])
+        rest = d[d["u"] != d["v"]]
+        if len(rest):
+            f = rest[rest["d"] == 0][["u", "v", "pred"]]
+            b = rest[rest["d"] == 1][["u", "v", "pred"]]
+            m1 = f.merge(b.rename(columns={"pred": "pred_b"}),
+                         on=["u", "v"]).rename(columns={"pred": "pred_a"})
+            m2 = b.merge(f.rename(columns={"pred": "pred_b"}),
+                         on=["u", "v"]).rename(columns={"pred": "pred_a"})
+            outs.append(m1[["pred_a", "pred_b"]])
+            outs.append(m2[["pred_a", "pred_b"]])
+        if not outs:
+            return empty
+        g = pd.concat(outs, ignore_index=True)
+        out = g.groupby(["pred_a", "pred_b"], sort=False,
+                        as_index=False).size() \
+            .rename(columns={"size": "n_ab"})
+        out["n_ab"] = out["n_ab"].astype("int64")
+        return out
+
+    tagged = triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+        partial, batch_format="pandas").materialize()
+    pairs = hash_partitioned_agg(
+        hash_partitioned_apply(tagged, ["u", "v"], kernel),
+        ["pred_a", "pred_b"],
+        lambda df: df.groupby(["pred_a", "pred_b"], sort=False,
+                              as_index=False).agg(n_ab=("n_ab", "sum"))
+    ).to_pandas()
+
+    marg = hash_partitioned_agg(
+        tagged.map_batches(
+            lambda df: df.groupby("pred", sort=False, as_index=False)
+            .size().rename(columns={"size": "n_a"}),
+            batch_format="pandas"),
+        ["pred"],
+        lambda df: df.groupby("pred", sort=False, as_index=False).agg(
+            n_a=("n_a", "sum"))).to_pandas()
+    n_a_map = dict(zip(marg["pred"], marg["n_a"]))
+
+    if not len(pairs):
+        return pd.DataFrame(
+            {"pred_a": pd.Series([], dtype=object),
+             "pred_b": pd.Series([], dtype=object),
+             "n_ab": pd.Series([], dtype="int64"),
+             "n_a": pd.Series([], dtype="int64"),
+             "conf_pm": pd.Series([], dtype="int64")})
+    pairs = pairs.copy()
+    pairs["n_a"] = pairs["pred_a"].map(n_a_map).astype("int64")
+    pairs["conf_pm"] = np.fromiter(
+        ((10000 * int(ab)) // int(a)
+         for ab, a in zip(pairs["n_ab"], pairs["n_a"])),
+        dtype="int64", count=len(pairs))
+    return pairs[["pred_a", "pred_b", "n_ab", "n_a", "conf_pm"]]

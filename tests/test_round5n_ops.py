@@ -695,3 +695,70 @@ def test_emb_sign_balance_matches_serial(ray_session):
     # sign census partitions every vector at every dimension
     assert ((out["n_pos"] + out["n_zero"] + out["n_neg"])
             == len(mat)).all()
+
+
+# ---------------------------------------------------------------------------
+# kg_inverse_preds: inverse-relation mining (batch-34)
+# ---------------------------------------------------------------------------
+
+
+def test_kg_inverse_preds_empty_on_corpus(ray_session):
+    """The synthetic corpus has no cross-pred inverse pairs — the result
+    is faithfully empty WITH its typed schema (the 0-row contract the
+    driver's column check needs)."""
+    import kgx.queries as Q
+
+    out = _collect(Q.kg_inverse_preds("/root/testdata/sf0.001"))
+    assert list(out.columns) == ["pred_a", "pred_b", "n_ab", "n_a",
+                                 "conf_pm"]
+    assert len(out) == 0
+
+
+def test_inverse_pred_support_planted(ray_session):
+    """Planted inverse structure: acquired/subsidiary_of are mutual
+    inverses on two entity pairs, a self-loop is its own reverse (p == p
+    counts), and a one-directional edge contributes marginals only."""
+    import ray.data as rd
+
+    from kgx.stages.kg_stages import inverse_pred_support
+
+    triples = pd.DataFrame(
+        {"subj": ["Acme", "Globex", "Initech", "Umbrella", "Hooli",
+                  "Hooli", "Acme"],
+         "pred": ["acquired", "subsidiary_of", "acquired",
+                  "subsidiary_of", "partnered_with", "partnered_with",
+                  "acquired"],
+         "obj": ["Globex", "Acme", "Umbrella", "Initech", "Hooli",
+                 "Vandelay", "Stark"]})
+    out = _collect(inverse_pred_support(rd.from_pandas(triples))) \
+        .sort_values(["pred_a", "pred_b"]).reset_index(drop=True)
+
+    # serial reference via the reverse self-join over the deduped set
+    t = triples.copy()
+    t["ns"] = t["subj"].str.lower()
+    t["no"] = t["obj"].str.lower()
+    t = t[["ns", "pred", "no"]].drop_duplicates()
+    m = t.merge(
+        t.rename(columns={"ns": "no", "no": "ns", "pred": "pred_b"}),
+        on=["ns", "no"])
+    ab = m.groupby(["pred", "pred_b"], as_index=False).size() \
+        .rename(columns={"pred": "pred_a", "size": "n_ab"})
+    na = t.groupby("pred", as_index=False).size() \
+        .rename(columns={"pred": "pred_a", "size": "n_a"})
+    ref = ab.merge(na, on="pred_a")
+    ref["conf_pm"] = (10000 * ref["n_ab"]) // ref["n_a"]
+    ref = ref.sort_values(["pred_a", "pred_b"]).reset_index(drop=True)
+    for c in ("n_ab", "n_a", "conf_pm"):
+        ref[c] = ref[c].astype("int64")
+
+    pd.testing.assert_frame_equal(out, ref)
+    got = {(r.pred_a, r.pred_b): r.n_ab for r in out.itertuples()}
+    # acquired <-> subsidiary_of on two pairs, both directions
+    assert got[("acquired", "subsidiary_of")] == 2
+    assert got[("subsidiary_of", "acquired")] == 2
+    # Hooli's self-loop is its own reverse
+    assert got[("partnered_with", "partnered_with")] == 1
+    # one-directional acquired(Acme, Stark) inflates n_a but not n_ab
+    row = out[(out["pred_a"] == "acquired")
+              & (out["pred_b"] == "subsidiary_of")].iloc[0]
+    assert row["n_a"] == 3 and row["conf_pm"] == 6666
