@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "doc_quality_by_source",
     "rel_decile_report",
     "emb_sign_balance",
+    "kg_inverse_preds",
 ]
 
 
