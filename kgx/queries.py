@@ -3100,6 +3100,20 @@ def emb_sign_balance(sf_dir: str):
     return sign_balance(_emb_ds(sf_dir))
 
 
+def doc_dup_by_source(sf_dir: str):
+    """Per-source exact-duplication impact (source, n_docs, n_dup_docs,
+    n_distinct_fps) — the dedup-savings report a curation pass reads per
+    source; the source rides the fingerprint row through ONE fp-keyed
+    exchange (the doc_quality_dup shape), bounded source combiner."""
+    import ray.data as rd
+
+    from .stages.corpus import dup_by_source
+
+    return dup_by_source(rd.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"),
+        columns=["doc_id", "text", "source"]))
+
+
 def doc_quality_by_source(sf_dir: str):
     """Quality-mass cross-tab per source (source, score, n_docs,
     n_tokens) — which sources produce high-quality token mass, the
@@ -3781,6 +3795,7 @@ def registry() -> dict:
         "rel_decile_report": rel_decile_report,
         "emb_sign_balance": emb_sign_balance,
         "kg_inverse_preds": kg_inverse_preds,
+        "doc_dup_by_source": doc_dup_by_source,
     }
     out = {k: base[k] for k in _NEVER_CHECKED_50}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -3918,6 +3933,12 @@ def _sql_quality_by_source() -> str:
     from .stages.corpus import sql_quality_by_source
 
     return sql_quality_by_source()
+
+
+def _sql_dup_by_source() -> str:
+    from .stages.corpus import sql_dup_by_source
+
+    return sql_dup_by_source(ts.sql_fingerprint("coalesce(text, '')"))
 
 
 def _sql_vocab_overlap() -> str:
@@ -4832,6 +4853,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_decile_report": sql_decile_report(),
         "emb_sign_balance": sql_sign_balance(),
         "kg_inverse_preds": so.sql_kg_inverse_preds(),
+        "doc_dup_by_source": _sql_dup_by_source(),
         "kg_conf_support": (
             "SELECT conf_pct, least(n_support, 4) AS support_bucket, "
             "CAST(count(*) AS BIGINT) AS n_triples FROM ("

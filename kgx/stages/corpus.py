@@ -3191,3 +3191,78 @@ SELECT source, score, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(nt) AS BIGINT) AS n_tokens
 FROM s GROUP BY 1, 2
 """
+
+
+def dup_by_source(docs_ds):
+    """documents -> (source, n_docs, n_dup_docs, n_distinct_fps): the
+    per-source exact-duplication impact report — how many of each
+    source's documents are exact duplicates (their normalized-text md5
+    fingerprint appears on more than one document CORPUS-WIDE) and how
+    many distinct fingerprints the source contributes; the dedup-savings
+    estimate a curation pass reads per source before ordering filters
+    (read next to doc_quality_dup's corpus-level cross-tab and
+    dedup_cross_source's near-dup matrix).
+
+    Scale shape: the source rides the fingerprint row through ONE
+    fp-keyed partition exchange (the doc_quality_dup shape), whose
+    kernel resolves the global duplicate flag per group and folds to
+    per-source partials — the distinct-fp credit goes to each source
+    once per (fp, source) inside the complete group, so the fold is
+    exact; a bounded source-keyed combiner finishes."""
+    import pandas as pd
+
+    from ..functions.text import md5_fingerprint
+    from .exchange import hash_partitioned_agg, hash_partitioned_apply
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["doc_id"])
+        return pd.DataFrame(
+            {"fp": df["text"].fillna("").map(md5_fingerprint).astype(str),
+             "source": df["source"].astype(str)})
+
+    _EMPTY = pd.DataFrame(
+        {"source": pd.Series([], dtype=object),
+         "n_docs": pd.Series([], dtype="int64"),
+         "n_dup_docs": pd.Series([], dtype="int64"),
+         "n_distinct_fps": pd.Series([], dtype="int64")})
+
+    def kernel(d: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(d):
+            return _EMPTY
+        sizes = d.groupby("fp", sort=False)["fp"].transform("size")
+        dup = (sizes > 1).astype("int64")
+        per_doc = pd.DataFrame({"source": d["source"], "dup": dup})
+        docs = per_doc.groupby("source", sort=False, as_index=False).agg(
+            n_docs=("dup", "size"), n_dup_docs=("dup", "sum"))
+        fps = d.drop_duplicates(["fp", "source"]).groupby(
+            "source", sort=False, as_index=False).agg(
+            n_distinct_fps=("fp", "size"))
+        out = docs.merge(fps, on="source")
+        for c in ("n_docs", "n_dup_docs", "n_distinct_fps"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    partials = hash_partitioned_apply(
+        docs_ds.map_batches(scan, batch_format="pandas"), ["fp"], kernel)
+    return hash_partitioned_agg(
+        partials, ["source"],
+        lambda df: df.groupby("source", sort=False, as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_dup_docs=("n_dup_docs", "sum"),
+            n_distinct_fps=("n_distinct_fps", "sum")))
+
+
+def sql_dup_by_source(sql_fp: str) -> str:
+    """(source, n_docs, n_dup_docs, n_distinct_fps) over the same
+    fingerprint expression as the quality_dup / theta_sources mirrors."""
+    return f"""
+WITH f AS (
+  SELECT source, {sql_fp} AS fp FROM documents WHERE doc_id IS NOT NULL
+), sized AS (
+  SELECT source, fp, count(*) OVER (PARTITION BY fp) AS sz FROM f
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fps
+FROM sized GROUP BY 1
+"""

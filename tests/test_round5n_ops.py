@@ -762,3 +762,55 @@ def test_inverse_pred_support_planted(ray_session):
     row = out[(out["pred_a"] == "acquired")
               & (out["pred_b"] == "subsidiary_of")].iloc[0]
     assert row["n_a"] == 3 and row["conf_pm"] == 6666
+
+
+# ---------------------------------------------------------------------------
+# doc_dup_by_source: per-source exact-duplication impact (batch-35)
+# ---------------------------------------------------------------------------
+
+
+def test_doc_dup_by_source_matches_serial(ray_session):
+    import pyarrow.parquet as pq
+
+    import kgx.queries as Q
+    from kgx.functions.text import md5_fingerprint
+
+    sf = "/root/testdata/sf0.001"
+    out = _collect(Q.doc_dup_by_source(sf)).sort_values("source") \
+        .reset_index(drop=True)
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text", "source"]).to_pandas() \
+        .dropna(subset=["doc_id"])
+    docs["fp"] = docs["text"].fillna("").map(md5_fingerprint)
+    sizes = docs.groupby("fp")["fp"].transform("size")
+    docs["dup"] = (sizes > 1).astype("int64")
+    ref = docs.groupby("source", as_index=False).agg(
+        n_docs=("dup", "size"), n_dup_docs=("dup", "sum"),
+        n_distinct_fps=("fp", "nunique")) \
+        .sort_values("source").reset_index(drop=True)
+    for c in ("n_docs", "n_dup_docs", "n_distinct_fps"):
+        ref[c] = ref[c].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
+    assert (out["n_dup_docs"] <= out["n_docs"]).all()
+    assert (out["n_distinct_fps"] <= out["n_docs"]).all()
+
+
+def test_dup_by_source_planted(ray_session):
+    """Planted cross-source duplicate: the same text in two sources marks
+    BOTH copies duplicated (corpus-wide flag), each source still credits
+    one distinct fingerprint."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgx.stages.corpus import dup_by_source
+
+    docs = rd.from_arrow(pa.table(
+        {"doc_id": [1, 2, 3],
+         "text": ["same text here", "same text here", "unique text"],
+         "source": ["s1", "s2", "s2"]}))
+    out = _collect(dup_by_source(docs)).set_index("source")
+    assert int(out.loc["s1", "n_dup_docs"]) == 1
+    assert int(out.loc["s2", "n_dup_docs"]) == 1
+    assert int(out.loc["s2", "n_docs"]) == 2
+    assert int(out.loc["s1", "n_distinct_fps"]) == 1
+    assert int(out.loc["s2", "n_distinct_fps"]) == 2
