@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "rel_decile_report",
     "emb_sign_balance",
     "kg_inverse_preds",
+    "doc_dup_by_source",
 ]
 
 
